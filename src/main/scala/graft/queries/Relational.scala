@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{davg, dec, dsum, load}
+
+/** Relational core (SURVEY §2 C*): the general analytic surface a
+  * ClickHouse user of the reference's `nflows` table relies on,
+  * verified TPC-H-style on the star schema.
+  *
+  * Scale notes: fact tables (lineitem/orders/events) are only ever
+  * shuffled on their join/group keys; dimension tables are broadcast
+  * explicitly. Global top-N goes through orderBy+limit which Spark
+  * plans as TakeOrderedAndProject (per-partition heap, no full sort).
+  */
+object Relational {
+
+  /** C1: TPC-H Q1-style grouped aggregation with derived expressions. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+    li.where($"l_shipdate" <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+          .as("sum_disc_price"),
+        dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))
+          * (lit(1) + dec($"l_tax")), 6).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** C2: customer ⋈ orders ⋈ lineitem, revenue per order, top 10.
+    * customer is the small side → broadcast; lineitem⋈orders shuffle
+    * on orderkey only.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = load(spark, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING")
+    val ord = load(spark, dir, "orders")
+      .where($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+    val li = load(spark, dir, "lineitem")
+      .where($"l_shipdate" > lit("1996-01-01").cast("timestamp_ntz"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** C3: 6-way snowflake join → revenue per nation (TPC-H Q5 shape).
+    * All dims broadcast; the only shuffles are fact-side groupBy.
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = load(spark, dir, "region").where($"r_name" === "ASIA")
+    val nation = load(spark, dir, "nation")
+    val cust = load(spark, dir, "customer")
+    val supp = load(spark, dir, "supplier")
+    val ord = load(spark, dir, "orders")
+      .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+             $"o_orderdate" < lit("1999-01-01").cast("timestamp_ntz"))
+    val li = load(spark, dir, "lineitem")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** C4a: EXISTS — customers having at least one high-value order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = load(spark, dir, "customer")
+    val big = load(spark, dir, "orders").where($"o_totalprice" > 400000.0)
+    cust.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** C4b: NOT EXISTS — customers with no orders at all. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = load(spark, dir, "customer")
+    val ord = load(spark, dir, "orders")
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** C5: count-distinct + multi-distinct per group. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** C6: top-3 orders per priority by price via dense window rank. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    load(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rnk")
+  }
+
+  /** C7: running revenue + lag within each customer's order history. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    load(spark, dir, "orders")
+      .where($"o_custkey" < 100)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        sum(dec($"o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"),
+        lag(dec($"o_totalprice"), 1).over(w).cast("double").as("prev_price"),
+        row_number().over(w).as("order_seq"))
+      .orderBy($"o_custkey", $"order_seq")
+  }
+
+  /** C8: ROLLUP over (returnflag, linestatus). */
+  def rollupCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** C9: global top-K without a total sort (TakeOrderedAndProject). */
+  def orderbyLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  /** C10: union of two key ranges + distinct. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+    val a = ord.where($"o_totalprice" > 350000.0).select($"o_custkey")
+    val b = ord.where($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    a.union(b).distinct().orderBy($"o_custkey")
+  }
+
+  /** C11: scalar-subquery filter — orders above the global mean price. */
+  def subqueryScalar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+    val mean = ord.agg(davg($"o_totalprice").as("m"))
+    ord.join(broadcast(mean))
+      .where($"o_totalprice" > $"m" * 2)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** C12: pivot orderstatus → columns (conditional-agg form so the
+    * DuckDB oracle is plain SQL).
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+        count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+        count(when($"o_orderstatus" === "P", 1)).as("n_p"),
+        dsum(when($"o_orderstatus" === "F", $"o_totalprice")).as("price_f"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** C13: deterministic stratified sample — mod-based, reproducible
+    * in any engine (unlike Bernoulli sampling).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "orders")
+      .where(pmod($"o_orderkey", lit(97)) === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** C14: HLL cardinality sketch next to its exact twin (exact twin is
+    * what the oracle checks; HLL itself is engine-specific).
+    */
+  def approxHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q5_multijoin" -> q5MultiJoin _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "agg_distinct" -> aggDistinct _,
+    "window_rank" -> windowRank _,
+    "window_running" -> windowRunning _,
+    "rollup_cube" -> rollupCube _,
+    "orderby_limit" -> orderbyLimit _,
+    "union_distinct" -> unionDistinct _,
+    "subquery_scalar" -> subqueryScalar _,
+    "pivot_status" -> pivotStatus _,
+    "sample_stratified" -> sampleStratified _,
+    "approx_hll" -> approxHll _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (1 - CAST(l_discount AS DECIMAL(28,2))) * (1 + CAST(l_tax AS DECIMAL(28,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "window_rank" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(28,2)), 1)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "rollup_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "union_distinct" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |ORDER BY o_custkey""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / count(*) FROM orders) * 2
+        |ORDER BY o_orderkey""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |           THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS price_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sample_stratified" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin)
+}
