@@ -22,6 +22,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` carries INT64 TIMESTAMP(NANOS) which Spark 4's parquet
+    * reader rejects outright. Read nanos as long and rebuild a µs
+    * TIMESTAMP_NTZ (the testdata has no sub-µs components; DuckDB
+    * reads the same file as µs TIMESTAMP, so both engines agree).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+
   /** Exact decimal sum of a (≤ `scale`-decimal) column, output as double. */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")

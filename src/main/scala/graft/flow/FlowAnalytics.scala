@@ -1,0 +1,293 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{davg, dsum}
+import graft.functions.IpFuncs._
+
+/** Flow analytics (SURVEY §2 A7/B1–B8): the query surface the
+  * reference's users run in ClickHouse/Grafana over `nflows`, driven
+  * here by the `events` table re-shaped into flow records.
+  *
+  * The re-shape ([[asFlows]]) is pure deterministic arithmetic on
+  * (event_id, user_id, props.k, value), so every query — including the
+  * ones exercising the custom IP Catalyst expressions — has an exact
+  * closed-form DuckDB oracle.
+  *
+  * Scale notes: every aggregation is a partial-agg → final-agg pair on
+  * the group key (map-side combine); top-N goes through
+  * TakeOrderedAndProject; nothing collects to the driver.
+  */
+object FlowAnalytics {
+
+  /** events → flow-shaped frame: src/dst IPv4 strings, ports, bytes.
+    * sa octets: 10 . user_id%64 . (event_id div 256)%256 . event_id%256
+    * da octets: 192.168 . k%256 . user_id%256
+    */
+  def asFlows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("sa", concat(
+        lit("10."), pmod($"user_id", lit(64)),
+        lit("."), pmod(expr("event_id div 256"), lit(256)),
+        lit("."), pmod($"event_id", lit(256))))
+      .withColumn("da", concat(
+        lit("192.168."), pmod($"k", lit(256)), lit("."), pmod($"user_id", lit(256))))
+      .withColumn("sp", pmod($"event_id", lit(60000)).cast("int"))
+      .withColumn("dp", when($"event_type" === "click", 443)
+        .when($"event_type" === "view", 80)
+        .when($"event_type" === "purchase", 8443)
+        .when($"event_type" === "signup", 8080)
+        .otherwise(53).cast("int"))
+      .withColumn("pr", upper($"event_type"))
+      .withColumn("ibyt", round($"value" * 100).cast("long"))
+      .withColumn("ipkt", pmod($"event_id", lit(1000)) + 1)
+  }
+
+  /** SQL fragment the oracles share — must stay in sync with asFlows. */
+  val flowsCte: String =
+    """WITH flows AS (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |    CAST(props->>'k' AS BIGINT) AS k,
+      |    '10.' || (user_id % 64) || '.' || ((event_id // 256) % 256) || '.' || (event_id % 256) AS sa,
+      |    '192.168.' || (CAST(props->>'k' AS BIGINT) % 256) || '.' || (user_id % 256) AS da,
+      |    CAST(event_id % 60000 AS INT) AS sp,
+      |    CAST(CASE event_type WHEN 'click' THEN 443 WHEN 'view' THEN 80
+      |      WHEN 'purchase' THEN 8443 WHEN 'signup' THEN 8080 ELSE 53 END AS INT) AS dp,
+      |    upper(event_type) AS pr,
+      |    CAST(round(value * 100) AS BIGINT) AS ibyt,
+      |    (event_id % 1000) + 1 AS ipkt
+      |  FROM events)
+      |""".stripMargin
+
+  /** A1/A2 surface check: the flow re-shape itself, plus the numeric-IP
+    * enrichment from the custom Catalyst expressions (ip4_aton must
+    * equal the oracle's closed-form octet arithmetic).
+    */
+  def flowIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .withColumn("sa_num", ip4_aton($"sa"))
+      .withColumn("sa_rt", ip4_ntoa(ip4_aton($"sa")))
+      .select($"event_id".as("flow_id"), $"ts", $"sa", $"da", $"sp", $"dp",
+        $"pr", $"ibyt", $"ipkt", $"sa_num", $"sa_rt")
+      .orderBy($"flow_id")
+  }
+
+  /** A2: transform semantics — te/td reconstruction + pr normalize. */
+  def flowTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .withColumn("te", expr(
+        "timestampadd(MICROSECOND, CAST(round(value * 1000000) AS LONG), ts)"))
+      .withColumn("td", (unix_micros($"te".cast("timestamp")) -
+        unix_micros($"ts".cast("timestamp"))) / lit(1e6))
+      .select($"event_id".as("flow_id"), $"ts", $"te", $"td", $"pr")
+      .orderBy($"flow_id")
+  }
+
+  /** A7: CIDR filtering through the codegen'd Ip4InCidr expression. */
+  def flowCidrFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .where(ip4_in_cidr($"sa", lit("10.32.0.0/11")) && ip4_is_private($"da"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_flows"), dsum($"value").as("volume"))
+      .orderBy($"user_id")
+  }
+
+  /** A3 read side: daily volumes — at scale this is the partition-
+    * pruned scan over the `date=` layout written by the sink.
+    */
+  def flowDailyVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(to_date($"ts").as("date"))
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"),
+        countDistinct($"user_id").as("n_sources"))
+      .orderBy($"date")
+  }
+
+  /** B1: top-10 talkers by bytes. */
+  def topTalkers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"sa")
+      .agg(dsum($"ibyt", 0).as("bytes"), count(lit(1)).as("n_flows"))
+      .orderBy($"bytes".desc, $"sa")
+      .limit(10)
+  }
+
+  /** B2: per-protocol traffic breakdown. */
+  def protoBreakdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"pr")
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"),
+        davg($"value").as("avg_value"),
+        dsum($"ipkt", 0).as("pkts"))
+      .orderBy($"pr")
+  }
+
+  /** B3: hourly traffic time series. */
+  def timeSeries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"))
+      .orderBy($"hour")
+  }
+
+  /** B4: DDoS triage — fan-in: distinct sources per destination. */
+  def fanIn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"da")
+      .agg(countDistinct($"sa").as("n_sources"), count(lit(1)).as("n_flows"))
+      .where($"n_sources" >= 50)
+      .orderBy($"n_sources".desc, $"da")
+  }
+
+  /** B5: time-range + predicate scan (pushdown-verified in the spec). */
+  def windowFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .where($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+             $"ts" < lit("2024-01-11 00:00:00").cast("timestamp_ntz") &&
+             $"dp" === 443 && $"ibyt" > 5000)
+      .select($"event_id".as("flow_id"), $"ts", $"sa", $"da", $"ibyt")
+      .orderBy($"flow_id")
+  }
+
+  /** B6: per-protocol exact value percentiles. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"pr")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy($"pr")
+  }
+
+  /** B7: gap-based sessionization (60-min inactivity) per user —
+    * the lag/cumsum pattern, all inside two window passes over the
+    * same (user_id, ts) partitioning so it stays one shuffle.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val flows = asFlows(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          $"ts".cast("timestamp").cast("double") -
+          $"prev_ts".cast("timestamp").cast("double") > 3600d, 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum($"new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flows.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("session_start"),
+        max($"ts").as("session_end"), dsum($"value").as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** B8: heavy hitters — sources above an absolute volume threshold.
+    * Pure two-phase aggregation; no sort of the full key space.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"sa", $"user_id")
+      .agg(dsum($"ibyt", 0).as("bytes"))
+      .where($"bytes" > 20000d)
+      .orderBy($"bytes".desc, $"sa")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_ingest" -> flowIngest _,
+    "flow_transform" -> flowTransform _,
+    "flow_cidr_filter" -> flowCidrFilter _,
+    "flow_daily_volume" -> flowDailyVolume _,
+    "flow_top_talkers" -> topTalkers _,
+    "flow_proto_breakdown" -> protoBreakdown _,
+    "flow_time_series" -> timeSeries _,
+    "flow_fan_in" -> fanIn _,
+    "flow_window_filter" -> windowFilter _,
+    "flow_value_percentiles" -> valuePercentiles _,
+    "flow_sessions" -> sessions _,
+    "flow_heavy_hitters" -> heavyHitters _)
+
+  val oracleSql: Map[String, String] = Map(
+    "flow_ingest" -> (flowsCte +
+      """SELECT event_id AS flow_id, ts, sa, da, sp, dp, pr, ibyt, ipkt,
+        |  10 * 16777216 + (user_id % 64) * 65536 + ((event_id // 256) % 256) * 256 + (event_id % 256) AS sa_num,
+        |  sa AS sa_rt
+        |FROM flows ORDER BY flow_id""".stripMargin),
+    "flow_transform" -> (flowsCte +
+      """SELECT event_id AS flow_id, ts,
+        |  ts + to_microseconds(CAST(round(value * 1000000) AS BIGINT)) AS te,
+        |  CAST(round(value * 1000000) AS BIGINT) / 1000000.0 AS td,
+        |  pr
+        |FROM flows ORDER BY flow_id""".stripMargin),
+    "flow_cidr_filter" -> (flowsCte +
+      """SELECT user_id, count(*) AS n_flows,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS volume
+        |FROM flows
+        |WHERE (user_id % 64) BETWEEN 32 AND 63
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "flow_daily_volume" -> (flowsCte +
+      """SELECT CAST(ts AS DATE) AS date, count(*) AS n_flows,
+        |  CAST(sum(ibyt) AS DOUBLE) AS bytes,
+        |  count(DISTINCT user_id) AS n_sources
+        |FROM flows GROUP BY 1 ORDER BY date""".stripMargin),
+    "flow_top_talkers" -> (flowsCte +
+      """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
+        |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),
+    "flow_proto_breakdown" -> (flowsCte +
+      """SELECT pr, count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  CAST(sum(ipkt) AS DOUBLE) AS pkts
+        |FROM flows GROUP BY pr ORDER BY pr""".stripMargin),
+    "flow_time_series" -> (flowsCte +
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_flows,
+        |  CAST(sum(ibyt) AS DOUBLE) AS bytes
+        |FROM flows GROUP BY 1 ORDER BY hour""".stripMargin),
+    "flow_fan_in" -> (flowsCte +
+      """SELECT da, count(DISTINCT sa) AS n_sources, count(*) AS n_flows
+        |FROM flows GROUP BY da HAVING count(DISTINCT sa) >= 50
+        |ORDER BY n_sources DESC, da""".stripMargin),
+    "flow_window_filter" -> (flowsCte +
+      """SELECT event_id AS flow_id, ts, sa, da, ibyt FROM flows
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  AND dp = 443 AND ibyt > 5000
+        |ORDER BY flow_id""".stripMargin),
+    "flow_value_percentiles" -> (flowsCte +
+      """SELECT pr, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM flows GROUP BY pr ORDER BY pr""".stripMargin),
+    "flow_sessions" -> (flowsCte +
+      """, marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_session
+        |  FROM flows WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin),
+    "flow_heavy_hitters" -> (flowsCte +
+      """SELECT sa, user_id, CAST(sum(ibyt) AS DOUBLE) AS bytes
+        |FROM flows GROUP BY sa, user_id HAVING CAST(sum(ibyt) AS DOUBLE) > 20000
+        |ORDER BY bytes DESC, sa""".stripMargin))
+}
