@@ -12,11 +12,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ FlowAnalytics.queries
+    Relational.queries ++ FlowAnalytics.queries ++
+      graft.text.TextAnalytics.queries ++ graft.dedup.Dedup.queries ++
+      graft.ann.Knn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ FlowAnalytics.oracleSql
+    Relational.oracleSql ++ FlowAnalytics.oracleSql ++
+      graft.text.TextAnalytics.oracleSql ++ graft.dedup.Dedup.oracleSql ++
+      graft.ann.Knn.oracleSql
 }

@@ -1,0 +1,228 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.VecFuncs._
+
+/** Similarity search over the `embeddings` table (SURVEY §2 D5–D7,
+  * D13): brute-force exact top-k as the baseline, random-hyperplane
+  * LSH bucketing as the scale path, plus embedding near-dup detection.
+  *
+  * Hyperplanes are derandomized (±1 components from md5 bits), so the
+  * DuckDB oracle reproduces the bucketing bit-for-bit; cosine scores
+  * are sequential folds (see [[graft.functions.VecFuncs]]) and
+  * hash-match without rounding.
+  *
+  * Scale design: brute force broadcasts the (small) probe set against
+  * the full corpus — one map-side pass, per-partition top-k via the
+  * rank window on (probe, score) — the 100 TB pattern where the fact
+  * side never shuffles. The LSH path prunes the corpus to the probe's
+  * bucket before any dot product: bucket id is an equi-join key, and
+  * with p planes bucket cardinality ~n/2^p keeps per-bucket work flat
+  * as n grows (add planes as the corpus grows).
+  */
+object Knn {
+
+  val NumPlanesDedup = 8  // 256 buckets for near-dup self-join
+  val NumPlanesKnn = 4    // 16 buckets for the ANN index
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplanes: component j of plane p is
+    * +1 iff the first md5 hex digit of "p:j" is odd.
+    */
+  private def planes(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n).toDF("plane_id")
+      .withColumn("r", expr(
+        s"""transform(sequence(0, ${Dim - 1}, 1), j ->
+           |  CAST((CAST(conv(substring(md5(cast(concat(plane_id, ':', j) as binary)), 1, 1), 16, 10) AS INT) % 2) * 2 - 1 AS DOUBLE))""".stripMargin))
+
+  private def planesSql(n: Int): String =
+    s"""planes AS (
+       |  SELECT p AS plane_id,
+       |    list_transform(range(0, $Dim), j ->
+       |      CAST((('0x' || substr(md5(p || ':' || j), 1, 1))::BIGINT % 2) * 2 - 1 AS DOUBLE)) AS r
+       |  FROM range(0, $n) t(p))""".stripMargin
+
+  /** (vec_id, embedding, code): LSH sign-bit bucket code over n planes.
+    * The planes frame is tiny → broadcast; code assembly is one
+    * groupBy(vec_id) with a sum — no per-row driver work.
+    */
+  private def coded(spark: SparkSession, vecs: DataFrame, n: Int): DataFrame = {
+    val p = planes(spark, n)
+    vecs.crossJoin(broadcast(p))
+      .withColumn("bit",
+        when(vdot(col("embedding"), col("r")) > 0,
+          expr("CAST(pow(2, plane_id) AS BIGINT)")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(sum(col("bit")).as("code"))
+  }
+
+  private def codedSql(src: String, n: Int): String =
+    s"""coded AS (
+       |  SELECT vec_id, embedding, CAST(sum(bit) AS BIGINT) AS code FROM (
+       |    SELECT vec_id, embedding,
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $Dim + 1),
+       |            i -> CAST(embedding[i] AS DOUBLE) * r[i])),
+       |          (acc, v) -> acc + v) > 0
+       |        THEN CAST(pow(2, plane_id) AS BIGINT) ELSE 0 END AS bit
+       |    FROM $src, planes)
+       |  GROUP BY vec_id, embedding)""".stripMargin
+
+  /** The oracle's cosine — list_reduce fold, same element order and
+    * widening as [[VecFuncs.vcos]].
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, $Dim + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |   (acc, v) -> acc + v)
+       | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, $Dim + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))),
+       |      (acc, v) -> acc + v))
+       |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, $Dim + 1),
+       |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |      (acc, v) -> acc + v))))""".stripMargin
+
+  /** D6: exact brute-force top-5 cosine neighbors for probe vectors
+    * (vec_id < 10), ranked with deterministic tie-break.
+    */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val probes = vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val scored = vecs.crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score", vcos($"probe_emb", $"embedding"))
+    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank", $"score")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val bruteTopKSql: String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    ${cosSql("p.probe_emb", "e.embedding")} AS score
+       |  FROM embeddings e, probes p WHERE e.vec_id != p.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS neighbor_id, rank, score
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** D7: LSH-bucketed approximate top-3 — probes search only their own
+    * sign-bit bucket (the IVF-style scale path).
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val c = coded(spark, vecs, NumPlanesKnn)
+    val probes = c.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"), $"code")
+    val cands = c.join(probes, Seq("code"))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score", vcos($"probe_emb", $"embedding"))
+    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    cands
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank", $"score", $"code")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val lshTopKSql: String =
+    s"""WITH ${planesSql(NumPlanesKnn)},
+       |${codedSql("embeddings", NumPlanesKnn)},
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb, code
+       |  FROM coded WHERE vec_id < 10),
+       |cands AS (
+       |  SELECT p.probe_id, c.vec_id, c.code,
+       |    ${cosSql("p.probe_emb", "c.embedding")} AS score
+       |  FROM coded c JOIN probes p USING (code) WHERE c.vec_id != p.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, code, score,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM cands)
+       |SELECT probe_id, vec_id AS neighbor_id, rank, score, code
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  /** D5: embedding near-dup pairs — corpus ∪ exact copies of every
+    * 10th vector (ids +10000), LSH-bucket self-join, cosine ≥ 0.99.
+    */
+  def embDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val corpus = base.union(
+      base.where($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val c = coded(spark, corpus, NumPlanesDedup)
+    val l = c.as("l"); val r = c.as("r")
+    l.join(r, $"l.code" === $"r.code" && $"l.vec_id" < $"r.vec_id")
+      .withColumn("cosine", vcos($"l.embedding", $"r.embedding"))
+      .where($"cosine" >= 0.99)
+      .select($"l.vec_id".as("v1"), $"r.vec_id".as("v2"), $"cosine")
+      .orderBy($"v1", $"v2")
+  }
+
+  val embDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |${planesSql(NumPlanesDedup)},
+       |${codedSql("corpus", NumPlanesDedup)}
+       |SELECT l.vec_id AS v1, r.vec_id AS v2,
+       |  ${cosSql("l.embedding", "r.embedding")} AS cosine
+       |FROM coded l JOIN coded r ON l.code = r.code AND l.vec_id < r.vec_id
+       |WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.99
+       |ORDER BY v1, v2""".stripMargin
+
+  /** D13: per-label embedding norm statistics (list-column math). */
+  def embNorms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "embeddings")
+      .withColumn("norm", vnorm($"embedding"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        min($"norm").as("min_norm"),
+        max($"norm").as("max_norm"),
+        round(sum($"norm"), 6).as("sum_norm_r"))
+      .orderBy($"label")
+  }
+
+  val embNormsSql: String =
+    s"""WITH n AS (
+       |  SELECT label,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, $Dim + 1),
+       |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+       |      (acc, v) -> acc + v)) AS norm
+       |  FROM embeddings)
+       |SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm,
+       |  round(sum(norm), 6) AS sum_norm_r
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_brute" -> bruteTopK _,
+    "ann_topk_lsh" -> lshTopK _,
+    "dedup_embedding" -> embDedup _,
+    "emb_norms" -> embNorms _)
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk_brute" -> bruteTopKSql,
+    "ann_topk_lsh" -> lshTopKSql,
+    "dedup_embedding" -> embDedupSql,
+    "emb_norms" -> embNormsSql)
+}

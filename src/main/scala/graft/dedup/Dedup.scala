@@ -1,0 +1,271 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Deduplication operators for training-data curation (SURVEY §2
+  * D1–D5).
+  *
+  * The testdata corpus has no duplicates, so each query derives a
+  * corpus with *planted* duplicates by deterministic self-union
+  * (copied/perturbed rows get `doc_id + 10000`) — a query-level
+  * construct both engines express identically, which keeps the DuckDB
+  * oracle exact while giving the detectors something to find.
+  *
+  * All hashing is md5-derived (identical in Spark, DuckDB, and any
+  * other engine), so the "randomized" algorithms (minhash permutations,
+  * simhash token hashing) are fully derandomized and oracle-checkable
+  * — no rows-only escape hatches.
+  *
+  * Scale design: every pairwise comparison is preceded by a coarse
+  * bucketing join key (band hash, simhash segment, length bucket), so
+  * candidate generation is a hash-partitioned equi-join — never an
+  * O(n²) cross join — and per-bucket work is bounded. At 100 TB the
+  * band/segment keyspace (~2⁶⁰) dwarfs any cluster's core count, so
+  * the shuffle spreads evenly; AQE handles residual skew.
+  */
+object Dedup {
+
+  /** documents ∪ exact copies of every 5th doc (ids +10000). */
+  private def corpusExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").select("doc_id", "text")
+    d.union(d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  val corpusExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+      |""".stripMargin
+
+  /** documents ∪ near-copies of every 7th doc (appended tail, +10000). */
+  private def corpusNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").select("doc_id", "text")
+    d.union(d.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" near dup tail marker")).as("text")))
+  }
+
+  val corpusNearSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text || ' near dup tail marker' AS text
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |""".stripMargin
+
+  /** D1: exact dedup — md5 hash-groupBy, keep lowest doc_id.
+    * One shuffle on the 128-bit content hash; the keep decision is a
+    * window min per hash group (at scale: groupBy(hash).agg(min) then
+    * a semi-join back, same shuffle count, no window sort needed —
+    * expressed as the window form for oracle clarity).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusExact(spark, dir)
+      .withColumn("h", md5($"text".cast("binary")))
+      .withColumn("keep_id",
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+      .withColumn("is_dup", $"doc_id" =!= $"keep_id")
+      .select($"doc_id", $"h", $"keep_id", $"is_dup")
+      .orderBy($"doc_id")
+  }
+
+  // ---- MinHash+LSH ----------------------------------------------------
+  val ShingleLen = 5
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4 // LSH threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard
+
+  /** (doc_id, shingles, minhashes) — md5-derived hash family
+    * h_j(s) = int64(md5(j ‖ ':' ‖ s)[0:15 hex]).
+    */
+  private def minhashed(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("shingles", array_distinct(expr(
+        s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1)), i -> substring(text, i, $ShingleLen))")))
+      .withColumn("minhashes", expr(
+        s"""transform(sequence(0, ${NumHashes - 1}), j ->
+           |  array_min(transform(shingles, s ->
+           |    CAST(conv(substring(md5(cast(concat(j, ':', s) as binary)), 1, 15), 16, 10) AS BIGINT))))""".stripMargin))
+
+  /** D2: MinHash LSH near-dup candidate pairs with minhash-estimated
+    * Jaccard. Band signature → bucket equi-join → distinct pairs.
+    */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = minhashed(corpusNear(spark, dir)).select($"doc_id", $"minhashes")
+    val bands = mh.select($"doc_id", $"minhashes",
+      explode(expr(
+        s"""transform(sequence(0, ${Bands - 1}), b ->
+           |  named_struct('band_id', b,
+           |    'band_hash', md5(cast(concat_ws(',', slice(minhashes, b * $RowsPerBand + 1, $RowsPerBand)) as binary))))""".stripMargin))
+        .as("band"))
+      .select($"doc_id", $"minhashes", $"band.band_id", $"band.band_hash")
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r,
+        $"l.band_id" === $"r.band_id" && $"l.band_hash" === $"r.band_hash" &&
+        $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"),
+        (expr(s"CAST(size(filter(sequence(1, $NumHashes), i -> l.minhashes[i - 1] = r.minhashes[i - 1])) AS DOUBLE)") / NumHashes)
+          .as("est_jaccard"))
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
+  val minhashSql: String = corpusNearSql +
+    s""", sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(length(text) - ${ShingleLen - 1}, 1) + 1),
+       |      i -> substring(text, i, $ShingleLen))) AS shingles
+       |  FROM corpus),
+       |mh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $NumHashes), j ->
+       |      list_min(list_transform(shingles, s ->
+       |        ('0x' || substr(md5(j || ':' || s), 1, 15))::BIGINT))) AS minhashes
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, minhashes, b AS band_id,
+       |    md5(array_to_string(minhashes[b * $RowsPerBand + 1 : b * $RowsPerBand + $RowsPerBand], ',')) AS band_hash
+       |  FROM mh, range(0, $Bands) t(b))
+       |SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+       |  CAST(len(list_filter(range(1, $NumHashes + 1),
+       |    i -> l.minhashes[i] = r.minhashes[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM bands l JOIN bands r
+       |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       | AND l.doc_id < r.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- SimHash --------------------------------------------------------
+  val SimBits = 48
+  val SegBits = 12 // 4 segments → pigeonhole blocking for hamming ≤ 3
+
+  /** (doc_id, simhash) — 48-bit simhash over token md5s, weighted by
+    * token frequency. Two shuffles: token-count groupBy, then per-doc
+    * bit vote; both partial-aggregated.
+    */
+  private def simhashed(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tok = corpus
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", expr("CAST(conv(substring(md5(cast(w as binary)), 1, 12), 16, 10) AS BIGINT)"))
+    tok
+      .select($"doc_id", $"cnt", $"h",
+        explode(expr(s"sequence(0, ${SimBits - 1})")).as("i"))
+      .withColumn("contrib",
+        when(expr("(h div CAST(pow(2, i) AS BIGINT)) % 2") === 1, $"cnt")
+          .otherwise(-$"cnt"))
+      .groupBy($"doc_id", $"i")
+      .agg(sum($"contrib").as("vote"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0, expr("CAST(pow(2, i) AS BIGINT)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** D3: simhash near-dup pairs via 4-segment pigeonhole blocking,
+    * hamming distance ≤ 8 reported.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = simhashed(spark, corpusNear(spark, dir))
+    val seg = sh.select($"doc_id", $"simhash",
+      explode(expr(s"transform(sequence(0, ${SimBits / SegBits - 1}), s -> named_struct('seg_id', s, 'seg_val', (simhash div CAST(pow(2, s * $SegBits) AS BIGINT)) % ${1 << SegBits}))")).as("seg"))
+      .select($"doc_id", $"simhash", $"seg.seg_id", $"seg.seg_val")
+    val l = seg.as("l"); val r = seg.as("r")
+    l.join(r,
+        $"l.seg_id" === $"r.seg_id" && $"l.seg_val" === $"r.seg_val" &&
+        $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"),
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .where($"hamming" <= 8)
+      .orderBy($"d1", $"d2")
+  }
+
+  val simhashSql: String = corpusNearSql +
+    s""", tok AS (
+       |  SELECT doc_id, w, count(*) AS cnt,
+       |    ('0x' || substr(md5(w), 1, 12))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+       |  GROUP BY doc_id, w),
+       |votes AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (h // CAST(pow(2, i) AS BIGINT)) % 2 = 1 THEN cnt ELSE -cnt END) AS vote
+       |  FROM tok, range(0, $SimBits) t(i)
+       |  GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |seg AS (
+       |  SELECT doc_id, simhash, s AS seg_id,
+       |    (simhash // CAST(pow(2, s * $SegBits) AS BIGINT)) % ${1 << SegBits} AS seg_val
+       |  FROM sh, range(0, ${SimBits / SegBits}) t(s))
+       |SELECT d1, d2, hamming FROM (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+       |    CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |  FROM seg l JOIN seg r
+       |    ON l.seg_id = r.seg_id AND l.seg_val = r.seg_val AND l.doc_id < r.doc_id)
+       |WHERE hamming <= 8
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- N-gram Jaccard -------------------------------------------------
+
+  /** D4: true 3-gram Jaccard over length-bucketed candidate pairs —
+    * the verification stage downstream of an LSH pass (bucketing here:
+    * same lang, same n_chars//50 — bounded buckets, no cross join).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = load(spark, dir, "documents")
+      .withColumn("grams", array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
+      .withColumn("bucket", expr("length(text) div 50"))
+      .select($"doc_id", $"lang", $"bucket", $"grams")
+    val l = g.as("l"); val r = g.as("r")
+    l.join(r,
+        $"l.lang" === $"r.lang" && $"l.bucket" === $"r.bucket" &&
+        $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"),
+        (expr("CAST(size(array_intersect(l.grams, r.grams)) AS DOUBLE)") /
+          expr("CAST(size(array_union(l.grams, r.grams)) AS DOUBLE)")).as("jaccard"))
+      .where($"jaccard" >= 0.5)
+      .orderBy($"d1", $"d2")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang, length(text) // 50 AS bucket,
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+      |      i -> substring(text, i, 3))) AS grams
+      |  FROM documents)
+      |SELECT l.doc_id AS d1, r.doc_id AS d2,
+      |  CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_cat(l.grams, r.grams))) AS DOUBLE) AS jaccard
+      |FROM g l JOIN g r
+      |  ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      |WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_cat(l.grams, r.grams))) AS DOUBLE) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact _,
+    "dedup_minhash" -> minhash _,
+    "dedup_simhash" -> simhash _,
+    "dedup_ngram_jaccard" -> ngramJaccard _)
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> (corpusExactSql +
+      """SELECT doc_id, md5(text) AS h,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+        |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM corpus ORDER BY doc_id""".stripMargin),
+    "dedup_minhash" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql)
+}

@@ -120,7 +120,7 @@ object Relational {
     val w = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     load(spark, dir, "orders")
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .where($"rnk" <= 3)
       .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
       .orderBy($"o_orderpriority", $"rnk")
@@ -139,7 +139,7 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double").as("running_total"),
         lag(dec($"o_totalprice"), 1).over(w).cast("double").as("prev_price"),
-        row_number().over(w).as("order_seq"))
+        row_number().over(w).cast("long").as("order_seq"))
       .orderBy($"o_custkey", $"order_seq")
   }
 

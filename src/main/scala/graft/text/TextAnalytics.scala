@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Text-analysis operators for training-data curation (SURVEY §2
+  * D8–D11) over the `documents` table.
+  *
+  * All per-document: embarrassingly parallel, no shuffle except the
+  * final presentation sort — at 100 TB these run as a single map
+  * stage over the corpus, and every scoring formula is plain SQL
+  * arithmetic so the DuckDB oracle reproduces it exactly.
+  */
+object TextAnalytics {
+
+  /** Per-language discriminator token profiles (derived from the
+    * corpus' per-language frequency ranking). The CASE-chain argmax
+    * gives a fixed tie-break priority, identical in the oracle.
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("hash", "order", "table", "window", "spark"),
+    "de" -> Seq("customer", "join", "column", "key", "vector"),
+    "es" -> Seq("slow", "agg", "merge", "vector", "query"),
+    "fr" -> Seq("scan", "data", "batch", "query", "line"),
+    "zh" -> Seq("join", "small", "customer", "row", "stream"))
+
+  private def profileScore(words: Seq[String]): Column = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), w -> w IN ($set)))").cast("long")
+  }
+
+  /** D8: n-gram/stopword-profile language ID. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = load(spark, dir, "documents")
+      .withColumns(profiles.map { case (l, ws) => s"s_$l" -> profileScore(ws) }.toMap)
+    val pred = profiles.foldRight(lit("und")) { case ((l, _), els) =>
+      val c = col(s"s_$l")
+      val others = profiles.filter(_._1 != l).map(p => col(s"s_${p._1}"))
+      when(others.foldLeft(lit(true))((acc, o) => acc && c >= o), l).otherwise(els)
+    }
+    scored
+      .withColumn("lang_pred", pred)
+      .select(($"doc_id" +: $"lang" +: $"lang_pred" +:
+        profiles.map(p => col(s"s_${p._1}"))): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** D9: quality scoring — length/token/stopword/char-class ratios
+    * composed into a keep/drop score. Formula order matters (IEEE
+    * parity with the oracle): keep the exact expression shape in sync.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_chars_m", length($"text"))
+      .withColumn("n_stop",
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))"))
+      .withColumn("avg_token_len",
+        ($"n_chars_m" - $"n_tokens" + 1).cast("double") / $"n_tokens")
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("score",
+        ($"avg_token_len" * 0.2) + ($"stop_ratio" * 2.0) +
+          (least($"n_tokens", lit(100)).cast("double") / 100.0))
+      .withColumn("keep", $"score" > 1.5 && $"n_tokens" >= 10)
+      .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio",
+        $"score", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** D10: token counting — whitespace tokens + BPE-ish regex subwords
+    * (greedy ≤3-char chunks, a stand-in for a real BPE vocab).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("n_ws_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_subwords",
+        size(expr("regexp_extract_all(text, '[a-z]{1,3}', 0)")).cast("long"))
+      .withColumn("chars_per_subword",
+        length($"text").cast("double") / $"n_subwords")
+      .select($"doc_id", $"n_ws_tokens", $"n_subwords", $"chars_per_subword")
+      .orderBy($"doc_id")
+  }
+
+  /** D11: 31-base polynomial rolling-hash fingerprint mod 1e9+7, with
+    * collision-group sizes. The fold is a codegen'd higher-order
+    * `aggregate`, not a UDF.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("fp", expr(
+        """aggregate(sequence(1, length(text)), 0L,
+          |  (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)""".stripMargin))
+      .withColumn("fp_group_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .select($"doc_id", $"fp", $"fp_group_size")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id" -> langId _,
+    "text_quality" -> quality _,
+    "text_token_count" -> tokenCount _,
+    "text_fingerprint" -> fingerprint _)
+
+  private val profileCase: String = {
+    val conds = profiles.map { case (l, _) =>
+      val others = profiles.filter(_._1 != l).map(p => s"s_$l >= s_${p._1}").mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString(" ")
+    s"CASE $conds ELSE 'und' END"
+  }
+
+  private val profileSelects: String = profiles.map { case (l, ws) =>
+    val set = ws.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> list_contains([$set], w))) AS s_$l"
+  }.mkString(",\n  ")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $profileSelects
+         |  FROM documents)
+         |SELECT doc_id, lang, $profileCase AS lang_pred,
+         |  s_en, s_de, s_es, s_fr, s_zh
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    length(text) AS n_chars_m,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+        |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+        |  (avg_token_len * 0.2) + (stop_ratio * 2.0) +
+        |    (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS score,
+        |  ((avg_token_len * 0.2) + (stop_ratio * 2.0) +
+        |    (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)) > 1.5
+        |    AND n_tokens >= 10 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]{1,3}')) AS n_subwords,
+        |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,3}')) AS chars_per_subword
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fp_group_size
+        |FROM f ORDER BY doc_id""".stripMargin)
+}

@@ -53,8 +53,14 @@ def main(sf_dir, out_dir):
             orows = odf.fetchall()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"; continue
+        stypes = dict(zip(scols, [str(t) for t in [c[1] for c in sdf.description]]))
+        otypes = dict(zip(ocols, [str(t) for t in [c[1] for c in odf.description]]))
+        tdiff = {c: (stypes.get(c), otypes.get(c)) for c in set(scols) | set(ocols)
+                 if stypes.get(c) != otypes.get(c)}
         if sorted(scols) != sorted(ocols):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+        elif tdiff:
+            results[name] = f"TYPE_MISMATCH {tdiff}"
         elif len(srows) != len(orows):
             results[name] = f"ROWCOUNT spark={len(srows)} oracle={len(orows)}"
         else:
