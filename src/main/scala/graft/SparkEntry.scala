@@ -14,7 +14,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FlowAnalytics.queries ++
       graft.text.TextAnalytics.queries ++ graft.dedup.Dedup.queries ++
-      graft.ann.Knn.queries
+      graft.ann.Knn.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -22,5 +23,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ FlowAnalytics.oracleSql ++
       graft.text.TextAnalytics.oracleSql ++ graft.dedup.Dedup.oracleSql ++
-      graft.ann.Knn.oracleSql
+      graft.ann.Knn.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
+      graft.streaming.StreamingOps.oracleSql
 }

@@ -24,6 +24,12 @@ object NfdumpCsv {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
       .schema(FlowSchema.nfdumpCsvSchema)
       .csv(path)
+      // DROPMALFORMED only inspects columns the query materializes, so
+      // a bare count() would keep summary rows; requiring the
+      // timestamps forces their parse and pins row counts regardless
+      // of downstream projection.
+      .where(org.apache.spark.sql.functions.col("ts").isNotNull &&
+             org.apache.spark.sql.functions.col("te").isNotNull)
 
   /** Streaming variant: same parse over a watched directory
     * (Structured Streaming file source = the watchdog observer).
@@ -36,4 +42,6 @@ object NfdumpCsv {
       .option("maxFilesPerTrigger", "64")
       .schema(FlowSchema.nfdumpCsvSchema)
       .csv(dir)
+      .where(org.apache.spark.sql.functions.col("ts").isNotNull &&
+             org.apache.spark.sql.functions.col("te").isNotNull)
 }

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Multimodal column plumbing (SURVEY §2 D12): opaque `binary`
+  * payloads + typed metadata, processed by a *batched* per-partition
+  * decode stage — the shape a real image/audio pipeline has on Spark
+  * (payload bytes → decoder → feature columns), with the decoder
+  * STUBBED: no media libraries ship in this environment, so
+  * [[StubDecoder.decode]] computes deterministic byte statistics in
+  * place of pixels. Everything around it — binary column, metadata
+  * struct, partition-local batch iteration, typed output Encoder — is
+  * the real distributed plumbing and is exercised end-to-end.
+  *
+  * Scale notes: decode is a map-only stage (no shuffle); batching
+  * bounds peak memory per task regardless of partition size, the same
+  * contract `mapInPandas`/`mapInArrow` batches give Python decoders.
+  */
+object Multimodal {
+
+  /** Post-decode feature row. */
+  case class MediaStats(doc_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, n_hi: Long, aspect: Double)
+
+  /** STUB decoder — stands in for libjpeg/ffmpeg/etc. Deterministic
+    * byte statistics so the DuckDB oracle can replicate the output;
+    * a real deployment swaps `decode` for the actual media decode and
+    * keeps every signature.
+    */
+  object StubDecoder {
+    val Mod = 1000000007L
+    def decode(docId: Long, kind: String, payload: Array[Byte],
+        width: Int, height: Int): MediaStats = {
+      var checksum = 0L
+      var hi = 0L
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        checksum = (checksum + b) % Mod
+        if (b > 109) hi += 1
+        i += 1
+      }
+      MediaStats(docId, kind, payload.length.toLong, checksum, hi,
+        width.toDouble / height)
+    }
+  }
+
+  /** documents → (payload binary, media metadata) — the ingest shape:
+    * payload is the raw bytes (here: utf-8 text, deterministically),
+    * metadata carries decode parameters.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("width", (col("n_chars") % 64 + 16).cast("int"))
+      .withColumn("height", (col("n_chars") % 48 + 12).cast("int"))
+      .withColumn("kind",
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video"))
+
+  val BatchSize = 128
+
+  /** D12: batched decode → feature columns. */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(load(spark, dir, "documents"))
+      .select($"doc_id", $"kind", $"payload", $"width", $"height")
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          // batch boundary = where a real decoder would amortize model
+          // / codec setup; the stub decodes row-wise within the batch.
+          batch.map { case (id, kind, payload, w, h) =>
+            StubDecoder.decode(id, kind, payload, w, h)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_stats" -> decodeStats _)
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_decode_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc + c) % 1000000007) AS checksum,
+        |  CAST(len(list_filter(range(1, length(text) + 1),
+        |    i -> ascii(substring(text, i, 1)) > 109)) AS BIGINT) AS n_hi,
+        |  CAST(CAST(n_chars % 64 + 16 AS INT) AS DOUBLE) /
+        |    CAST(n_chars % 48 + 12 AS INT) AS aspect
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

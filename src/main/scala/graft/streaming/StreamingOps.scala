@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY §2 E1–E3).
+  *
+  * E1 runs as a driver-verified query: the events parquet replayed
+  * through a file-source stream → watermark → tumbling-window agg →
+  * memory sink, drained synchronously with AvailableNow. In append
+  * mode only windows closed w.r.t. the final watermark
+  * (max(ts) − 10 min) are emitted — exactly what the DuckDB oracle
+  * filter reproduces. E2/E3 (custom-state dedup, stream-static join)
+  * are spec-level (see StreamingSpec) since their outputs depend on
+  * in-batch arrival order, which a SQL oracle can't pin down.
+  */
+object StreamingOps {
+
+  /** The file-source schema for the events stream (nanos timestamps
+    * read as long, converted after — same path as [[graft.Tables.events]]).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** E1: windowed streaming aggregation with watermark, drained to a
+    * memory sink. Returns the emitted (closed) windows.
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_window_${counter.incrementAndGet()}"
+    // The file-source stream watches a directory; the testdata table is
+    // a single file → stage a symlink dir (the "spool dir" shape the
+    // reference's watcher consumes).
+    val spool = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_events_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(spool)
+    val link = spool.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(spool.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum($"value").as("sum_value"))
+      // watermarks require TIMESTAMP (LTZ); convert back to NTZ at the
+      // boundary so the output matches the naive-timestamp oracle
+      // (session TZ is UTC → same wall clock).
+      .select($"win.start".cast("timestamp_ntz").as("win_start"),
+        $"event_type", $"n", $"sum_value")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"win_start", $"event_type")
+  }
+
+  case class Evt(event_id: Long, user_id: Long, event_type: String)
+
+  /** E2: stateful streaming dedup — keep only each key's first-ever
+    * arrival across micro-batches via explicit
+    * `flatMapGroupsWithState` state (a seen-flag per key). The
+    * building block behind `dropDuplicates` on an unbounded stream,
+    * exposed so callers can swap the state payload (e.g. TTL'd seen
+    * sets with `GroupStateTimeout.EventTimeTimeout` at 100 TB, where
+    * unbounded per-key state must expire).
+    */
+  def firstPerKey(events: org.apache.spark.sql.Dataset[Evt]):
+      org.apache.spark.sql.Dataset[Evt] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[Evt], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); it.take(1) })
+  }
+
+  /** E3: stream-static join — streaming facts against a broadcast
+    * static dimension (the enrichment shape: no stream-side shuffle).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> windowAgg _)
+
+  /** Oracle: batch tumbling-window agg, keeping only windows whose end
+    * is ≤ the final watermark (max ts − 10 min) — the append-mode
+    * emission rule.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, n, sum_value FROM w
+        |WHERE win_start + INTERVAL 1 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY win_start, event_type""".stripMargin)
+}

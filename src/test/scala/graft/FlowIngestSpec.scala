@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.flow.{FlowSchema, FlowTransform, NfdumpCsv}
+
+/** A1/A2: nfdump CSV parse + nflows transform on inline fixtures. */
+class FlowIngestSpec extends SparkSpecBase {
+
+  /** Build a full 48-column nfdump CSV row from a sparse field map. */
+  def csvRow(fields: Map[String, String]): String =
+    FlowSchema.nfdumpCsvColumns.map(c => fields.getOrElse(c, "0")).mkString(",")
+
+  def writeFixture(dir: String, name: String, rows: Seq[Map[String, String]],
+      withSummary: Boolean = true): Unit = {
+    val header = FlowSchema.nfdumpCsvColumns.mkString(",")
+    val body = rows.map(csvRow)
+    // nfdump -o csv appends a summary block with a different column
+    // count; the typed reader must drop it, not fail on it.
+    val summary = if (withSummary)
+      Seq("Summary", "flows,bytes,packets", "2,2048,30") else Seq.empty
+    Files.write(Paths.get(dir, name),
+      String.join("\n", (header +: body) ++ summary: _*).getBytes)
+  }
+
+  val flowA = Map(
+    "ts" -> "2024-05-01 10:00:00.250", "te" -> "2024-05-01 10:00:02.750",
+    "td" -> "2.500", "sa" -> "192.168.1.10", "da" -> "10.0.0.5",
+    "sp" -> "52000", "dp" -> "443", "pr" -> "tcp", "flg" -> ".AP.SF",
+    "ipkt" -> "10", "ibyt" -> "1024", "ra" -> "172.16.0.1")
+  val flowB = Map(
+    "ts" -> "2024-05-02 11:30:00", "te" -> "2024-05-02 11:30:10",
+    "td" -> "10.000", "sa" -> "10.1.2.3", "da" -> "8.8.8.8",
+    "sp" -> "123", "dp" -> "123", "pr" -> "udp", "flg" -> "......",
+    "ipkt" -> "2", "ibyt" -> "160", "ra" -> "172.16.0.1")
+
+  test("typed parse keeps data rows, drops the summary block") {
+    val dir = tmpDir("nfcsv")
+    writeFixture(dir, "nfcapd.202405011000.csv", Seq(flowA, flowB))
+    val df = NfdumpCsv.read(spark, dir)
+    assert(df.count() === 2)
+    val row = df.orderBy("ts").collect()(0)
+    assert(row.getAs[Int]("dp") === 443)
+    assert(row.getAs[Long]("ibyt") === 1024L)
+    assert(row.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      === "2024-05-01T10:00:00.250Z")
+  }
+
+  test("toNflows recomputes td, stamps flowsrc, normalizes pr") {
+    val dir = tmpDir("nfcsv")
+    writeFixture(dir, "nfcapd.csv", Seq(flowA, flowB))
+    val out = FlowTransform.toNflows(NfdumpCsv.read(spark, dir), "edge-router")
+    assert(out.columns.toSeq === FlowSchema.nflowsColumns)
+    val rows = out.orderBy("ts").collect()
+    assert(rows(0).getAs[Double]("td") === 2.5)
+    assert(rows(1).getAs[Double]("td") === 10.0)
+    assert(rows.forall(_.getAs[String]("flowsrc") == "edge-router"))
+    assert(rows(0).getAs[String]("pr") === "TCP")
+  }
+
+  test("numeric-IP enrichment matches dotted-quad arithmetic") {
+    val dir = tmpDir("nfcsv")
+    writeFixture(dir, "nfcapd.csv", Seq(flowA))
+    val out = FlowTransform.withNumericIps(
+      FlowTransform.toNflows(NfdumpCsv.read(spark, dir), "x")).collect()(0)
+    assert(out.getAs[Long]("sa_num") ===
+      (192L << 24) + (168L << 16) + (1L << 8) + 10L)
+    assert(out.getAs[Boolean]("sa_private"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import graft.sinks.{JdbcBatchSink, PartitionedParquetSink}
+
+/** A3/A4/A5: partitioned sink, TTL retention, batched JDBC writer. */
+class SinksSpec extends SparkSpecBase {
+
+  test("day-partitioned layout + TTL partition drop") {
+    import spark.implicits._
+    val out = tmpDir("psink")
+    val df = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-02 11:00:00", 2L),
+      ("2024-01-03 12:00:00", 3L), ("2024-01-03 13:00:00", 4L))
+      .toDF("ts_s", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    PartitionedParquetSink.write(df, "ts", out)
+    val parts = new java.io.File(out).list().filter(_.startsWith("date=")).sorted
+    assert(parts.toSeq === Seq("date=2024-01-01", "date=2024-01-02", "date=2024-01-03"))
+
+    val dropped = PartitionedParquetSink.expireOlderThan(spark, out, "2024-01-03")
+    assert(dropped.sorted === Seq("date=2024-01-01", "date=2024-01-02"))
+    assert(spark.read.parquet(out).count() === 2) // only the surviving day
+    // idempotent: nothing left to drop
+    assert(PartitionedParquetSink.expireOlderThan(spark, out, "2024-01-03").isEmpty)
+  }
+
+  test("jdbc sink batches inserts and binds typed columns") {
+    import spark.implicits._
+    JdbcStub.reset()
+    val df = spark.range(250).select(
+      $"id", concat(lit("name_"), $"id").as("name"), ($"id" * 1.5).as("score"))
+    JdbcBatchSink.write(df.coalesce(2), "target_tbl", JdbcStub.connect, batchSize = 100)
+    assert(JdbcStub.rowsBound.get() === 250)
+    // 2 partitions × ceil(rows/100) flushes, each one executeBatch
+    assert(JdbcStub.batchesExecuted.get() >= 3)
+    assert(JdbcStub.sqls.peek() ===
+      "INSERT INTO target_tbl (id, name, score) VALUES (?, ?, ?)")
+  }
+
+  test("jdbc sink retries transient failures then succeeds") {
+    import spark.implicits._
+    JdbcStub.reset()
+    JdbcStub.failFirst.set(2) // first two executeBatch calls throw
+    val df = spark.range(10).select($"id")
+    JdbcBatchSink.write(df.coalesce(1), "t", JdbcStub.connect, batchSize = 100)
+    assert(JdbcStub.rowsBound.get() >= 10)
+    assert(JdbcStub.batchesExecuted.get() === 1) // succeeded exactly once
+  }
+}
+
+/** Reflective stub JDBC endpoint (no driver ships in this env):
+  * counts binds/batches, optionally fails the first N executeBatch.
+  * Static state — executors share the JVM in local mode.
+  */
+object JdbcStub {
+  val sqls = new ConcurrentLinkedQueue[String]()
+  val rowsBound = new AtomicInteger(0)
+  val batchesExecuted = new AtomicInteger(0)
+  val failFirst = new AtomicInteger(0)
+
+  def reset(): Unit = { sqls.clear(); rowsBound.set(0); batchesExecuted.set(0); failFirst.set(0) }
+
+  def connect: () => Connection = () =>
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" =>
+            sqls.add(args(0).asInstanceOf[String]); statement()
+          case "close" | "commit" | "setAutoCommit" => null
+          case "isClosed" => java.lang.Boolean.FALSE
+          case _ => null
+        }
+      }).asInstanceOf[Connection]
+
+  private def statement(): PreparedStatement = {
+    val pending = new AtomicInteger(0)
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "addBatch" => pending.incrementAndGet(); null
+          case "executeBatch" =>
+            if (failFirst.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              throw new java.sql.SQLException("transient stub failure")
+            rowsBound.addAndGet(pending.getAndSet(0))
+            batchesExecuted.incrementAndGet()
+            Array.empty[Int]
+          case "close" => null
+          case _ => null // setLong/setString/setDouble/...
+        }
+      }).asInstanceOf[PreparedStatement]
+  }
+}
