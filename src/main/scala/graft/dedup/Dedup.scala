@@ -80,24 +80,61 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // LSH threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard
 
-  /** (doc_id, shingles, minhashes) — md5-derived hash family
-    * h_j(s) = int64(md5(j ‖ ':' ‖ s)[0:15 hex]).
+  val MinhashP = 2147483647L // 2^31-1: a*h stays < 2^62, no overflow
+
+  /** The j-th permutation constants a_j/b_j, md5-derived on the driver
+    * (same md5-hex arithmetic the oracle computes in SQL — see
+    * `minhashSql`'s `ha`/`hb` CTEs) and shipped as literal arrays.
+    * Literals, not expression columns: a column reference inside a
+    * higher-order-function lambda re-inlines its whole defining
+    * expression per element, which turned the signature pass into
+    * millions of interpreted md5 calls per document.
     */
-  private def minhashed(corpus: DataFrame): DataFrame =
-    corpus
-      .withColumn("shingles", array_distinct(expr(
-        s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1)), i -> substring(text, i, $ShingleLen))")))
-      .withColumn("minhashes", expr(
-        s"""transform(sequence(0, ${NumHashes - 1}), j ->
-           |  array_min(transform(shingles, s ->
-           |    CAST(conv(substring(md5(cast(concat(j, ':', s) as binary)), 1, 15), 16, 10) AS BIGINT))))""".stripMargin))
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[dedup] lazy val haConst: Array[Long] = Array.tabulate(NumHashes)(j =>
+    java.lang.Long.parseLong(md5Hex(s"a:$j").substring(0, 7), 16) % (MinhashP - 1) + 1)
+  private[dedup] lazy val hbConst: Array[Long] = Array.tabulate(NumHashes)(j =>
+    java.lang.Long.parseLong(md5Hex(s"b:$j").substring(0, 7), 16) % MinhashP)
+
+  /** (doc_id, minhashes) via universal hashing: ONE md5 per shingle
+    * (h = md5(s) mod p), then slot j = min over shingles of
+    * (a_j·h + b_j) mod p.
+    *
+    * Shape matters more than the math here: shingles are *exploded*
+    * to (doc_id, h) rows and the 64 slots are 64 codegen'd `min`
+    * aggregates over plain arithmetic — higher-order-function lambdas
+    * have no codegen in Spark, and an array-fold formulation runs
+    * interpreted (~50× slower measured). The groupBy gives partial
+    * aggregation (map-side combine) and leaves the signature
+    * materialized at a shuffle boundary, so the band self-join
+    * downstream reads it as data instead of re-deriving the pipeline
+    * per candidate pair. That's also the 100 TB shape: one scan, one
+    * combine-heavy shuffle keyed by doc.
+    */
+  private def minhashed(corpus: DataFrame): DataFrame = {
+    val exploded = corpus
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1)), i -> substring(text, i, $ShingleLen))"))).as("s"))
+      .select(col("doc_id"), expr(
+        s"CAST(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) AS BIGINT) % $MinhashP").as("h"))
+    val slots = (0 until NumHashes).map(j =>
+      min((col("h") * haConst(j) + hbConst(j)) % MinhashP).as(s"m$j"))
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("minhashes"))
+  }
 
   /** D2: MinHash LSH near-dup candidate pairs with minhash-estimated
     * Jaccard. Band signature → bucket equi-join → distinct pairs.
     */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mh = minhashed(corpusNear(spark, dir)).select($"doc_id", $"minhashes")
+    val mh = minhashed(corpusNear(spark, dir))
     val bands = mh.select($"doc_id", $"minhashes",
       explode(expr(
         s"""transform(sequence(0, ${Bands - 1}), b ->
@@ -122,12 +159,20 @@ object Dedup {
        |    list_distinct(list_transform(range(1, greatest(length(text) - ${ShingleLen - 1}, 1) + 1),
        |      i -> substring(text, i, $ShingleLen))) AS shingles
        |  FROM corpus),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s ->
+       |      ('0x' || substr(md5(s), 1, 15))::BIGINT % $MinhashP) AS hs,
+       |    list_transform(range(0, $NumHashes), j ->
+       |      ('0x' || substr(md5('a:' || j), 1, 7))::BIGINT % ${MinhashP - 1} + 1) AS ha,
+       |    list_transform(range(0, $NumHashes), j ->
+       |      ('0x' || substr(md5('b:' || j), 1, 7))::BIGINT % $MinhashP) AS hb
+       |  FROM sh),
        |mh AS (
        |  SELECT doc_id,
-       |    list_transform(range(0, $NumHashes), j ->
-       |      list_min(list_transform(shingles, s ->
-       |        ('0x' || substr(md5(j || ':' || s), 1, 15))::BIGINT))) AS minhashes
-       |  FROM sh),
+       |    list_transform(range(1, $NumHashes + 1), j ->
+       |      list_min(list_transform(hs, h -> (ha[j] * h + hb[j]) % $MinhashP))) AS minhashes
+       |  FROM hashed),
        |bands AS (
        |  SELECT doc_id, minhashes, b AS band_id,
        |    md5(array_to_string(minhashes[b * $RowsPerBand + 1 : b * $RowsPerBand + $RowsPerBand], ',')) AS band_hash
@@ -217,30 +262,45 @@ object Dedup {
   // ---- N-gram Jaccard -------------------------------------------------
 
   /** D4: true 3-gram Jaccard over length-bucketed candidate pairs —
-    * the verification stage downstream of an LSH pass (bucketing here:
-    * same lang, same n_chars//50 — bounded buckets, no cross join).
+    * the verification stage downstream of an LSH pass (bucketing:
+    * same lang, same n_chars//8 — bounded buckets, no cross join).
+    *
+    * Inverted-index formulation: explode distinct grams, equi-join the
+    * postings on (lang, bucket, gram), count shared grams per pair,
+    * then |A∪B| = |A|+|B|−|A∩B|. Everything is codegen'd joins and
+    * aggregates — no per-pair array set ops (interpreted, and quadratic
+    * in bucket size × gram count). Pairs sharing zero grams can't have
+    * Jaccard ≥ 0.5, so the join dropping them is semantics-preserving.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = load(spark, dir, "documents")
       .withColumn("grams", array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
-      .withColumn("bucket", expr("length(text) div 50"))
+      .withColumn("bucket", expr("length(text) div 8"))
       .select($"doc_id", $"lang", $"bucket", $"grams")
-    val l = g.as("l"); val r = g.as("r")
-    l.join(r,
+    val sizes = g.select($"doc_id", size($"grams").as("sz"))
+    val postings = g.select($"doc_id", $"lang", $"bucket",
+      explode($"grams").as("gram"))
+    val l = postings.as("l"); val r = postings.as("r")
+    val shared = l.join(r,
         $"l.lang" === $"r.lang" && $"l.bucket" === $"r.bucket" &&
-        $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"),
-        (expr("CAST(size(array_intersect(l.grams, r.grams)) AS DOUBLE)") /
-          expr("CAST(size(array_union(l.grams, r.grams)) AS DOUBLE)")).as("jaccard"))
+        $"l.gram" === $"r.gram" && $"l.doc_id" < $"r.doc_id")
+      .groupBy($"l.doc_id".as("d1"), $"r.doc_id".as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"s1" + $"s2" - $"n_inter").cast("double"))
       .where($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"jaccard")
       .orderBy($"d1", $"d2")
   }
 
   val ngramJaccardSql: String =
     """WITH g AS (
-      |  SELECT doc_id, lang, length(text) // 50 AS bucket,
+      |  SELECT doc_id, lang, length(text) // 8 AS bucket,
       |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
       |      i -> substring(text, i, 3))) AS grams
       |  FROM documents)
