@@ -143,13 +143,26 @@ object Dedup {
         .as("band"))
       .select($"doc_id", $"minhashes", $"band.band_id", $"band.band_hash")
     val l = bands.as("l"); val r = bands.as("r")
-    l.join(r,
+    // dedup candidate pairs BEFORE scoring: a pair can collide in up
+    // to 16 bands, and the signature comparison is 64 ops — score each
+    // pair once, not once per colliding band.
+    val pairs = l.join(r,
         $"l.band_id" === $"r.band_id" && $"l.band_hash" === $"r.band_hash" &&
         $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"),
-        (expr(s"CAST(size(filter(sequence(1, $NumHashes), i -> l.minhashes[i - 1] = r.minhashes[i - 1])) AS DOUBLE)") / NumHashes)
-          .as("est_jaccard"))
+      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"))
       .distinct()
+    // unrolled slot comparisons: 64 codegen'd equality terms instead of
+    // an interpreted lambda fold. Signatures join back broadcast here
+    // (3 MB); at corpus scale this becomes a shuffle join on doc_id.
+    val m1 = mh.select($"doc_id".as("d1"), $"minhashes".as("s1"))
+    val m2 = mh.select($"doc_id".as("d2"), $"minhashes".as("s2"))
+    val estExpr = (0 until NumHashes).map(j =>
+      when(element_at($"s1", j + 1) === element_at($"s2", j + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+    pairs
+      .join(broadcast(m1), "d1")
+      .join(broadcast(m2), "d2")
+      .select($"d1", $"d2", estExpr.as("est_jaccard"))
       .orderBy($"d1", $"d2")
   }
 

@@ -59,6 +59,11 @@ object IpUtil {
     (v >= 0x0a000000L && v <= 0x0affffffL) ||     // 10/8
     (v >= 0xac100000L && v <= 0xac1fffffL) ||     // 172.16/12
     (v >= 0xc0a80000L && v <= 0xc0a8ffffL)        // 192.168/16
+
+  def isPrivateStr(s: UTF8String): Boolean = {
+    val n = aton(s)
+    n >= 0 && isPrivate(n)
+  }
 }
 
 /** `ip4_aton(sa)` — dotted-quad string → long, null on malformed. */
@@ -109,16 +114,29 @@ case class Ip4InCidr(left: Expression, right: Expression) extends BinaryExpressi
     copy(l, r)
 }
 
+/** `ip4_is_private(ip)` — RFC1918 test. A dedicated expression rather
+  * than a composition over ip4_aton: composing would inline the child
+  * (and its whole defining expression chain) once per range
+  * comparison — six re-evaluations per row.
+  */
+case class Ip4IsPrivate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val n = IpUtil.aton(v.asInstanceOf[UTF8String])
+    n >= 0 && IpUtil.isPrivate(n)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IpUtil.isPrivateStr($c)")
+  override protected def withNewChildInternal(c: Expression): Ip4IsPrivate = copy(c)
+}
+
 object IpFuncs {
   def ip4_aton(c: Column): Column = ExpressionUtils.column(Ip4Aton(ExpressionUtils.expression(c)))
   def ip4_ntoa(c: Column): Column = ExpressionUtils.column(Ip4Ntoa(ExpressionUtils.expression(c)))
   def ip4_in_cidr(ip: Column, cidr: Column): Column =
     ExpressionUtils.column(Ip4InCidr(ExpressionUtils.expression(ip), ExpressionUtils.expression(cidr)))
-  def ip4_is_private(c: Column): Column = {
-    import org.apache.spark.sql.functions._
-    val v = ip4_aton(c)
-    (v >= 0x0a000000L && v <= 0x0affffffL) ||
-    (v >= 0xac100000L && v <= 0xac1fffffL) ||
-    (v >= 0xc0a80000L && v <= 0xc0a8ffffL)
-  }
+  def ip4_is_private(c: Column): Column =
+    ExpressionUtils.column(Ip4IsPrivate(ExpressionUtils.expression(c)))
 }
