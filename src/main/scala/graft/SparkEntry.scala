@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.queries ++ FlowAnalytics.queries ++
       graft.text.TextAnalytics.queries ++ graft.dedup.Dedup.queries ++
       graft.ann.Knn.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.StreamingOps.queries
+      graft.streaming.StreamingOps.queries ++ graft.operators.Joins.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -24,5 +24,5 @@ object SparkEntry {
     Relational.oracleSql ++ FlowAnalytics.oracleSql ++
       graft.text.TextAnalytics.oracleSql ++ graft.dedup.Dedup.oracleSql ++
       graft.ann.Knn.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
-      graft.streaming.StreamingOps.oracleSql
+      graft.streaming.StreamingOps.oracleSql ++ graft.operators.Joins.oracleSql
 }

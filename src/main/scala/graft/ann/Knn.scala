@@ -189,6 +189,59 @@ object Knn {
        |WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.99
        |ORDER BY v1, v2""".stripMargin
 
+  /** D7b: IVF-style ANN — every 50th vector is a coarse centroid;
+    * vectors are assigned to their nearest centroid (one broadcast
+    * pass), and probes search only their own cell. The inverted-file
+    * counterpart to the LSH path: cell count grows with the corpus
+    * (deterministic mod-selection here; k-means in production), so
+    * per-cell candidate lists stay flat as n grows.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = vecs.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("cent"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(vcos($"embedding", $"cent").desc, $"cid")
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(wAssign))
+      .where($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cid")
+    val probes = assigned.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"), $"cid")
+    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    assigned.join(probes, Seq("cid"))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score", vcos($"probe_emb", $"embedding"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank", $"score", $"cid")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM embeddings e, cents c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb, cid
+       |  FROM assigned WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT p.probe_id, a.vec_id, a.cid,
+       |    ${cosSql("p.probe_emb", "a.embedding")} AS score,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("p.probe_emb", "a.embedding")} DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id != p.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  score, cid
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
   /** D13: per-label embedding norm statistics (list-column math). */
   def embNorms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -217,12 +270,14 @@ object Knn {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> bruteTopK _,
     "ann_topk_lsh" -> lshTopK _,
+    "ann_topk_ivf" -> ivfTopK _,
     "dedup_embedding" -> embDedup _,
     "emb_norms" -> embNorms _)
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_lsh" -> lshTopKSql,
+    "ann_topk_ivf" -> ivfTopKSql,
     "dedup_embedding" -> embDedupSql,
     "emb_norms" -> embNormsSql)
 }

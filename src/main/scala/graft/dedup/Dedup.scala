@@ -326,11 +326,46 @@ object Dedup {
       |      CAST(len(list_distinct(list_cat(l.grams, r.grams))) AS DOUBLE) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  /** D4b: bounded edit-distance near-dup pass. Blocking is two-level —
+    * (lang, length bucket, 12-char prefix) — so the O(len²) distance
+    * only runs on near-certain candidates; the corpusNear plants give
+    * it guaranteed suffix-edit pairs to find.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = corpusNear(spark, dir)
+      .withColumn("lng", length($"text"))
+      .withColumn("pfx", substring($"text", 1, 12))
+      .withColumn("bucket", expr("length(text) div 32"))
+    val l = d.as("l"); val r = d.as("r")
+    l.join(r,
+        $"l.pfx" === $"r.pfx" && $"l.bucket" === $"r.bucket" &&
+        $"l.doc_id" < $"r.doc_id")
+      .withColumn("dist",
+        levenshtein($"l.text", $"r.text").cast("long"))
+      .where($"dist" <= 25)
+      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"), $"dist")
+      .orderBy($"d1", $"d2")
+  }
+
+  val editDistanceSql: String = corpusNearSql +
+    """, d AS (
+      |  SELECT doc_id, text, substring(text, 1, 12) AS pfx,
+      |    length(text) // 32 AS bucket
+      |  FROM corpus)
+      |SELECT l.doc_id AS d1, r.doc_id AS d2,
+      |  CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist
+      |FROM d l JOIN d r
+      |  ON l.pfx = r.pfx AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      |WHERE levenshtein(l.text, r.text) <= 25
+      |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_minhash" -> minhash _,
     "dedup_simhash" -> simhash _,
-    "dedup_ngram_jaccard" -> ngramJaccard _)
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> (corpusExactSql +
@@ -340,5 +375,6 @@ object Dedup {
         |FROM corpus ORDER BY doc_id""".stripMargin),
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql)
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_edit_distance" -> editDistanceSql)
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.dsum
+
+/** Join operators Spark lacks as primitives (SURVEY §2 C15/C16),
+  * composed into shuffle-safe shapes instead of custom physical
+  * operators — the built-ins can express both semantics with the
+  * right plan shape, so per the preference order (compose > custom
+  * plan) no `SparkStrategy` is needed.
+  *
+  * ASOF join (ClickHouse `ASOF JOIN`): "for each left row, the latest
+  * right row with ts ≤ left.ts, per key". Implemented as a tagged
+  * union + one window pass: sort right-before-left at equal ts, carry
+  * the last seen right row forward. ONE shuffle on the key — the same
+  * cost as a sort-merge join, with none of the per-row backward scans
+  * a naive inequality join (broadcast-nested-loop) would do. At 100 TB
+  * the window partitioning keys spread per user; no skew beyond the
+  * key distribution itself.
+  *
+  * Range join: interval containment against an interval table.
+  * Spark plans raw inequality joins as nested-loop; instead each
+  * interval is pre-exploded into fixed-width buckets and the fact
+  * side equi-joins on its value's bucket, then re-filters exactly.
+  * Equi-join + filter = hash-partitionable, AQE-skew-handled.
+  */
+object Joins {
+
+  /** Generic ASOF left join: for each row of `left`, attach the most
+    * recent `right` row (by `tsCol`, ≤ left's) sharing `key`.
+    * `rightCols` are carried over (nulls when no prior right row).
+    */
+  def asofLeft(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      rightCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("_tag", lit(1))
+      .withColumns(rightCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTagged = right
+      .withColumn("_tag", lit(0))
+      .withColumns(left.columns.filterNot(c => c == key || c == tsCol)
+        .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+      .select(lTagged.columns.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.union(rTagged)
+      .withColumns(rightCols.map(c =>
+        s"_asof_$c" -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .where(col("_tag") === 1)
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col(s"_asof_$c").as(c))): _*)
+  }
+
+  /** C15: for each click, the user's most recent signup at or before
+    * the click (funnel attribution — ClickHouse ASOF JOIN territory).
+    */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+    val signups = ev.where($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"),
+        $"ts".as("signup_ts"))
+    asofLeft(clicks, signups, "user_id", "ts", Seq("signup_id", "signup_ts"))
+      .orderBy($"click_id")
+  }
+
+  val joinAsofSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |signups AS (
+      |  SELECT event_id AS signup_id, user_id, ts FROM events
+      |  WHERE event_type = 'signup')
+      |SELECT c.click_id, c.user_id, c.ts, s.signup_id, s.ts AS signup_ts
+      |FROM clicks c ASOF LEFT JOIN signups s
+      |  ON c.user_id = s.user_id AND c.ts >= s.ts
+      |ORDER BY click_id""".stripMargin
+
+  /** Value tiers for the range join — deliberately non-uniform so the
+    * join is a real interval lookup, not an alignable division.
+    */
+  val tiers: Seq[(Int, Double, Double)] = Seq(
+    (0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 60.0),
+    (3, 60.0, 150.0), (4, 150.0, 600.0))
+  val BucketW = 10.0
+
+  /** C16: events ⋈ value-interval tiers via bucket-exploded equi-join. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tierDf = tiers.toDF("tier_id", "lo", "hi")
+      .withColumn("bucket", explode(expr(
+        s"sequence(CAST(floor(lo / $BucketW) AS INT), CAST(floor((hi - 0.001) / $BucketW) AS INT))")))
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("bucket", floor($"value" / BucketW).cast("int"))
+    ev.join(broadcast(tierDf), Seq("bucket"))
+      .where($"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"tier_id", $"lo", $"hi")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"tier_id")
+  }
+
+  val joinRangeSql: String =
+    """WITH tiers(tier_id, lo, hi) AS (VALUES
+      |  (0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 60.0),
+      |  (3, 60.0, 150.0), (4, 150.0, 600.0))
+      |SELECT tier_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN tiers ON value >= lo AND value < hi
+      |GROUP BY tier_id, lo, hi ORDER BY tier_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> joinAsof _,
+    "join_range" -> joinRange _)
+
+  val oracleSql: Map[String, String] = Map(
+    "join_asof" -> joinAsofSql,
+    "join_range" -> joinRangeSql)
+}

@@ -220,7 +220,35 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** C17: CUBE over (returnflag, linestatus) — all 4 grouping levels. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** C18: statistical aggregates — stddev / correlation / covariance.
+    * Co-moment accumulation differs in the last ulps between engines
+    * (update order under parallelism), so outputs are rounded to a
+    * precision both engines agree on.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qty_disc"),
+        round(var_samp($"l_extendedprice"), 2).as("var_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_agg" -> cubeAgg _,
+    "stats_agg" -> statsAgg _,
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
     "q5_multijoin" -> q5MultiJoin _,
@@ -238,6 +266,19 @@ object Relational {
     "approx_hll" -> approxHll _)
 
   val oracleSql: Map[String, String] = Map(
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+        |  round(var_samp(l_extendedprice), 2) AS var_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

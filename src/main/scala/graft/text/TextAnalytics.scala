@@ -101,11 +101,28 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
+  /** D8b: normalization — the canonical pre-tokenization cleanup pass
+    * (lowercase, strip non-alphanumerics, collapse whitespace). Simple
+    * character-class regexes only, identical in Java regex and RE2.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("norm_text",
+        trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
+          " +", " ")))
+      .withColumn("norm_len", length($"norm_text").cast("long"))
+      .withColumn("removed", (length($"text") - length($"norm_text")).cast("long"))
+      .select($"doc_id", $"norm_text", $"norm_len", $"removed")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
     "text_token_count" -> tokenCount _,
-    "text_fingerprint" -> fingerprint _)
+    "text_fingerprint" -> fingerprint _,
+    "text_normalize" -> normalize _)
 
   private val profileCase: String = {
     val conds = profiles.map { case (l, _) =>
@@ -153,6 +170,15 @@ object TextAnalytics {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]{1,3}')) AS n_subwords,
         |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,3}')) AS chars_per_subword
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_len,
+        |  length(text) - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS removed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (
