@@ -44,4 +44,31 @@ object FlowPipeline {
   def backfill(spark: SparkSession, inDir: String, outDir: String, flowsrc: String): Unit =
     PartitionedParquetSink.write(
       FlowTransform.toNflows(NfdumpCsv.read(spark, inDir), flowsrc), "ts", outDir)
+
+  /** Streaming load straight into a warehouse table (the reference's
+    * parquet → ClickHouse insert leg): each micro-batch goes through
+    * the batched executor-side JDBC writer. Checkpointing makes the
+    * per-file bookkeeping exactly-once from the source's point of
+    * view; inserts are at-least-once on retry, which matches the
+    * reference's behavior (ClickHouse dedups by part on re-insert).
+    */
+  def startJdbc(
+      spark: SparkSession,
+      watchDir: String,
+      checkpointDir: String,
+      flowsrc: String,
+      table: String,
+      connect: () => java.sql.Connection,
+      batchSize: Int = 10000,
+      availableNowCatchup: Boolean = false): StreamingQuery = {
+    val nflows = FlowTransform.toNflows(NfdumpCsv.readStream(spark, watchDir), flowsrc)
+    val writer = nflows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.JdbcBatchSink.write(batch, table, connect, batchSize)
+      }
+    (if (availableNowCatchup) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("5 seconds")))
+      .start()
+  }
 }
