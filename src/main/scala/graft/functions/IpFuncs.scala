@@ -96,7 +96,10 @@ case class Ip4Aton(child: Expression) extends UnaryExpression {
 case class Ip4Ntoa(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(v: Any): Any = IpUtil.ntoa(v.asInstanceOf[Long])
+  // SQL integer literals arrive as Int in interpreted eval (codegen's
+  // call site widens implicitly) — accept any integral width.
+  override def nullSafeEval(v: Any): Any =
+    IpUtil.ntoa(v.asInstanceOf[Number].longValue())
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.IpUtil.ntoa($c)")
   override protected def withNewChildInternal(c: Expression): Ip4Ntoa = copy(c)

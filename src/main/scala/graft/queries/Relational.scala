@@ -246,7 +246,21 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** C19: custom TypedImperativeAggregate — exact top-5 prices per
+    * priority as a bounded-memory heap aggregate (O(k) state per
+    * group; contrast with the window row_number form in C6 which
+    * sorts each group's full extent).
+    */
+  def topkAggOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(graft.functions.TopKAgg.topk_agg($"o_totalprice", 5).as("top_prices"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_agg_orders" -> topkAggOrders _,
     "cube_agg" -> cubeAgg _,
     "stats_agg" -> statsAgg _,
     "q1_agg" -> q1Agg _,
@@ -266,6 +280,10 @@ object Relational {
     "approx_hll" -> approxHll _)
 
   val oracleSql: Map[String, String] = Map(
+    "topk_agg_orders" ->
+      """SELECT o_orderpriority,
+        |  (list_sort(list(o_totalprice), 'DESC'))[1:5] AS top_prices
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

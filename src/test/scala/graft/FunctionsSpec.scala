@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, TopKAgg}
+
+/** Custom aggregate + SQL function registration. */
+class FunctionsSpec extends SparkSpecBase {
+
+  test("topk_agg keeps exact top-k per group with bounded state") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5.0), ("a", 1.0), ("a", 9.0), ("a", 7.0), ("a", 3.0),
+      ("b", 2.0), ("b", 2.0), ("b", 8.0))
+      .toDF("g", "v")
+      .repartition(4) // force heap merges across partial aggregates
+    val got = df.groupBy($"g").agg(TopKAgg.topk_agg($"v", 3).as("top"))
+      .orderBy($"g").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+    assert(got(0) === ("a" -> Seq(9.0, 7.0, 5.0)))
+    assert(got(1) === ("b" -> Seq(8.0, 2.0, 2.0))) // k > group handles dups
+  }
+
+  test("topk_agg with k larger than the group returns everything sorted") {
+    import spark.implicits._
+    val got = Seq(("x", 1.0), ("x", 4.0)).toDF("g", "v")
+      .groupBy($"g").agg(TopKAgg.topk_agg($"v", 10).as("top"))
+      .collect().head.getSeq[Double](1)
+    assert(got === Seq(4.0, 1.0))
+  }
+
+  test("SQL registration exposes the native functions to spark.sql") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT ip4_aton('10.1.2.3') AS n, ip4_ntoa(167838211) AS s,
+        |  ip4_in_cidr('10.1.2.3', '10.0.0.0/8') AS c,
+        |  ip4_is_private('8.8.8.8') AS p""".stripMargin).head()
+    assert(row.getLong(0) === 167838211L)
+    assert(row.getString(1) === "10.1.2.3")
+    assert(row.getBoolean(2))
+    assert(!row.getBoolean(3))
+
+    import spark.implicits._
+    Seq(("a", 1.0), ("a", 3.0), ("a", 2.0)).toDF("g", "v")
+      .createOrReplaceTempView("tk")
+    val top = spark.sql("SELECT topk_agg(v, 2) AS t FROM tk GROUP BY g")
+      .head().getSeq[Double](0)
+    assert(top === Seq(3.0, 2.0))
+  }
+}
