@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.IpFuncs._
+
+/** Optimizer-rule spec. Uses `experimental.extraOptimizations` on the
+  * shared session — `withExtensions` only binds when a session is
+  * first created, and the suite order in one JVM makes that unreliable;
+  * production deployments use GraftExtensions via `spark.sql.extensions`
+  * (same rule object).
+  */
+class FoldCidrSpec extends SparkSpecBase {
+
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations = Seq(graft.plans.FoldCidrLiteral)
+    try body finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("literal CIDR folds to a masked comparison at plan time") {
+    import spark.implicits._
+    withRule {
+      val df = spark.range(10)
+        .select(concat(lit("10.0.0."), $"id").as("ip"))
+        .where(ip4_in_cidr($"ip", lit("10.0.0.0/29")))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.toLowerCase.contains("ip4incidr"), s"rule did not fire:\n$optimized")
+      assert(optimized.toLowerCase.contains("ip4aton"),
+        s"expected folded aton comparison:\n$optimized")
+      assert(df.count() === 8) // /29 = 8 addresses
+    }
+  }
+
+  test("folded form preserves null and malformed semantics") {
+    import spark.implicits._
+    withRule {
+      val df = Seq(Some("10.0.0.1"), Some("not-an-ip"), None).toDF("ip")
+        .select(ip4_in_cidr($"ip", lit("10.0.0.0/8")).as("r"))
+      val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+      assert(rows.toSeq === Seq(Some(true), Some(false), None))
+    }
+  }
+
+  test("malformed CIDR literal folds to constant false") {
+    import spark.implicits._
+    withRule {
+      val df = Seq("10.0.0.1").toDF("ip")
+        .where(ip4_in_cidr($"ip", lit("nonsense/99")))
+      assert(df.count() === 0)
+    }
+  }
+}
