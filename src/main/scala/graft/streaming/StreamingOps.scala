@@ -100,6 +100,25 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** E4: stream-stream interval join — clicks matched to the same
+    * user's signups within a bounded lookback window. Both sides are
+    * watermarked so the join state expires (unbounded state is the
+    * stream-stream failure mode at scale); the time-range predicate is
+    * what lets Spark bound each side's buffer.
+    */
+  def streamStreamJoin(clicks: DataFrame, signups: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val s = signups.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
+    c.join(s,
+      c("user_id") === s("user_id") &&
+      col("signup_ts") <= col("click_ts") &&
+      col("signup_ts") >= col("click_ts") - expr("INTERVAL 2 HOURS"))
+      .select(col("click_id"), c("user_id"), col("click_ts"),
+        col("signup_id"), col("signup_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _)
 

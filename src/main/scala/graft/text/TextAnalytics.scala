@@ -117,12 +117,50 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
+  /** D9b: repetition scoring (Gopher-style quality rule): fraction of
+    * duplicated 4-token windows per document — high values flag
+    * boilerplate/spam. dup_ratio = 1 − distinct/total windows.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("wins", expr(
+        "transform(sequence(1, greatest(size(toks) - 3, 1)), i -> concat_ws(' ', slice(toks, i, 4)))"))
+      .withColumn("n_windows", size($"wins").cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"wins")).cast("long"))
+      .withColumn("dup_ratio",
+        lit(1.0) - $"n_distinct".cast("double") / $"n_windows")
+      .withColumn("flagged", $"dup_ratio" > 0.2)
+      .select($"doc_id", $"n_windows", $"n_distinct", $"dup_ratio", $"flagged")
+      .orderBy($"doc_id")
+  }
+
+  /** D14: corpus mixture construction — per-source keep rates applied
+    * deterministically (mod-based), the mixture-weights step of a
+    * training-data pipeline. Rates: src0..src9 → 100%, others → 30%.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("keep_pct",
+        when(length($"source") === 4, 100).otherwise(30)) // src0-9 vs src10+
+      .withColumn("kept", pmod($"doc_id", lit(100)) < $"keep_pct")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        graft.Tables.dsum(when($"kept", $"n_chars").otherwise(0L), 0).as("kept_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _,
-    "text_normalize" -> normalize _)
+    "text_normalize" -> normalize _,
+    "text_repetition" -> repetition _,
+    "corpus_mix" -> corpusMix _)
 
   private val profileCase: String = {
     val conds = profiles.map { case (l, _) =>
@@ -171,6 +209,29 @@ object TextAnalytics {
         |  len(regexp_extract_all(text, '[a-z]{1,3}')) AS n_subwords,
         |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,3}')) AS chars_per_subword
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+        |      i -> array_to_string(toks[i : i + 3], ' ')) AS wins
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(wins) AS BIGINT) AS n_windows,
+        |  CAST(len(list_distinct(wins)) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(wins)) AS DOUBLE) / len(wins) AS dup_ratio,
+        |  (1.0 - CAST(len(list_distinct(wins)) AS DOUBLE) / len(wins)) > 0.2 AS flagged
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 100 <
+        |    (CASE WHEN length(source) = 4 THEN 100 ELSE 30 END)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id % 100 <
+        |    (CASE WHEN length(source) = 4 THEN 100 ELSE 30 END)
+        |    THEN n_chars ELSE 0 END) AS DOUBLE) AS kept_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

@@ -64,6 +64,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.map(_.user_id).sorted.toSeq === Seq(100L, 200L, 300L))
   }
 
+  test("stream-stream interval join matches within the lookback window") {
+    import spark.implicits._
+    val src = tmpDir("ssj") + "/data"
+    Seq(
+      (1L, 100L, "2024-01-01 10:00:00", "signup"),
+      (2L, 100L, "2024-01-01 11:00:00", "click"),  // 1h after signup → match
+      (3L, 100L, "2024-01-01 13:00:00", "click"),  // 3h after → outside 2h window
+      (4L, 200L, "2024-01-01 10:30:00", "click"),  // no signup for user → no row
+      (5L, 300L, "2024-01-01 09:00:00", "signup"),
+      (6L, 300L, "2024-01-01 09:30:00", "click"))  // match
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      .repartition(1).write.parquet(src)
+    val schema = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    def stream(tpe: String) = spark.readStream.schema(schema).parquet(src)
+      .where($"event_type" === tpe)
+    val q = StreamingOps.streamStreamJoin(stream("click"), stream("signup"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj_out").orderBy("click_id")
+      .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("signup_id")))
+    assert(got.toSeq === Seq((2L, 1L), (6L, 5L)))
+  }
+
   test("stream-static join enriches without shuffling the stream side") {
     import spark.implicits._
     val src = tmpDir("enrichsrc") + "/data"
