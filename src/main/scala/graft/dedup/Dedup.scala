@@ -203,8 +203,11 @@ object Dedup {
   val SegBits = 12 // 4 segments → pigeonhole blocking for hamming ≤ 3
 
   /** (doc_id, simhash) — 48-bit simhash over token md5s, weighted by
-    * token frequency. Two shuffles: token-count groupBy, then per-doc
-    * bit vote; both partial-aggregated.
+    * token frequency. The 48 bit-votes are 48 codegen'd sum aggregates
+    * over the token rows (shift + mask arithmetic), not a 48× row
+    * explode — one groupBy for token counts, one for the votes, and
+    * the final bit assembly is a single unrolled projection. Same
+    * sequential math as the oracle's explode formulation.
     */
   private def simhashed(spark: SparkSession, corpus: DataFrame): DataFrame = {
     import spark.implicits._
@@ -212,17 +215,16 @@ object Dedup {
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", expr("CAST(conv(substring(md5(cast(w as binary)), 1, 12), 16, 10) AS BIGINT)"))
+    val votes = (0 until SimBits).map(i =>
+      sum(when(expr(s"(h div ${1L << i}) % 2") === 1, $"cnt").otherwise(-$"cnt"))
+        .as(s"v$i"))
     tok
-      .select($"doc_id", $"cnt", $"h",
-        explode(expr(s"sequence(0, ${SimBits - 1})")).as("i"))
-      .withColumn("contrib",
-        when(expr("(h div CAST(pow(2, i) AS BIGINT)) % 2") === 1, $"cnt")
-          .otherwise(-$"cnt"))
-      .groupBy($"doc_id", $"i")
-      .agg(sum($"contrib").as("vote"))
       .groupBy($"doc_id")
-      .agg(sum(when($"vote" > 0, expr("CAST(pow(2, i) AS BIGINT)")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id",
+        (0 until SimBits).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** D3: simhash near-dup pairs via 4-segment pigeonhole blocking,
