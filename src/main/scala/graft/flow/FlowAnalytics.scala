@@ -207,7 +207,42 @@ object FlowAnalytics {
       .orderBy($"bytes".desc, $"sa")
   }
 
+  /** B1b: the salting pattern for skewed keys, spelled out — partial
+    * aggregation under a deterministic salt, then the real key. On
+    * uniform data it matches [[topTalkers]] exactly (same oracle); on
+    * a skewed 100 TB key distribution the first stage fans one hot
+    * key across `salt` reducers instead of one.
+    */
+  def topTalkersSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .withColumn("salt", pmod($"event_id", lit(8)))
+      .groupBy($"sa", $"salt")
+      .agg(sum($"ibyt").as("b_part"), count(lit(1)).as("n_part"))
+      .groupBy($"sa")
+      .agg(sum($"b_part").cast("decimal(28,0)").cast("double").as("bytes"),
+        sum($"n_part").as("n_flows"))
+      .orderBy($"bytes".desc, $"sa")
+      .limit(10)
+  }
+
+  /** B4b: schema-on-read JSON — `from_json` into a typed struct (vs
+    * the per-path `get_json_object` in [[asFlows]]), aggregated per
+    * key decile.
+    */
+  def jsonPropsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .withColumn("p", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy(($"p.k" % 10).as("k_decile"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"k_decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_top_talkers_salted" -> topTalkersSalted _,
+    "json_props_agg" -> jsonPropsAgg _,
     "flow_ingest" -> flowIngest _,
     "flow_transform" -> flowTransform _,
     "flow_cidr_filter" -> flowCidrFilter _,
@@ -222,6 +257,13 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_top_talkers_salted" -> (flowsCte +
+      """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
+        |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),
+    "json_props_agg" ->
+      """SELECT CAST(props->>'k' AS INT) % 10 AS k_decile, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k_decile""".stripMargin,
     "flow_ingest" -> (flowsCte +
       """SELECT event_id AS flow_id, ts, sa, da, sp, dp, pr, ibyt, ipkt,
         |  10 * 16777216 + (user_id % 64) * 65536 + ((event_id // 256) % 256) * 256 + (event_id % 256) AS sa_num,

@@ -143,6 +143,22 @@ object Relational {
       .orderBy($"o_custkey", $"order_seq")
   }
 
+  /** C7b: RANGE window frame — per customer, how many of their orders
+    * fall within $10k below each order's price (value-based frame, so
+    * price ties are peers — unlike ROWS frames).
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+      .rangeBetween(-10000L, 0L)
+    load(spark, dir, "orders")
+      .where($"o_custkey" < 50)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        count(lit(1)).over(w).as("n_within_10k"),
+        sum(dec($"o_totalprice")).over(w).cast("double").as("sum_within_10k"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** C8: ROLLUP over (returnflag, linestatus). */
   def rollupCube(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -260,6 +276,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_range_frame" -> windowRangeFrame _,
     "topk_agg_orders" -> topkAggOrders _,
     "cube_agg" -> cubeAgg _,
     "stats_agg" -> statsAgg _,
@@ -280,6 +297,14 @@ object Relational {
     "approx_hll" -> approxHll _)
 
   val oracleSql: Map[String, String] = Map(
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  count(*) OVER w AS n_within_10k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sum_within_10k
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "topk_agg_orders" ->
       """SELECT o_orderpriority,
         |  (list_sort(list(o_totalprice), 'DESC'))[1:5] AS top_prices
