@@ -42,6 +42,12 @@ object FlowAnalytics {
         .when($"event_type" === "signup", 8080)
         .otherwise(53).cast("int"))
       .withColumn("pr", upper($"event_type"))
+      .withColumn("flg",
+        when($"event_type" === "signup", ".A..S.")
+          .when($"event_type" === "click", ".AP...")
+          .when($"event_type" === "error", ".A.R..")
+          .when($"event_type" === "purchase", ".AP.SF")
+          .otherwise(".A...."))
       .withColumn("ibyt", round($"value" * 100).cast("long"))
       .withColumn("ipkt", pmod($"event_id", lit(1000)) + 1)
   }
@@ -57,6 +63,9 @@ object FlowAnalytics {
       |    CAST(CASE event_type WHEN 'click' THEN 443 WHEN 'view' THEN 80
       |      WHEN 'purchase' THEN 8443 WHEN 'signup' THEN 8080 ELSE 53 END AS INT) AS dp,
       |    upper(event_type) AS pr,
+      |    CASE event_type WHEN 'signup' THEN '.A..S.' WHEN 'click' THEN '.AP...'
+      |      WHEN 'error' THEN '.A.R..' WHEN 'purchase' THEN '.AP.SF'
+      |      ELSE '.A....' END AS flg,
       |    CAST(round(value * 100) AS BIGINT) AS ibyt,
       |    (event_id % 1000) + 1 AS ipkt
       |  FROM events)
@@ -148,6 +157,18 @@ object FlowAnalytics {
       .agg(countDistinct($"sa").as("n_sources"), count(lit(1)).as("n_flows"))
       .where($"n_sources" >= 50)
       .orderBy($"n_sources".desc, $"da")
+  }
+
+  /** B4c: TCP-flag triage — SYN-carrying flows per protocol (the
+    * reference README's DDoS example: `flg LIKE '%S%'` in ClickHouse).
+    */
+  def flagFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .where($"flg".contains("S"))
+      .groupBy($"pr", $"flg")
+      .agg(count(lit(1)).as("n_flows"), countDistinct($"sa").as("n_sources"))
+      .orderBy($"pr", $"flg")
   }
 
   /** B5: time-range + predicate scan (pushdown-verified in the spec). */
@@ -243,6 +264,7 @@ object FlowAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_top_talkers_salted" -> topTalkersSalted _,
     "json_props_agg" -> jsonPropsAgg _,
+    "flow_flag_filter" -> flagFilter _,
     "flow_ingest" -> flowIngest _,
     "flow_transform" -> flowTransform _,
     "flow_cidr_filter" -> flowCidrFilter _,
@@ -260,6 +282,10 @@ object FlowAnalytics {
     "flow_top_talkers_salted" -> (flowsCte +
       """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
         |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),
+    "flow_flag_filter" -> (flowsCte +
+      """SELECT pr, flg, count(*) AS n_flows, count(DISTINCT sa) AS n_sources
+        |FROM flows WHERE flg LIKE '%S%'
+        |GROUP BY pr, flg ORDER BY pr, flg""".stripMargin),
     "json_props_agg" ->
       """SELECT CAST(props->>'k' AS INT) % 10 AS k_decile, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value

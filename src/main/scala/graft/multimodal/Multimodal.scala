@@ -82,10 +82,87 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** STUB resize — real decoders downsample pixels; the stand-in takes
+    * every k-th payload byte so the oracle can reproduce it with
+    * character arithmetic. The output carries the new payload's md5
+    * (not the bytes) so results stay compact and comparable.
+    */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(load(spark, dir, "documents"))
+      .select($"doc_id", $"payload", $"width", $"height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, payload, w, h) =>
+            val step = 4 // "quarter resolution"
+            val resized = payload.indices.collect {
+              case i if i % step == 0 => payload(i)
+            }.toArray
+            val md5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(resized).map("%02x".format(_)).mkString
+            (id, resized.length.toLong, md5, w / 2, h / 2)
+          }
+        }
+      }
+      .toDF("doc_id", "resized_bytes", "resized_md5", "out_w", "out_h")
+      .orderBy($"doc_id")
+  }
+
+  /** STUB frame sampling — payload treated as fixed-size frames
+    * (64 bytes each, tail dropped), every 4th frame kept, per-frame
+    * checksum reported as an array column (the shape a video pipeline
+    * hands to a captioner).
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FrameLen = 64; val Every = 4
+    withPayload(load(spark, dir, "documents"))
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, payload) =>
+            val nFrames = payload.length / FrameLen
+            val sampled = (0 until nFrames).filter(_ % Every == 0)
+            val sums = sampled.map { f =>
+              var s = 0L
+              var i = f * FrameLen
+              while (i < (f + 1) * FrameLen) { s += payload(i) & 0xff; i += 1 }
+              s
+            }.toArray
+            (id, nFrames.toLong, sums.length.toLong, sums)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "frame_sums")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_stats" -> decodeStats _)
+    "mm_decode_stats" -> decodeStats _,
+    "mm_resize" -> resizeStats _,
+    "mm_frame_sample" -> frameSample _)
 
   val oracleSql: Map[String, String] = Map(
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+        |  md5(array_to_string(list_transform(range(1, length(text) + 1, 4),
+        |    i -> substring(text, i, 1)), '')) AS resized_md5,
+        |  CAST(CAST(n_chars % 64 + 16 AS INT) // 2 AS INT) AS out_w,
+        |  CAST(CAST(n_chars % 48 + 12 AS INT) // 2 AS INT) AS out_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(length(text) // 64 AS BIGINT) AS n_frames,
+        |  CAST(len(range(0, length(text) // 64, 4)) AS BIGINT) AS n_sampled,
+        |  list_transform(range(0, length(text) // 64, 4),
+        |    f -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(f * 64 + 1, f * 64 + 65),
+        |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |      (a, b) -> a + b)) AS frame_sums
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode_stats" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
