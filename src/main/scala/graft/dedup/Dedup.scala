@@ -336,7 +336,6 @@ object Dedup {
   def editDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = corpusNear(spark, dir)
-      .withColumn("lng", length($"text"))
       .withColumn("pfx", substring($"text", 1, 12))
       .withColumn("bucket", expr("length(text) div 32"))
     val l = d.as("l"); val r = d.as("r")

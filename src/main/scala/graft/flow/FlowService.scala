@@ -75,4 +75,16 @@ object FlowService {
       FlowPipeline.start(spark, w.dir, s"${cfg.outDir}/${w.name}",
         s"${cfg.ckptDir}/${w.name}", w.flowsrc, availableNowCatchup)
     }
+
+  /** Service-level retention: each watcher writes under
+    * `out_dir/<name>/date=…`, so TTL must be applied per watcher
+    * subdirectory — running expireOlderThan on `out_dir` itself finds
+    * no `date=` children and drops nothing.
+    */
+  def expireAll(spark: SparkSession, cfg: ServiceConfig,
+      cutoff: String): Map[String, Seq[String]] =
+    cfg.watchers.map { w =>
+      w.name -> graft.sinks.PartitionedParquetSink.expireOlderThan(
+        spark, s"${cfg.outDir}/${w.name}", cutoff)
+    }.toMap
 }

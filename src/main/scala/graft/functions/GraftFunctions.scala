@@ -14,17 +14,28 @@ object GraftFunctions {
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case other if other.foldable => other.eval() match {
+      case v: Int => v
+      case v: Long if v.isValidInt => v.toInt
+      case v => throw new IllegalArgumentException(
+        s"$fn expects an integer k, got $v")
+    }
     case other => throw new IllegalArgumentException(
-      s"$fn expects a literal integer, got $other")
+      s"$fn expects a foldable integer k, got $other")
   }
 
+  private def arity(fn: String, e: Seq[Expression], n: Int): Unit =
+    if (e.length != n) throw new IllegalArgumentException(
+      s"$fn takes $n argument(s), got ${e.length}")
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "ip4_aton" -> (e => Ip4Aton(e.head)),
-    "ip4_ntoa" -> (e => Ip4Ntoa(e.head)),
-    "ip4_in_cidr" -> (e => Ip4InCidr(e(0), e(1))),
-    "ip4_is_private" -> (e => Ip4IsPrivate(e.head)),
-    "topk_agg" -> (e => TopKAgg(e(0), intArg(e(1), "topk_agg"))
-      .toAggregateExpression()))
+    "ip4_aton" -> (e => { arity("ip4_aton", e, 1); Ip4Aton(e.head) }),
+    "ip4_ntoa" -> (e => { arity("ip4_ntoa", e, 1); Ip4Ntoa(e.head) }),
+    "ip4_in_cidr" -> (e => { arity("ip4_in_cidr", e, 2); Ip4InCidr(e(0), e(1)) }),
+    "ip4_is_private" -> (e => { arity("ip4_is_private", e, 1); Ip4IsPrivate(e.head) }),
+    "topk_agg" -> (e => { arity("topk_agg", e, 2)
+      TopKAgg(e(0), intArg(e(1), "topk_agg")).toAggregateExpression() }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

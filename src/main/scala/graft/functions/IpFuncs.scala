@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime helpers for the IP expressions. Kept as a plain object with
@@ -66,8 +66,26 @@ object IpUtil {
   }
 }
 
+/** Analysis-time input validation through the public
+  * `checkInputDataTypes` hook (the `ExpectsInputTypes` trait is
+  * `private[sql]`-typed in Spark 4): wrong-typed SQL arguments fail at
+  * plan time instead of as runtime ClassCastExceptions mid-job.
+  */
+trait RequiresTypes extends Expression {
+  protected def required: Seq[(Expression, DataType)]
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    required.collectFirst {
+      case (e, t) if e.dataType != t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ${t.sql}, got ${e.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}
+
 /** `ip4_aton(sa)` — dotted-quad string → long, null on malformed. */
-case class Ip4Aton(child: Expression) extends UnaryExpression {
+case class Ip4Aton(child: Expression) extends UnaryExpression with RequiresTypes {
+  override protected def required = Seq(child -> StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
@@ -94,6 +112,13 @@ case class Ip4Aton(child: Expression) extends UnaryExpression {
 
 /** `ip4_ntoa(x)` — long → dotted-quad string. */
 case class Ip4Ntoa(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == LongType || child.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ip4_ntoa expects BIGINT or INT, got ${child.dataType.sql}")
+  }
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   // SQL integer literals arrive as Int in interpreted eval (codegen's
@@ -106,7 +131,9 @@ case class Ip4Ntoa(child: Expression) extends UnaryExpression {
 }
 
 /** `ip4_in_cidr(ip, cidr)` — CIDR containment test on strings. */
-case class Ip4InCidr(left: Expression, right: Expression) extends BinaryExpression {
+case class Ip4InCidr(left: Expression, right: Expression)
+    extends BinaryExpression with RequiresTypes {
+  override protected def required = Seq(left -> StringType, right -> StringType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(ip: Any, cidr: Any): Any =
@@ -122,7 +149,8 @@ case class Ip4InCidr(left: Expression, right: Expression) extends BinaryExpressi
   * (and its whole defining expression chain) once per range
   * comparison — six re-evaluations per row.
   */
-case class Ip4IsPrivate(child: Expression) extends UnaryExpression {
+case class Ip4IsPrivate(child: Expression) extends UnaryExpression with RequiresTypes {
+  override protected def required = Seq(child -> StringType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any = {

@@ -28,6 +28,13 @@ case class TopKAgg(
 
   require(k > 0, "topk_agg requires k > 0")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_agg requires a DOUBLE column, got ${child.dataType.sql}")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -56,9 +63,13 @@ case class TopKAgg(
   }
 
   override def eval(heap: java.util.PriorityQueue[Double]): Any = {
-    val arr = new Array[Double](heap.size)
-    var i = heap.size - 1
-    while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // min-heap drain → desc
+    // drain a COPY: as a window function Spark calls eval repeatedly
+    // on the same buffer (once per output row), so consuming the
+    // buffer itself would return the top-k for the first row only
+    val copy = new java.util.PriorityQueue[Double](heap)
+    val arr = new Array[Double](copy.size)
+    var i = copy.size - 1
+    while (i >= 0) { arr(i) = copy.poll(); i -= 1 } // min-heap drain → desc
     new GenericArrayData(arr)
   }
 

@@ -34,22 +34,32 @@ object Joins {
     */
   def asofLeft(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       rightCols: Seq[String]): DataFrame = {
+    val collisions = rightCols.toSet.intersect(
+      left.columns.toSet -- Set(key, tsCol))
+    require(collisions.isEmpty,
+      s"asofLeft rightCols collide with left columns: $collisions")
+    // The matched right row travels as ONE struct through a single
+    // last(ignoreNulls) — carrying columns individually would let a
+    // NULL field in a newer right row be backfilled from an older one,
+    // stitching together a right row that never existed.
     val lTagged = left
       .withColumn("_tag", lit(1))
-      .withColumns(rightCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("_rrow", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightCols.map(c => right.schema(c)))))
     val rTagged = right
       .withColumn("_tag", lit(0))
+      .withColumn("_rrow", struct(rightCols.map(col): _*))
       .withColumns(left.columns.filterNot(c => c == key || c == tsCol)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
       .select(lTagged.columns.map(col): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.union(rTagged)
-      .withColumns(rightCols.map(c =>
-        s"_asof_$c" -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .withColumn("_asof", last(col("_rrow"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)
       .select((left.columns.map(col) ++
-        rightCols.map(c => col(s"_asof_$c").as(c))): _*)
+        rightCols.map(c => col(s"_asof.$c").as(c))): _*)
   }
 
   /** C15: for each click, the user's most recent signup at or before

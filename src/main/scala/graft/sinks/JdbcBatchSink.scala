@@ -28,12 +28,26 @@ object JdbcBatchSink {
     s"INSERT INTO $table ($cols) VALUES ($marks)"
   }
 
+  /** JDBC type for typed setNull — untyped `setObject(i, null)` is
+    * optional in the JDBC spec and rejected by several drivers.
+    */
+  private def sqlType(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+    case IntegerType   => java.sql.Types.INTEGER
+    case LongType      => java.sql.Types.BIGINT
+    case DoubleType    => java.sql.Types.DOUBLE
+    case FloatType     => java.sql.Types.FLOAT
+    case StringType    => java.sql.Types.VARCHAR
+    case BooleanType   => java.sql.Types.BOOLEAN
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case _             => java.sql.Types.OTHER
+  }
+
   private def bind(ps: PreparedStatement, schema: StructType, row: Row): Unit = {
     var i = 0
     while (i < schema.length) {
       val j = i + 1
       if (row.isNullAt(i)) {
-        ps.setObject(j, null)
+        ps.setNull(j, sqlType(schema(i).dataType))
       } else schema(i).dataType match {
         case IntegerType   => ps.setInt(j, row.getInt(i))
         case LongType      => ps.setLong(j, row.getLong(i))
@@ -63,20 +77,25 @@ object JdbcBatchSink {
           var attempt = 0
           var done = false
           while (!done) {
-            val conn = connect()
+            // connect() is inside the retry scope: a transient
+            // connection refusal must back off like a failed batch,
+            // not kill the task outright.
             try {
-              val ps = conn.prepareStatement(sql)
+              val conn = connect()
               try {
-                buf.foreach { r => bind(ps, schema, r); ps.addBatch() }
-                ps.executeBatch()
-                done = true
-              } finally ps.close()
+                val ps = conn.prepareStatement(sql)
+                try {
+                  buf.foreach { r => bind(ps, schema, r); ps.addBatch() }
+                  ps.executeBatch()
+                  done = true
+                } finally ps.close()
+              } finally conn.close()
             } catch {
               case e: java.sql.SQLException =>
                 attempt += 1
                 if (attempt > maxRetries) throw e
                 Thread.sleep(100L << attempt)
-            } finally conn.close()
+            }
           }
           buf.clear()
         }

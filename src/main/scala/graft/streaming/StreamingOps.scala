@@ -46,9 +46,12 @@ object StreamingOps {
       s"graft_stream_events_${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(spool)
     val link = spool.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    // re-link unconditionally: Files.exists follows symlinks, so a
+    // dangling link from a prior run would read as absent yet make
+    // createSymbolicLink throw FileAlreadyExists forever after
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(dir, "events.parquet"))
     val stream = spark.readStream
       .schema(eventsRawSchema)
       .parquet(spool.toString)

@@ -28,6 +28,28 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got === Seq(4.0, 1.0))
   }
 
+  test("topk_agg works as a window function (buffer not consumed by eval)") {
+    import spark.implicits._
+    val got = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0)).toDF("g", "v")
+      .withColumn("top", TopKAgg.topk_agg($"v", 2).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+      .collect().map(_.getSeq[Double](2))
+    // every row of the partition must see the same full top-k
+    assert(got.forall(_ == Seq(3.0, 2.0)), got.toSeq.toString)
+  }
+
+  test("wrong-typed arguments fail at analysis time, not mid-job") {
+    GraftFunctions.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT ip4_aton(123)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT ip4_ntoa('abc')").collect())
+    import spark.implicits._
+    Seq(1).toDF("x").createOrReplaceTempView("tk_bad")
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT topk_agg(x, 2) FROM tk_bad").collect())
+  }
+
   test("SQL registration exposes the native functions to spark.sql") {
     GraftFunctions.register(spark)
     val row = spark.sql(
