@@ -171,6 +171,55 @@ object FlowAnalytics {
       .orderBy($"pr", $"flg")
   }
 
+  /** B9: windowFunnel-style funnel (ClickHouse `windowFunnel`): per
+    * user, how far through signup → click → purchase they got, all
+    * steps within 7 days of the first. Three keyed aggregations
+    * chained by joins — each stage shuffles on user_id only, so the
+    * funnel over 100 TB of events is three combine-heavy passes, not
+    * a per-user sort.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val s1 = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.where($"event_type" === "click")
+      .join(s1, "user_id")
+      .where($"ts" > $"t1" && $"ts" <= expr("t1 + INTERVAL 7 DAYS"))
+      .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
+    val s3 = ev.where($"event_type" === "purchase")
+      .join(s2, "user_id")
+      .where($"ts" > $"t2" && $"ts" <= expr("t1 + INTERVAL 7 DAYS"))
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val levels = ev.select($"user_id").distinct()
+      .join(s1.select($"user_id", lit(1).as("l1")), Seq("user_id"), "left")
+      .join(s2.select($"user_id", lit(1).as("l2")), Seq("user_id"), "left")
+      .join(s3.select($"user_id", lit(1).as("l3")), Seq("user_id"), "left")
+      .withColumn("funnel_level",
+        when($"l3".isNotNull, 3).when($"l2".isNotNull, 2)
+          .when($"l1".isNotNull, 1).otherwise(0))
+    levels.groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
+  /** B10: day-7 cohort retention (ClickHouse `retention`): per first-
+    * seen day, how many users were also active exactly 7 days later.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    cohort
+      .join(ev.withColumnRenamed("day", "later_day"), Seq("user_id"), "left")
+      .groupBy($"cohort_day")
+      .agg(countDistinct($"user_id").as("n_users"),
+        countDistinct(when($"later_day" === date_add($"cohort_day", 7), $"user_id"))
+          .as("n_retained_d7"))
+      .orderBy($"cohort_day")
+  }
+
   /** B5: time-range + predicate scan (pushdown-verified in the spec). */
   def windowFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -265,6 +314,8 @@ object FlowAnalytics {
     "flow_top_talkers_salted" -> topTalkersSalted _,
     "json_props_agg" -> jsonPropsAgg _,
     "flow_flag_filter" -> flagFilter _,
+    "flow_funnel" -> funnel _,
+    "flow_retention" -> retention _,
     "flow_ingest" -> flowIngest _,
     "flow_transform" -> flowTransform _,
     "flow_cidr_filter" -> flowCidrFilter _,
@@ -282,6 +333,44 @@ object FlowAnalytics {
     "flow_top_talkers_salted" -> (flowsCte +
       """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
         |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),
+    "flow_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |levels AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |         WHEN s2.user_id IS NOT NULL THEN 2
+        |         WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN s1 ON u.user_id = s1.user_id
+        |  LEFT JOIN s2 ON u.user_id = s2.user_id
+        |  LEFT JOIN s3 ON u.user_id = s3.user_id)
+        |SELECT funnel_level, count(*) AS n_users
+        |FROM levels GROUP BY funnel_level ORDER BY funnel_level""".stripMargin,
+    "flow_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  count(DISTINCT c.user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN a.day = c.cohort_day + 7 THEN c.user_id END)
+        |    AS n_retained_d7
+        |FROM cohort c LEFT JOIN active a ON c.user_id = a.user_id
+        |GROUP BY c.cohort_day ORDER BY c.cohort_day""".stripMargin,
     "flow_flag_filter" -> (flowsCte +
       """SELECT pr, flg, count(*) AS n_flows, count(DISTINCT sa) AS n_sources
         |FROM flows WHERE flg LIKE '%S%'
