@@ -153,7 +153,21 @@ object TextAnalytics {
       .orderBy($"source")
   }
 
+  /** D10b: corpus token frequencies — the canonical explode →
+    * combine-heavy agg → top-N pipeline (vocabulary building step).
+    */
+  def wordcount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_wordcount" -> wordcount _,
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
     "text_token_count" -> tokenCount _,
@@ -176,6 +190,10 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_wordcount" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "text_lang_id" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, $profileSelects

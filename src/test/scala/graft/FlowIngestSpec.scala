@@ -57,6 +57,18 @@ class FlowIngestSpec extends SparkSpecBase {
     assert(rows(0).getAs[String]("pr") === "TCP")
   }
 
+  test("sparse rows keep nulls in unset typed fields without dropping the row") {
+    val dir = tmpDir("nfcsv")
+    // ts/te present (required), ports left at the fixture default "0",
+    // but ra/flg empty strings — row must survive with typed nulls/defaults
+    writeFixture(dir, "nfcapd.csv",
+      Seq(flowA + ("ra" -> "") + ("flg" -> "") - "ipkt"), withSummary = false)
+    val rows = NfdumpCsv.read(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("ra") === null || rows(0).getAs[String]("ra") == "")
+    assert(rows(0).getAs[Long]("ipkt") === 0L) // fixture default "0"
+  }
+
   test("numeric-IP enrichment matches dotted-quad arithmetic") {
     val dir = tmpDir("nfcsv")
     writeFixture(dir, "nfcapd.csv", Seq(flowA))
