@@ -64,6 +64,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), "top-N sorted globally")
   }
 
+  test("minhash signature builds from codegen'd aggregates, not interpreted folds") {
+    val p = plan(graft.dedup.Dedup.minhash(spark, sf0001))
+    // the 64 min-slot aggregates must partial-aggregate (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+    assert(p.contains("Generate"), "shingles not exploded")
+  }
+
+  test("brute-force ANN broadcasts the probe side, not the corpus") {
+    val p = plan(graft.ann.Knn.bruteTopK(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian planned")
+  }
+
+  test("ASOF join is one shuffle on the key (no nested-loop inequality join)") {
+    val p = plan(graft.operators.Joins.joinAsof(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"inequality join planned:\n$p")
+    assert(p.contains("Window"), "expected window-based asof carry")
+  }
+
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
