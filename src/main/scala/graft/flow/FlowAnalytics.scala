@@ -171,12 +171,15 @@ object FlowAnalytics {
       .orderBy($"pr", $"flg")
   }
 
-  /** B9: windowFunnel-style funnel (ClickHouse `windowFunnel`): per
-    * user, how far through signup → click → purchase they got, all
-    * steps within 7 days of the first. Three keyed aggregations
-    * chained by joins — each stage shuffles on user_id only, so the
-    * funnel over 100 TB of events is three combine-heavy passes, not
-    * a per-user sort.
+  /** B9: first-touch funnel: per user, how far through
+    * signup → click → purchase they got with every step inside 7 days
+    * of the user's FIRST signup. (ClickHouse `windowFunnel` slides the
+    * anchor over every step-1 occurrence; this is the stricter
+    * first-touch-attribution variant — a user whose chain completes
+    * only from a later signup counts at the level their first-signup
+    * window reached.) Four user_id-keyed aggregation/join passes plus
+    * the final level count — combine-heavy shuffles, no per-user sort
+    * or driver-side state.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -57,16 +57,19 @@ class FlowIngestSpec extends SparkSpecBase {
     assert(rows(0).getAs[String]("pr") === "TCP")
   }
 
-  test("sparse rows keep nulls in unset typed fields without dropping the row") {
+  test("empty typed fields become nulls without dropping the row") {
     val dir = tmpDir("nfcsv")
-    // ts/te present (required), ports left at the fixture default "0",
-    // but ra/flg empty strings — row must survive with typed nulls/defaults
+    // ts/te present (required); a NUMERIC field left genuinely empty is
+    // the real sparse-CSV risk under DROPMALFORMED — the row must
+    // survive with a typed null, not be dropped as malformed
     writeFixture(dir, "nfcapd.csv",
-      Seq(flowA + ("ra" -> "") + ("flg" -> "") - "ipkt"), withSummary = false)
-    val rows = NfdumpCsv.read(spark, dir).collect()
-    assert(rows.length === 1)
-    assert(rows(0).getAs[String]("ra") === null || rows(0).getAs[String]("ra") == "")
-    assert(rows(0).getAs[Long]("ipkt") === 0L) // fixture default "0"
+      Seq(flowA + ("ipkt" -> "") + ("ra" -> "")), withSummary = false)
+    val df = NfdumpCsv.read(spark, dir).select("ts", "ipkt", "ibyt", "ra")
+    val rows = df.collect()
+    assert(rows.length === 1, "row with empty numeric field was dropped")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("ipkt")), "empty long must read as null")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("ra")), "empty string must read as null")
+    assert(rows(0).getAs[Long]("ibyt") === 1024L) // populated fields intact
   }
 
   test("numeric-IP enrichment matches dotted-quad arithmetic") {

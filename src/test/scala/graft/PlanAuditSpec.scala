@@ -66,23 +66,55 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("minhash signature builds from codegen'd aggregates, not interpreted folds") {
     val p = plan(graft.dedup.Dedup.minhash(spark, sf0001))
-    // the 64 min-slot aggregates must partial-aggregate (map-side combine)
-    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+    // the 64 min slots must appear as PARTIAL min aggregates (map-side
+    // combine on the signature itself — pairs.distinct() contributes
+    // HashAggregates too, so count partial_min specifically)
+    assert("partial_min".r.findAllIn(p).length >= 64, s"signature not partial-aggregated:\n$p")
     assert(p.contains("Generate"), "shingles not exploded")
   }
 
   test("brute-force ANN broadcasts the probe side, not the corpus") {
-    val p = plan(graft.ann.Knn.bruteTopK(spark, sf0001))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"probes not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), "corpus-side cartesian planned")
+    // tree-level check: the broadcast build subtree must be the one
+    // carrying the probe filter (vec_id < 10) — a plan-string
+    // containment check would stay green if the corpus were broadcast
+    val df = graft.ann.Knn.bruteTopK(spark, sf0001)
+    df.collect()
+    // flatten through AQE wrappers — collect() on the executed plan
+    // stops at AdaptiveSparkPlanExec/QueryStageExec boundaries
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val joins = flatten(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(joins.nonEmpty,
+      s"no broadcast join planned:\n${df.queryExecution.executedPlan}")
+    val buildSide = joins.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => joins.head.right
+      case _ => joins.head.left
+    }
+    assert(buildSide.toString.contains("vec_id"), "probe side not the build side")
+    assert(buildSide.toString.contains("10"), s"build side is not the filtered probes:\n$buildSide")
   }
 
-  test("ASOF join is one shuffle on the key (no nested-loop inequality join)") {
-    val p = plan(graft.operators.Joins.joinAsof(spark, sf0001))
+  test("ASOF join is ONE shuffle on the key (no nested-loop inequality join)") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, "L")).toDF("k", "ts", "v")
+    val right = Seq((1L, 10L, "R")).toDF("k", "ts", "rid")
+    val df = graft.operators.Joins.asofLeft(left, right, "k", "ts", Seq("rid"))
+    val p = plan(df)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"inequality join planned:\n$p")
     assert(p.contains("Window"), "expected window-based asof carry")
+    // count tree nodes, not substring hits (formatted output repeats
+    // each node in the details section)
+    assert("""Exchange \(\d+\)""".r.findAllIn(p).length === 1,
+      s"asof must be exactly one shuffle (the window partitioning):\n$p")
   }
 
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
