@@ -166,7 +166,10 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
-  val minhashSql: String = corpusNearSql +
+  /** Shared CTE chain up to the band table (also reused by the
+    * cluster-closure oracle).
+    */
+  val minhashCtes: String = corpusNearSql +
     s""", sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, greatest(length(text) - ${ShingleLen - 1}, 1) + 1),
@@ -189,14 +192,17 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, minhashes, b AS band_id,
        |    md5(array_to_string(minhashes[b * $RowsPerBand + 1 : b * $RowsPerBand + $RowsPerBand], ',')) AS band_hash
-       |  FROM mh, range(0, $Bands) t(b))
-       |SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
-       |  CAST(len(list_filter(range(1, $NumHashes + 1),
-       |    i -> l.minhashes[i] = r.minhashes[i])) AS DOUBLE) / $NumHashes AS est_jaccard
-       |FROM bands l JOIN bands r
-       |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-       | AND l.doc_id < r.doc_id
-       |ORDER BY d1, d2""".stripMargin
+       |  FROM mh, range(0, $Bands) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+       |    CAST(len(list_filter(range(1, $NumHashes + 1),
+       |      i -> l.minhashes[i] = r.minhashes[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       |   AND l.doc_id < r.doc_id)""".stripMargin
+
+  val minhashSql: String = minhashCtes +
+    "\nSELECT d1, d2, est_jaccard FROM pairs ORDER BY d1, d2"
 
   // ---- SimHash --------------------------------------------------------
   val SimBits = 48
@@ -361,7 +367,65 @@ object Dedup {
       |WHERE levenshtein(l.text, r.text) <= 25
       |ORDER BY d1, d2""".stripMargin
 
+  /** D15: dedup-cluster closure — connected components over the
+    * near-dup candidate graph (minhash pairs as edges), labeling each
+    * doc with the minimum doc_id reachable from it. The step that
+    * turns pairwise similarity into keep/drop groups.
+    *
+    * Iterative min-label propagation: each round is one join + one
+    * min-aggregate, both hash-partitioned on doc_id; rounds needed =
+    * graph diameter (near-dup clusters are shallow stars). The loop
+    * runs driver-side but touches only DataFrame handles — per-round
+    * convergence is checked with a count, and iterations are capped.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = corpusNear(spark, dir).select($"doc_id")
+    val pairs = minhash(spark, dir).select($"d1", $"d2")
+    // undirected edges, both directions; localCheckpoint (eager)
+    // truncates lineage — without it every iteration's plan re-embeds
+    // the full minhash DAG and planning blows the driver heap.
+    // On a cluster this would be a reliable checkpoint to durable
+    // storage instead.
+    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = docs.select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 10) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst".as("doc_id"), $"cluster_id")
+      val next = labels.select($"doc_id", $"cluster_id").union(viaNeighbor)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .where($"cluster_id" =!= $"prev").limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .withColumn("is_canonical", $"doc_id" === $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
+  val clustersSql: String =
+    minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    """, edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+      |SELECT doc_id, min(lbl) AS cluster_id,
+      |  doc_id = min(lbl) AS is_canonical
+      |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> clusters _,
     "dedup_exact" -> exact _,
     "dedup_minhash" -> minhash _,
     "dedup_simhash" -> simhash _,
@@ -369,6 +433,7 @@ object Dedup {
     "dedup_edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" -> clustersSql,
     "dedup_exact" -> (corpusExactSql +
       """SELECT doc_id, md5(text) AS h,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
