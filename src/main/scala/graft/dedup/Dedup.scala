@@ -387,6 +387,10 @@ object Dedup {
     // the full minhash DAG and planning blows the driver heap.
     // On a cluster this would be a reliable checkpoint to durable
     // storage instead.
+    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
       .toDF("src", "dst").localCheckpoint()
     var labels = docs.select($"doc_id", $"doc_id".as("cluster_id"))
@@ -402,10 +406,14 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .where($"cluster_id" =!= $"prev").limit(1).count()
+      // free the superseded iteration's checkpoint blocks — leaving
+      // them cached starves every later query in the session
+      backingRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
       converged = changed == 0
       iter += 1
     }
+    backingRdd(edges).foreach(_.unpersist(blocking = false))
     labels
       .withColumn("is_canonical", $"doc_id" === $"cluster_id")
       .orderBy($"doc_id")
