@@ -155,7 +155,7 @@ object FlowAnalytics {
     asFlows(spark, dir)
       .groupBy($"da")
       .agg(countDistinct($"sa").as("n_sources"), count(lit(1)).as("n_flows"))
-      .where($"n_sources" >= 50)
+      .where($"n_sources" >= 5)
       .orderBy($"n_sources".desc, $"da")
   }
 
@@ -481,7 +481,7 @@ object FlowAnalytics {
         |FROM flows GROUP BY 1 ORDER BY hour""".stripMargin),
     "flow_fan_in" -> (flowsCte +
       """SELECT da, count(DISTINCT sa) AS n_sources, count(*) AS n_flows
-        |FROM flows GROUP BY da HAVING count(DISTINCT sa) >= 50
+        |FROM flows GROUP BY da HAVING count(DISTINCT sa) >= 5
         |ORDER BY n_sources DESC, da""".stripMargin),
     "flow_window_filter" -> (flowsCte +
       """SELECT event_id AS flow_id, ts, sa, da, ibyt FROM flows

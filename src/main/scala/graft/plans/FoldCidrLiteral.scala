@@ -15,14 +15,18 @@ import graft.functions.{Ip4Aton, Ip4InCidr, IpUtil}
   *
   * Null semantics preserved exactly: NULL ip stays NULL; a malformed
   * (non-null) ip yields false (aton → null → coalesce false), matching
-  * [[IpUtil.inCidr]]. A malformed CIDR literal folds to constant false.
+  * [[IpUtil.inCidr]]. A malformed CIDR literal folds to
+  * `If(IsNull(ip), null, false)` — the unfolded expression is
+  * null-intolerant, so a NULL ip must stay NULL even when the CIDR
+  * can never match.
   */
 object FoldCidrLiteral extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case Ip4InCidr(ip, Literal(cidrRaw: UTF8String, StringType)) =>
       parseCidr(cidrRaw.toString) match {
-        case None => Literal(false, BooleanType)
+        case None =>
+          If(IsNull(ip), Literal(null, BooleanType), Literal(false, BooleanType))
         case Some((base, mask)) =>
           If(IsNull(ip), Literal(null, BooleanType),
             Coalesce(Seq(
