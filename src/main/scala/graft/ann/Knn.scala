@@ -16,12 +16,12 @@ import graft.functions.VecFuncs._
   * hash-match without rounding.
   *
   * Scale design: brute force broadcasts the (small) probe set against
-  * the full corpus — one map-side pass, per-partition top-k via the
-  * rank window on (probe, score) — the 100 TB pattern where the fact
-  * side never shuffles. The LSH path prunes the corpus to the probe's
-  * bucket before any dot product: bucket id is an equi-join key, and
-  * with p planes bucket cardinality ~n/2^p keeps per-bucket work flat
-  * as n grows (add planes as the corpus grows).
+  * the full corpus — one map-side pass, bounded-heap top-k per probe
+  * ([[rankTopK]]) — the 100 TB pattern where the fact side never
+  * shuffles more than k rows per partition. The LSH path prunes the
+  * corpus to the probe's bucket before any dot product: bucket id is
+  * an equi-join key, and with p planes bucket cardinality ~n/2^p keeps
+  * per-bucket work flat as n grows (add planes as the corpus grows).
   */
 object Knn {
 
@@ -88,6 +88,26 @@ object Knn {
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |      (acc, v) -> acc + v))))""".stripMargin
 
+  /** Shared ranking tail: bounded-heap top-k per group via
+    * [[graft.functions.TopKByAgg]] (score DESC, id ASC), exploded back
+    * to (neighbor_id, rank, score) rows. Replaces the
+    * `row_number() OVER (PARTITION BY probe_id)` window, which with a
+    * handful of probes shuffles EVERY scored candidate to ≤|probes|
+    * reducers and full-sorts each — the heap partial-aggregates
+    * map-side, so the shuffle carries ≤ k rows per (partition, probe).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, extraKey: Seq[String]): DataFrame = {
+    import scored.sparkSession.implicits._
+    val keys = ("probe_id" +: extraKey).map(col)
+    scored.groupBy(keys: _*)
+      .agg(graft.functions.TopKByAgg.topk_by($"score", $"vec_id", k).as("nbrs"))
+      .select(keys :+ posexplode($"nbrs"): _*)
+      .select((Seq($"probe_id", $"col.id".as("neighbor_id"),
+        ($"pos" + 1).cast("long").as("rank"), $"col.score".as("score")) ++
+        extraKey.map(col)): _*)
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** D6: exact brute-force top-5 cosine neighbors for probe vectors
     * (vec_id < 10), ranked with deterministic tie-break.
     */
@@ -99,12 +119,7 @@ object Knn {
     val scored = vecs.crossJoin(broadcast(probes))
       .where($"vec_id" =!= $"probe_id")
       .withColumn("score", vcos($"probe_emb", $"embedding"))
-    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 5)
-      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank", $"score")
-      .orderBy($"probe_id", $"rank")
+    rankTopK(scored, 5, Seq.empty)
   }
 
   val bruteTopKSql: String =
@@ -133,12 +148,7 @@ object Knn {
     val cands = c.join(probes, Seq("code"))
       .where($"vec_id" =!= $"probe_id")
       .withColumn("score", vcos($"probe_emb", $"embedding"))
-    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
-    cands
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 3)
-      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank", $"score", $"code")
-      .orderBy($"probe_id", $"rank")
+    rankTopK(cands, 3, Seq("code"))
   }
 
   val lshTopKSql: String =
@@ -189,39 +199,48 @@ object Knn {
        |WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.99
        |ORDER BY v1, v2""".stripMargin
 
-  /** D7b: IVF-style ANN — every 50th vector is a coarse centroid;
-    * vectors are assigned to their nearest centroid (one broadcast
-    * pass), and probes search only their own cell. The inverted-file
-    * counterpart to the LSH path: cell count grows with the corpus
-    * (deterministic mod-selection here; k-means in production), so
-    * per-cell candidate lists stay flat as n grows.
+  /** D7b: IVF-style ANN — a FIXED budget of coarse centroids
+    * (deterministic stride-selection here; k-means in production);
+    * vectors are assigned to their nearest centroid, and probes search
+    * only their own cell.
+    *
+    * Scale shape: the centroid table is a constant ≤[[CentBudget]]
+    * rows → broadcast; assignment is a map-side crossJoin followed by
+    * a `max_by` argmax aggregate that partial-aggregates (the shuffle
+    * carries n rows, not n×C scored rows — contrast a
+    * `row_number() OVER (PARTITION BY vec_id)` window, which would
+    * shuffle and sort the full scored product). The max_by ordering
+    * key is `struct(score, -cid)`, a total order, so ties are
+    * deterministic (best score, then lowest cid) under any
+    * parallelism.
     */
+  val CentStride = 16
+  val CentBudget = 32
+
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val cents = vecs.where($"vec_id" % 50 === 0)
+    val cents = vecs
+      .where($"vec_id" % CentStride === 0 && $"vec_id" < CentStride * CentBudget)
       .select($"vec_id".as("cid"), $"embedding".as("cent"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(vcos($"embedding", $"cent").desc, $"cid")
     val assigned = vecs.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(wAssign))
-      .where($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cid")
+      .withColumn("cscore", vcos($"embedding", $"cent"))
+      .groupBy($"vec_id")
+      .agg(
+        first($"embedding").as("embedding"),
+        max_by($"cid", struct($"cscore", (-$"cid").as("nc"))).as("cid"))
     val probes = assigned.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"), $"cid")
-    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
-    assigned.join(probes, Seq("cid"))
+    val cands = assigned.join(probes, Seq("cid"))
       .where($"vec_id" =!= $"probe_id")
       .withColumn("score", vcos($"probe_emb", $"embedding"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 3)
-      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank", $"score", $"cid")
-      .orderBy($"probe_id", $"rank")
+    rankTopK(cands, 3, Seq("cid"))
   }
 
   val ivfTopKSql: String =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
        |assigned AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,

@@ -129,10 +129,11 @@ object Dedup {
         array((0 until NumHashes).map(j => col(s"m$j")): _*).as("minhashes"))
   }
 
-  /** D2: MinHash LSH near-dup candidate pairs with minhash-estimated
-    * Jaccard. Band signature → bucket equi-join → distinct pairs.
+  /** LSH candidate pairs only (band equi-join, deduped) — the edge
+    * input for [[clusters]], which needs neither the estimated-Jaccard
+    * score nor a sort.
     */
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mh = minhashed(corpusNear(spark, dir))
     val bands = mh.select($"doc_id", $"minhashes",
@@ -146,22 +147,33 @@ object Dedup {
     // dedup candidate pairs BEFORE scoring: a pair can collide in up
     // to 16 bands, and the signature comparison is 64 ops — score each
     // pair once, not once per colliding band.
-    val pairs = l.join(r,
+    l.join(r,
         $"l.band_id" === $"r.band_id" && $"l.band_hash" === $"r.band_hash" &&
         $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"))
       .distinct()
+  }
+
+  /** D2: MinHash LSH near-dup candidate pairs with minhash-estimated
+    * Jaccard. Band signature → bucket equi-join → distinct pairs.
+    */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = minhashed(corpusNear(spark, dir))
+    val pairs = minhashPairs(spark, dir)
     // unrolled slot comparisons: 64 codegen'd equality terms instead of
-    // an interpreted lambda fold. Signatures join back broadcast here
-    // (3 MB); at corpus scale this becomes a shuffle join on doc_id.
+    // an interpreted lambda fold. Signatures join back as plain shuffle
+    // joins on doc_id — the signature table grows with the corpus, so a
+    // broadcast build side would OOM every executor at scale; the pairs
+    // side is already hash-partitioned by d1/d2 from the distinct.
     val m1 = mh.select($"doc_id".as("d1"), $"minhashes".as("s1"))
     val m2 = mh.select($"doc_id".as("d2"), $"minhashes".as("s2"))
     val estExpr = (0 until NumHashes).map(j =>
       when(element_at($"s1", j + 1) === element_at($"s2", j + 1), 1).otherwise(0))
       .reduce(_ + _).cast("double") / NumHashes
     pairs
-      .join(broadcast(m1), "d1")
-      .join(broadcast(m2), "d2")
+      .join(m1, "d1")
+      .join(m2, "d2")
       .select($"d1", $"d2", estExpr.as("est_jaccard"))
       .orderBy($"d1", $"d2")
   }
@@ -286,38 +298,89 @@ object Dedup {
     * the verification stage downstream of an LSH pass (bucketing:
     * same lang, same n_chars//8 — bounded buckets, no cross join).
     *
-    * Inverted-index formulation: explode distinct grams, equi-join the
-    * postings on (lang, bucket, gram), count shared grams per pair,
-    * then |A∪B| = |A|+|B|−|A∩B|. Everything is codegen'd joins and
-    * aggregates — no per-pair array set ops (interpreted, and quadratic
-    * in bucket size × gram count). Pairs sharing zero grams can't have
-    * Jaccard ≥ 0.5, so the join dropping them is semantics-preserving.
+    * Two-phase prefix-filtered inverted index (AllPairs/PPJoin-style):
+    *
+    * 1. CANDIDATES from a prefix-pruned postings self-join. A naive
+    *    postings join has a hot-gram blowup: one ubiquitous 3-gram
+    *    ("the") makes every same-bucket doc pair a candidate —
+    *    |block|² rows on skewed real text. Instead each doc keeps only
+    *    its PREFIX: the first ⌊|g|−τ·|g|⌋+1 grams in a global
+    *    (document-frequency ASC, gram) order. Pigeonhole guarantee:
+    *    J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ·|A|⌉, and A's suffix holds only
+    *    ⌈τ·|A|⌉−1 grams, so some shared gram sits in A's prefix — the
+    *    join keeps any colliding pair where EITHER side's gram is a
+    *    prefix gram, so no qualifying pair is lost (exact, not a
+    *    heuristic DF ceiling). Ubiquitous grams rank last and fall out
+    *    of every prefix, killing the |block|² path.
+    *
+    * 2. EXACT intersection counts for the surviving candidate pairs
+    *    only (candidates ⋈ postings ⋈ postings), then
+    *    |A∪B| = |A|+|B|−|A∩B|. Everything is codegen'd joins and
+    *    aggregates — no per-pair array set ops.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val g = load(spark, dir, "documents")
+  val JaccardTau = 0.5
+
+  /** (doc_id, lang, bucket, grams) from (doc_id, lang, text). */
+  private[graft] def gramTable(docs: DataFrame): DataFrame =
+    docs
       .withColumn("grams", array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
       .withColumn("bucket", expr("length(text) div 8"))
-      .select($"doc_id", $"lang", $"bucket", $"grams")
+      .select(col("doc_id"), col("lang"), col("bucket"), col("grams"))
+
+  /** Phase-1 candidate pairs from the prefix-pruned postings join
+    * (exposed for the spec's bounded-candidate assertion).
+    */
+  private[graft] def ngramCandidates(g: DataFrame, tau: Double): DataFrame = {
+    import g.sparkSession.implicits._
     val sizes = g.select($"doc_id", size($"grams").as("sz"))
     val postings = g.select($"doc_id", $"lang", $"bucket",
       explode($"grams").as("gram"))
-    val l = postings.as("l"); val r = postings.as("r")
-    val shared = l.join(r,
+    val gramDf = postings.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"gram")
+    val ranked = postings.join(gramDf, "gram")
+      .withColumn("rnk", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .withColumn("in_prefix", $"rnk" <= $"sz" - ceil(lit(tau) * $"sz") + 1)
+      .select($"doc_id", $"lang", $"bucket", $"gram", $"in_prefix")
+    val l = ranked.as("l"); val r = ranked.as("r")
+    l.join(r,
         $"l.lang" === $"r.lang" && $"l.bucket" === $"r.bucket" &&
-        $"l.gram" === $"r.gram" && $"l.doc_id" < $"r.doc_id")
-      .groupBy($"l.doc_id".as("d1"), $"r.doc_id".as("d2"))
+        $"l.gram" === $"r.gram" && $"l.doc_id" < $"r.doc_id" &&
+        ($"l.in_prefix" || $"r.in_prefix"))
+      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"))
+      .distinct()
+  }
+
+  /** Full two-phase jaccard over an arbitrary (doc_id, lang, text)
+    * frame (the graded query binds it to the documents table).
+    */
+  private[graft] def ngramJaccardOn(docs: DataFrame, tau: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = gramTable(docs)
+    val sizes = g.select($"doc_id", size($"grams").as("sz"))
+    val postings = g.select($"doc_id", explode($"grams").as("gram"))
+    val cand = ngramCandidates(g, tau)
+    val p1 = postings.select($"doc_id".as("d1"), $"gram")
+    val p2 = postings.select($"doc_id".as("d2"), $"gram")
+    val shared = cand.join(p1, "d1").join(p2, Seq("d2", "gram"))
+      .groupBy($"d1", $"d2")
       .agg(count(lit(1)).as("n_inter"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"s1" + $"s2" - $"n_inter").cast("double"))
-      .where($"jaccard" >= 0.5)
+      .where($"jaccard" >= tau)
       .select($"d1", $"d2", $"jaccard")
       .orderBy($"d1", $"d2")
   }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(
+      load(spark, dir, "documents").select("doc_id", "lang", "text"),
+      JaccardTau)
 
   val ngramJaccardSql: String =
     """WITH g AS (
@@ -367,54 +430,87 @@ object Dedup {
       |WHERE levenshtein(l.text, r.text) <= 25
       |ORDER BY d1, d2""".stripMargin
 
-  /** D15: dedup-cluster closure — connected components over the
-    * near-dup candidate graph (minhash pairs as edges), labeling each
-    * doc with the minimum doc_id reachable from it. The step that
-    * turns pairwise similarity into keep/drop groups.
+  /** Connected components by iterative min-label propagation: each
+    * round is one join + one min-aggregate, both hash-partitioned on
+    * doc_id; rounds needed = graph diameter. The loop runs driver-side
+    * but touches only DataFrame handles.
     *
-    * Iterative min-label propagation: each round is one join + one
-    * min-aggregate, both hash-partitioned on doc_id; rounds needed =
-    * graph diameter (near-dup clusters are shallow stars). The loop
-    * runs driver-side but touches only DataFrame handles — per-round
-    * convergence is checked with a count, and iterations are capped.
+    * Runs to CONVERGENCE — a fixed iteration cap that silently returns
+    * would mislabel any cluster whose diameter exceeds it. [[MaxIters]]
+    * is a runaway backstop only: hitting it throws.
+    *
+    * Checkpointing: lineage is truncated every round (otherwise each
+    * iteration's plan re-embeds the full upstream DAG and planning
+    * blows the driver heap). If the SparkContext has a checkpoint dir
+    * configured this uses reliable `checkpoint()` (durable storage —
+    * the 100 TB path, survives executor loss); otherwise
+    * `localCheckpoint()` (executor memory, fine single-node).
+    * Superseded rounds' blocks are freed eagerly — leaving them cached
+    * starves every later query in the session.
+    *
+    * Per-round driver work is ONE materializing job: the new labels are
+    * checkpointed with the previous label carried alongside, so the
+    * convergence check scans the materialized rows instead of
+    * re-running the propagation plan.
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  val MaxIters = 64
+
+  private[graft] def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = MaxIters): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = corpusNear(spark, dir).select($"doc_id")
-    val pairs = minhash(spark, dir).select($"d1", $"d2")
-    // undirected edges, both directions; localCheckpoint (eager)
-    // truncates lineage — without it every iteration's plan re-embeds
-    // the full minhash DAG and planning blows the driver heap.
-    // On a cluster this would be a reliable checkpoint to durable
-    // storage instead.
     def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.optimizedPlan.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = docs.select($"doc_id", $"doc_id".as("cluster_id"))
-      .localCheckpoint()
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // materialize the pair table ONCE, then derive both edge directions
+    // from the materialized rows — the upstream candidate DAG (minhash
+    // here) is expensive and must not run twice
+    val p = ckpt(pairs.toDF("d1", "d2"))
+    val edges = p.union(p.select($"d2".as("d1"), $"d1".as("d2")))
+      .toDF("src", "dst")
+    var labels = ckpt(docs.select(col(docs.columns.head).as("doc_id"))
+      .select($"doc_id", $"doc_id".as("cluster_id")))
     var converged = false
     var iter = 0
-    while (!converged && iter < 10) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select($"dst".as("doc_id"), $"cluster_id")
-      val next = labels.select($"doc_id", $"cluster_id").union(viaNeighbor)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .where($"cluster_id" =!= $"prev").limit(1).count()
-      // free the superseded iteration's checkpoint blocks — leaving
-      // them cached starves every later query in the session
-      backingRdd(labels).foreach(_.unpersist(blocking = false))
-      labels = next
-      converged = changed == 0
+    while (!converged) {
       iter += 1
+      if (iter > maxIters) {
+        backingRdd(labels).foreach(_.unpersist(blocking = false))
+        backingRdd(p).foreach(_.unpersist(blocking = false))
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIters rounds — " +
+            "component diameter exceeds the backstop; raise maxIters")
+      }
+      val viaNeighbor = edges
+        .join(labels.select($"doc_id".as("src"), $"cluster_id"), "src")
+        .select($"dst".as("doc_id"), $"cluster_id")
+      val next = ckpt(
+        labels.select($"doc_id", $"cluster_id").union(viaNeighbor)
+          .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+          .join(labels.select($"doc_id", $"cluster_id".as("prev")), "doc_id"))
+      val changed = next.where($"cluster_id" =!= $"prev").limit(1).count()
+      backingRdd(labels).foreach(_.unpersist(blocking = false))
+      labels = next.select($"doc_id", $"cluster_id")
+      converged = changed == 0
     }
-    backingRdd(edges).foreach(_.unpersist(blocking = false))
+    backingRdd(p).foreach(_.unpersist(blocking = false))
     labels
+  }
+
+  /** D15: dedup-cluster closure — connected components over the
+    * near-dup candidate graph (minhash pairs as edges), labeling each
+    * doc with the minimum doc_id reachable from it. The step that
+    * turns pairwise similarity into keep/drop groups.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = corpusNear(spark, dir).select($"doc_id")
+    val pairs = minhashPairs(spark, dir)
+    connectedComponents(docs, pairs)
       .withColumn("is_canonical", $"doc_id" === $"cluster_id")
       .orderBy($"doc_id")
   }

@@ -34,8 +34,13 @@ object GraftFunctions {
     "ip4_ntoa" -> (e => { arity("ip4_ntoa", e, 1); Ip4Ntoa(e.head) }),
     "ip4_in_cidr" -> (e => { arity("ip4_in_cidr", e, 2); Ip4InCidr(e(0), e(1)) }),
     "ip4_is_private" -> (e => { arity("ip4_is_private", e, 1); Ip4IsPrivate(e.head) }),
+    "vec_dot" -> (e => { arity("vec_dot", e, 2); VecDot(e(0), e(1)) }),
+    "vec_norm" -> (e => { arity("vec_norm", e, 1); VecNorm(e.head) }),
+    "vec_cos" -> (e => { arity("vec_cos", e, 2); VecCos(e(0), e(1)) }),
     "topk_agg" -> (e => { arity("topk_agg", e, 2)
-      TopKAgg(e(0), intArg(e(1), "topk_agg")).toAggregateExpression() }))
+      TopKAgg(e(0), intArg(e(1), "topk_agg")).toAggregateExpression() }),
+    "topk_by" -> (e => { arity("topk_by", e, 3)
+      TopKByAgg(e(0), e(1), intArg(e(2), "topk_by")).toAggregateExpression() }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Algorithmic guarantees of the dedup core that the DuckDB oracle
+  * can't exercise at verification scale: deep-component convergence
+  * of the cluster closure, and the prefix filter's exactness +
+  * hot-gram candidate bound.
+  */
+class DedupAlgoSpec extends SparkSpecBase {
+
+  test("connectedComponents labels a diameter-12 chain correctly (no silent cap)") {
+    import spark.implicits._
+    // path graph 0-1-2-...-12: min-label propagation needs 12 rounds —
+    // a silent iter<10 cap returns wrong labels for exactly this shape
+    val docs = (0L to 12L).toDF("doc_id")
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(docs, pairs)
+      .orderBy($"doc_id").collect()
+    assert(got.length === 13)
+    assert(got.forall(_.getLong(1) === 0L),
+      s"chain not fully labeled: ${got.map(r => (r.getLong(0), r.getLong(1))).mkString(",")}")
+  }
+
+  test("connectedComponents throws (not silently wrong) when the backstop is hit") {
+    import spark.implicits._
+    val docs = (0L to 12L).toDF("doc_id")
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(docs, pairs, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents separates disjoint components") {
+    import spark.implicits._
+    val docs = (0L to 9L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (8L, 9L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(docs, pairs)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+  }
+
+  // ---- prefix filter ---------------------------------------------------
+
+  /** 30 same-length docs, each sharing ONE ubiquitous gram ("zzz") but
+    * otherwise pairwise-distinct, plus one planted near-dup pair. A
+    * naive postings join makes all C(30,2)=435 same-bucket pairs
+    * candidates via the hot gram alone.
+    */
+  private def hotGramDocs = {
+    import spark.implicits._
+    val base = (0 until 28).map { i =>
+      // 40 chars: 30 unique (digits vary per doc) + "zzz" + 7 unique tail
+      val u = f"$i%02d"
+      (100L + i, "en", s"A${u}B${u}C${u}D${u}E${u}F${u}G${u}H${u}I${u}zzzJK${u}LMN")
+    }
+    val dupBase = "A99B99C99D99E99F99G99H99I99zzzJK99LMN"
+    val planted = Seq(
+      (900L, "en", dupBase + "PQR"),   // 40 chars, bucket 5
+      (901L, "en", dupBase + "PQRst")) // 42 chars, bucket 5
+    (base ++ planted).toDF("doc_id", "lang", "text")
+  }
+
+  test("prefix filter kills the hot-gram |block|^2 candidate blowup") {
+    val cand = Dedup.ngramCandidates(Dedup.gramTable(hotGramDocs), 0.5)
+    val n = cand.count()
+    // 435 naive candidates; only pairs sharing a RARE (prefix) gram
+    // survive — the planted pair plus at most a handful of accidentals
+    assert(n < 30, s"prefix filter ineffective: $n candidate pairs")
+    assert(cand.where(col("d1") === 900L && col("d2") === 901L).count() === 1,
+      "planted near-dup pair lost by the prefix filter")
+  }
+
+  test("prefix-filtered jaccard equals the brute-force result at tau") {
+    import spark.implicits._
+    val docs = hotGramDocs
+    val got = Dedup.ngramJaccardOn(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force: full same-(lang,bucket) pairwise jaccard, no pruning
+    val g = Dedup.gramTable(docs)
+    val l = g.as("l"); val r = g.as("r")
+    val brute = l.join(r,
+        $"l.lang" === $"r.lang" && $"l.bucket" === $"r.bucket" &&
+        $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"),
+        (size(array_intersect($"l.grams", $"r.grams")).cast("double") /
+         size(array_union($"l.grams", $"r.grams")).cast("double")).as("j"))
+      .where($"j" >= 0.5)
+      .orderBy($"d1", $"d2")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+    assert(got.toSeq === brute.toSeq,
+      s"prefix-filtered result diverges from brute force:\n got=${got.toSeq}\n brute=${brute.toSeq}")
+    assert(got.nonEmpty, "planted pair not found at all")
+  }
+}

@@ -73,6 +73,51 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Generate"), "shingles not exploded")
   }
 
+  test("minhash never FORCES a broadcast of the corpus-sized signature table") {
+    // at sf0.001 Catalyst's size estimate keeps every side under the
+    // auto-broadcast threshold and BHJ is the right pick — the scale
+    // hazard is a broadcast() HINT, which would override the stats and
+    // OOM executors at 100 TB. Assert no join carries a hint, so the
+    // planner stays free to fall back to shuffle joins as sizes grow.
+    val joins = graft.dedup.Dedup.minhash(spark, sf0001)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.hint == org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE,
+        s"forced join strategy survives in:\n$j")
+    }
+  }
+
+  test("IVF ANN has no full-corpus window: argmax assignment + heap top-k") {
+    val p = plan(graft.ann.Knn.ivfTopK(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"row_number window over the scored corpus crept back in:\n$p")
+    assert(p.contains("max_by"), s"argmax assignment missing:\n$p")
+    assert(p.contains("topk_by"), s"bounded-heap ranking missing:\n$p")
+    // TypedImperativeAggregate runs in ObjectHashAggregate with a
+    // partial pass — the shuffle carries <=k rows per partition/group
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"topk_by not partial-aggregated:\n$p")
+  }
+
+  test("brute/LSH ANN rank via the bounded heap, not a per-probe sort window") {
+    for (df <- Seq(graft.ann.Knn.bruteTopK(spark, sf0001),
+                   graft.ann.Knn.lshTopK(spark, sf0001))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"per-probe sort window planned:\n$p")
+      assert(p.contains("topk_by"), s"bounded-heap ranking missing:\n$p")
+    }
+  }
+
+  test("literal CIDR in flow_cidr_filter is folded by the session extension") {
+    val p = FlowAnalytics.flowCidrFilter(spark, sf0001)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!p.contains("ip4incidr"), s"FoldCidrLiteral did not fire:\n$p")
+    assert(p.contains("ip4aton"), s"expected folded aton comparison:\n$p")
+  }
+
   test("brute-force ANN broadcasts the probe side, not the corpus") {
     // tree-level check: the broadcast build subtree must be the one
     // carrying the probe filter (vec_id < 10) — a plan-string
