@@ -35,6 +35,13 @@ object FlowAnalytics {
         lit("."), pmod($"event_id", lit(256))))
       .withColumn("da", concat(
         lit("192.168."), pmod($"k", lit(256)), lit("."), pmod($"user_id", lit(256))))
+      // dual-stack: a deterministic v6 source for the same flow —
+      // 2001:db8:<user_id%64 hex>::<event_id%65536 hex>
+      .withColumn("sa6", concat(
+        lit("2001:db8:"), lower(hex(pmod($"user_id", lit(64)))),
+        lit("::"), lower(hex(pmod($"event_id", lit(65536))))))
+      // per-watcher collector tag (the reference's flowsrc ini key)
+      .withColumn("flowsrc", concat(lit("nfsen-"), pmod($"k", lit(3))))
       .withColumn("sp", pmod($"event_id", lit(60000)).cast("int"))
       .withColumn("dp", when($"event_type" === "click", 443)
         .when($"event_type" === "view", 80)
@@ -59,6 +66,8 @@ object FlowAnalytics {
       |    CAST(props->>'k' AS BIGINT) AS k,
       |    '10.' || (user_id % 64) || '.' || ((event_id // 256) % 256) || '.' || (event_id % 256) AS sa,
       |    '192.168.' || (CAST(props->>'k' AS BIGINT) % 256) || '.' || (user_id % 256) AS da,
+      |    '2001:db8:' || lower(to_hex(user_id % 64)) || '::' || lower(to_hex(event_id % 65536)) AS sa6,
+      |    'nfsen-' || (CAST(props->>'k' AS BIGINT) % 3) AS flowsrc,
       |    CAST(event_id % 60000 AS INT) AS sp,
       |    CAST(CASE event_type WHEN 'click' THEN 443 WHEN 'view' THEN 80
       |      WHEN 'purchase' THEN 8443 WHEN 'signup' THEN 8080 ELSE 53 END AS INT) AS dp,
@@ -105,6 +114,50 @@ object FlowAnalytics {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_flows"), dsum($"value").as("volume"))
       .orderBy($"user_id")
+  }
+
+  /** A7b: dual-stack — v6 CIDR filtering through the codegen'd
+    * Ip6InCidr expression (literal CIDR parsed once at plan time) with
+    * the RFC 5952 canonical form from the aton/ntoa roundtrip. The
+    * oracle derives membership arithmetically (the /48 pins
+    * user_id%64), so the whole v6 parse/format path is hash-checked.
+    */
+  def flowCidr6Filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Ip6Funcs._
+    asFlows(spark, dir)
+      .where(ip6_in_cidr($"sa6", lit("2001:db8:2a::/48")))
+      .select($"event_id".as("flow_id"),
+        ip6_ntoa(ip6_aton($"sa6")).as("sa6_canon"),
+        $"da", $"ibyt")
+      .orderBy($"flow_id")
+  }
+
+  /** B1b: top destination ports by traffic — the other half of the
+    * reference's Grafana top-N boards (dp breakdown next to talkers).
+    */
+  def topPorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"dp")
+      .agg(dsum($"ibyt", 0).as("bytes"), count(lit(1)).as("n_flows"),
+        countDistinct($"sa").as("n_sources"))
+      .orderBy($"bytes".desc, $"dp")
+      .limit(10)
+  }
+
+  /** B1c: per-collector slice — the reference's whole point of the
+    * `flowsrc` tag is slicing any query by capture source; volume and
+    * reach per collector.
+    */
+  def bySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"flowsrc")
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"),
+        countDistinct($"sa").as("n_sources"),
+        countDistinct(to_date($"ts")).cast("long").as("n_days"))
+      .orderBy($"flowsrc")
   }
 
   /** A3 read side: daily volumes — at scale this is the partition-
@@ -358,6 +411,9 @@ object FlowAnalytics {
     "flow_ingest" -> flowIngest _,
     "flow_transform" -> flowTransform _,
     "flow_cidr_filter" -> flowCidrFilter _,
+    "flow_cidr6_filter" -> flowCidr6Filter _,
+    "flow_top_ports" -> topPorts _,
+    "flow_by_source" -> bySource _,
     "flow_daily_volume" -> flowDailyVolume _,
     "flow_top_talkers" -> topTalkers _,
     "flow_proto_breakdown" -> protoBreakdown _,
@@ -369,6 +425,22 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_cidr6_filter" -> (flowsCte +
+      """SELECT event_id AS flow_id,
+        |  CASE WHEN event_id % 65536 = 0 THEN '2001:db8:2a::'
+        |       ELSE '2001:db8:2a::' || lower(to_hex(event_id % 65536)) END AS sa6_canon,
+        |  da, ibyt
+        |FROM flows WHERE user_id % 64 = 42
+        |ORDER BY flow_id""".stripMargin),
+    "flow_top_ports" -> (flowsCte +
+      """SELECT dp, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows,
+        |  count(DISTINCT sa) AS n_sources
+        |FROM flows GROUP BY dp ORDER BY bytes DESC, dp LIMIT 10""".stripMargin),
+    "flow_by_source" -> (flowsCte +
+      """SELECT flowsrc, count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes,
+        |  count(DISTINCT sa) AS n_sources,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM flows GROUP BY flowsrc ORDER BY flowsrc""".stripMargin),
     "flow_top_talkers_salted" -> (flowsCte +
       """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
         |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),

@@ -34,6 +34,9 @@ object GraftFunctions {
     "ip4_ntoa" -> (e => { arity("ip4_ntoa", e, 1); Ip4Ntoa(e.head) }),
     "ip4_in_cidr" -> (e => { arity("ip4_in_cidr", e, 2); Ip4InCidr(e(0), e(1)) }),
     "ip4_is_private" -> (e => { arity("ip4_is_private", e, 1); Ip4IsPrivate(e.head) }),
+    "ip6_aton" -> (e => { arity("ip6_aton", e, 1); Ip6Aton(e.head) }),
+    "ip6_ntoa" -> (e => { arity("ip6_ntoa", e, 1); Ip6Ntoa(e.head) }),
+    "ip6_in_cidr" -> (e => { arity("ip6_in_cidr", e, 2); Ip6InCidr(e(0), e(1)) }),
     "vec_dot" -> (e => { arity("vec_dot", e, 2); VecDot(e(0), e(1)) }),
     "vec_norm" -> (e => { arity("vec_norm", e, 1); VecNorm(e.head) }),
     "vec_cos" -> (e => { arity("vec_cos", e, 2); VecCos(e(0), e(1)) }),

@@ -22,6 +22,50 @@ object PartitionedParquetSink {
       .mode("append")
       .parquet(outDir)
 
+  /** Compact small files inside each `date=` partition — the analog of
+    * ClickHouse MergeTree's continuous part merges. A short-trigger
+    * streaming sink writes one file per micro-batch per partition
+    * forever; without periodic compaction the day-partition read path
+    * drowns in file-open overhead at 100 TB.
+    *
+    * Partitions with at least `minFiles` data files are rewritten to
+    * `ceil(bytes / targetBytes)` files. The rewrite goes to a temp dir
+    * first, then swaps via delete+rename (readers race only the brief
+    * swap window; a table format's atomic commit replaces this on a
+    * production lake). Returns (partition, filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, outDir: String,
+      minFiles: Int = 8, targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .flatMap { part =>
+        val dataFiles = fs.listStatus(part.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        if (dataFiles.length < minFiles) None
+        else {
+          val totalBytes = dataFiles.map(_.getLen).sum
+          val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+          if (nOut >= dataFiles.length) None
+          else {
+            val tmp = new Path(root, s".compact_tmp_${part.getPath.getName}")
+            spark.read.parquet(part.getPath.toString)
+              .coalesce(nOut)
+              .write.mode("overwrite").parquet(tmp.toString)
+            // drop the _SUCCESS marker so the partition holds data files only
+            fs.delete(new Path(tmp, "_SUCCESS"), false)
+            fs.delete(part.getPath, true)
+            fs.rename(tmp, part.getPath)
+            val after = fs.listStatus(part.getPath)
+              .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            Some((part.getPath.getName, dataFiles.length, after))
+          }
+        }
+      }
+  }
+
   /** Drop `date=` partitions strictly older than `cutoff` (YYYY-MM-DD).
     * Purely filesystem-level, mirroring ClickHouse's TTL partition
     * drops; returns the dropped partition names.

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{Ip6Util, Ip6Funcs}
+import Ip6Funcs._
+
+class Ip6FuncsSpec extends SparkSpecBase {
+
+  private def atonHex(s: String): String = {
+    val b = Ip6Util.aton(UTF8String.fromString(s))
+    if (b == null) null else b.map("%02x".format(_)).mkString
+  }
+
+  test("aton parses full, compressed, and v4-embedded forms") {
+    assert(atonHex("2001:db8::1") === "20010db8000000000000000000000001")
+    assert(atonHex("2001:0db8:0000:0000:0000:0000:0000:0001") ===
+      "20010db8000000000000000000000001")
+    assert(atonHex("::") === "0" * 32)
+    assert(atonHex("::1") === "0" * 31 + "1")
+    assert(atonHex("1::") === "0001" + "0" * 28)
+    assert(atonHex("1:2:3:4:5:6:7:8") === "00010002000300040005000600070008")
+    assert(atonHex("::ffff:192.168.1.1") === "00000000000000000000ffffc0a80101")
+    assert(atonHex("FE80::A") === "fe80000000000000000000000000000a") // case-insensitive
+  }
+
+  test("aton rejects malformed input") {
+    for (bad <- Seq("", ":", ":::", "1::2::3", "12345::", "g::1", "1:2:3",
+        "1:2:3:4:5:6:7:8:9", "1:2:3:4:5:6:7:8::", "::1.2.3.999",
+        "1.2.3.4", "2001:db8::1%eth0 ", "2001:db8: :1"))
+      assert(atonHex(bad) === null, s"accepted malformed: '$bad'")
+  }
+
+  test("ntoa emits RFC 5952 canonical text (roundtrip)") {
+    def canon(s: String): String = {
+      val r = Ip6Util.ntoa(Ip6Util.aton(UTF8String.fromString(s)))
+      if (r == null) null else r.toString
+    }
+    assert(canon("2001:0DB8:0:0:0:0:0:1") === "2001:db8::1")
+    assert(canon("::") === "::")
+    assert(canon("0:0:0:0:0:0:0:1") === "::1")
+    assert(canon("1:0:0:0:0:0:0:0") === "1::")
+    assert(canon("1:0:0:1:0:0:0:1") === "1:0:0:1::1") // leftmost-longest run
+    assert(canon("1:0:1:0:1:0:1:0") === "1:0:1:0:1:0:1:0") // no run >= 2
+    assert(canon("2001:db8::192.168.1.1") === "2001:db8::c0a8:101")
+  }
+
+  test("inCidr covers edge prefix lengths") {
+    def in(ip: String, cidr: String): Boolean =
+      Ip6Util.inCidr(UTF8String.fromString(ip), UTF8String.fromString(cidr))
+    assert(in("2001:db8:2a::1", "2001:db8:2a::/48"))
+    assert(!in("2001:db8:2b::1", "2001:db8:2a::/48"))
+    assert(in("ffff::", "::/0"))         // /0 matches everything
+    assert(in("8000::", "8000::/1"))
+    assert(!in("7fff::", "8000::/1"))
+    assert(in("::1", "::1/128"))
+    assert(!in("::2", "::1/128"))
+    assert(in("2001:db8::ff", "2001:db8::80/121")) // non-byte-aligned
+    assert(!in("2001:db8::7f", "2001:db8::80/121"))
+    assert(!in("not-an-ip", "2001:db8::/32"))
+    assert(!in("2001:db8::1", "nonsense/99"))
+  }
+
+  test("null and malformed semantics through the Column API") {
+    import spark.implicits._
+    val df = Seq(Some("2001:db8:2a::1f"), Some("not-an-ip"), None).toDF("ip")
+      .select(
+        ip6_in_cidr($"ip", lit("2001:db8:2a::/48")).as("m"),
+        ip6_ntoa(ip6_aton($"ip")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).getBoolean(0) === true && rows(0).getString(1) === "2001:db8:2a::1f")
+    assert(rows(1).getBoolean(0) === false && rows(1).isNullAt(1)) // malformed: false / null
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))             // null ip stays null
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    import spark.implicits._
+    // range-based input so ConvertToLocalRelation can't pre-evaluate
+    val df = spark.range(300)
+      .select(concat(lit("2001:db8:2a::"), lower(hex($"id"))).as("ip"))
+      .where(ip6_in_cidr($"ip", lit("2001:db8:2a::/48")))
+      .select(ip6_ntoa(ip6_aton($"ip")).as("c"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("codegen id"), s"ip6 exprs fell out of codegen:\n$p")
+    assert(df.count() === 300)
+    assert(df.orderBy($"c").head().getString(0) === "2001:db8:2a::")
+  }
+
+  test("SQL surface: ip6 functions registered via extensions") {
+    assert(spark.sql(
+      "SELECT ip6_in_cidr('2001:db8::1', '2001:db8::/32')").head().getBoolean(0))
+    assert(spark.sql("SELECT ip6_ntoa(ip6_aton('2001:0DB8::0001'))")
+      .head().getString(0) === "2001:db8::1")
+  }
+}

@@ -29,6 +29,32 @@ class SinksSpec extends SparkSpecBase {
     assert(PartitionedParquetSink.expireOlderThan(spark, out, "2024-01-03").isEmpty)
   }
 
+  test("small-file compaction merges a fragmented partition, preserving data") {
+    import spark.implicits._
+    val out = tmpDir("csink")
+    // 10 tiny appends into the same day = 10+ files (a short-trigger
+    // streaming sink's steady state)
+    for (i <- 0 until 10) {
+      val df = Seq((s"2024-02-01 0$i:00:00", i.toLong)).toDF("ts_s", "v")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      PartitionedParquetSink.write(df.coalesce(1), "ts", out)
+    }
+    def files(p: String) = new java.io.File(s"$out/$p").list()
+      .filter(f => !f.startsWith("_") && !f.startsWith(".")).length
+    val before = files("date=2024-02-01")
+    assert(before >= 10, s"expected fragmentation, got $before files")
+    val preData = spark.read.parquet(out).select($"v").collect().map(_.getLong(0)).sorted
+
+    val results = PartitionedParquetSink.compact(spark, out, minFiles = 8)
+    assert(results.map(_._1) === Seq("date=2024-02-01"))
+    assert(results.head._2 === before && results.head._3 === 1)
+    assert(files("date=2024-02-01") === 1)
+    val postData = spark.read.parquet(out).select($"v").collect().map(_.getLong(0)).sorted
+    assert(postData.toSeq === preData.toSeq, "compaction changed the data")
+    // below-threshold partitions are left alone (idempotent)
+    assert(PartitionedParquetSink.compact(spark, out, minFiles = 8).isEmpty)
+  }
+
   test("jdbc sink batches inserts and binds typed columns") {
     import spark.implicits._
     JdbcStub.reset()
