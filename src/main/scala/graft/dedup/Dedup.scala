@@ -129,13 +129,13 @@ object Dedup {
         array((0 until NumHashes).map(j => col(s"m$j")): _*).as("minhashes"))
   }
 
-  /** LSH candidate pairs only (band equi-join, deduped) — the edge
-    * input for [[clusters]], which needs neither the estimated-Jaccard
-    * score nor a sort.
+  /** LSH candidate pairs from a signature frame (band equi-join,
+    * deduped). Takes `mh` as input so [[minhash]] derives pairs and
+    * the score join-back from ONE signature aggregation — passing a
+    * rebuilt frame would compute the whole signature DAG twice.
     */
-  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val mh = minhashed(corpusNear(spark, dir))
+  private def pairsFromSignatures(mh: DataFrame): DataFrame = {
+    import mh.sparkSession.implicits._
     val bands = mh.select($"doc_id", $"minhashes",
       explode(expr(
         s"""transform(sequence(0, ${Bands - 1}), b ->
@@ -154,13 +154,16 @@ object Dedup {
       .distinct()
   }
 
-  /** D2: MinHash LSH near-dup candidate pairs with minhash-estimated
-    * Jaccard. Band signature → bucket equi-join → distinct pairs.
+  /** The edge input for [[clusters]]: candidate pairs only, no score
+    * join-back, no sort.
     */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsFromSignatures(minhashed(corpusNear(spark, dir)))
+
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mh = minhashed(corpusNear(spark, dir))
-    val pairs = minhashPairs(spark, dir)
+    val pairs = pairsFromSignatures(mh)
     // unrolled slot comparisons: 64 codegen'd equality terms instead of
     // an interpreted lambda fold. Signatures join back as plain shuffle
     // joins on doc_id — the signature table grows with the corpus, so a
@@ -294,7 +297,7 @@ object Dedup {
 
   // ---- N-gram Jaccard -------------------------------------------------
 
-  /** D4: true 3-gram Jaccard over length-bucketed candidate pairs —
+  /** D4: true 5-gram-shingle Jaccard over length-bucketed candidate pairs —
     * the verification stage downstream of an LSH pass (bucketing:
     * same lang, same n_chars//8 — bounded buckets, no cross join).
     *
@@ -324,18 +327,44 @@ object Dedup {
   private[graft] def gramTable(docs: DataFrame): DataFrame =
     docs
       .withColumn("grams", array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
+        "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")))
       .withColumn("bucket", expr("length(text) div 8"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("grams"))
+
+  /** Materialize an intermediate used by several downstream branches.
+    * Spark re-derives a sub-DAG once per consumer (no cross-branch
+    * CSE), so a postings table read by 4–5 joins would be recomputed —
+    * including its interpreted gram-extraction HOF — 4–5×. Reliable
+    * checkpoint when the context has a checkpoint dir (the cluster
+    * path; a production pipeline writes the postings table to the
+    * lake), executor-memory localCheckpoint otherwise.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** (doc_id, lang, bucket, gram) distinct postings + (doc_id, sz)
+    * gram counts, materialized once.
+    */
+  private def postingsOf(g: DataFrame): (DataFrame, DataFrame) = {
+    import g.sparkSession.implicits._
+    val postings = materialize(
+      g.select($"doc_id", $"lang", $"bucket", explode($"grams").as("gram")))
+    val sizes = postings.groupBy($"doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    (postings, sizes)
+  }
 
   /** Phase-1 candidate pairs from the prefix-pruned postings join
     * (exposed for the spec's bounded-candidate assertion).
     */
   private[graft] def ngramCandidates(g: DataFrame, tau: Double): DataFrame = {
-    import g.sparkSession.implicits._
-    val sizes = g.select($"doc_id", size($"grams").as("sz"))
-    val postings = g.select($"doc_id", $"lang", $"bucket",
-      explode($"grams").as("gram"))
+    val (postings, sizes) = postingsOf(g)
+    candidatesFromPostings(postings, sizes, tau)
+  }
+
+  private def candidatesFromPostings(postings: DataFrame, sizes: DataFrame,
+      tau: Double): DataFrame = {
+    import postings.sparkSession.implicits._
     val gramDf = postings.groupBy($"gram").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"gram")
@@ -344,34 +373,46 @@ object Dedup {
       .join(sizes, "doc_id")
       .withColumn("in_prefix", $"rnk" <= $"sz" - ceil(lit(tau) * $"sz") + 1)
       .select($"doc_id", $"lang", $"bucket", $"gram", $"in_prefix")
-    val l = ranked.as("l"); val r = ranked.as("r")
-    l.join(r,
-        $"l.lang" === $"r.lang" && $"l.bucket" === $"r.bucket" &&
-        $"l.gram" === $"r.gram" && $"l.doc_id" < $"r.doc_id" &&
-        ($"l.in_prefix" || $"r.in_prefix"))
-      .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"))
+    // prefix postings ⋈ FULL postings — the filter must live in the
+    // join INPUT, not a post-join predicate: a `(l.in_prefix ||
+    // r.in_prefix)` filter after a full×full join still materializes
+    // every hot-gram pair before discarding it. Here the hot gram's
+    // prefix side is (near-)empty, so Σ|P_g|·|F_g| stays linear-ish.
+    // Pigeonhole: J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ|A|⌉ and A's suffix holds
+    // only ⌈τ|A|⌉−1 grams, so a shared gram sits in A's prefix and the
+    // (prefix A) × (full B) join emits the pair whichever of d1/d2 is A.
+    val pre = ranked.where($"in_prefix")
+      .select($"doc_id", $"lang", $"bucket", $"gram")
+    val p = pre.as("p"); val f = postings.as("f")
+    p.join(f,
+        $"p.lang" === $"f.lang" && $"p.bucket" === $"f.bucket" &&
+        $"p.gram" === $"f.gram" && $"p.doc_id" =!= $"f.doc_id")
+      .select(least($"p.doc_id", $"f.doc_id").as("d1"),
+        greatest($"p.doc_id", $"f.doc_id").as("d2"))
       .distinct()
   }
 
   /** Full two-phase jaccard over an arbitrary (doc_id, lang, text)
     * frame (the graded query binds it to the documents table).
+    *
+    * Phase 2 scores each surviving candidate pair with per-pair array
+    * set ops (intersect/union hash sets, O(|A|+|B|) each): with the
+    * prefix filter bounding candidates to ~linear in corpus size,
+    * 2×|cand| small-table joins beat re-exploding the postings into
+    * two |cand|×|grams| row shuffles. The gram-array table is
+    * materialized once and feeds both phases.
     */
   private[graft] def ngramJaccardOn(docs: DataFrame, tau: Double): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramTable(docs)
-    val sizes = g.select($"doc_id", size($"grams").as("sz"))
-    val postings = g.select($"doc_id", explode($"grams").as("gram"))
-    val cand = ngramCandidates(g, tau)
-    val p1 = postings.select($"doc_id".as("d1"), $"gram")
-    val p2 = postings.select($"doc_id".as("d2"), $"gram")
-    val shared = cand.join(p1, "d1").join(p2, Seq("d2", "gram"))
-      .groupBy($"d1", $"d2")
-      .agg(count(lit(1)).as("n_inter"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+    val g = materialize(gramTable(docs))
+    val (postings, sizes) = postingsOf(g)
+    val cand = candidatesFromPostings(postings, sizes, tau)
+    cand
+      .join(g.select($"doc_id".as("d1"), $"grams".as("g1")), "d1")
+      .join(g.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
       .withColumn("jaccard",
-        $"n_inter".cast("double") / ($"s1" + $"s2" - $"n_inter").cast("double"))
+        size(array_intersect($"g1", $"g2")).cast("double") /
+        size(array_union($"g1", $"g2")).cast("double"))
       .where($"jaccard" >= tau)
       .select($"d1", $"d2", $"jaccard")
       .orderBy($"d1", $"d2")
@@ -385,8 +426,8 @@ object Dedup {
   val ngramJaccardSql: String =
     """WITH g AS (
       |  SELECT doc_id, lang, length(text) // 8 AS bucket,
-      |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-      |      i -> substring(text, i, 3))) AS grams
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+      |      i -> substring(text, i, 5))) AS grams
       |  FROM documents)
       |SELECT l.doc_id AS d1, r.doc_id AS d2,
       |  CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /

@@ -45,22 +45,22 @@ class DedupAlgoSpec extends SparkSpecBase {
 
   // ---- prefix filter ---------------------------------------------------
 
-  /** 30 same-length docs, each sharing ONE ubiquitous gram ("zzz") but
-    * otherwise pairwise-distinct, plus one planted near-dup pair. A
-    * naive postings join makes all C(30,2)=435 same-bucket pairs
-    * candidates via the hot gram alone.
+  /** 30 same-bucket docs, each sharing a ubiquitous "zzzzz" run (the
+    * hot 5-grams) but otherwise pairwise-distinct, plus one planted
+    * near-dup pair. A naive postings join makes all C(30,2)=435
+    * same-bucket pairs candidates via the hot grams alone.
     */
   private def hotGramDocs = {
     import spark.implicits._
     val base = (0 until 28).map { i =>
-      // 40 chars: 30 unique (digits vary per doc) + "zzz" + 7 unique tail
+      // 42 chars: unique digit pairs per doc + the shared "zzzzz" run
       val u = f"$i%02d"
-      (100L + i, "en", s"A${u}B${u}C${u}D${u}E${u}F${u}G${u}H${u}I${u}zzzJK${u}LMN")
+      (100L + i, "en", s"A${u}B${u}C${u}D${u}E${u}F${u}G${u}H${u}I${u}zzzzzJK${u}LMN")
     }
-    val dupBase = "A99B99C99D99E99F99G99H99I99zzzJK99LMN"
+    val dupBase = "A99B99C99D99E99F99G99H99I99zzzzzJK99LMN"
     val planted = Seq(
-      (900L, "en", dupBase + "PQR"),   // 40 chars, bucket 5
-      (901L, "en", dupBase + "PQRst")) // 42 chars, bucket 5
+      (900L, "en", dupBase + "PQR"),   // 42 chars, bucket 5
+      (901L, "en", dupBase + "PQRst")) // 44 chars, bucket 5
     (base ++ planted).toDF("doc_id", "lang", "text")
   }
 
