@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.flow.{FlowSchema, FlowTransform, NfdumpCsv}
+import graft.flow.{FlowSchema, FlowTransform, NfdumpCsv, NfdumpExec}
 
 /** A1/A2: nfdump CSV parse + nflows transform on inline fixtures. */
 class FlowIngestSpec extends SparkSpecBase {
@@ -55,6 +55,48 @@ class FlowIngestSpec extends SparkSpecBase {
     assert(rows(1).getAs[Double]("td") === 10.0)
     assert(rows.forall(_.getAs[String]("flowsrc") == "edge-router"))
     assert(rows(0).getAs[String]("pr") === "TCP")
+  }
+
+  /** Stub `nfdump` executable: `nfdump -r <file> -o csv` → cats the
+    * file (the fixture "nfcapd" files hold the CSV the real binary
+    * would decode).
+    */
+  private def stubNfdump(dir: String, body: String): String = {
+    val p = Paths.get(dir, "nfdump-stub")
+    Files.write(p, s"#!/bin/sh\n$body\n".getBytes)
+    p.toFile.setExecutable(true)
+    p.toString
+  }
+
+  test("nfdump exec wrapper decodes, stages atomically, is idempotent") {
+    val in = tmpDir("nfcapd_in"); val staging = tmpDir("nfcapd_out")
+    writeFixture(in, "nfcapd.202405011000", Seq(flowA))
+    writeFixture(in, "nfcapd.202405011005", Seq(flowB))
+    val stub = stubNfdump(in, """cat "$2"""")
+    val r1 = NfdumpExec.decodeDir(Paths.get(in), Paths.get(staging), stub)
+    // the stub itself is a file in inDir and gets "decoded" too — its
+    // content fails the typed parse, standing in for a junk capture
+    assert(r1.length === 3)
+    assert(r1.forall(d => Files.exists(d.staged)))
+    val df = NfdumpCsv.read(spark, staging + "/*.csv")
+    assert(df.count() === 2) // summary + junk rows dropped by the typed parse
+    // idempotent: nothing new to decode on the next watcher tick
+    assert(NfdumpExec.decodeDir(Paths.get(in), Paths.get(staging), stub).isEmpty)
+    // no in-progress residue
+    assert(Files.list(Paths.get(staging, ".inprogress")).count() === 0)
+  }
+
+  test("nfdump exec failure publishes nothing and surfaces stderr") {
+    val in = tmpDir("nfcapd_in"); val staging = tmpDir("nfcapd_out")
+    writeFixture(in, "nfcapd.202405011000", Seq(flowA))
+    val stub = stubNfdump(in, "echo 'corrupt data file' >&2; exit 3")
+    val e = intercept[RuntimeException] {
+      NfdumpExec.decodeFile(Paths.get(in, "nfcapd.202405011000"),
+        Paths.get(staging), stub)
+    }
+    assert(e.getMessage.contains("exited 3") && e.getMessage.contains("corrupt data file"))
+    assert(!Files.exists(Paths.get(staging, "nfcapd.202405011000.csv")))
+    assert(Files.list(Paths.get(staging, ".inprogress")).count() === 0)
   }
 
   test("empty typed fields become nulls without dropping the row") {
