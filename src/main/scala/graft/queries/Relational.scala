@@ -287,7 +287,26 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** C20: explicit GROUPING SETS + grouping_id — the general form
+    * behind C8/C17's ROLLUP/CUBE, with the bitmask exposed so readers
+    * can tell aggregate levels apart (Spark 4 Dataset.groupingSets).
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(
+        grouping_id($"o_orderpriority", $"o_orderstatus").cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum($"o_totalprice").as("total"))
+      .orderBy($"gid", $"o_orderpriority".asc_nulls_first,
+        $"o_orderstatus".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets_agg" -> groupingSetsAgg _,
     "window_range_frame" -> windowRangeFrame _,
     "topk_agg_orders" -> topkAggOrders _,
     "cube_agg" -> cubeAgg _,
@@ -309,6 +328,14 @@ object Relational {
     "approx_hll" -> approxHll _)
 
   val oracleSql: Map[String, String] = Map(
+    "grouping_sets_agg" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  count(*) OVER w AS n_within_10k,

@@ -122,6 +122,42 @@ object StreamingOps {
         col("signup_id"), col("signup_ts"))
   }
 
+  case class UserTotal(user_id: Long, batch_n: Long, total_n: Long)
+
+  /** E5: `transformWithState` (Spark 4's arbitrary-state API,
+    * successor to flatMapGroupsWithState): per-key running event count
+    * held in a `ValueState`, emitting (batch delta, running total) per
+    * key per micro-batch. Requires the RocksDB state store provider —
+    * the 100 TB state backend (incremental checkpoints, state larger
+    * than executor heap); `TTLConfig` is where production bounds
+    * per-key state lifetime.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Evt],
+        tv: TimerValues): Iterator[UserTotal] = {
+      val prev = if (countState.exists()) countState.get() else 0L
+      var n = 0L
+      rows.foreach(_ => n += 1)
+      countState.update(prev + n)
+      Iterator.single(UserTotal(key, n, prev + n))
+    }
+  }
+
+  def runningCounts(events: org.apache.spark.sql.Dataset[Evt]):
+      org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(),
+        OutputMode.Append(), org.apache.spark.sql.Encoders.product[UserTotal])
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _)
 

@@ -153,6 +153,37 @@ object TextAnalytics {
       .orderBy($"source")
   }
 
+  // RE2-safe patterns (valid and identical in Java regex and DuckDB's
+  // RE2): no backrefs, no lookaround.
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePat = "555-[0-9]{4}"
+
+  /** D16: PII detection + redaction — the scrub pass every training
+    * corpus needs before release. The testdata has no organic PII, so
+    * each doc gets a deterministic planted email + phone (query-level
+    * construct, identical in the oracle); detection counts and the
+    * full redacted text (md5 + length) are hash-checked. Map-only: at
+    * 100 TB this is a pure scan stage with no shuffle.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("pii_text", concat($"text",
+        lit(" contact u"), $"doc_id", lit("@example.com tel 555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+      .withColumn("n_emails",
+        size(regexp_extract_all($"pii_text", lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all($"pii_text", lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace($"pii_text", EmailPat, "[EMAIL]"),
+          PhonePat, "[PHONE]"))
+      .select($"doc_id", $"n_emails", $"n_phones",
+        length($"redacted").cast("long").as("redacted_len"),
+        md5($"redacted".cast("binary")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** D10b: corpus token frequencies — the canonical explode →
     * combine-heavy agg → top-N pipeline (vocabulary building step).
     */
@@ -174,6 +205,7 @@ object TextAnalytics {
     "text_fingerprint" -> fingerprint _,
     "text_normalize" -> normalize _,
     "text_repetition" -> repetition _,
+    "text_pii_redact" -> piiRedact _,
     "corpus_mix" -> corpusMix _)
 
   private val profileCase: String = {
@@ -190,6 +222,23 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text || ' contact u' || doc_id ||
+         |    '@example.com tel 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(pii_text, '$EmailPat')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(pii_text, '$PhonePat')) AS BIGINT) AS n_phones,
+         |    regexp_replace(regexp_replace(pii_text, '$EmailPat', '[EMAIL]', 'g'),
+         |      '$PhonePat', '[PHONE]', 'g') AS redacted
+         |  FROM p)
+         |SELECT doc_id, n_emails, n_phones,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+         |  md5(redacted) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_wordcount" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

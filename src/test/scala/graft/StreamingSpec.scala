@@ -64,6 +64,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.map(_.user_id).sorted.toSeq === Seq(100L, 200L, 300L))
   }
 
+  test("transformWithState accumulates RocksDB-backed state across restarts") {
+    import spark.implicits._
+    val src = tmpDir("twssrc") + "/data"; val ckpt = tmpDir("twsckpt")
+    // transformWithState requires the RocksDB provider — also the
+    // 100 TB state backend (incremental checkpoints, off-heap state)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq(StreamingOps.Evt(1, 100, "a"), StreamingOps.Evt(2, 100, "b"),
+        StreamingOps.Evt(3, 200, "c"))
+        .toDS().repartition(1).write.parquet(src)
+      // foreachBatch sink: the memory sink refuses checkpoint recovery,
+      // and surviving a restart is exactly what this test pins down
+      def run(): Seq[StreamingOps.UserTotal] = {
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.UserTotal]()
+        val stream = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.Evt]].schema)
+          .parquet(src).as[StreamingOps.Evt]
+        val q = StreamingOps.runningCounts(stream)
+          .writeStream.outputMode("append")
+          .foreachBatch((ds: org.apache.spark.sql.Dataset[StreamingOps.UserTotal], _: Long) =>
+            ds.collect().foreach(buf.add))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toSeq
+      }
+      val first = run().map(t => t.user_id -> ((t.batch_n, t.total_n))).toMap
+      assert(first === Map(100L -> ((2L, 2L)), 200L -> ((1L, 1L))))
+
+      // new arrivals + resume from the same checkpoint: ValueState
+      // survives the restart and the totals continue, not restart
+      Seq(StreamingOps.Evt(4, 100, "d"), StreamingOps.Evt(5, 200, "e"),
+        StreamingOps.Evt(6, 200, "f"))
+        .toDS().repartition(1).write.mode("append").parquet(src)
+      val cont = run()
+      assert(cont.groupBy(_.user_id).view.mapValues(_.map(_.total_n).max).toMap
+        === Map(100L -> 3L, 200L -> 3L))
+      assert(cont.groupBy(_.user_id).view.mapValues(_.map(_.batch_n).sum).toMap
+        === Map(100L -> 1L, 200L -> 2L))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join matches within the lookback window") {
     import spark.implicits._
     val src = tmpDir("ssj") + "/data"
