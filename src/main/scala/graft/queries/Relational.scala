@@ -305,7 +305,26 @@ object Relational {
         $"o_orderstatus".asc_nulls_first)
   }
 
+  /** C6b: ranking-function family — ntile quartiles, percent_rank,
+    * cume_dist, dense_rank over per-group price order (ANSI-identical
+    * definitions in both engines → exact parity, no rounding).
+    */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    load(spark, dir, "orders")
+      .where($"o_custkey" < 100)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ntile" -> windowNtile _,
     "grouping_sets_agg" -> groupingSetsAgg _,
     "window_range_frame" -> windowRangeFrame _,
     "topk_agg_orders" -> topkAggOrders _,
@@ -328,6 +347,15 @@ object Relational {
     "approx_hll" -> approxHll _)
 
   val oracleSql: Map[String, String] = Map(
+    "window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "grouping_sets_agg" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,

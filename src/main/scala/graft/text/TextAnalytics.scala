@@ -184,6 +184,47 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
+  /** D17: sequence packing — assign documents to fixed-token-budget
+    * packs, the batch-construction step before training. Greedy
+    * in-order packing per (source) shard: running token cumsum over
+    * doc_id order, pack boundary every `budget` tokens. Partitioned by
+    * source so the window never sees more than one shard's extent —
+    * the 100 TB form packs within shards in parallel; a single global
+    * window would serialize the corpus through one reducer.
+    */
+  val PackBudget = 2048
+
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    load(spark, dir, "documents")
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
+  }
+
+  /** D18: deterministic train/val/test split — md5-hash assignment
+    * (stable under corpus growth: a doc's split never changes when
+    * other docs are added, unlike modulo-on-row-number). Map-only.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(cast(concat('split:', doc_id) as binary)), 1, 7), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when($"h" < 80, "train").when($"h" < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.Tables.dsum($"n_chars", 0).as("total_chars"))
+      .orderBy($"split")
+  }
+
   /** D10b: corpus token frequencies — the canonical explode →
     * combine-heavy agg → top-N pipeline (vocabulary building step).
     */
@@ -206,6 +247,8 @@ object TextAnalytics {
     "text_normalize" -> normalize _,
     "text_repetition" -> repetition _,
     "text_pii_redact" -> piiRedact _,
+    "text_seq_pack" -> seqPack _,
+    "text_split_assign" -> splitAssign _,
     "corpus_mix" -> corpusMix _)
 
   private val profileCase: String = {
@@ -222,6 +265,29 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM t)
+         |SELECT source, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY source, pack_id
+         |ORDER BY source, pack_id""".stripMargin,
+    "text_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT % 100 AS hv
+        |  FROM documents)
+        |SELECT CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS total_chars
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
     "text_pii_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id, text || ' contact u' || doc_id ||
