@@ -202,6 +202,41 @@ object FlowAnalytics {
       .orderBy($"hour")
   }
 
+  /** B3b: sliding-window time series — 1-hour windows every 15
+    * minutes (each flow lands in 4 overlapping windows). Spark's
+    * `window(slide)` explodes map-side into per-window rows then
+    * partial-aggregates; the oracle reproduces the same 4-window
+    * expansion arithmetically.
+    */
+  def timeSeriesSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("win"))
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"))
+      .select($"win.start".cast("timestamp_ntz").as("win_start"),
+        $"n_flows", $"bytes")
+      .orderBy($"win_start")
+  }
+
+  /** B7b: native session windows — `session_window(ts, gap)` merges
+    * events closer than the gap into one state-backed window (the
+    * same sessionization as B7's lag/cumsum, as the engine-native
+    * operator; boundary rule: a gap of exactly 1h starts a NEW
+    * session, window end is exclusive).
+    */
+  def sessionsNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"user_id",
+        session_window($"ts".cast("timestamp"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("session_value"))
+      .select($"user_id",
+        $"sw.start".cast("timestamp_ntz").as("session_start"),
+        $"sw.end".cast("timestamp_ntz").as("session_end"),
+        $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** B4: DDoS triage — fan-in: distinct sources per destination. */
   def fanIn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -418,6 +453,8 @@ object FlowAnalytics {
     "flow_top_talkers" -> topTalkers _,
     "flow_proto_breakdown" -> protoBreakdown _,
     "flow_time_series" -> timeSeries _,
+    "flow_time_series_sliding" -> timeSeriesSliding _,
+    "flow_sessions_native" -> sessionsNative _,
     "flow_fan_in" -> fanIn _,
     "flow_window_filter" -> windowFilter _,
     "flow_value_percentiles" -> valuePercentiles _,
@@ -425,6 +462,29 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_time_series_sliding" -> (flowsCte +
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - kk * INTERVAL 15 MINUTE AS win_start,
+        |  count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes
+        |FROM flows, range(0, 4) t(kk)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "flow_sessions_native" -> (flowsCte +
+      """, s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM flows
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 1 HOUR AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
     "flow_cidr6_filter" -> (flowsCte +
       """SELECT event_id AS flow_id,
         |  CASE WHEN event_id % 65536 = 0 THEN '2001:db8:2a::'
