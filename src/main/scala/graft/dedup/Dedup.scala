@@ -343,6 +343,17 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Free a materialized intermediate's cached blocks — leaving them
+    * cached starves every later query in the session.
+    */
+  private def release(dfs: DataFrame*): Unit =
+    dfs.foreach(df => backingRdd(df).foreach(_.unpersist(blocking = false)))
+
   /** (doc_id, lang, bucket, gram) distinct postings + (doc_id, sz)
     * gram counts, materialized once.
     */
@@ -362,7 +373,7 @@ object Dedup {
     candidatesFromPostings(postings, sizes, tau)
   }
 
-  private def candidatesFromPostings(postings: DataFrame, sizes: DataFrame,
+  private[graft] def candidatesFromPostings(postings: DataFrame, sizes: DataFrame,
       tau: Double): DataFrame = {
     import postings.sparkSession.implicits._
     val gramDf = postings.groupBy($"gram").agg(count(lit(1)).as("df"))
@@ -407,7 +418,7 @@ object Dedup {
     val g = materialize(gramTable(docs))
     val (postings, sizes) = postingsOf(g)
     val cand = candidatesFromPostings(postings, sizes, tau)
-    cand
+    val result = cand
       .join(g.select($"doc_id".as("d1"), $"grams".as("g1")), "d1")
       .join(g.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
       .withColumn("jaccard",
@@ -415,7 +426,14 @@ object Dedup {
         size(array_union($"g1", $"g2")).cast("double"))
       .where($"jaccard" >= tau)
       .select($"d1", $"d2", $"jaccard")
-      .orderBy($"d1", $"d2")
+    // materialize the (small) UNSORTED result, then free the big gram/
+    // postings intermediates so they don't occupy storage memory for
+    // the rest of the session. The sort comes after: a global orderBy
+    // on the lazy plan would run the whole pipeline twice (the range
+    // partitioner's sampling pass + the real pass).
+    val out = materialize(result)
+    release(g, postings)
+    out.orderBy($"d1", $"d2")
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -500,13 +518,7 @@ object Dedup {
       maxIters: Int = MaxIters): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.optimizedPlan.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def ckpt(df: DataFrame): DataFrame = materialize(df)
     // materialize the pair table ONCE, then derive both edge directions
     // from the materialized rows — the upstream candidate DAG (minhash
     // here) is expensive and must not run twice
