@@ -75,6 +75,42 @@ object StreamingOps {
     spark.table(name).orderBy($"win_start", $"event_type")
   }
 
+  /** E1b: complete-mode streaming aggregation — running per-proto
+    * totals re-emitted whole every trigger (the live-dashboard shape;
+    * deterministic regardless of batch split, so oracle-checkable
+    * unlike append-mode custom-state ops). Unbounded state is bounded
+    * here by the group-key cardinality, which is what makes
+    * complete mode viable: it's for SMALL aggregate tables.
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_totals_${counter.incrementAndGet()}"
+    val spool = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_events_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(spool)
+    val link = spool.resolve("events.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(spool.toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"user_id").as("max_user"),
+        graft.Tables.dsum($"value").as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"event_type")
+  }
+
   case class Evt(event_id: Long, user_id: Long, event_type: String)
 
   /** E2: stateful streaming dedup — keep only each key's first-ever
@@ -159,13 +195,19 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_agg" -> windowAgg _)
+    "stream_window_agg" -> windowAgg _,
+    "stream_running_totals" -> runningTotals _)
 
   /** Oracle: batch tumbling-window agg, keeping only windows whose end
     * is ≤ the final watermark (max ts − 10 min) — the append-mode
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    "stream_running_totals" ->
+      """SELECT event_type, count(*) AS n,
+        |  max(user_id) AS max_user,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_agg" ->
       """WITH w AS (
         |  SELECT date_trunc('hour', ts) AS win_start, event_type,
