@@ -237,6 +237,21 @@ object FlowAnalytics {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** B11: approximate top-K — the SpaceSaving sketch behind ClickHouse
+    * `topK(N)`, as a bounded-memory mergeable TypedImperativeAggregate.
+    * Graded in the no-eviction regime (capacity 16 ≥ 5 protocols →
+    * counts exact, err 0, deterministic), so the sketch faces the
+    * oracle; eviction-regime error bounds are spec-verified.
+    */
+  def topKApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .agg(graft.functions.SpaceSavingAgg.space_saving($"pr", 16).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.key".as("proto"), $"e.est", $"e.err")
+      .orderBy($"est".desc, $"proto")
+  }
+
   /** B4: DDoS triage — fan-in: distinct sources per destination. */
   def fanIn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -448,6 +463,7 @@ object FlowAnalytics {
     "flow_cidr_filter" -> flowCidrFilter _,
     "flow_cidr6_filter" -> flowCidr6Filter _,
     "flow_top_ports" -> topPorts _,
+    "flow_topk_approx" -> topKApprox _,
     "flow_by_source" -> bySource _,
     "flow_daily_volume" -> flowDailyVolume _,
     "flow_top_talkers" -> topTalkers _,
@@ -501,6 +517,9 @@ object FlowAnalytics {
         |  count(DISTINCT sa) AS n_sources,
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
         |FROM flows GROUP BY flowsrc ORDER BY flowsrc""".stripMargin),
+    "flow_topk_approx" -> (flowsCte +
+      """SELECT pr AS proto, count(*) AS est, CAST(0 AS BIGINT) AS err
+        |FROM flows GROUP BY pr ORDER BY est DESC, proto""".stripMargin),
     "flow_top_talkers_salted" -> (flowsCte +
       """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
         |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),

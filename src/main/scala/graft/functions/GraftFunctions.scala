@@ -43,7 +43,9 @@ object GraftFunctions {
     "topk_agg" -> (e => { arity("topk_agg", e, 2)
       TopKAgg(e(0), intArg(e(1), "topk_agg")).toAggregateExpression() }),
     "topk_by" -> (e => { arity("topk_by", e, 3)
-      TopKByAgg(e(0), e(1), intArg(e(2), "topk_by")).toAggregateExpression() }))
+      TopKByAgg(e(0), e(1), intArg(e(2), "topk_by")).toAggregateExpression() }),
+    "space_saving" -> (e => { arity("space_saving", e, 2)
+      SpaceSavingAgg(e(0), intArg(e(1), "space_saving")).toAggregateExpression() }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

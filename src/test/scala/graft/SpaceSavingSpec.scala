@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.SpaceSavingAgg.space_saving
+
+/** B11: SpaceSaving sketch (ClickHouse topK analog) — exactness in the
+  * no-eviction regime, error bounds + capacity in the eviction regime.
+  */
+class SpaceSavingSpec extends SparkSpecBase {
+
+  private def entries(row: Row): Seq[(String, Long, Long)] =
+    row.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("exact counts and zero error when capacity >= distinct keys (merges included)") {
+    import spark.implicits._
+    val df = spark.range(1000)
+      .select(concat(lit("k"), pmod($"id", lit(7))).as("key"))
+      .repartition(8) // force partial buffers + merges
+    val got = entries(df.agg(space_saving($"key", 16)).head())
+    assert(got.map(_._2).sum === 1000L)
+    assert(got.forall(_._3 === 0L), s"expected err 0: $got")
+    // 1000 over 7 keys: ids 0..5 -> 143, id 6 -> 142
+    assert(got.count(_._2 === 143L) === 6 && got.count(_._2 === 142L) === 1)
+    // descending est, key tie-break
+    assert(got === got.sortBy(t => (-t._2, t._1)))
+  }
+
+  test("eviction regime: capacity bound + SpaceSaving guarantees hold") {
+    import spark.implicits._
+    // one true heavy hitter (freq 500) + 100 singleton keys, n = 600.
+    // capacity 8 << 101 distinct => evictions happen.
+    val heavy = Seq.fill(500)("hot")
+    val tail = (0 until 100).map(i => s"rare$i")
+    val df = (heavy ++ tail).toDF("key").coalesce(1) // sequential stream
+    val got = entries(df.agg(space_saving($"key", 8)).head())
+    assert(got.size <= 8, s"capacity exceeded: ${got.size}")
+    val n = 600
+    // any key with freq > n/k = 75 must be present
+    assert(got.exists(_._1 === "hot"), s"heavy hitter lost: $got")
+    val (_, est, err) = got.find(_._1 === "hot").get
+    // est >= true >= est - err
+    assert(est >= 500L && est - err <= 500L, s"bounds violated: est=$est err=$err")
+    // every counter is an overestimate by at most its err
+    got.foreach { case (k, e, r) => assert(e >= 1 && r <= e, s"bad counter ($k,$e,$r)") }
+  }
+
+  test("SQL surface: space_saving registered via extensions") {
+    import spark.implicits._
+    Seq("a", "b", "a", "a").toDF("k").createOrReplaceTempView("ss_in")
+    val got = spark.sql("SELECT space_saving(k, 4) AS s FROM ss_in").head()
+      .getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("a", 3L), ("b", 1L)))
+  }
+}
