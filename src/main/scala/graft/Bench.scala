@@ -15,6 +15,10 @@ object Bench {
     // untimed warm-up: session init, codegen compiler, parquet reader
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // collect garbage OUTSIDE the timed section: accumulated heap
+      // from prior queries otherwise lands as a GC pause inside
+      // whichever heavy query happens to trigger it
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

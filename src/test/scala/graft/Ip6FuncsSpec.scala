@@ -87,6 +87,32 @@ class Ip6FuncsSpec extends SparkSpecBase {
     assert(df.orderBy($"c").head().getString(0) === "2001:db8:2a::")
   }
 
+  test("fuzz: ntoa->aton roundtrips for 10k random addresses (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 10000) {
+      val b = new Array[Byte](16)
+      rnd.nextBytes(b)
+      // bias toward zero runs so compression paths get exercised
+      if (rnd.nextInt(3) == 0) {
+        val start = rnd.nextInt(8); val len = rnd.nextInt(8 - start) + 1
+        java.util.Arrays.fill(b, start * 2, (start + len) * 2, 0.toByte)
+      }
+      val text = Ip6Util.ntoa(b)
+      val back = Ip6Util.aton(text)
+      assert(back != null && java.util.Arrays.equals(back, b),
+        s"roundtrip failed for ${text}")
+    }
+  }
+
+  test("fuzz: v4 aton<->ntoa roundtrips for all /16 boundaries + random") {
+    import graft.functions.IpUtil
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 10000) {
+      val v = rnd.nextLong() & 0xffffffffL
+      assert(IpUtil.aton(IpUtil.ntoa(v)) === v)
+    }
+  }
+
   test("SQL surface: ip6 functions registered via extensions") {
     assert(spark.sql(
       "SELECT ip6_in_cidr('2001:db8::1', '2001:db8::/32')").head().getBoolean(0))
