@@ -252,6 +252,27 @@ object FlowAnalytics {
       .orderBy($"est".desc, $"proto")
   }
 
+  /** B12: sequence pattern matching — ClickHouse `sequenceMatch`:
+    * did the user's ordered event stream contain signup → click →
+    * purchase (in order, gaps allowed)? Each user's events collapse to
+    * an ordered initial-letter string (deterministic (ts, event_id)
+    * sort inside the array, not a window sort), then one regex per
+    * user. Per-user arrays are session-sized, so the sort is local
+    * and bounded.
+    */
+  def sequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id",
+        substring($"event_type", 1, 1).as("i")))).as("evs"))
+      .withColumn("seq", concat_ws("", expr("transform(evs, e -> e.i)")))
+      .select($"user_id",
+        $"seq".rlike("s.*c.*p").as("matched"),
+        length($"seq").cast("long").as("n_events"))
+      .orderBy($"user_id")
+  }
+
   /** B4: DDoS triage — fan-in: distinct sources per destination. */
   def fanIn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -464,6 +485,7 @@ object FlowAnalytics {
     "flow_cidr6_filter" -> flowCidr6Filter _,
     "flow_top_ports" -> topPorts _,
     "flow_topk_approx" -> topKApprox _,
+    "flow_sequence_match" -> sequenceMatch _,
     "flow_by_source" -> bySource _,
     "flow_daily_volume" -> flowDailyVolume _,
     "flow_top_talkers" -> topTalkers _,
@@ -517,6 +539,12 @@ object FlowAnalytics {
         |  count(DISTINCT sa) AS n_sources,
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
         |FROM flows GROUP BY flowsrc ORDER BY flowsrc""".stripMargin),
+    "flow_sequence_match" -> (flowsCte +
+      """SELECT user_id,
+        |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY ts, event_id), 's.*c.*p') AS matched,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM flows GROUP BY user_id ORDER BY user_id""".stripMargin),
     "flow_topk_approx" -> (flowsCte +
       """SELECT pr AS proto, count(*) AS est, CAST(0 AS BIGINT) AS err
         |FROM flows GROUP BY pr ORDER BY est DESC, proto""".stripMargin),

@@ -240,6 +240,22 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** C14b: approx percentile sketch next to its exact twin (same
+    * rows-only pattern as C14 — the sketch is engine-specific; the
+    * spec bounds its error against the exact value).
+    */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_p50"),
+        percentile($"l_extendedprice", lit(0.5)).as("exact_p50"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(10000)).as("approx_p99"),
+        percentile($"l_extendedprice", lit(0.99)).as("exact_p99"))
+      .orderBy($"l_returnflag")
+  }
+
   /** C17: CUBE over (returnflag, linestatus) — all 4 grouping levels. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -344,7 +360,8 @@ object Relational {
     "subquery_scalar" -> subqueryScalar _,
     "pivot_status" -> pivotStatus _,
     "sample_stratified" -> sampleStratified _,
-    "approx_hll" -> approxHll _)
+    "approx_hll" -> approxHll _,
+    "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
     "window_ntile" ->
