@@ -261,6 +261,49 @@ object Knn {
        |  score, cid
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  /** D20: int8 embedding quantization — max-abs scale per vector,
+    * round to [-127,127], report the quantized payload (md5-pinned)
+    * and reconstruction RMSE. The compression step before shipping an
+    * ANN index; map-only apart from the per-vector scale agg.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "embeddings")
+    // scale via explode → codegen'd max agg → join back: a HOF-fold
+    // scale column referenced inside the quantize lambda would be
+    // re-inlined PER ELEMENT (no CSE in interpreted HOF eval) — as a
+    // joined attribute the reference is free
+    val scales = e.select($"vec_id", explode($"embedding").as("x"))
+      .groupBy($"vec_id").agg(max(abs($"x".cast("double"))).as("scale"))
+    e.join(scales, "vec_id")
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT))"))
+      .withColumn("sq_err", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
+          |  a + pow(CAST(x AS DOUBLE) -
+          |    round(CAST(x AS DOUBLE) / scale * 127) * scale / 127, 2))""".stripMargin))
+      .select($"vec_id", $"label",
+        round($"scale", 6).as("scale_r"),
+        md5(concat_ws(",", $"q").cast("binary")).as("q_md5"),
+        round(sqrt($"sq_err" / lit(Dim)), 6).as("rmse_r"))
+      .orderBy($"vec_id")
+  }
+
+  val embQuantizeSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+       |  FROM embeddings)
+       |SELECT vec_id, label,
+       |  round(scale, 6) AS scale_r,
+       |  md5(array_to_string(list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT)), ',')) AS q_md5,
+       |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, x ->
+       |      pow(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale * 127) * scale / 127, 2))),
+       |    (a, v) -> a + v) / $Dim), 6) AS rmse_r
+       |FROM s ORDER BY vec_id""".stripMargin
+
   /** D13: per-label embedding norm statistics (list-column math). */
   def embNorms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -291,12 +334,14 @@ object Knn {
     "ann_topk_lsh" -> lshTopK _,
     "ann_topk_ivf" -> ivfTopK _,
     "dedup_embedding" -> embDedup _,
-    "emb_norms" -> embNorms _)
+    "emb_norms" -> embNorms _,
+    "emb_quantize" -> embQuantize _)
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_lsh" -> lshTopKSql,
     "ann_topk_ivf" -> ivfTopKSql,
     "dedup_embedding" -> embDedupSql,
-    "emb_norms" -> embNormsSql)
+    "emb_norms" -> embNormsSql,
+    "emb_quantize" -> embQuantizeSql)
 }

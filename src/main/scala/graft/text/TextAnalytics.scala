@@ -225,6 +225,31 @@ object TextAnalytics {
       .orderBy($"split")
   }
 
+  /** D19: document chunking — fixed-size token windows with overlap
+    * (the context-window prep step before tokenization/training).
+    * Each doc explodes into ceil(n/stride) chunks of ≤[[ChunkTokens]]
+    * tokens starting every [[ChunkStride]]; chunk content is pinned by
+    * md5 so the full text path is hash-checked. Map-side explode; no
+    * shuffle until the final sort.
+    */
+  val ChunkTokens = 100
+  val ChunkStride = 80
+
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks"))
+      .select($"doc_id", $"toks", $"n_tokens",
+        posexplode(expr(s"sequence(0, greatest(n_tokens - 1, 0), $ChunkStride)"))
+          .as(Seq("chunk_id", "start")))
+      .withColumn("chunk_toks", expr(s"slice(toks, start + 1, $ChunkTokens)"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        size($"chunk_toks").cast("long").as("chunk_len"),
+        md5(concat_ws(" ", $"chunk_toks").cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** D10b: corpus token frequencies — the canonical explode →
     * combine-heavy agg → top-N pipeline (vocabulary building step).
     */
@@ -249,6 +274,7 @@ object TextAnalytics {
     "text_pii_redact" -> piiRedact _,
     "text_seq_pack" -> seqPack _,
     "text_split_assign" -> splitAssign _,
+    "text_chunk" -> chunk _,
     "corpus_mix" -> corpusMix _)
 
   private val profileCase: String = {
@@ -265,6 +291,20 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, toks,
+         |    CAST(kk AS BIGINT) AS chunk_id, kk * $ChunkStride AS start
+         |  FROM t, LATERAL (SELECT unnest(range(0,
+         |    (greatest(n_tokens - 1, 0) // $ChunkStride) + 1)) AS kk) u)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(toks[start + 1 : start + $ChunkTokens]) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(toks[start + 1 : start + $ChunkTokens], ' ')) AS chunk_md5
+         |FROM b ORDER BY doc_id, chunk_id""".stripMargin,
     "text_seq_pack" ->
       s"""WITH t AS (
          |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
