@@ -273,6 +273,33 @@ object FlowAnalytics {
       .orderBy($"user_id")
   }
 
+  /** B11b: weighted approximate top-K (ClickHouse `topKWeighted`) —
+    * top protocols by BYTES at bounded memory; graded in the exact
+    * regime like B11.
+    */
+  def topKWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .agg(graft.functions.SpaceSavingAgg
+        .space_saving_weighted($"pr", $"ibyt", 16).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.key".as("proto"), $"e.est", $"e.err")
+      .orderBy($"est".desc, $"proto")
+  }
+
+  /** B13: fixed-width value histogram per protocol — the bucketed
+    * distribution view behind latency/size dashboards; pure
+    * combine-heavy aggregation.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .withColumn("bucket", floor($"value" / 100.0).cast("long"))
+      .groupBy($"pr", $"bucket")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("bucket_value"))
+      .orderBy($"pr", $"bucket")
+  }
+
   /** B4: DDoS triage — fan-in: distinct sources per destination. */
   def fanIn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -486,6 +513,8 @@ object FlowAnalytics {
     "flow_top_ports" -> topPorts _,
     "flow_topk_approx" -> topKApprox _,
     "flow_sequence_match" -> sequenceMatch _,
+    "flow_topk_weighted" -> topKWeighted _,
+    "flow_value_histogram" -> valueHistogram _,
     "flow_by_source" -> bySource _,
     "flow_daily_volume" -> flowDailyVolume _,
     "flow_top_talkers" -> topTalkers _,
@@ -548,6 +577,15 @@ object FlowAnalytics {
     "flow_topk_approx" -> (flowsCte +
       """SELECT pr AS proto, count(*) AS est, CAST(0 AS BIGINT) AS err
         |FROM flows GROUP BY pr ORDER BY est DESC, proto""".stripMargin),
+    "flow_topk_weighted" -> (flowsCte +
+      """SELECT pr AS proto, CAST(sum(ibyt) AS BIGINT) AS est,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM flows GROUP BY pr ORDER BY est DESC, proto""".stripMargin),
+    "flow_value_histogram" -> (flowsCte +
+      """SELECT pr, CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS bucket_value
+        |FROM flows GROUP BY pr, bucket ORDER BY pr, bucket""".stripMargin),
     "flow_top_talkers_salted" -> (flowsCte +
       """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
         |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),

@@ -45,7 +45,10 @@ object GraftFunctions {
     "topk_by" -> (e => { arity("topk_by", e, 3)
       TopKByAgg(e(0), e(1), intArg(e(2), "topk_by")).toAggregateExpression() }),
     "space_saving" -> (e => { arity("space_saving", e, 2)
-      SpaceSavingAgg(e(0), intArg(e(1), "space_saving")).toAggregateExpression() }))
+      SpaceSavingAgg(e(0), intArg(e(1), "space_saving")).toAggregateExpression() }),
+    "space_saving_weighted" -> (e => { arity("space_saving_weighted", e, 3)
+      SpaceSavingAgg(e(0), intArg(e(2), "space_saving_weighted"), Some(e(1)))
+        .toAggregateExpression() }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -36,6 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SpaceSavingAgg(
     child: Expression,
     k: Int,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
@@ -43,12 +44,15 @@ case class SpaceSavingAgg(
   require(k > 0, "space_saving requires k > 0")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"space_saving requires a STRING key, got ${child.dataType.sql}")
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"space_saving requires a STRING key, got ${child.dataType.sql}")
+    else if (weight.exists(_.dataType != LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"space_saving weight must be BIGINT, got ${weight.get.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -63,16 +67,23 @@ case class SpaceSavingAgg(
   override def update(m: mutable.HashMap[String, (Long, Long)], input: InternalRow): mutable.HashMap[String, (Long, Long)] = {
     val v = child.eval(input)
     if (v != null) {
+      val w = weight match {
+        case None => 1L
+        case Some(we) =>
+          val wv = we.eval(input)
+          if (wv == null) 0L else wv.asInstanceOf[Long]
+      }
       val key = v.asInstanceOf[UTF8String].toString
       m.get(key) match {
-        case Some((est, err)) => m.update(key, (est + 1, err))
-        case None if m.size < k => m.update(key, (1L, 0L))
+        case Some((est, err)) => m.update(key, (est + w, err))
+        case None if m.size < k => m.update(key, (w, 0L))
         case None =>
           // evict the minimum counter; the newcomer inherits its count
-          // as an upper-bound error
+          // as an upper-bound error (topKWeighted semantics: weight
+          // adds to the inherited estimate)
           val (minKey, (minEst, _)) = m.minBy { case (mk, (e, _)) => (e, mk) }
           m.remove(minKey)
-          m.update(key, (minEst + 1, minEst))
+          m.update(key, (minEst + w, minEst))
       }
     }
     m
@@ -131,12 +142,21 @@ case class SpaceSavingAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SpaceSavingAgg =
-    copy(child = c.head)
-  override def prettyName: String = "space_saving"
+    copy(child = c.head, weight = if (c.length > 1) Some(c(1)) else None)
+  override def prettyName: String =
+    if (weight.isDefined) "space_saving_weighted" else "space_saving"
 }
 
 object SpaceSavingAgg {
   def space_saving(key: Column, k: Int): Column =
     ExpressionUtils.column(
       SpaceSavingAgg(ExpressionUtils.expression(key), k).toAggregateExpression())
+
+  /** ClickHouse `topKWeighted`: each row contributes `weight` instead
+    * of 1 (top talkers by BYTES at bounded memory).
+    */
+  def space_saving_weighted(key: Column, weight: Column, k: Int): Column =
+    ExpressionUtils.column(
+      SpaceSavingAgg(ExpressionUtils.expression(key), k,
+        Some(ExpressionUtils.expression(weight))).toAggregateExpression())
 }

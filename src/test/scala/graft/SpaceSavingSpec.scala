@@ -45,6 +45,15 @@ class SpaceSavingSpec extends SparkSpecBase {
     got.foreach { case (k, e, r) => assert(e >= 1 && r <= e, s"bad counter ($k,$e,$r)") }
   }
 
+  test("weighted variant sums weights exactly in the no-eviction regime") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("b", 1L), ("a", 5L), ("c", 7L), ("a", 2L))
+      .toDF("k", "w").repartition(3)
+    val got = entries(df.agg(
+      graft.functions.SpaceSavingAgg.space_saving_weighted($"k", $"w", 8)).head())
+    assert(got === Seq(("a", 17L, 0L), ("c", 7L, 0L), ("b", 1L, 0L)))
+  }
+
   test("SQL surface: space_saving registered via extensions") {
     import spark.implicits._
     Seq("a", "b", "a", "a").toDF("k").createOrReplaceTempView("ss_in")
