@@ -456,6 +456,58 @@ object Dedup {
       |      CAST(len(list_distinct(list_cat(l.grams, r.grams))) AS DOUBLE) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  /** D21: benchmark decontamination — find corpus documents containing
+    * any held-out evaluation phrase (the n-gram-overlap test-set leak
+    * check every training corpus needs; Lee et al.-style exact
+    * containment, phrase-level). The "benchmark" is derived
+    * deterministically (8-token middle phrase of every 50th doc) so
+    * the oracle can rebuild it; detection is a token-8-gram postings
+    * equi-join — NOT a per-(doc × phrase) substring scan, which at
+    * 100 TB × thousands of phrases would be quadratic. The phrase set
+    * is small → broadcast side of the join.
+    */
+  val ContamPhraseTokens = 8
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val phrases = docs.where($"doc_id" % 50 === 0)
+      .select($"doc_id".as("bench_id"), split($"text", " ").as("toks"))
+      .where(size($"toks") >= ContamPhraseTokens + 4)
+      .select($"bench_id", concat_ws(" ",
+        expr(s"slice(toks, CAST(size(toks) / 2 AS INT) - ${ContamPhraseTokens / 2}, $ContamPhraseTokens)"))
+        .as("phrase"))
+    // corpus side: explode each doc into its token-8-gram phrases and
+    // equi-join — the scalable containment test (token-aligned)
+    val grams = docs
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(1, greatest(size(split(text, ' ')) - ${ContamPhraseTokens - 1}, 1)), i ->
+           |  concat_ws(' ', slice(split(text, ' '), i, $ContamPhraseTokens)))""".stripMargin))
+        .as(Seq("pos", "phrase")))
+    grams.join(broadcast(phrases), "phrase")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"bench_id").as("n_benchmarks"),
+        min($"bench_id").as("first_bench"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id AS bench_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |phrases AS (
+       |  SELECT bench_id, array_to_string(
+       |    toks[(n // 2 - ${ContamPhraseTokens / 2}) : (n // 2 + ${ContamPhraseTokens / 2 - 1})],
+       |    ' ') AS phrase
+       |  FROM pt WHERE n >= ${ContamPhraseTokens + 4})
+       |SELECT d.doc_id,
+       |  count(DISTINCT p.bench_id) AS n_benchmarks,
+       |  min(p.bench_id) AS first_bench
+       |FROM documents d JOIN phrases p
+       |  ON ' ' || d.text || ' ' LIKE '% ' || p.phrase || ' %'
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** D4b: bounded edit-distance near-dup pass. Blocking is two-level —
     * (lang, length bucket, 12-char prefix) — so the O(len²) distance
     * only runs on near-certain candidates; the corpusNear plants give
@@ -587,7 +639,8 @@ object Dedup {
     "dedup_minhash" -> minhash _,
     "dedup_simhash" -> simhash _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
-    "dedup_edit_distance" -> editDistance _)
+    "dedup_edit_distance" -> editDistance _,
+    "dedup_contamination" -> contamination _)
 
   val oracleSql: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
@@ -599,5 +652,6 @@ object Dedup {
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_edit_distance" -> editDistanceSql)
+    "dedup_edit_distance" -> editDistanceSql,
+    "dedup_contamination" -> contaminationSql)
 }
