@@ -111,6 +111,20 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("contamination joins broadcast the tiny phrase set, not the corpus") {
+    val p = plan(graft.dedup.Dedup.contamination(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"phrase join not broadcast:\n$p")
+    assert(p.contains("Generate"), "corpus side not exploded to grams")
+  }
+
+  test("space_saving aggregates partially before the shuffle") {
+    val p = plan(FlowAnalytics.topKApprox(spark, sf0001))
+    // TypedImperativeAggregate runs in ObjectHashAggregate; a partial +
+    // final pair means per-partition sketches merge instead of raw rows
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"sketch not partial-aggregated:\n$p")
+  }
+
   test("literal CIDR in flow_cidr_filter is folded by the session extension") {
     val p = FlowAnalytics.flowCidrFilter(spark, sf0001)
       .queryExecution.optimizedPlan.toString.toLowerCase
