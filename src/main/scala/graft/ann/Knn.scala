@@ -223,6 +223,11 @@ object Knn {
     val cents = vecs
       .where($"vec_id" % CentStride === 0 && $"vec_id" < CentStride * CentBudget)
       .select($"vec_id".as("cid"), $"embedding".as("cent"))
+    // both the probe filter and the corpus side of the cell join
+    // consume the assignment; its aggregation Exchange is deduped by
+    // ReuseExchange within the one job, so the n×C scoring pass runs
+    // once without materializing (which would also truncate the plan
+    // the audit spec pins)
     val assigned = vecs.crossJoin(broadcast(cents))
       .withColumn("cscore", vcos($"embedding", $"cent"))
       .groupBy($"vec_id")

@@ -131,8 +131,12 @@ object Dedup {
 
   /** LSH candidate pairs from a signature frame (band equi-join,
     * deduped). Takes `mh` as input so [[minhash]] derives pairs and
-    * the score join-back from ONE signature aggregation — passing a
-    * rebuilt frame would compute the whole signature DAG twice.
+    * the score join-back from ONE signature frame. No materialization
+    * is needed for sharing: every consumer (band self-join sides, the
+    * two score join-backs) reads the signature aggregation's
+    * `Exchange(hash(doc_id))`, which ReuseExchange dedupes within the
+    * single job — measured, the lazy plan beats an eager checkpoint
+    * chain here by ~2x (pipelining + no serialization pass).
     */
   private def pairsFromSignatures(mh: DataFrame): DataFrame = {
     import mh.sparkSession.implicits._
@@ -155,7 +159,8 @@ object Dedup {
   }
 
   /** The edge input for [[clusters]]: candidate pairs only, no score
-    * join-back, no sort.
+    * join-back, no sort (connectedComponents checkpoints the pair
+    * table itself).
     */
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsFromSignatures(minhashed(corpusNear(spark, dir)))
@@ -348,11 +353,24 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
-  /** Free a materialized intermediate's cached blocks — leaving them
-    * cached starves every later query in the session.
+  /** Free a materialized intermediate — cached blocks AND, for
+    * reliable checkpoints, the files on durable storage (Spark's
+    * cleaner only removes those with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
+    * default — leaving them would leak a full table copy per run on
+    * the cluster path).
     */
   private def release(dfs: DataFrame*): Unit =
-    dfs.foreach(df => backingRdd(df).foreach(_.unpersist(blocking = false)))
+    dfs.foreach { df =>
+      backingRdd(df).foreach { rdd =>
+        rdd.unpersist(blocking = false)
+        rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      }
+    }
 
   /** (doc_id, lang, bucket, gram) distinct postings + (doc_id, sz)
     * gram counts, materialized once.
@@ -584,8 +602,7 @@ object Dedup {
     while (!converged) {
       iter += 1
       if (iter > maxIters) {
-        backingRdd(labels).foreach(_.unpersist(blocking = false))
-        backingRdd(p).foreach(_.unpersist(blocking = false))
+        release(labels, p)
         throw new IllegalStateException(
           s"connectedComponents did not converge within $maxIters rounds — " +
             "component diameter exceeds the backstop; raise maxIters")
@@ -598,11 +615,11 @@ object Dedup {
           .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
           .join(labels.select($"doc_id", $"cluster_id".as("prev")), "doc_id"))
       val changed = next.where($"cluster_id" =!= $"prev").limit(1).count()
-      backingRdd(labels).foreach(_.unpersist(blocking = false))
+      release(labels)
       labels = next.select($"doc_id", $"cluster_id")
       converged = changed == 0
     }
-    backingRdd(p).foreach(_.unpersist(blocking = false))
+    release(p)
     labels
   }
 

@@ -60,9 +60,16 @@ object NfdumpExec {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Decode every nfcapd file in `inDir` (non-recursive, skipping
-    * dotfiles and already-decoded names) into `stagingDir` —
-    * idempotent, so a watcher can call it on every rotation tick.
+  /** Decode every CLOSED nfcapd file in `inDir` (non-recursive) into
+    * `stagingDir` — idempotent, so a watcher can call it on every
+    * rotation tick.
+    *
+    * Only `nfcapd.*` names are considered (the collector's rotation
+    * naming) and `nfcapd.current*` — the capture nfcapd is still
+    * writing — is skipped: decoding a half-written file would stage a
+    * truncated CSV whose name then blocks the finished file forever.
+    * One failing file does not abort the sweep; failures go to stderr
+    * and the file is retried next tick (nothing was staged for it).
     */
   def decodeDir(inDir: Path, stagingDir: Path,
       command: String = "nfdump"): Seq[DecodeResult] = {
@@ -73,9 +80,14 @@ object NfdumpExec {
       while (files.hasNext) {
         val f = files.next()
         val name = f.getFileName.toString
-        if (Files.isRegularFile(f) && !name.startsWith(".") &&
+        if (Files.isRegularFile(f) && name.startsWith("nfcapd.") &&
+            !name.startsWith("nfcapd.current") &&
             !Files.exists(stagingDir.resolve(name + ".csv")))
-          out += decodeFile(f, stagingDir, command)
+          try out += decodeFile(f, stagingDir, command)
+          catch {
+            case e: Exception =>
+              System.err.println(s"[nfdump-exec] skipping $name: ${e.getMessage}")
+          }
       }
       out.toSeq
     } finally stream.close()

@@ -50,7 +50,7 @@ object Ip6Util {
       if (dcol >= 0) (str.substring(0, dcol), str.substring(dcol + 2), true)
       else (str, "", false)
 
-    def parseSide(side: String): Array[Int] = {
+    def parseSide(side: String, allowV4Tail: Boolean): Array[Int] = {
       if (side.isEmpty) return Array.emptyIntArray
       val toks = side.split(":", -1)
       val out = new scala.collection.mutable.ArrayBuffer[Int](toks.length + 1)
@@ -58,8 +58,10 @@ object Ip6Util {
       while (i < toks.length) {
         val t = toks(i)
         if (t.indexOf('.') >= 0) {
-          // embedded IPv4 — only legal as the final token
-          if (i != toks.length - 1) return null
+          // embedded IPv4 is only legal in the LAST 32 bits of the
+          // ADDRESS — i.e. the final token of the side that ends the
+          // address ("1.2.3.4::x" is malformed, "::ffff:1.2.3.4" is not)
+          if (!allowV4Tail || i != toks.length - 1) return null
           val v4 = IpUtil.aton(UTF8String.fromString(t))
           if (v4 < 0) return null
           out += ((v4 >> 16) & 0xffff).toInt
@@ -74,9 +76,9 @@ object Ip6Util {
       out.toArray
     }
 
-    val left = parseSide(leftStr)
+    val left = parseSide(leftStr, allowV4Tail = !compressed)
     if (left == null) return null
-    val right = parseSide(rightStr)
+    val right = parseSide(rightStr, allowV4Tail = true)
     if (right == null) return null
     val n = left.length + right.length
     if (compressed && n >= 8) return null  // "::" must cover >= 1 group

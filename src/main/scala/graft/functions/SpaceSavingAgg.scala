@@ -25,10 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver-graded query runs in that regime so it can face the DuckDB
   * oracle; the eviction regime is spec-verified against the bounds.
   *
-  * Merge is the conservative mergeable-summaries union: ests/errs
-  * sum for shared keys, one-sided keys keep their values, then the
-  * summary trims back to the k largest ests. In the no-eviction
-  * regime this is an exact sum.
+  * Merge is the mergeable-summaries union (Agarwal et al.): shared
+  * keys sum ests/errs; a key absent from one side gains that side's
+  * MINIMUM est (its maximum possible uncounted frequency there) in
+  * both est and err — a summary that never evicted contributes 0, so
+  * the no-eviction regime stays an exact sum. The union then trims
+  * back to the k largest ests. This preserves `est ≥ true ≥ est − err`
+  * across arbitrary partial/merge trees.
   *
   * Output: `array<struct<key,est,err>>` ordered est DESC, key ASC
   * (deterministic for deterministic inputs).
@@ -71,7 +74,10 @@ case class SpaceSavingAgg(
         case None => 1L
         case Some(we) =>
           val wv = we.eval(input)
-          if (wv == null) 0L else wv.asInstanceOf[Long]
+          // a NULL weight contributes nothing — it must not evict a
+          // real counter just to insert a zero-contribution key
+          if (wv == null) return m
+          wv.asInstanceOf[Long]
       }
       val key = v.asInstanceOf[UTF8String].toString
       m.get(key) match {
@@ -90,18 +96,25 @@ case class SpaceSavingAgg(
   }
 
   override def merge(a: mutable.HashMap[String, (Long, Long)], b: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
-    b.foreach { case (key, (est, err)) =>
-      a.get(key) match {
-        case Some((ea, ra)) => a.update(key, (ea + est, ra + err))
-        case None => a.update(key, (est, err))
+    // a summary at capacity may have evicted a key after counting it
+    // up to its minimum est; a summary under capacity has seen every
+    // key it ever counted, so absent = truly 0 there
+    val minA = if (a.size < k) 0L else a.valuesIterator.map(_._1).min
+    val minB = if (b.size < k) 0L else b.valuesIterator.map(_._1).min
+    val keys = a.keySet ++ b.keySet
+    val merged = keys.iterator.map { key =>
+      (a.get(key), b.get(key)) match {
+        case (Some((ea, ra)), Some((eb, rb))) => key -> (ea + eb, ra + rb)
+        case (Some((ea, ra)), None) => key -> (ea + minB, ra + minB)
+        case (None, Some((eb, rb))) => key -> (eb + minA, rb + minA)
+        case (None, None) => throw new IllegalStateException("unreachable")
       }
-    }
-    if (a.size > k) {
-      // trim to the k largest ests (deterministic tie-break on key)
-      val keep = a.toSeq.sortBy { case (key, (est, _)) => (-est, key) }.take(k)
-      a.clear()
-      keep.foreach { case (key, v) => a.update(key, v) }
-    }
+    }.toSeq
+    val keep =
+      if (merged.size <= k) merged
+      else merged.sortBy { case (key, (est, _)) => (-est, key) }.take(k)
+    a.clear()
+    keep.foreach { case (key, v) => a.update(key, v) }
     a
   }
 

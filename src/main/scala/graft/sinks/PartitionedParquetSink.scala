@@ -56,8 +56,15 @@ object PartitionedParquetSink {
               .write.mode("overwrite").parquet(tmp.toString)
             // drop the _SUCCESS marker so the partition holds data files only
             fs.delete(new Path(tmp, "_SUCCESS"), false)
-            fs.delete(part.getPath, true)
-            fs.rename(tmp, part.getPath)
+            // Hadoop FileSystem reports most failures by RETURNING
+            // false, not throwing — a silently failed swap would lose
+            // the partition (data left under a dot-dir Spark ignores)
+            if (!fs.delete(part.getPath, true))
+              throw new java.io.IOException(
+                s"compact: failed to delete ${part.getPath}; rewritten data is at $tmp")
+            if (!fs.rename(tmp, part.getPath))
+              throw new java.io.IOException(
+                s"compact: failed to rename $tmp to ${part.getPath}; partition data is at $tmp")
             val after = fs.listStatus(part.getPath)
               .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
             Some((part.getPath.getName, dataFiles.length, after))

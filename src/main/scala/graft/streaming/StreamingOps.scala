@@ -31,30 +31,36 @@ object StreamingOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** E1: windowed streaming aggregation with watermark, drained to a
-    * memory sink. Returns the emitted (closed) windows.
+  /** Stage the single-file events table behind a symlink spool dir
+    * (the shape the reference's watcher consumes) and enable the
+    * nanos-as-long read. Re-links unconditionally: Files.exists
+    * follows symlinks, so a dangling link from a prior run would read
+    * as absent yet make createSymbolicLink throw FileAlreadyExists
+    * forever after.
     */
-  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private def spoolEvents(spark: SparkSession, dir: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_stream_window_${counter.incrementAndGet()}"
-    // The file-source stream watches a directory; the testdata table is
-    // a single file → stage a symlink dir (the "spool dir" shape the
-    // reference's watcher consumes).
     val spool = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_stream_events_${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(spool)
     val link = spool.resolve("events.parquet")
-    // re-link unconditionally: Files.exists follows symlinks, so a
-    // dangling link from a prior run would read as absent yet make
-    // createSymbolicLink throw FileAlreadyExists forever after
     java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.createSymbolicLink(
       link, java.nio.file.Paths.get(dir, "events.parquet"))
+    spool.toString
+  }
+
+  /** E1: windowed streaming aggregation with watermark, drained to a
+    * memory sink. Returns the emitted (closed) windows.
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_window_${counter.incrementAndGet()}"
+    val spool = spoolEvents(spark, dir)
     val stream = spark.readStream
       .schema(eventsRawSchema)
-      .parquet(spool.toString)
+      .parquet(spool)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
@@ -84,19 +90,11 @@ object StreamingOps {
     */
   def runningTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_totals_${counter.incrementAndGet()}"
-    val spool = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_events_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(spool)
-    val link = spool.resolve("events.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get(dir, "events.parquet"))
+    val spool = spoolEvents(spark, dir)
     val q = spark.readStream
       .schema(eventsRawSchema)
-      .parquet(spool.toString)
+      .parquet(spool)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         max($"user_id").as("max_user"),

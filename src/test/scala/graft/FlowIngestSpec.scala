@@ -72,18 +72,34 @@ class FlowIngestSpec extends SparkSpecBase {
     val in = tmpDir("nfcapd_in"); val staging = tmpDir("nfcapd_out")
     writeFixture(in, "nfcapd.202405011000", Seq(flowA))
     writeFixture(in, "nfcapd.202405011005", Seq(flowB))
+    // the live capture and the stub binary must be SKIPPED by the sweep
+    writeFixture(in, "nfcapd.current.1234", Seq(flowA))
     val stub = stubNfdump(in, """cat "$2"""")
     val r1 = NfdumpExec.decodeDir(Paths.get(in), Paths.get(staging), stub)
-    // the stub itself is a file in inDir and gets "decoded" too — its
-    // content fails the typed parse, standing in for a junk capture
-    assert(r1.length === 3)
+    assert(r1.map(_.staged.getFileName.toString).sorted === Seq(
+      "nfcapd.202405011000.csv", "nfcapd.202405011005.csv"))
     assert(r1.forall(d => Files.exists(d.staged)))
     val df = NfdumpCsv.read(spark, staging + "/*.csv")
-    assert(df.count() === 2) // summary + junk rows dropped by the typed parse
+    assert(df.count() === 2) // summary rows dropped by the typed parse
     // idempotent: nothing new to decode on the next watcher tick
     assert(NfdumpExec.decodeDir(Paths.get(in), Paths.get(staging), stub).isEmpty)
     // no in-progress residue
     assert(Files.list(Paths.get(staging, ".inprogress")).count() === 0)
+  }
+
+  test("nfdump sweep isolates per-file failures and retries next tick") {
+    val in = tmpDir("nfcapd_in"); val staging = tmpDir("nfcapd_out")
+    writeFixture(in, "nfcapd.bad", Seq(flowA))
+    writeFixture(in, "nfcapd.good", Seq(flowB))
+    // stub fails only for the 'bad' capture
+    val stub = stubNfdump(in,
+      """case "$2" in *bad*) echo corrupt >&2; exit 3;; *) cat "$2";; esac""")
+    val r1 = NfdumpExec.decodeDir(Paths.get(in), Paths.get(staging), stub)
+    assert(r1.map(_.staged.getFileName.toString) === Seq("nfcapd.good.csv"))
+    assert(!Files.exists(Paths.get(staging, "nfcapd.bad.csv")))
+    // the failed file is retried on the next tick (still not staged)
+    val r2 = NfdumpExec.decodeDir(Paths.get(in), Paths.get(staging), stub)
+    assert(r2.isEmpty) // good already staged; bad failed again, isolated
   }
 
   test("nfdump exec failure publishes nothing and surfaces stderr") {

@@ -27,7 +27,8 @@ class Ip6FuncsSpec extends SparkSpecBase {
   test("aton rejects malformed input") {
     for (bad <- Seq("", ":", ":::", "1::2::3", "12345::", "g::1", "1:2:3",
         "1:2:3:4:5:6:7:8:9", "1:2:3:4:5:6:7:8::", "::1.2.3.999",
-        "1.2.3.4", "2001:db8::1%eth0 ", "2001:db8: :1"))
+        "1.2.3.4", "2001:db8::1%eth0 ", "2001:db8: :1",
+        "1.2.3.4::", "1.2.3.4::5", "::1.2.3.4:5"))
       assert(atonHex(bad) === null, s"accepted malformed: '$bad'")
   }
 

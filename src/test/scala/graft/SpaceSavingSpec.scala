@@ -45,6 +45,24 @@ class SpaceSavingSpec extends SparkSpecBase {
     got.foreach { case (k, e, r) => assert(e >= 1 && r <= e, s"bad counter ($k,$e,$r)") }
   }
 
+  test("merged eviction regime: guarantees survive partial-aggregate merges") {
+    import spark.implicits._
+    // heavy hitter spread across 8 partitions, each partition also
+    // carrying enough singletons to force evictions BEFORE the merge —
+    // the regime where a naive union-only merge undercounts
+    val rows = (0 until 8).flatMap { p =>
+      Seq.fill(60)(s"hot") ++ (0 until 40).map(i => s"rare${p}_$i")
+    }
+    val got = entries(rows.toDF("key").repartition(8).agg(
+      graft.functions.SpaceSavingAgg.space_saving($"key", 8)).head())
+    assert(got.size <= 8)
+    val hot = got.find(_._1 === "hot")
+    assert(hot.isDefined, s"heavy hitter (480 of 800) lost across merges: $got")
+    val (_, est, err) = hot.get
+    assert(est >= 480L, s"est must upper-bound true count: est=$est")
+    assert(est - err <= 480L, s"est-err must lower-bound true count: est=$est err=$err")
+  }
+
   test("weighted variant sums weights exactly in the no-eviction regime") {
     import spark.implicits._
     val df = Seq(("a", 10L), ("b", 1L), ("a", 5L), ("c", 7L), ("a", 2L))
