@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession.Builder pre-configured the way
+  * every graft deployment needs — the SQL extensions (native
+  * functions + the CIDR literal-folding optimizer rule) and a UTC
+  * session timezone (flow timestamps are wall-clock; a host-local
+  * zone silently shifts every window/date bucket).
+  *
+  * Everything else (master, shuffle partitions, memory) is the
+  * caller's: `Graft.builder().master("local[8]").getOrCreate()`.
+  */
+object Graft {
+
+  def builder(): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Register the SQL functions on an EXISTING session (extensions
+    * only bind at session creation) — for notebook/shared-session
+    * environments where the builder path isn't available.
+    */
+  def register(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
+}
