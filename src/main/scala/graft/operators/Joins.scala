@@ -52,13 +52,13 @@ object Joins {
       .withColumn("_rrow", struct(rightCols.map(col): _*))
       .withColumns(left.columns.filterNot(c => c == key || c == tsCol)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
-      .select(lTagged.columns.map(col): _*)
+      .select(lTagged.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.union(rTagged)
       .withColumn("_asof", last(col("_rrow"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)
-      .select((left.columns.map(col) ++
+      .select((left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col(s"_asof.$c").as(c))): _*)
   }
 

@@ -14,6 +14,15 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  test("every registered query is documented in SURVEY.md section 2") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    val undocumented = SparkEntry.queries.keySet
+      .filterNot(name => survey.contains(s"`$name`"))
+    assert(undocumented.isEmpty,
+      s"queries missing a SURVEY section-2 row: ${undocumented.toSeq.sorted}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
