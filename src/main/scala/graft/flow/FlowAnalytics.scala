@@ -300,6 +300,42 @@ object FlowAnalytics {
       .orderBy($"pr", $"bucket")
   }
 
+  /** B14: per-talker time series for the top talkers — the composite
+    * Grafana panel: find the top-5 sources by volume, then chart each
+    * one's hourly traffic. Two-phase: global top-N (partial agg →
+    * TakeOrdered), then a broadcast semi-join prunes the fact scan to
+    * those sources before the series aggregation — the fact side
+    * never shuffles for the filter.
+    */
+  def topTalkersSeries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = asFlows(spark, dir)
+    val top = flows.groupBy($"sa")
+      .agg(dsum($"ibyt", 0).as("bytes"))
+      .orderBy($"bytes".desc, $"sa")
+      .limit(5)
+      .select($"sa")
+    flows.join(broadcast(top), Seq("sa"), "left_semi")
+      .groupBy($"sa", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"))
+      .orderBy($"sa", $"hour")
+  }
+
+  /** B15: protocol mix over time — the stacked-area dashboard series
+    * (per-hour, per-proto volume shares).
+    */
+  def protoMixSeries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"pr")
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"))
+      .withColumn("hour_bytes",
+        sum($"bytes").over(Window.partitionBy($"hour")))
+      .withColumn("share", round($"bytes" / $"hour_bytes", 6))
+      .select($"hour", $"pr", $"n_flows", $"bytes", $"share")
+      .orderBy($"hour", $"pr")
+  }
+
   /** B4: DDoS triage — fan-in: distinct sources per destination. */
   def fanIn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -515,6 +551,8 @@ object FlowAnalytics {
     "flow_sequence_match" -> sequenceMatch _,
     "flow_topk_weighted" -> topKWeighted _,
     "flow_value_histogram" -> valueHistogram _,
+    "flow_top_talkers_series" -> topTalkersSeries _,
+    "flow_proto_mix_series" -> protoMixSeries _,
     "flow_by_source" -> bySource _,
     "flow_daily_volume" -> flowDailyVolume _,
     "flow_top_talkers" -> topTalkers _,
@@ -577,6 +615,22 @@ object FlowAnalytics {
     "flow_topk_approx" -> (flowsCte +
       """SELECT pr AS proto, count(*) AS est, CAST(0 AS BIGINT) AS err
         |FROM flows GROUP BY pr ORDER BY est DESC, proto""".stripMargin),
+    "flow_top_talkers_series" -> (flowsCte +
+      """, top AS (
+        |  SELECT sa FROM flows GROUP BY sa
+        |  ORDER BY sum(ibyt) DESC, sa LIMIT 5)
+        |SELECT f.sa, date_trunc('hour', f.ts) AS hour,
+        |  count(*) AS n_flows, CAST(sum(f.ibyt) AS DOUBLE) AS bytes
+        |FROM flows f WHERE f.sa IN (SELECT sa FROM top)
+        |GROUP BY f.sa, hour ORDER BY f.sa, hour""".stripMargin),
+    "flow_proto_mix_series" -> (flowsCte +
+      """, h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, pr,
+        |    count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes
+        |  FROM flows GROUP BY 1, 2)
+        |SELECT hour, pr, n_flows, bytes,
+        |  round(bytes / sum(bytes) OVER (PARTITION BY hour), 6) AS share
+        |FROM h ORDER BY hour, pr""".stripMargin),
     "flow_topk_weighted" -> (flowsCte +
       """SELECT pr AS proto, CAST(sum(ibyt) AS BIGINT) AS est,
         |  CAST(0 AS BIGINT) AS err
