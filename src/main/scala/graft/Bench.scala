@@ -14,7 +14,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: session init, codegen compiler, parquet reader
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: hash-map order varies as queries are
+    // added, which made per-query numbers incomparable across rounds
+    // (a heavy query's cost depends on how much JVM/codegen history
+    // precedes it)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // collect garbage OUTSIDE the timed section: accumulated heap
       // from prior queries otherwise lands as a GC pause inside
       // whichever heavy query happens to trigger it
@@ -25,7 +29,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -363,7 +363,10 @@ object Dedup {
   private def release(dfs: DataFrame*): Unit =
     dfs.foreach { df =>
       backingRdd(df).foreach { rdd =>
-        rdd.unpersist(blocking = false)
+        // blocking: concurrent block removal contends with the next
+        // query's materialization writes (measured as multi-second
+        // stalls migrating between the dedup pipelines)
+        rdd.unpersist(blocking = true)
         rdd.getCheckpointFile.foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
