@@ -499,12 +499,16 @@ object Dedup {
         expr(s"slice(toks, CAST(size(toks) / 2 AS INT) - ${ContamPhraseTokens / 2}, $ContamPhraseTokens)"))
         .as("phrase"))
     // corpus side: explode each doc into its token-8-gram phrases and
-    // equi-join — the scalable containment test (token-aligned)
+    // equi-join — the scalable containment test (token-aligned).
+    // Shape: explode positions then slice/concat OUTSIDE any lambda —
+    // a transform(...) building the phrases would evaluate interpreted
+    // per element; this stays in whole-stage codegen
     val grams = docs
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(1, greatest(size(split(text, ' ')) - ${ContamPhraseTokens - 1}, 1)), i ->
-           |  concat_ws(' ', slice(split(text, ' '), i, $ContamPhraseTokens)))""".stripMargin))
-        .as(Seq("pos", "phrase")))
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"toks", explode(expr(
+        s"sequence(1, greatest(size(toks) - ${ContamPhraseTokens - 1}, 1))")).as("i"))
+      .select($"doc_id",
+        concat_ws(" ", expr(s"slice(toks, i, $ContamPhraseTokens)")).as("phrase"))
     grams.join(broadcast(phrases), "phrase")
       .groupBy($"doc_id")
       .agg(countDistinct($"bench_id").as("n_benchmarks"),
