@@ -24,8 +24,14 @@ object Bench {
       // whichever heavy query happens to trigger it
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+      // a failed query reports -1 (unmistakably not a duration) so a
+      // regression can't masquerade as a fast run
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -530,7 +530,7 @@ object Dedup {
        |  count(DISTINCT p.bench_id) AS n_benchmarks,
        |  min(p.bench_id) AS first_bench
        |FROM documents d JOIN phrases p
-       |  ON ' ' || d.text || ' ' LIKE '% ' || p.phrase || ' %'
+       |  ON position((' ' || p.phrase || ' ') IN (' ' || d.text || ' ')) > 0
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** D4b: bounded edit-distance near-dup pass. Blocking is two-level —

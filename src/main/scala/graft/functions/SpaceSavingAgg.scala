@@ -77,7 +77,15 @@ case class SpaceSavingAgg(
           // a NULL weight contributes nothing — it must not evict a
           // real counter just to insert a zero-contribution key
           if (wv == null) return m
-          wv.asInstanceOf[Long]
+          val wl = wv.asInstanceOf[Long]
+          // non-positive weights break the est >= true >= est-err
+          // invariant (a counter could fall below its err) and corrupt
+          // min-counter eviction — reject loudly rather than produce a
+          // silently wrong sketch
+          if (wl <= 0L)
+            throw new IllegalArgumentException(
+              s"space_saving_weighted: weight must be positive, got $wl")
+          wl
       }
       val key = v.asInstanceOf[UTF8String].toString
       m.get(key) match {

@@ -291,15 +291,17 @@ object Relational {
     import spark.implicits._
     // The heap aggregate returns an array; the graded projection flattens it
     // to scalar columns (the driver's comparator cannot sort array cells).
+    // try_element_at: a group with <5 orders yields NULL like the
+    // oracle's tp[N], instead of ANSI-mode throwing out of bounds.
     load(spark, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(graft.functions.TopKAgg.topk_agg($"o_totalprice", 5).as("top_prices"))
       .select($"o_orderpriority",
-        element_at($"top_prices", 1).as("top1"),
-        element_at($"top_prices", 2).as("top2"),
-        element_at($"top_prices", 3).as("top3"),
-        element_at($"top_prices", 4).as("top4"),
-        element_at($"top_prices", 5).as("top5"))
+        try_element_at($"top_prices", lit(1)).as("top1"),
+        try_element_at($"top_prices", lit(2)).as("top2"),
+        try_element_at($"top_prices", lit(3)).as("top3"),
+        try_element_at($"top_prices", lit(4)).as("top4"),
+        try_element_at($"top_prices", lit(5)).as("top5"))
       .orderBy($"o_orderpriority")
   }
 

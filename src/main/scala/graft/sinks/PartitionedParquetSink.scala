@@ -30,9 +30,13 @@ object PartitionedParquetSink {
     *
     * Partitions with at least `minFiles` data files are rewritten to
     * `ceil(bytes / targetBytes)` files. The rewrite goes to a temp dir
-    * first, then swaps via delete+rename (readers race only the brief
-    * swap window; a table format's atomic commit replaces this on a
-    * production lake). Returns (partition, filesBefore, filesAfter).
+    * first, then swaps crash-safely: the live partition is renamed
+    * aside to `.compact_old_<name>` BEFORE the tmp dir is renamed into
+    * place, so every crash point leaves the data either live or under
+    * a recoverable backup — never deleted with the replacement unlinked.
+    * `recoverStale` sweeps interrupted swaps on startup. (A table
+    * format's atomic commit replaces this on a production lake.)
+    * Returns (partition, filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, outDir: String,
       minFiles: Int = 8, targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
@@ -58,19 +62,63 @@ object PartitionedParquetSink {
             fs.delete(new Path(tmp, "_SUCCESS"), false)
             // Hadoop FileSystem reports most failures by RETURNING
             // false, not throwing — a silently failed swap would lose
-            // the partition (data left under a dot-dir Spark ignores)
-            if (!fs.delete(part.getPath, true))
+            // the partition (data left under a dot-dir Spark ignores).
+            // Crash-safe order: park the live dir aside, promote the
+            // rewrite, then drop the backup. A crash between any two
+            // steps leaves either the old or the new copy reachable by
+            // recoverStale; at no point is the only copy scheduled for
+            // deletion.
+            val backup = new Path(root, s".compact_old_${part.getPath.getName}")
+            fs.delete(backup, true) // stale leftover from a prior crash
+            if (!fs.rename(part.getPath, backup))
               throw new java.io.IOException(
-                s"compact: failed to delete ${part.getPath}; rewritten data is at $tmp")
-            if (!fs.rename(tmp, part.getPath))
+                s"compact: failed to park ${part.getPath} at $backup; partition untouched, rewrite is at $tmp")
+            if (!fs.rename(tmp, part.getPath)) {
+              fs.rename(backup, part.getPath) // roll back: restore the original
               throw new java.io.IOException(
-                s"compact: failed to rename $tmp to ${part.getPath}; partition data is at $tmp")
+                s"compact: failed to rename $tmp to ${part.getPath}; original partition restored")
+            }
+            if (!fs.delete(backup, true))
+              throw new java.io.IOException(
+                s"compact: swap succeeded but backup $backup not deleted; safe to remove manually")
             val after = fs.listStatus(part.getPath)
               .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
             Some((part.getPath.getName, dataFiles.length, after))
           }
         }
       }
+  }
+
+  /** Startup sweep after an interrupted `compact` swap. For each stale
+    * `.compact_old_<part>` backup: if the live partition dir is missing
+    * (crash happened between parking the original and promoting the
+    * rewrite) the backup is restored; if the live dir exists the swap
+    * completed and the backup is dropped. Orphaned `.compact_tmp_*`
+    * dirs are always dropped — they are either pre-swap rewrites
+    * (recomputable) or already-promoted copies. Returns
+    * (staleDirName, "restored" | "dropped") per dir handled.
+    */
+  def recoverStale(spark: SparkSession, outDir: String): Seq[(String, String)] = {
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n.startsWith(".compact_old_")) {
+        val live = new Path(root, n.stripPrefix(".compact_old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(p, live))
+            throw new java.io.IOException(s"recoverStale: failed to restore $p to $live")
+          Some(n -> "restored")
+        } else {
+          fs.delete(p, true)
+          Some(n -> "dropped")
+        }
+      } else if (n.startsWith(".compact_tmp_")) {
+        fs.delete(p, true)
+        Some(n -> "dropped")
+      } else None
+    }
   }
 
   /** Drop `date=` partitions strictly older than `cutoff` (YYYY-MM-DD).

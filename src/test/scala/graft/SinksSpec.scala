@@ -55,6 +55,37 @@ class SinksSpec extends SparkSpecBase {
     assert(PartitionedParquetSink.compact(spark, out, minFiles = 8).isEmpty)
   }
 
+  test("recoverStale restores a partition lost mid-swap and sweeps leftovers") {
+    import spark.implicits._
+    val out = tmpDir("rsink")
+    val df = Seq(("2024-03-01 10:00:00", 7L)).toDF("ts_s", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    PartitionedParquetSink.write(df, "ts", out)
+    val root = new java.io.File(out)
+    val live = new java.io.File(root, "date=2024-03-01")
+
+    // crash point 1: live dir parked as backup, rewrite never promoted
+    // (the partition has vanished from the table — worst case)
+    assert(live.renameTo(new java.io.File(root, ".compact_old_date=2024-03-01")))
+    new java.io.File(root, ".compact_tmp_date=2024-03-01").mkdir() // orphan rewrite
+    // readers now see an empty table (dot-dirs are invisible to Spark)
+    intercept[Exception](spark.read.parquet(out).count())
+    val r1 = PartitionedParquetSink.recoverStale(spark, out).toMap
+    assert(r1(".compact_old_date=2024-03-01") === "restored")
+    assert(r1(".compact_tmp_date=2024-03-01") === "dropped")
+    assert(spark.read.parquet(out).select($"v").head().getLong(0) === 7L)
+
+    // crash point 2: swap completed but backup not yet deleted — the
+    // backup is redundant and must be dropped, live data untouched
+    val bak = new java.io.File(root, ".compact_old_date=2024-03-01")
+    bak.mkdir()
+    val r2 = PartitionedParquetSink.recoverStale(spark, out).toMap
+    assert(r2(".compact_old_date=2024-03-01") === "dropped")
+    assert(spark.read.parquet(out).count() === 1)
+    // clean table: nothing to do
+    assert(PartitionedParquetSink.recoverStale(spark, out).isEmpty)
+  }
+
   test("jdbc sink batches inserts and binds typed columns") {
     import spark.implicits._
     JdbcStub.reset()

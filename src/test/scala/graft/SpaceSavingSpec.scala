@@ -72,6 +72,19 @@ class SpaceSavingSpec extends SparkSpecBase {
     assert(got === Seq(("a", 17L, 0L), ("c", 7L, 0L), ("b", 1L, 0L)))
   }
 
+  test("weighted variant rejects non-positive weights loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("b", -1L)).toDF("k", "w")
+    val ex = intercept[Exception] {
+      df.agg(graft.functions.SpaceSavingAgg.space_saving_weighted($"k", $"w", 8)).head()
+    }
+    // Spark wraps the task failure; the root message must survive
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("weight must be positive")),
+      s"expected a positive-weight error, got: $ex")
+  }
+
   test("SQL surface: space_saving registered via extensions") {
     import spark.implicits._
     Seq("a", "b", "a", "a").toDF("k").createOrReplaceTempView("ss_in")
