@@ -254,22 +254,32 @@ object FlowAnalytics {
 
   /** B12: sequence pattern matching — ClickHouse `sequenceMatch`:
     * did the user's ordered event stream contain signup → click →
-    * purchase (in order, gaps allowed)? Each user's events collapse to
-    * an ordered initial-letter string (deterministic (ts, event_id)
-    * sort inside the array, not a window sort), then one regex per
-    * user. Per-user arrays are session-sized, so the sort is local
-    * and bounded.
+    * purchase (in order, gaps allowed)?
+    *
+    * Expressed as a 3-state DFA via two prefix-max window passes over
+    * ONE (user_id, ts, event_id) partitioning (the funnelSliding
+    * pattern): a click advances iff some signup precedes it; a
+    * purchase matches iff some advancing click precedes it. O(1) state
+    * per row — no per-user collect_list, whose array would grow with a
+    * single bot/NAT'd key's event count (single-task OOM at 100 TB).
+    * The final per-user aggregation reuses the window's hash(user_id)
+    * partitioning, so the whole query is one shuffle.
     */
   def sequenceMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val wPrev = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
     asFlows(spark, dir)
+      .withColumn("i", substring($"event_type", 1, 1))
+      // state 1: a signup strictly before this row
+      .withColumn("s_before", max(when($"i" === "s", 1)).over(wPrev))
+      // state 2: this click completes "s then c"
+      .withColumn("sc", when($"i" === "c" && $"s_before" === 1, 1))
+      .withColumn("sc_before", max($"sc").over(wPrev))
       .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"ts", $"event_id",
-        substring($"event_type", 1, 1).as("i")))).as("evs"))
-      .withColumn("seq", concat_ws("", expr("transform(evs, e -> e.i)")))
-      .select($"user_id",
-        $"seq".rlike("s.*c.*p").as("matched"),
-        length($"seq").cast("long").as("n_events"))
+      .agg(
+        coalesce(max($"i" === "p" && $"sc_before" === 1), lit(false)).as("matched"),
+        count(lit(1)).as("n_events"))
       .orderBy($"user_id")
   }
 

@@ -58,6 +58,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("source"), "unpruned documents scan")
   }
 
+  test("sequenceMatch carries O(1) state per row: no collect_list, one shuffle") {
+    val df = FlowAnalytics.sequenceMatch(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("collect_list"), s"unbounded per-user array state:\n$p")
+    // both window passes + the per-user aggregation reuse ONE
+    // hash(user_id) exchange (the orderBy adds a final range exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected a single hash exchange, got $exchanges:\n$p")
+  }
+
   test("flow analytics aggregate partially before the shuffle") {
     val p = plan(FlowAnalytics.topTalkers(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no map-side combine:\n$p")
