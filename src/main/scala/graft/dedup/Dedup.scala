@@ -328,11 +328,17 @@ object Dedup {
     */
   val JaccardTau = 0.5
 
-  /** (doc_id, lang, bucket, grams) from (doc_id, lang, text). */
+  /** (doc_id, lang, bucket, grams) from (doc_id, lang, text). The
+    * gram array is built by the native codegen'd [[graft.functions.CharGrams]]
+    * expression — one static kernel call per row; the equivalent
+    * `array_distinct(transform(sequence(...), i -> substring(...)))`
+    * evaluates its lambda interpreted per ELEMENT (the HOF trap,
+    * measured ~3.2 s of the sf0.1 budget on this exact shape).
+    */
   private[graft] def gramTable(docs: DataFrame): DataFrame =
     docs
-      .withColumn("grams", array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")))
+      .withColumn("grams",
+        graft.functions.StrFuncs.char_grams(col("text"), 5, sorted = true))
       .withColumn("bucket", expr("length(text) div 8"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("grams"))
 
@@ -375,36 +381,40 @@ object Dedup {
       }
     }
 
-  /** (doc_id, lang, bucket, gram) distinct postings + (doc_id, sz)
-    * gram counts, materialized once.
+  /** (doc_id, lang, bucket, sz, gram) postings exploded from the
+    * materialized gram-array table — sz rides along each row (no
+    * sizes aggregation, no join-back, nothing that would need a
+    * corpus-sized broadcast at scale), materialized once.
     */
-  private def postingsOf(g: DataFrame): (DataFrame, DataFrame) = {
+  private def postingsOf(g: DataFrame): DataFrame = {
     import g.sparkSession.implicits._
-    val postings = materialize(
-      g.select($"doc_id", $"lang", $"bucket", explode($"grams").as("gram")))
-    val sizes = postings.groupBy($"doc_id").agg(count(lit(1)).cast("int").as("sz"))
-    (postings, sizes)
+    materialize(
+      g.select($"doc_id", $"lang", $"bucket",
+        size($"grams").as("sz"), explode($"grams").as("gram")))
   }
 
   /** Phase-1 candidate pairs from the prefix-pruned postings join
-    * (exposed for the spec's bounded-candidate assertion).
+    * (exposed for the spec's bounded-candidate assertion; `g` is a
+    * gram-array table from [[gramTable]]/[[gramTableFast]]).
     */
-  private[graft] def ngramCandidates(g: DataFrame, tau: Double): DataFrame = {
-    val (postings, sizes) = postingsOf(g)
-    candidatesFromPostings(postings, sizes, tau)
-  }
+  private[graft] def ngramCandidates(g: DataFrame, tau: Double): DataFrame =
+    candidatesFromPostings(postingsOf(g), tau)
 
-  private[graft] def candidatesFromPostings(postings: DataFrame, sizes: DataFrame,
+  private[graft] def candidatesFromPostings(postings: DataFrame,
       tau: Double): DataFrame = {
     import postings.sparkSession.implicits._
     val gramDf = postings.groupBy($"gram").agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"gram")
-    val ranked = postings.join(gramDf, "gram")
-      .withColumn("rnk", row_number().over(wDoc))
-      .join(sizes, "doc_id")
-      .withColumn("in_prefix", $"rnk" <= $"sz" - ceil(lit(tau) * $"sz") + 1)
-      .select($"doc_id", $"lang", $"bucket", $"gram", $"in_prefix")
+    // Per-doc prefix = the (sz − ⌈τ·sz⌉ + 1) grams smallest in the
+    // global (df, gram) order. A bounded heap aggregate (map-side
+    // partials, ≤ k rows per partition per doc cross the shuffle)
+    // replaces the row_number sort-window that full-sorted every
+    // posting row.
+    val pre = postings.join(gramDf, "gram")
+      .groupBy($"doc_id", $"lang", $"bucket")
+      .agg(graft.functions.PrefixMinAgg.prefix_min(
+        $"df", $"gram",
+        ($"sz" - ceil(lit(tau) * $"sz") + 1).cast("int")).as("pgrams"))
+      .select($"doc_id", $"lang", $"bucket", explode($"pgrams").as("gram"))
     // prefix postings ⋈ FULL postings — the filter must live in the
     // join INPUT, not a post-join predicate: a `(l.in_prefix ||
     // r.in_prefix)` filter after a full×full join still materializes
@@ -413,8 +423,6 @@ object Dedup {
     // Pigeonhole: J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ|A|⌉ and A's suffix holds
     // only ⌈τ|A|⌉−1 grams, so a shared gram sits in A's prefix and the
     // (prefix A) × (full B) join emits the pair whichever of d1/d2 is A.
-    val pre = ranked.where($"in_prefix")
-      .select($"doc_id", $"lang", $"bucket", $"gram")
     val p = pre.as("p"); val f = postings.as("f")
     p.join(f,
         $"p.lang" === $"f.lang" && $"p.bucket" === $"f.bucket" &&
@@ -437,14 +445,14 @@ object Dedup {
   private[graft] def ngramJaccardOn(docs: DataFrame, tau: Double): DataFrame = {
     import docs.sparkSession.implicits._
     val g = materialize(gramTable(docs))
-    val (postings, sizes) = postingsOf(g)
-    val cand = candidatesFromPostings(postings, sizes, tau)
+    val postings = postingsOf(g)
+    val cand = candidatesFromPostings(postings, tau)
     val result = cand
       .join(g.select($"doc_id".as("d1"), $"grams".as("g1")), "d1")
       .join(g.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
-      .withColumn("jaccard",
-        size(array_intersect($"g1", $"g2")).cast("double") /
-        size(array_union($"g1", $"g2")).cast("double"))
+      // gram arrays are UTF8-sorted at build; one merge scan per pair
+      // replaces the two per-pair hash sets of array_intersect+union
+      .withColumn("jaccard", graft.functions.StrFuncs.jaccard_sorted($"g1", $"g2"))
       .where($"jaccard" >= tau)
       .select($"d1", $"d2", $"jaccard")
     // materialize the (small) UNSORTED result, then free the big gram/

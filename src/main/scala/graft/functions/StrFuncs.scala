@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernel for [[CharGrams]] — static-reachable so generated
+  * code calls it directly (the VecUtil pattern).
+  */
+object GramUtil {
+
+  /** Distinct character n-grams of `s`, first-occurrence order —
+    * bit-identical to
+    * `array_distinct(transform(sequence(1, greatest(len(s)-n+1, 1)),
+    * i -> substring(s, i, n)))`: one gram per start position
+    * 1..max(len−n+1, 1), clipped at the end (a string shorter than n
+    * yields itself; an empty string yields [""]).
+    *
+    * The HOF form evaluates its lambda interpreted per ELEMENT (~len
+    * evals per row); this is one static call per ROW with a tight
+    * loop inside — measured 3.2 s → ~0.3 s on the sf0.1 documents
+    * corpus.
+    */
+  def distinctGrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    val count = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 1
+    while (i <= count) {
+      seen.add(s.substringSQL(i, n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray())
+  }
+
+  /** Distinct n-grams SORTED in UTF8 binary order — the layout
+    * [[jaccardSorted]] merge-scans. Sorting once per doc at build time
+    * turns every downstream pair score into a linear merge with zero
+    * hashing.
+    */
+  def distinctGramsSorted(s: UTF8String, n: Int): ArrayData = {
+    val a = distinctGrams(s, n).asInstanceOf[GenericArrayData]
+    val arr = a.array.asInstanceOf[Array[Any]]
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]], utf8Order)
+    a
+  }
+
+  private object utf8Order extends java.util.Comparator[AnyRef] with Serializable {
+    override def compare(a: AnyRef, b: AnyRef): Int =
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+  }
+
+  /** Jaccard of two SORTED distinct string arrays: one merge pass
+    * counts |A∩B|; |A∪B| = |A|+|B|−|A∩B|. The `array_intersect` +
+    * `array_union` composition this replaces builds two hash sets of
+    * every gram per PAIR (measured 6.5 s of the sf0.1 budget over 45k
+    * candidate pairs); this is a straight O(|A|+|B|) byte-compare scan.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+/** `char_grams(s, n)` — distinct character n-grams as
+  * `array<string>` (UTF8-binary sorted when `sorted`), as a native
+  * codegen'd expression.
+  */
+case class CharGrams(child: Expression, n: Int, sorted: Boolean) extends UnaryExpression {
+  require(n > 0, "char_grams requires n > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"char_grams expects STRING, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def kernel: String = if (sorted) "distinctGramsSorted" else "distinctGrams"
+  override def nullSafeEval(s: Any): Any =
+    if (sorted) GramUtil.distinctGramsSorted(s.asInstanceOf[UTF8String], n)
+    else GramUtil.distinctGrams(s.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.GramUtil.$kernel($s, $n)")
+  override protected def withNewChildInternal(c: Expression): CharGrams = copy(child = c)
+  override def prettyName: String = "char_grams"
+}
+
+/** `jaccard_sorted(a, b)` — Jaccard similarity of two sorted distinct
+  * string arrays via a single merge scan.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != ArrayType(StringType, containsNull = false) &&
+        left.dataType != ArrayType(StringType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects ARRAY<STRING>, got ${left.dataType.sql}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+        right.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects ARRAY<STRING>, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GramUtil.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GramUtil.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
+object StrFuncs {
+  def char_grams(s: Column, n: Int, sorted: Boolean = false): Column =
+    ExpressionUtils.column(CharGrams(ExpressionUtils.expression(s), n, sorted))
+
+  def jaccard_sorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSorted(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -50,6 +50,56 @@ class FunctionsSpec extends SparkSpecBase {
       spark.sql("SELECT topk_agg(x, 2) FROM tk_bad").collect())
   }
 
+  test("char_grams matches the HOF transform form, sorted and unsorted") {
+    import spark.implicits._
+    val df = Seq("abcdefgh", "abc", "", "aaaaaaa", "abcabcabc").toDF("text")
+    val got = df.select(
+      graft.functions.StrFuncs.char_grams($"text", 5).as("g"),
+      graft.functions.StrFuncs.char_grams($"text", 5, sorted = true).as("gs"),
+      array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"))
+        .as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](2), "first-occurrence order")
+      assert(r.getSeq[String](1) === r.getSeq[String](2).sorted, "sorted variant")
+    }
+  }
+
+  test("jaccard_sorted equals the array set-op composition") {
+    import spark.implicits._
+    val df = Seq(
+      ("abcdefghij", "abcdefghiX"),
+      ("abcde", "fghij"),
+      ("same5gram", "same5gram")).toDF("a", "b")
+    val got = df.select(
+      graft.functions.StrFuncs.jaccard_sorted(
+        graft.functions.StrFuncs.char_grams($"a", 5, sorted = true),
+        graft.functions.StrFuncs.char_grams($"b", 5, sorted = true)).as("j"),
+      (size(array_intersect(
+          graft.functions.StrFuncs.char_grams($"a", 5),
+          graft.functions.StrFuncs.char_grams($"b", 5))).cast("double") /
+        size(array_union(
+          graft.functions.StrFuncs.char_grams($"a", 5),
+          graft.functions.StrFuncs.char_grams($"b", 5))).cast("double")).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("prefix_min keeps the k smallest (df, gram) with per-row k") {
+    import spark.implicits._
+    // one group, k=2 rides every row: smallest by (df, gram) = (1,b),(2,a)
+    val df = Seq(
+      (1L, "z", 3L), (1L, "b", 1L), (1L, "a", 2L), (1L, "c", 2L))
+      .toDF("doc", "gram", "df")
+    val got = df.repartition(3)
+      .groupBy($"doc")
+      .agg(graft.functions.PrefixMinAgg.prefix_min(
+        $"df", $"gram", lit(2).cast("int")).as("p"))
+      .head().getSeq[String](1)
+    assert(got === Seq("b", "a"), s"got $got")
+  }
+
   test("SQL registration exposes the native functions to spark.sql") {
     GraftFunctions.register(spark)
     val row = spark.sql(
