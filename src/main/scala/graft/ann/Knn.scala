@@ -199,41 +199,81 @@ object Knn {
        |WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.99
        |ORDER BY v1, v2""".stripMargin
 
-  /** D7b: IVF-style ANN — a FIXED budget of coarse centroids
-    * (deterministic stride-selection here; k-means in production);
-    * vectors are assigned to their nearest centroid, and probes search
-    * only their own cell.
+  /** D7b: IVF ANN — a FIXED budget of coarse centroids trained with
+    * [[KMeansIters]] Lloyd's iterations (stride-selected init, so the
+    * whole training replay is deterministic and the DuckDB oracle
+    * reproduces it exactly); vectors are assigned to their nearest
+    * centroid, and probes search only their own cell.
     *
     * Scale shape: the centroid table is a constant ≤[[CentBudget]]
-    * rows → broadcast; assignment is a map-side crossJoin followed by
-    * a `max_by` argmax aggregate that partial-aggregates (the shuffle
-    * carries n rows, not n×C scored rows — contrast a
+    * rows → broadcast at EVERY step, training included — the corpus
+    * never shuffles for training; each Lloyd's iteration is one
+    * map-side scoring pass plus two combine-heavy aggregations
+    * (argmax by vec_id; per-(cid, dim) mean with map-side partials,
+    * ≤ C×Dim groups). Assignment is a `max_by` argmax aggregate (the
+    * shuffle carries n rows, not n×C scored rows — contrast a
     * `row_number() OVER (PARTITION BY vec_id)` window, which would
     * shuffle and sort the full scored product). The max_by ordering
     * key is `struct(score, -cid)`, a total order, so ties are
     * deterministic (best score, then lowest cid) under any
     * parallelism.
+    *
+    * Centroid means are rounded to 6 dp in BOTH engines — double
+    * accumulation order differs between Spark's parallel partials and
+    * the serial oracle, and an unrounded 1-ulp wobble could flip a
+    * boundary argmax downstream.
     */
   val CentStride = 16
   val CentBudget = 32
+  val KMeansIters = 3
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val cents = vecs
-      .where($"vec_id" % CentStride === 0 && $"vec_id" < CentStride * CentBudget)
-      .select($"vec_id".as("cid"), $"embedding".as("cent"))
-    // both the probe filter and the corpus side of the cell join
-    // consume the assignment; its aggregation Exchange is deduped by
-    // ReuseExchange within the one job, so the n×C scoring pass runs
-    // once without materializing (which would also truncate the plan
-    // the audit spec pins)
-    val assigned = vecs.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment: (vec_id, embedding, cid). */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.crossJoin(broadcast(cents))
       .withColumn("cscore", vcos($"embedding", $"cent"))
       .groupBy($"vec_id")
       .agg(
         first($"embedding").as("embedding"),
         max_by($"cid", struct($"cscore", (-$"cid").as("nc"))).as("cid"))
+  }
+
+  /** `iters` Lloyd's rounds from the stride-selected seed. An empty
+    * cell simply drops out of the next round (inner-join semantics in
+    * both engines).
+    */
+  private[graft] def trainedCentroids(vecs: DataFrame, iters: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    var cents = vecs
+      .where($"vec_id" % CentStride === 0 && $"vec_id" < CentStride * CentBudget)
+      .select($"vec_id".as("cid"), $"embedding".as("cent"))
+    for (_ <- 1 to iters) {
+      cents = assign(vecs, cents)
+        // per-(cid, dim) mean: the posexplode is map-side and the
+        // aggregation partial-combines down to ≤ C×Dim groups per
+        // partition before the shuffle; the array re-assembly touches
+        // only C rows
+        .select($"cid", posexplode($"embedding"))
+        .groupBy($"cid", $"pos")
+        .agg(round(avg($"col".cast("double")), 6).as("m"))
+        .groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cent"))
+    }
+    cents
+  }
+
+  private[graft] def ivfTopKWith(spark: SparkSession, dir: String,
+      kmeansIters: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = trainedCentroids(vecs, kmeansIters)
+    // both the probe filter and the corpus side of the cell join
+    // consume the assignment; its aggregation Exchange is deduped by
+    // ReuseExchange within the one job, so the n×C scoring pass runs
+    // once without materializing (which would also truncate the plan
+    // the audit spec pins)
+    val assigned = assign(vecs, cents)
     val probes = assigned.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"), $"cid")
     val cands = assigned.join(probes, Seq("cid"))
@@ -242,17 +282,37 @@ object Knn {
     rankTopK(cands, 3, Seq("cid"))
   }
 
-  val ivfTopKSql: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
-       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
-       |assigned AS (
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKWith(spark, dir, KMeansIters)
+
+  /** One oracle Lloyd's step: argmax assignment against `cents`. */
+  private def assignCteSql(cents: String, out: String): String =
+    s"""$out AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
-       |    FROM embeddings e, cents c) t
-       |  WHERE rn = 1),
+       |    FROM embeddings e, $cents c) t
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One oracle Lloyd's step: rounded per-(cid, dim) means. */
+  private def meanCteSql(assigned: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cid, list(m ORDER BY pos) AS cent FROM (
+       |    SELECT cid, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS m
+       |    FROM $assigned, range(1, ${Dim + 1}) t(pos)
+       |    GROUP BY cid, pos)
+       |  GROUP BY cid)""".stripMargin
+
+  val ivfTopKSql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")},
        |probes AS (
        |  SELECT vec_id AS probe_id, embedding AS probe_emb, cid
        |  FROM assigned WHERE vec_id < 10),
@@ -265,6 +325,7 @@ object Knn {
        |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
        |  score, cid
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** D20: int8 embedding quantization — max-abs scale per vector,
     * round to [-127,127], report the quantized payload (md5-pinned)
