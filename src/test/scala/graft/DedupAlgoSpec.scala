@@ -43,6 +43,39 @@ class DedupAlgoSpec extends SparkSpecBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("two-phase stars label the diameter-12 chain in far fewer rounds") {
+    import spark.implicits._
+    val docs = (0L to 12L).toDF("doc_id")
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // 6 rounds suffice where propagation needs 12 (its throw spec above
+    // pins maxIters=3 failing) — the round-count claim, pinned
+    val got = Dedup.connectedComponentsTwoPhase(docs, pairs, maxIters = 6)
+      .orderBy($"doc_id").collect()
+    assert(got.length === 13)
+    assert(got.forall(_.getLong(1) === 0L),
+      s"chain not fully labeled: ${got.map(r => (r.getLong(0), r.getLong(1))).mkString(",")}")
+  }
+
+  test("two-phase stars throw at the backstop and match propagation on mixed graphs") {
+    import spark.implicits._
+    val docs = (0L to 12L).toDF("doc_id")
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsTwoPhase(docs, chain, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+
+    // disjoint components + isolated nodes + an out-of-order edge:
+    // both algorithms must agree exactly
+    val docs2 = (0L to 9L).toDF("doc_id")
+    val pairs2 = Seq((1L, 0L), (1L, 2L), (6L, 5L), (8L, 9L)).toDF("d1", "d2")
+    val a = Dedup.connectedComponents(docs2, pairs2)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.connectedComponentsTwoPhase(docs2, pairs2)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq, "two-phase diverges from propagation")
+  }
+
   // ---- prefix filter ---------------------------------------------------
 
   /** 30 same-bucket docs, each sharing a ubiquitous "zzzzz" run (the
