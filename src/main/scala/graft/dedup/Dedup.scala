@@ -541,6 +541,113 @@ object Dedup {
        |  ON position((' ' || p.phrase || ' ') IN (' ' || d.text || ' ')) > 0
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** D22: passage-level exact dedup — the distributed complement of
+    * whole-doc md5 (D1) and phrase containment (D21): find maximal
+    * duplicated token SPANS of ≥ [[PassageMinTokens]] tokens shared
+    * across documents, the Lee et al. "Deduplicating Training Data"
+    * substring-dedup target re-expressed for Spark.
+    *
+    * Suffix arrays don't distribute; the equivalent join formulation
+    * does: every token-[[PassageGramTokens]]-gram with its position is
+    * a postings row, cross-doc equi-join on the gram yields anchor
+    * matches, and consecutive anchors on one (d1, d2, p2−p1) diagonal
+    * merge into maximal runs via gaps-and-islands. Exact both ways: a
+    * duplicated span of T ≥ k tokens produces exactly T−k+1
+    * consecutive anchors on one diagonal (reported length
+    * count+k−1 = T), and any such run certifies a shared span.
+    *
+    * Scale: the join is a hash-partitioned equi-join on the gram; at
+    * 100 TB a df-capped anchor filter (drop grams with document
+    * frequency above a boilerplate threshold, then re-verify spans)
+    * bounds the Σ|block|² hot-anchor cost — on natural text 8-token
+    * grams are near-unique (22.6k distinct of 23.7k at sf0.01), so
+    * blocks are singletons. The islands window partitions by
+    * (d1, d2, diag) — bounded by the shorter doc's length.
+    *
+    * The corpus plants a 25-token mid-doc slice of every 9th (long
+    * enough) doc inside a fresh host doc at a DIFFERENT position, so
+    * the diagonal logic is exercised off the main diagonal.
+    */
+  val PassageGramTokens = 8
+  val PassageMinTokens = 20
+
+  private def passageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").select("doc_id", "text")
+    d.union(d.where(col("doc_id") % 9 === 0 && size(split(col("text"), " ")) >= 40)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(lit("planted passage host document opens here "),
+          concat_ws(" ", expr("slice(split(text, ' '), 5, 25)")),
+          lit(" and closes with unrelated trailing tokens")).as("text")))
+  }
+
+  val passageCorpusSql: String =
+    """WITH pcorpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id,
+      |    'planted passage host document opens here ' ||
+      |    array_to_string((string_split(text, ' '))[5 : 29], ' ') ||
+      |    ' and closes with unrelated trailing tokens' AS text
+      |  FROM documents
+      |  WHERE doc_id % 9 = 0 AND len(string_split(text, ' ')) >= 40)
+      |""".stripMargin
+
+  def passageDedup(spark: SparkSession, dir: String): DataFrame =
+    passagesOn(passageCorpus(spark, dir), PassageGramTokens, PassageMinTokens)
+
+  /** Core anchor-diagonal pass over any (doc_id, text) frame. */
+  private[graft] def passagesOn(docs: DataFrame, k: Int, minTokens: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .where(size($"toks") >= k)
+      // explode + slice/concat OUTSIDE any lambda — stays codegen'd
+      // (sequence(1, x) with x >= 1 guaranteed by the size guard; an
+      // unguarded sequence(1, 0) would emit a DESCENDING [1, 0])
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("p"))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        concat_ws(" ", expr(s"slice(toks, p, $k)")).as("gram"))
+    val a = grams.as("a"); val b = grams.as("b")
+    val anchors = a.join(b, $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"a.p".as("p1"),
+        $"b.doc_id".as("d2"), $"b.p".as("p2"),
+        ($"b.p" - $"a.p").as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"d1", $"d2", $"diag").orderBy($"p1")
+    anchors
+      .withColumn("isl", $"p1" - row_number().over(w))
+      .groupBy($"d1", $"d2", $"diag", $"isl")
+      .agg(min($"p1").as("s1"), min($"p2").as("s2"),
+        (count(lit(1)) + (k - 1)).as("match_len"))
+      .where($"match_len" >= minTokens)
+      .select($"d1", $"d2", $"s1".as("p1"), $"s2".as("p2"), $"match_len")
+      .orderBy($"d1", $"d2", $"p1", $"p2")
+  }
+
+  val passageDedupSql: String = passageCorpusSql +
+    s""", t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM pcorpus),
+       |g AS (
+       |  SELECT doc_id, p, array_to_string(toks[p : p + ${PassageGramTokens - 1}], ' ') AS gram
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, n - ${PassageGramTokens - 2})) AS p
+       |    FROM t WHERE n >= $PassageGramTokens)),
+       |m AS (
+       |  SELECT a.doc_id AS d1, a.p AS p1, b.doc_id AS d2, b.p AS p2, b.p - a.p AS diag
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |i AS (
+       |  SELECT d1, d2, diag, p1, p2,
+       |    p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS isl
+       |  FROM m)
+       |SELECT d1, d2, min(p1) AS p1, min(p2) AS p2,
+       |  CAST(count(*) + ${PassageGramTokens - 1} AS BIGINT) AS match_len
+       |FROM i GROUP BY d1, d2, diag, isl
+       |HAVING count(*) + ${PassageGramTokens - 1} >= $PassageMinTokens
+       |ORDER BY d1, d2, p1, p2""".stripMargin
+
   /** D4b: bounded edit-distance near-dup pass. Blocking is two-level —
     * (lang, length bucket, 12-char prefix) — so the O(len²) distance
     * only runs on near-certain candidates; the corpusNear plants give
@@ -753,7 +860,8 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_edit_distance" -> editDistance _,
-    "dedup_contamination" -> contamination _)
+    "dedup_contamination" -> contamination _,
+    "dedup_passages" -> passageDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
@@ -766,5 +874,6 @@ object Dedup {
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_edit_distance" -> editDistanceSql,
-    "dedup_contamination" -> contaminationSql)
+    "dedup_contamination" -> contaminationSql,
+    "dedup_passages" -> passageDedupSql)
 }

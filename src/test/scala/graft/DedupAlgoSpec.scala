@@ -76,6 +76,26 @@ class DedupAlgoSpec extends SparkSpecBase {
     assert(a.toSeq === b.toSeq, "two-phase diverges from propagation")
   }
 
+  // ---- passage dedup ---------------------------------------------------
+
+  test("passage anchors find an off-diagonal shared span with exact bounds") {
+    import spark.implicits._
+    // doc 1 holds tokens w1..w40; doc 2 embeds w6..w30 (25 tokens) at
+    // position 3 — different offsets, so only the diagonal logic (not
+    // raw position equality) can merge the anchors
+    val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val t2 = "x1 x2 " + (6 to 30).map(i => s"w$i").mkString(" ") + " y1 y2 y3"
+    val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val got = Dedup.passagesOn(docs, 8, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // span starts at p1=6 in doc 1, p2=3 in doc 2, length exactly 25
+    assert(got.toSeq === Seq((1L, 2L, 6L, 3L, 25L)), s"got ${got.toSeq}")
+    // below the threshold nothing is reported
+    assert(Dedup.passagesOn(docs, 8, 26).count() === 0)
+    // maximality: the run is reported once, not as nested sub-spans
+    assert(got.length === 1)
+  }
+
   // ---- prefix filter ---------------------------------------------------
 
   /** 30 same-bucket docs, each sharing a ubiquitous "zzzzz" run (the
