@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.ExplainMode
+import scala.jdk.CollectionConverters._
+
+/** Golden-plan regression snapshots: the normalized
+  * `explain(formatted)` of every graded query is pinned under
+  * `src/test/resources/plans/`, so planner drift anywhere in the
+  * surface — a lost broadcast, a new exchange, a filter that stopped
+  * pushing down — fails the suite instead of quietly costing a rank
+  * at the next scale-up. PlanAuditSpec asserts ~15 properties
+  * explicitly; this covers the rest of the surface wholesale.
+  *
+  * Regenerate after an INTENTIONAL plan change with:
+  * `GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanSnapshotSpec"`
+  * then review the snapshot diff like source.
+  *
+  * Streaming queries are excluded: their construction executes a full
+  * micro-batch run (covered by StreamingSpec) and their plans embed
+  * per-run checkpoint state.
+  */
+class PlanSnapshotSpec extends SparkSpecBase {
+
+  private val snapDir = Paths.get("src/test/resources/plans")
+  private val skip = Set("stream_window_agg", "stream_running_totals")
+  private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
+
+  /** Strip run-varying tokens: expression ids, rdd ids, file paths,
+    * in-memory index object hashes. Operator numbering and tree shape
+    * stay — that IS the snapshot.
+    */
+  private def normalize(p: String): String = p
+    .replaceAll("#\\d+", "#N")
+    .replaceAll("plan_id=\\d+", "plan_id=N")
+    .replaceAll("\\[id=N?#?\\d*\\]", "[id=N]")
+    .replaceAll("file:[^\\s,\\)\\]]*", "PATH")
+    .replaceAll("/[^\\s,\\)\\]]*(testdata|graft|tmp)[^\\s,\\)\\]]*", "PATH")
+    .replaceAll("(ExistingRDD|MapPartitionsRDD)\\[\\d+\\]", "$1[N]")
+    .replaceAll("\\$\\$Lambda\\$?[\\d/]*0?x?[0-9a-fA-F]*@[0-9a-fA-F]+", "\\$\\$Lambda@N")
+    .replaceAll("InMemoryFileIndex\\[[^\\]]*\\]", "InMemoryFileIndex[PATH]")
+    .replaceAll("(?m)\\s+$", "")
+
+  test("every graded query's physical plan matches its golden snapshot") {
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))
+    if (regen) Files.createDirectories(snapDir)
+    val problems = qs.flatMap { case (name, fn) =>
+      val plan = normalize(fn(spark, sf0001).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+      val f = snapDir.resolve(s"$name.txt")
+      if (regen) {
+        Files.writeString(f, plan)
+        None
+      } else if (!Files.exists(f)) {
+        Some(s"$name: missing snapshot — regenerate with GRAFT_REGEN_PLANS=1")
+      } else if (Files.readString(f) != plan) {
+        // leave the observed plan next to the golden one for diffing
+        val got = Paths.get("target", "plan-drift", s"$name.txt")
+        Files.createDirectories(got.getParent)
+        Files.writeString(got, plan)
+        Some(s"$name: plan drift (observed plan written to $got)")
+      } else None
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} plan snapshot failure(s):\n" + problems.mkString("\n"))
+    if (!regen) {
+      // snapshots for queries that no longer exist are drift too
+      val known = qs.map(_._1).toSet
+      val stale = Files.list(snapDir).iterator().asScala
+        .map(_.getFileName.toString.stripSuffix(".txt"))
+        .filterNot(known).toSeq
+      assert(stale.isEmpty, s"stale snapshots for removed queries: $stale")
+    }
+  }
+}
