@@ -18,6 +18,25 @@ object Graft {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
 
+  /** [[builder]] plus a RELIABLE checkpoint directory: the iterative
+    * operators (cluster closure, ngram postings) truncate lineage via
+    * `df.checkpoint()` onto durable storage when the context has a
+    * checkpoint dir — the 100 TB path, survives executor loss — and
+    * fall back to executor-memory `localCheckpoint()` otherwise.
+    * Without this entry point the durable path was only reachable by
+    * calling `sparkContext.setCheckpointDir` by hand after session
+    * creation.
+    *
+    * `getOrCreate` is called here because the checkpoint dir lives on
+    * the SparkContext, not in the builder's config map.
+    */
+  def session(checkpointDir: String,
+      configure: SparkSession.Builder => SparkSession.Builder = identity): SparkSession = {
+    val spark = configure(builder()).getOrCreate()
+    spark.sparkContext.setCheckpointDir(checkpointDir)
+    spark
+  }
+
   /** Register the SQL functions on an EXISTING session (extensions
     * only bind at session creation) — for notebook/shared-session
     * environments where the builder path isn't available.

@@ -93,6 +93,65 @@ object NfdumpExec {
     } finally stream.close()
   }
 
+  /** Executor-distributed variant of [[decodeDir]] for many-collector
+    * backfills: the driver lists closed files (a metadata-only sweep,
+    * same skip rules), then the per-file exec + atomic staging runs on
+    * executors via one `mapPartitions` pass — a 1000-collector
+    * backlog decodes at cluster width instead of serializing through
+    * the driver loop. Requires `command` and both directories to be
+    * reachable from executors (shared storage on a real cluster;
+    * trivially true in local mode).
+    *
+    * Per-file failures stay isolated (logged on the executor, retried
+    * next tick). The returned summary is one small metadata row per
+    * decoded file — the only thing that crosses back to the driver;
+    * the decoded bytes never do.
+    */
+  def decodeDirDistributed(spark: SparkSession, inDir: Path, stagingDir: Path,
+      command: String = "nfdump", parallelism: Int = 0): Seq[DecodeResult] = {
+    val stream = Files.list(inDir)
+    val todo =
+      try {
+        val files = stream.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (files.hasNext) {
+          val f = files.next()
+          val name = f.getFileName.toString
+          if (Files.isRegularFile(f) && name.startsWith("nfcapd.") &&
+              !name.startsWith("nfcapd.current") &&
+              !Files.exists(stagingDir.resolve(name + ".csv")))
+            buf += f.toString
+        }
+        buf.toSeq
+      } finally stream.close()
+    if (todo.isEmpty) return Seq.empty
+    val par = math.min(
+      if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism,
+      todo.size)
+    // java.nio.Path is not Serializable — only strings enter the closure
+    val stagingStr = stagingDir.toString
+    val cmd = command
+    spark.sparkContext.parallelize(todo, par)
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          try {
+            val r = decodeFile(Paths.get(f), Paths.get(stagingStr), cmd)
+            Iterator.single((f, r.staged.toString, r.lines))
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[nfdump-exec] skipping $f: ${e.getMessage}")
+              Iterator.empty
+          }
+        }
+      }
+      .collect()
+      .toSeq
+      .map { case (src, staged, lines) =>
+        DecodeResult(Paths.get(src), Paths.get(staged), lines)
+      }
+      .sortBy(_.source.toString)
+  }
+
   /** Decode + parse: the reference's per-file `nfdump | pandas` leg as
     * one call, returning the typed flow frame over the staged CSVs.
     */

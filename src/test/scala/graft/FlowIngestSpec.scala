@@ -102,6 +102,26 @@ class FlowIngestSpec extends SparkSpecBase {
     assert(r2.isEmpty) // good already staged; bad failed again, isolated
   }
 
+  test("distributed nfcapd decode sweeps a backlog across executor partitions") {
+    val in = tmpDir("nfcapd_in"); val staging = tmpDir("nfcapd_out")
+    for (i <- 0 until 6) writeFixture(in, s"nfcapd.2024050110$i", Seq(flowA))
+    writeFixture(in, "nfcapd.current.99", Seq(flowA)) // live capture skipped
+    val stub = stubNfdump(in, """case "$2" in *1103*) echo corrupt >&2; exit 3;; *) cat "$2";; esac""")
+    val r = NfdumpExec.decodeDirDistributed(spark,
+      Paths.get(in), Paths.get(staging), stub, parallelism = 3)
+    // 6 closed files minus the one the stub fails on; failure isolated
+    assert(r.map(_.staged.getFileName.toString) ===
+      Seq(0, 1, 2, 4, 5).map(i => s"nfcapd.2024050110$i.csv"))
+    assert(r.forall(d => Files.exists(d.staged)))
+    assert(!Files.exists(Paths.get(staging, "nfcapd.20240501103.csv")))
+    // idempotent: staged files are skipped, the failed one retried (and
+    // fails again — still isolated, still unstaged)
+    assert(NfdumpExec.decodeDirDistributed(spark,
+      Paths.get(in), Paths.get(staging), stub, parallelism = 3).isEmpty)
+    // no in-progress residue from executor-side decodes
+    assert(Files.list(Paths.get(staging, ".inprogress")).count() === 0)
+  }
+
   test("nfdump exec failure publishes nothing and surfaces stderr") {
     val in = tmpDir("nfcapd_in"); val staging = tmpDir("nfcapd_out")
     writeFixture(in, "nfcapd.202405011000", Seq(flowA))

@@ -13,6 +13,26 @@ class GraftSessionSpec extends SparkSpecBase {
       .head().getDouble(0) === 1.0)
   }
 
+  test("Graft.session wires a reliable checkpoint dir and materialize uses it") {
+    import spark.implicits._
+    val dir = tmpDir("graft_ckpt")
+    // getOrCreate reuses the JVM-shared context; the call's contract is
+    // the checkpoint-dir side effect
+    val s = Graft.session(dir, _.master("local[4]"))
+    assert(s.sparkContext.getCheckpointDir.exists(_.contains(
+      java.nio.file.Paths.get(dir).getFileName.toString)))
+    // the iterative dedup path must now take df.checkpoint() (durable
+    // files under the configured dir), not executor-memory
+    // localCheckpoint — the final labels frame stays checkpointed
+    val docs = (0L to 4L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (3L, 4L)).toDF("d1", "d2")
+    val labels = graft.dedup.Dedup.connectedComponentsTwoPhase(docs, pairs)
+    assert(labels.count() === 5)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no reliable checkpoint files written under $dir")
+  }
+
   test("Graft.register exposes functions on a session without extensions") {
     val s2 = spark.newSession() // fresh function registry state
     Graft.register(s2)
