@@ -78,11 +78,13 @@ case class SpaceSavingAgg(
           // real counter just to insert a zero-contribution key
           if (wv == null) return m
           val wl = wv.asInstanceOf[Long]
-          // non-positive weights break the est >= true >= est-err
-          // invariant (a counter could fall below its err) and corrupt
-          // min-counter eviction — reject loudly rather than produce a
-          // silently wrong sketch
-          if (wl <= 0L)
+          // zero contributes nothing to any count — skip like null so
+          // it can't evict a real counter; NEGATIVE weights break the
+          // est >= true >= est-err invariant (a counter could fall
+          // below its err) and corrupt min-counter eviction — reject
+          // loudly rather than produce a silently wrong sketch
+          if (wl == 0L) return m
+          if (wl < 0L)
             throw new IllegalArgumentException(
               s"space_saving_weighted: weight must be positive, got $wl")
           wl

@@ -23,7 +23,13 @@ import scala.jdk.CollectionConverters._
 class PlanSnapshotSpec extends SparkSpecBase {
 
   private val snapDir = Paths.get("src/test/resources/plans")
-  private val skip = Set("stream_window_agg", "stream_running_totals")
+  // flow_retention: RewriteDistinctAggregates orders its Expand
+  // projections by exprId allocation, which depends on how many
+  // expressions the SESSION allocated before — a permutation, not a
+  // plan-shape change, and not stable across suite orderings. Its
+  // shape is still covered by the oracle row + PlanAuditSpec.
+  private val skip =
+    Set("stream_window_agg", "stream_running_totals", "flow_retention")
   private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
 
   /** Strip run-varying tokens: expression ids, rdd ids, file paths,
@@ -37,6 +43,10 @@ class PlanSnapshotSpec extends SparkSpecBase {
     .replaceAll("file:[^\\s,\\)\\]]*", "PATH")
     .replaceAll("/[^\\s,\\)\\]]*(testdata|graft|tmp)[^\\s,\\)\\]]*", "PATH")
     .replaceAll("(ExistingRDD|MapPartitionsRDD)\\[\\d+\\]", "$1[N]")
+    // materialize() legitimately flips between localCheckpoint and
+    // reliable checkpoint with session config (and callsite lines move
+    // with edits) — neither is plan shape
+    .replaceAll("at \\w+ at [\\w.$]+:\\d+", "at CALLSITE")
     .replaceAll("\\$\\$Lambda\\$?[\\d/]*0?x?[0-9a-fA-F]*@[0-9a-fA-F]+", "\\$\\$Lambda@N")
     .replaceAll("InMemoryFileIndex\\[[^\\]]*\\]", "InMemoryFileIndex[PATH]")
     .replaceAll("(?m)\\s+$", "")

@@ -72,7 +72,7 @@ class SpaceSavingSpec extends SparkSpecBase {
     assert(got === Seq(("a", 17L, 0L), ("c", 7L, 0L), ("b", 1L, 0L)))
   }
 
-  test("weighted variant rejects non-positive weights loudly") {
+  test("weighted variant rejects negative weights loudly, skips zeros") {
     import spark.implicits._
     val df = Seq(("a", 10L), ("b", -1L)).toDF("k", "w")
     val ex = intercept[Exception] {
@@ -83,6 +83,11 @@ class SpaceSavingSpec extends SparkSpecBase {
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
     assert(msgs(ex).exists(m => m != null && m.contains("weight must be positive")),
       s"expected a positive-weight error, got: $ex")
+
+    // zero weight: contributes nothing, evicts nothing (like null)
+    val z = entries(Seq(("a", 5L), ("z", 0L), ("a", 2L)).toDF("k", "w")
+      .agg(graft.functions.SpaceSavingAgg.space_saving_weighted($"k", $"w", 2)).head())
+    assert(z === Seq(("a", 7L, 0L)))
   }
 
   test("SQL surface: space_saving registered via extensions") {
