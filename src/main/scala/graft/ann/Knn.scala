@@ -285,6 +285,65 @@ object Knn {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopKWith(spark, dir, KMeansIters)
 
+  /** D7c: multi-probe IVF — each probe searches its [[MultiProbeCells]]
+    * nearest cells instead of one. The standard recall lever for an
+    * IVF index: boundary-adjacent true neighbors live one cell over,
+    * and probing a second cell recovers them for ~2× the candidate
+    * scoring (still a vanishing fraction of the corpus) with NO extra
+    * training or corpus passes. Corpus vectors stay in exactly one
+    * cell (argmax), so no candidate appears twice and no dedupe pass
+    * is needed; the probe→cell fan-out is a [[TopKByAgg]] bounded heap
+    * (top-2 cells by centroid score), exploded to join keys.
+    */
+  val MultiProbeCells = 2
+
+  def ivfTopKMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = trainedCentroids(vecs, KMeansIters)
+    val assigned = assign(vecs, cents)
+    val probeCells = vecs.where($"vec_id" < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", vcos($"embedding", $"cent"))
+      .groupBy($"vec_id")
+      .agg(first($"embedding").as("probe_emb"),
+        graft.functions.TopKByAgg.topk_by($"cscore", $"cid", MultiProbeCells)
+          .as("cells"))
+      .select($"vec_id".as("probe_id"), $"probe_emb",
+        explode($"cells.id").as("cid"))
+    val cands = assigned.join(probeCells, Seq("cid"))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score", vcos($"probe_emb", $"embedding"))
+    rankTopK(cands, 3, Seq.empty)
+  }
+
+  val ivfTopKMultiSql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")},
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM embeddings e, cents$KMeansIters c
+       |    WHERE e.vec_id < 10) t
+       |  WHERE rn <= $MultiProbeCells),
+       |ranked AS (
+       |  SELECT p.probe_id, a.vec_id,
+       |    ${cosSql("p.probe_emb", "a.embedding")} AS score,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("p.probe_emb", "a.embedding")} DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN pcells p USING (cid) WHERE a.vec_id != p.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** One oracle Lloyd's step: argmax assignment against `cents`. */
   private def assignCteSql(cents: String, out: String): String =
     s"""$out AS (
@@ -399,6 +458,7 @@ object Knn {
     "ann_topk_brute" -> bruteTopK _,
     "ann_topk_lsh" -> lshTopK _,
     "ann_topk_ivf" -> ivfTopK _,
+    "ann_topk_ivf_mp" -> ivfTopKMulti _,
     "dedup_embedding" -> embDedup _,
     "emb_norms" -> embNorms _,
     "emb_quantize" -> embQuantize _)
@@ -407,6 +467,7 @@ object Knn {
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_lsh" -> lshTopKSql,
     "ann_topk_ivf" -> ivfTopKSql,
+    "ann_topk_ivf_mp" -> ivfTopKMultiSql,
     "dedup_embedding" -> embDedupSql,
     "emb_norms" -> embNormsSql,
     "emb_quantize" -> embQuantizeSql)

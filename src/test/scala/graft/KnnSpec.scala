@@ -26,6 +26,17 @@ class KnnSpec extends SparkSpecBase {
       f"training did not improve recall: stride=$strideRecall%.3f trained=$trainedRecall%.3f")
   }
 
+  test("multi-probe IVF recovers recall the single-cell search misses") {
+    val truth = neighbors(Knn.bruteTopK(spark, sf001))
+    val single = neighbors(Knn.ivfTopKWith(spark, sf001, kmeansIters = Knn.KMeansIters))
+    val multi = neighbors(Knn.ivfTopKMulti(spark, sf001))
+    val singleRecall = (single & truth).size.toDouble / truth.size
+    val multiRecall = (multi & truth).size.toDouble / truth.size
+    info(f"recall@3 single=$singleRecall%.3f multi(${Knn.MultiProbeCells})=$multiRecall%.3f")
+    assert(multiRecall > singleRecall,
+      f"second probe cell recovered nothing: single=$singleRecall%.3f multi=$multiRecall%.3f")
+  }
+
   test("training converges: iterations only refine cell means (centroid count bounded)") {
     import spark.implicits._
     val vecs = graft.Tables.load(spark, sf001, "embeddings")

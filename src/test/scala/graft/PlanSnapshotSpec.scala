@@ -23,13 +23,16 @@ import scala.jdk.CollectionConverters._
 class PlanSnapshotSpec extends SparkSpecBase {
 
   private val snapDir = Paths.get("src/test/resources/plans")
-  // flow_retention: RewriteDistinctAggregates orders its Expand
-  // projections by exprId allocation, which depends on how many
-  // expressions the SESSION allocated before — a permutation, not a
-  // plan-shape change, and not stable across suite orderings. Its
-  // shape is still covered by the oracle row + PlanAuditSpec.
+  // Queries with MULTIPLE distinct aggregates: RewriteDistinctAggregates
+  // orders its Expand projections by exprId allocation, which depends
+  // on how many expressions the SESSION allocated before — a
+  // permutation, not a plan-shape change, and not stable across suite
+  // orderings. Their shapes are still covered by oracle rows +
+  // PlanAuditSpec.
+  private val multiDistinct =
+    Set("flow_retention", "flow_by_source", "agg_distinct")
   private val skip =
-    Set("stream_window_agg", "stream_running_totals", "flow_retention")
+    Set("stream_window_agg", "stream_running_totals") ++ multiDistinct
   private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
 
   /** Strip run-varying tokens: expression ids, rdd ids, file paths,
