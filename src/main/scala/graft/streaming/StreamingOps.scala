@@ -192,9 +192,78 @@ object StreamingOps {
         OutputMode.Append(), org.apache.spark.sql.Encoders.product[UserTotal])
   }
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stage documents.parquet behind a spool dir (same lifecycle as
+    * [[spoolEvents]]).
+    */
+  private def spoolDocuments(spark: SparkSession, dir: String): String = {
+    val spool = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_docs_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(spool)
+    val link = spool.resolve("documents.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(dir, "documents.parquet"))
+    spool.toString
+  }
+
+  /** E6: streaming decontamination — incoming documents checked
+    * against the held-out eval phrase set AS THEY ARRIVE (the ingest
+    * gate a training pipeline puts in front of its corpus, vs D21's
+    * batch sweep). Deliberately STATELESS: the doc stream explodes to
+    * positional token-8-grams and stream-static-joins the broadcast
+    * phrase table, emitting one (doc_id, bench_id, position) row per
+    * hit in append mode — no watermark, no state store, deterministic
+    * under any micro-batch split, which is what makes it the only
+    * streaming op here with an exact positional oracle. Per-doc
+    * rollups happen downstream in batch (D21) where distinct-state is
+    * free.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = graft.dedup.Dedup.ContamPhraseTokens
+    val name = s"graft_stream_decon_${counter.incrementAndGet()}"
+    val spool = spoolDocuments(spark, dir)
+    // static side: the same deterministic benchmark derivation as D21
+    val phrases = graft.Tables.load(spark, dir, "documents")
+      .where($"doc_id" % 50 === 0)
+      .select($"doc_id".as("bench_id"), split($"text", " ").as("toks"))
+      .where(size($"toks") >= k + 4)
+      .select($"bench_id", concat_ws(" ",
+        expr(s"slice(toks, CAST(size(toks) / 2 AS INT) - ${k / 2}, $k)"))
+        .as("phrase"))
+    val q = spark.readStream
+      .schema(documentsSchema)
+      .parquet(spool)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .where(size($"toks") >= k)
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("p"))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        concat_ws(" ", expr(s"slice(toks, p, $k)")).as("phrase"))
+      .join(broadcast(phrases), "phrase")
+      .select($"doc_id", $"bench_id", $"p")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"doc_id", $"bench_id", $"p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _,
-    "stream_running_totals" -> runningTotals _)
+    "stream_running_totals" -> runningTotals _,
+    "stream_decontaminate" -> decontaminate _)
 
   /** Oracle: batch tumbling-window agg, keeping only windows whose end
     * is ≤ the final watermark (max ts − 10 min) — the append-mode
@@ -215,5 +284,28 @@ object StreamingOps {
         |SELECT win_start, event_type, n, sum_value FROM w
         |WHERE win_start + INTERVAL 1 HOUR <=
         |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
-        |ORDER BY win_start, event_type""".stripMargin)
+        |ORDER BY win_start, event_type""".stripMargin,
+    "stream_decontaminate" -> {
+      val k = graft.dedup.Dedup.ContamPhraseTokens
+      s"""WITH pt AS (
+         |  SELECT doc_id AS bench_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |phrases AS (
+         |  SELECT bench_id, array_to_string(
+         |    toks[(n // 2 - ${k / 2}) : (n // 2 + ${k / 2 - 1})], ' ') AS phrase
+         |  FROM pt WHERE n >= ${k + 4}),
+         |t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, p, array_to_string(toks[p : p + ${k - 1}], ' ') AS phrase
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, n - ${k - 2})) AS p
+         |    FROM t WHERE n >= $k))
+         |SELECT g.doc_id, ph.bench_id, g.p
+         |FROM g JOIN phrases ph USING (phrase)
+         |ORDER BY doc_id, bench_id, p""".stripMargin
+    })
 }

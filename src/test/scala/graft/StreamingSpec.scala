@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import graft.flow.{FlowPipeline, FlowSchema}
 import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** A6/E2/E3: streaming pipeline with checkpoint resume, stateful
@@ -131,6 +132,44 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("ssj_out").orderBy("click_id")
       .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("signup_id")))
     assert(got.toSeq === Seq((2L, 1L), (6L, 5L)))
+  }
+
+  test("streaming decontamination is deterministic under any micro-batch split") {
+    import spark.implicits._
+    // 4 docs across 4 files, drained one file per trigger — the
+    // stateless positional join must emit exactly the batch result
+    // regardless of how arrivals batch up
+    val src = tmpDir("deconsrc") + "/docs"
+    val phrase = "the quick brown fox jumps over lazy dogs"
+    val docs = Seq(
+      (1L, s"prefix words $phrase suffix words here"),
+      (2L, "completely unrelated content with no overlap at all whatsoever"),
+      (3L, s"$phrase leading position match"),
+      (4L, s"double $phrase then again $phrase end"))
+    docs.zipWithIndex.foreach { case ((id, text), i) =>
+      Seq((id, text)).toDF("doc_id", "text")
+        .repartition(1).write.parquet(s"$src/part$i")
+    }
+    val phrases = Seq((100L, phrase)).toDF("bench_id", "phrase")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/part*")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .where(size($"toks") >= 8)
+      .select($"doc_id", $"toks",
+        explode(expr("sequence(1, size(toks) - 7)")).as("p"))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        concat_ws(" ", expr("slice(toks, p, 8)")).as("phrase"))
+      .join(broadcast(phrases), "phrase")
+      .select($"doc_id", $"bench_id", $"p")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("decon_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("decon_out").orderBy("doc_id", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // doc 1: phrase at token 3; doc 3: token 1; doc 4: tokens 2 and 12
+    assert(got.toSeq === Seq((1L, 3L), (3L, 1L), (4L, 2L), (4L, 12L)))
   }
 
   test("stream-static join enriches without shuffling the stream side") {
