@@ -32,7 +32,8 @@ class PlanSnapshotSpec extends SparkSpecBase {
   private val multiDistinct =
     Set("flow_retention", "flow_by_source", "agg_distinct")
   private val skip =
-    Set("stream_window_agg", "stream_running_totals") ++ multiDistinct
+    Set("stream_window_agg", "stream_running_totals",
+      "stream_decontaminate") ++ multiDistinct
   private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
 
   /** Strip run-varying tokens: expression ids, rdd ids, file paths,
