@@ -1,6 +1,6 @@
 package graft.flow
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{davg, dsum}
@@ -265,21 +265,51 @@ object FlowAnalytics {
     * The final per-user aggregation reuses the window's hash(user_id)
     * partitioning, so the whole query is one shuffle.
     */
+  /** Generalized ordered-containment DFA: per key, does the
+    * (orderCols)-ordered row stream contain rows satisfying
+    * steps(0), …, steps(K−1) at strictly increasing positions? One
+    * prefix-max window pass per step over ONE partitioning — Spark
+    * stacks the K Window operators on a single sort, so the whole
+    * match is one shuffle with O(1) state per row at any K, where a
+    * per-key collect_list would grow with the hottest key's event
+    * count.
+    */
+  private[graft] def orderedContainment(df: DataFrame, key: Column,
+      orderCols: Seq[Column], steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "orderedContainment requires at least one step")
+    val wPrev = Window.partitionBy(key).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = steps.zipWithIndex.foldLeft(df) { case (cur, (p, j)) =>
+      // hit_j: this row satisfies step j AND some strictly-earlier row
+      // completed steps 0..j−1
+      val hit =
+        if (j == 0) p
+        else p && max(when(col(s"_hit${j - 1}"), 1)).over(wPrev) === 1
+      cur.withColumn(s"_hit$j", hit)
+    }
+    staged.groupBy(key)
+      .agg(
+        coalesce(max(col(s"_hit${steps.size - 1}")), lit(false)).as("matched"),
+        count(lit(1)).as("n_events"))
+  }
+
   def sequenceMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wPrev = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    asFlows(spark, dir)
-      .withColumn("i", substring($"event_type", 1, 1))
-      // state 1: a signup strictly before this row
-      .withColumn("s_before", max(when($"i" === "s", 1)).over(wPrev))
-      // state 2: this click completes "s then c"
-      .withColumn("sc", when($"i" === "c" && $"s_before" === 1, 1))
-      .withColumn("sc_before", max($"sc").over(wPrev))
-      .groupBy($"user_id")
-      .agg(
-        coalesce(max($"i" === "p" && $"sc_before" === 1), lit(false)).as("matched"),
-        count(lit(1)).as("n_events"))
+    val ev = asFlows(spark, dir).withColumn("i", substring($"event_type", 1, 1))
+    orderedContainment(ev, $"user_id", Seq($"ts", $"event_id"),
+      Seq($"i" === "s", $"i" === "c", $"i" === "p"))
+      .orderBy($"user_id")
+  }
+
+  /** B12b: 4-step variant (signup → click → view → purchase) — the
+    * same one-shuffle DFA at K=4; each added step is one more window
+    * pass on the shared sort, not more per-row state.
+    */
+  def sequenceMatch4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = asFlows(spark, dir).withColumn("i", substring($"event_type", 1, 1))
+    orderedContainment(ev, $"user_id", Seq($"ts", $"event_id"),
+      Seq($"i" === "s", $"i" === "c", $"i" === "v", $"i" === "p"))
       .orderBy($"user_id")
   }
 
@@ -559,6 +589,7 @@ object FlowAnalytics {
     "flow_top_ports" -> topPorts _,
     "flow_topk_approx" -> topKApprox _,
     "flow_sequence_match" -> sequenceMatch _,
+    "flow_sequence_match4" -> sequenceMatch4 _,
     "flow_topk_weighted" -> topKWeighted _,
     "flow_value_histogram" -> valueHistogram _,
     "flow_top_talkers_series" -> topTalkersSeries _,
@@ -620,6 +651,12 @@ object FlowAnalytics {
       """SELECT user_id,
         |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
         |    ORDER BY ts, event_id), 's.*c.*p') AS matched,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM flows GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "flow_sequence_match4" -> (flowsCte +
+      """SELECT user_id,
+        |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY ts, event_id), 's.*c.*v.*p') AS matched,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM flows GROUP BY user_id ORDER BY user_id""".stripMargin),
     "flow_topk_approx" -> (flowsCte +

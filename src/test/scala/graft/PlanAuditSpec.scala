@@ -59,13 +59,16 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("sequenceMatch carries O(1) state per row: no collect_list, one shuffle") {
-    val df = FlowAnalytics.sequenceMatch(spark, sf0001)
-    val p = plan(df)
-    assert(!p.contains("collect_list"), s"unbounded per-user array state:\n$p")
-    // both window passes + the per-user aggregation reuse ONE
-    // hash(user_id) exchange (the orderBy adds a final range exchange)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 1, s"expected a single hash exchange, got $exchanges:\n$p")
+    for (df <- Seq(FlowAnalytics.sequenceMatch(spark, sf0001),
+                   FlowAnalytics.sequenceMatch4(spark, sf0001))) {
+      val p = plan(df)
+      assert(!p.contains("collect_list"), s"unbounded per-user array state:\n$p")
+      // all window passes + the per-user aggregation reuse ONE
+      // hash(user_id) exchange (the orderBy adds a final range
+      // exchange) — at K=3 and K=4 alike
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 1, s"expected a single hash exchange, got $exchanges:\n$p")
+    }
   }
 
   test("flow analytics aggregate partially before the shuffle") {

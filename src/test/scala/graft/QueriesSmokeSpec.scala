@@ -31,19 +31,6 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
-  test("approx sketches stay within error bounds of their exact twins") {
-    // rows-only queries (no DuckDB oracle) still get checked: the
-    // sketch column must track the exact column computed in the same row
-    for (r <- graft.queries.Relational.approxPercentile(spark, sf0001).collect()) {
-      val (a50, e50) = (r.getDouble(1), r.getDouble(2))
-      val (a99, e99) = (r.getDouble(3), r.getDouble(4))
-      assert(math.abs(a50 - e50) / e50 < 0.05, s"p50 off: $a50 vs $e50")
-      assert(math.abs(a99 - e99) / e99 < 0.05, s"p99 off: $a99 vs $e99")
-    }
-    for (r <- graft.queries.Relational.approxHll(spark, sf0001).collect()) {
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / exact < 0.1,
-        s"HLL off: $approx vs $exact")
-    }
-  }
+  // approx-sketch error bounds live with the other sketch-bound tests
+  // in SketchBoundsSpec (SpaceSavingSpec.scala)
 }

@@ -4,10 +4,27 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.functions.SpaceSavingAgg.space_saving
 
-/** B11: SpaceSaving sketch (ClickHouse topK analog) — exactness in the
-  * no-eviction regime, error bounds + capacity in the eviction regime.
+/** Sketch error bounds, together in one suite: SpaceSaving (B11 —
+  * exactness in the no-eviction regime, est/err bounds under
+  * eviction) plus the approx-percentile and HLL twins (C14/C14b —
+  * rows-only queries whose sketch columns must track the exact
+  * columns computed in the same row).
   */
-class SpaceSavingSpec extends SparkSpecBase {
+class SketchBoundsSpec extends SparkSpecBase {
+
+  test("approx percentile/HLL sketches stay within error bounds of their exact twins") {
+    for (r <- graft.queries.Relational.approxPercentile(spark, sf0001).collect()) {
+      val (a50, e50) = (r.getDouble(1), r.getDouble(2))
+      val (a99, e99) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"p50 off: $a50 vs $e50")
+      assert(math.abs(a99 - e99) / e99 < 0.05, s"p99 off: $a99 vs $e99")
+    }
+    for (r <- graft.queries.Relational.approxHll(spark, sf0001).collect()) {
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"HLL off: $approx vs $exact")
+    }
+  }
 
   private def entries(row: Row): Seq[(String, Long, Long)] =
     row.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
