@@ -411,10 +411,16 @@ object Dedup {
     // posting row.
     val pre = postings.join(gramDf, "gram")
       .groupBy($"doc_id", $"lang", $"bucket")
-      .agg(graft.functions.PrefixMinAgg.prefix_min(
-        $"df", $"gram",
-        ($"sz" - ceil(lit(tau) * $"sz") + 1).cast("int")).as("pgrams"))
-      .select($"doc_id", $"lang", $"bucket", explode($"pgrams").as("gram"))
+      .agg(max($"sz").as("sz"),
+        graft.functions.PrefixMinAgg.prefix_min(
+          $"df", $"gram",
+          ($"sz" - ceil(lit(tau) * $"sz") + 1).cast("int")).as("pgrams"))
+      // posexplode: the heap drains ascending, so pos+1 is the gram's
+      // 1-based rank in A's global (df, gram) order — free, where the
+      // full side would need the row_number window back
+      .select($"doc_id", $"lang", $"bucket", $"sz", posexplode($"pgrams"))
+      .select($"doc_id", $"lang", $"bucket", $"sz",
+        ($"pos" + 1).as("r"), $"col".as("gram"))
     // prefix postings ⋈ FULL postings — the filter must live in the
     // join INPUT, not a post-join predicate: a `(l.in_prefix ||
     // r.in_prefix)` filter after a full×full join still materializes
@@ -423,10 +429,21 @@ object Dedup {
     // Pigeonhole: J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ|A|⌉ and A's suffix holds
     // only ⌈τ|A|⌉−1 grams, so a shared gram sits in A's prefix and the
     // (prefix A) × (full B) join emits the pair whichever of d1/d2 is A.
+    //
+    // PPJoin position bound on top: via a shared gram at rank r in A,
+    // overlap ≤ 1 + min(|A|−r, |B|−1), and J ≥ τ needs overlap ≥
+    // τ/(1+τ)·(|A|+|B|). Sound under any-emission semantics: the
+    // FIRST shared gram in global order bounds overlap exactly this
+    // way and always passes, so a τ-similar pair is never lost
+    // (epsilon guards the float threshold downward = conservative);
+    // boundary-rank hot emissions die inside the join, before the
+    // distinct shuffle and the scoring joins.
+    val needed = lit(tau / (1 + tau)) * ($"p.sz" + $"f.sz") - lit(1e-9)
     val p = pre.as("p"); val f = postings.as("f")
     p.join(f,
         $"p.lang" === $"f.lang" && $"p.bucket" === $"f.bucket" &&
-        $"p.gram" === $"f.gram" && $"p.doc_id" =!= $"f.doc_id")
+        $"p.gram" === $"f.gram" && $"p.doc_id" =!= $"f.doc_id" &&
+        (lit(1) + least($"p.sz" - $"p.r", $"f.sz" - 1)) >= needed)
       .select(least($"p.doc_id", $"f.doc_id").as("d1"),
         greatest($"p.doc_id", $"f.doc_id").as("d2"))
       .distinct()
