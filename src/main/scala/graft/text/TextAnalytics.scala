@@ -153,6 +153,42 @@ object TextAnalytics {
       .orderBy($"source")
   }
 
+  /** D14b: per-source document budget — cap every source at
+    * [[CapPerSource]] docs chosen by deterministic md5 order, the
+    * reproducible subsampling step behind corpus mixing ("keep at
+    * most N docs of source X"). Selection is a [[graft.functions.TopKByAgg]]
+    * bounded heap per source: map-side partials, ≤ N rows per
+    * (partition, source) cross the shuffle — no per-source
+    * row_number full sort, which at 100 TB would drag every doc of a
+    * hot source through one reducer. 12 md5 hex digits (48 bits)
+    * keep the score exact in the heap's double (53-bit mantissa), so
+    * the oracle's integer compare agrees bit-for-bit.
+    */
+  val CapPerSource = 10
+
+  def capPerSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"source", $"doc_id",
+        expr("CAST(conv(substring(md5(cast(cast(doc_id AS STRING) as binary)), 1, 12), 16, 10) AS BIGINT)")
+          .cast("double").as("score"))
+      .groupBy($"source")
+      .agg(graft.functions.TopKByAgg.topk_by($"score", $"doc_id", CapPerSource)
+        .as("keep"))
+      .select($"source", explode($"keep.id").as("doc_id"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  val capPerSourceSql: String =
+    s"""SELECT source, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT DESC,
+       |        doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $CapPerSource
+       |ORDER BY source, doc_id""".stripMargin
+
   // RE2-safe patterns (valid and identical in Java regex and DuckDB's
   // RE2): no backrefs, no lookaround.
   val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -275,7 +311,8 @@ object TextAnalytics {
     "text_seq_pack" -> seqPack _,
     "text_split_assign" -> splitAssign _,
     "text_chunk" -> chunk _,
-    "corpus_mix" -> corpusMix _)
+    "corpus_mix" -> corpusMix _,
+    "corpus_cap_per_source" -> capPerSource _)
 
   private val profileCase: String = {
     val conds = profiles.map { case (l, _) =>
@@ -405,6 +442,7 @@ object TextAnalytics {
         |    (CASE WHEN length(source) = 4 THEN 100 ELSE 30 END)
         |    THEN n_chars ELSE 0 END) AS DOUBLE) AS kept_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_cap_per_source" -> capPerSourceSql,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
