@@ -144,12 +144,47 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** D12b: exact binary dedup — content-hash dedup over the opaque
+    * payload column, the modality-agnostic first pass of an
+    * image/audio dedup pipeline (no decode needed; byte-identical
+    * copies collapse regardless of media type — D1's text analog on
+    * `binary`). Every 4th payload is planted as a duplicate (+30000)
+    * so the detector has work; one shuffle on the 128-bit content
+    * hash, same scale shape as D1.
+    */
+  def binaryDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withPayload(load(spark, dir, "documents"))
+      .select($"doc_id", $"payload")
+    val corpus = base.union(base.where($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 30000).as("doc_id"), $"payload"))
+    corpus
+      .withColumn("h", md5($"payload"))
+      .withColumn("keep_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+      .withColumn("is_dup", $"doc_id" =!= $"keep_id")
+      .select($"doc_id", $"h", $"keep_id", $"is_dup")
+      .orderBy($"doc_id")
+  }
+
+  val binaryDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0)
+      |SELECT doc_id, md5(text) AS h,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+      |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM corpus ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stats" -> decodeStats _,
     "mm_resize" -> resizeStats _,
-    "mm_frame_sample" -> frameSample _)
+    "mm_frame_sample" -> frameSample _,
+    "mm_binary_dedup" -> binaryDedup _)
 
   val oracleSql: Map[String, String] = Map(
+    "mm_binary_dedup" -> binaryDedupSql,
     "mm_resize" ->
       """SELECT doc_id,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
