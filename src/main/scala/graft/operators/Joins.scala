@@ -89,6 +89,46 @@ object Joins {
       |  ON c.user_id = s.user_id AND c.ts >= s.ts
       |ORDER BY click_id""".stripMargin
 
+  /** C15b: ASOF with a match tolerance — "latest signup at or before
+    * the click, but only within the last 2 hours; otherwise NULL"
+    * (the stale-match guard every real attribution join needs; kdb's
+    * `wj`/pandas `merge_asof(tolerance=...)` semantics). Same
+    * one-shuffle tagged-union window as [[asofLeft]]; the tolerance is
+    * a post-pass that nulls the carried struct when the matched row is
+    * too old — correct because any EARLIER right row is older still,
+    * so "latest within window" ≡ "latest, then window-checked".
+    */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+    val signups = ev.where($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"),
+        $"ts".as("signup_ts"))
+    val inWin = $"signup_ts".isNotNull &&
+      $"signup_ts" >= $"ts" - expr("INTERVAL 2 HOURS")
+    asofLeft(clicks, signups, "user_id", "ts", Seq("signup_id", "signup_ts"))
+      .select($"click_id", $"user_id", $"ts",
+        when(inWin, $"signup_id").as("signup_id"),
+        when(inWin, $"signup_ts").as("signup_ts"))
+      .orderBy($"click_id")
+  }
+
+  val joinAsofToleranceSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |signups AS (
+      |  SELECT event_id AS signup_id, user_id, ts FROM events
+      |  WHERE event_type = 'signup')
+      |SELECT c.click_id, c.user_id, c.ts,
+      |  CASE WHEN s.ts >= c.ts - INTERVAL 2 HOUR THEN s.signup_id END AS signup_id,
+      |  CASE WHEN s.ts >= c.ts - INTERVAL 2 HOUR THEN s.ts END AS signup_ts
+      |FROM clicks c ASOF LEFT JOIN signups s
+      |  ON c.user_id = s.user_id AND c.ts >= s.ts
+      |ORDER BY click_id""".stripMargin
+
   /** Value tiers for the range join — deliberately non-uniform so the
     * join is a real interval lookup, not an alignable division.
     */
@@ -124,9 +164,11 @@ object Joins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof _,
+    "join_asof_tol" -> joinAsofTolerance _,
     "join_range" -> joinRange _)
 
   val oracleSql: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
+    "join_asof_tol" -> joinAsofToleranceSql,
     "join_range" -> joinRangeSql)
 }
