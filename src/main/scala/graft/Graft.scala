@@ -34,6 +34,15 @@ object Graft {
       configure: SparkSession.Builder => SparkSession.Builder = identity): SparkSession = {
     val spark = configure(builder()).getOrCreate()
     spark.sparkContext.setCheckpointDir(checkpointDir)
+    // getOrCreate may have returned a PRE-EXISTING session whose
+    // creation never saw the builder's configs: extensions only bind
+    // at session creation, so late-register the functions (idempotent)
+    // and set the timezone through the runtime conf (settable any
+    // time) — otherwise a shared-session caller gets 'undefined
+    // function' or, worse, host-local-zone window buckets that no
+    // longer match the oracle.
+    register(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 

@@ -395,7 +395,7 @@ object Dedup {
 
   /** Phase-1 candidate pairs from the prefix-pruned postings join
     * (exposed for the spec's bounded-candidate assertion; `g` is a
-    * gram-array table from [[gramTable]]/[[gramTableFast]]).
+    * gram-array table from [[gramTable]]).
     */
   private[graft] def ngramCandidates(g: DataFrame, tau: Double): DataFrame =
     candidatesFromPostings(postingsOf(g), tau)
@@ -524,16 +524,11 @@ object Dedup {
         expr(s"slice(toks, CAST(size(toks) / 2 AS INT) - ${ContamPhraseTokens / 2}, $ContamPhraseTokens)"))
         .as("phrase"))
     // corpus side: explode each doc into its token-8-gram phrases and
-    // equi-join — the scalable containment test (token-aligned).
-    // Shape: explode positions then slice/concat OUTSIDE any lambda —
-    // a transform(...) building the phrases would evaluate interpreted
-    // per element; this stays in whole-stage codegen
-    val grams = docs
-      .withColumn("toks", split($"text", " "))
-      .select($"doc_id", $"toks", explode(expr(
-        s"sequence(1, greatest(size(toks) - ${ContamPhraseTokens - 1}, 1))")).as("i"))
-      .select($"doc_id",
-        concat_ws(" ", expr(s"slice(toks, i, $ContamPhraseTokens)")).as("phrase"))
+    // equi-join — the scalable containment test (token-aligned);
+    // a sub-k-token doc can never contain a k-token phrase, so the
+    // helper's size guard is exactly the right filter
+    val grams = tokenGrams(docs, ContamPhraseTokens)
+      .select($"doc_id", $"gram".as("phrase"))
     grams.join(broadcast(phrases), "phrase")
       .groupBy($"doc_id")
       .agg(countDistinct($"bench_id").as("n_benchmarks"),
@@ -612,19 +607,33 @@ object Dedup {
   def passageDedup(spark: SparkSession, dir: String): DataFrame =
     passagesOn(passageCorpus(spark, dir), PassageGramTokens, PassageMinTokens)
 
-  /** Core anchor-diagonal pass over any (doc_id, text) frame. */
-  private[graft] def passagesOn(docs: DataFrame, k: Int, minTokens: Int): DataFrame = {
+  /** Positional token-k-grams of any frame with (doc_id, text):
+    * (doc_id, p: 1-based token position as long, gram: k tokens
+    * space-joined). Shared by D21 batch contamination, D22 passages,
+    * and E6 streaming decontamination (it is pure column ops, so it
+    * composes onto a streaming frame too).
+    *
+    * Shape notes: explode + slice/concat OUTSIDE any lambda — a
+    * transform(...) building the grams would evaluate interpreted per
+    * element; this stays in whole-stage codegen. The size guard does
+    * double duty: a sub-k-token doc has no k-token gram (and an
+    * unguarded `sequence(1, 0)` would emit a DESCENDING [1, 0]).
+    */
+  private[graft] def tokenGrams(docs: DataFrame, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val grams = docs
+    docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .where(size($"toks") >= k)
-      // explode + slice/concat OUTSIDE any lambda — stays codegen'd
-      // (sequence(1, x) with x >= 1 guaranteed by the size guard; an
-      // unguarded sequence(1, 0) would emit a DESCENDING [1, 0])
       .select($"doc_id", $"toks",
         explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("p"))
       .select($"doc_id", $"p".cast("long").as("p"),
         concat_ws(" ", expr(s"slice(toks, p, $k)")).as("gram"))
+  }
+
+  /** Core anchor-diagonal pass over any (doc_id, text) frame. */
+  private[graft] def passagesOn(docs: DataFrame, k: Int, minTokens: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = tokenGrams(docs, k)
     val a = grams.as("a"); val b = grams.as("b")
     val anchors = a.join(b, $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"a.p".as("p1"),
@@ -822,9 +831,15 @@ object Dedup {
           .toDF("a", "b"))
       // converged iff the canonical edge set is a fixed point: both
       // sets are distinct, so an edge in exactly one shows up with
-      // count 1 in the concatenation
-      val changed = next.union(edges).groupBy($"a", $"b")
-        .agg(count(lit(1)).as("c")).where($"c" === 1).limit(1).count()
+      // count 1 in the concatenation. Count-compare first — both
+      // frames are materialized, so counts are narrow jobs, and in
+      // every non-final round the cardinalities almost always differ,
+      // short-circuiting the 2|E|-row set-diff shuffle to the
+      // (usually one) equal-count round.
+      val changed =
+        if (next.count() != edges.count()) 1L
+        else next.union(edges).groupBy($"a", $"b")
+          .agg(count(lit(1)).as("c")).where($"c" === 1).limit(1).count()
       release(edges)
       edges = next
       converged = changed == 0

@@ -60,38 +60,48 @@ object NfdumpExec {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Decode every CLOSED nfcapd file in `inDir` (non-recursive) into
-    * `stagingDir` — idempotent, so a watcher can call it on every
-    * rotation tick.
-    *
-    * Only `nfcapd.*` names are considered (the collector's rotation
-    * naming) and `nfcapd.current*` — the capture nfcapd is still
-    * writing — is skipped: decoding a half-written file would stage a
-    * truncated CSV whose name then blocks the finished file forever.
-    * One failing file does not abort the sweep; failures go to stderr
-    * and the file is retried next tick (nothing was staged for it).
+  /** The closed, not-yet-staged captures in `inDir` — ONE definition
+    * of the skip rules for both sweep variants: only `nfcapd.*` names
+    * (the collector's rotation naming); `nfcapd.current*` — the
+    * capture nfdump is still writing — is skipped, since decoding a
+    * half-written file would stage a truncated CSV whose name then
+    * blocks the finished file forever; already-staged names are
+    * skipped for idempotence.
     */
-  def decodeDir(inDir: Path, stagingDir: Path,
-      command: String = "nfdump"): Seq[DecodeResult] = {
+  private def closedCaptures(inDir: Path, stagingDir: Path): Seq[Path] = {
     val stream = Files.list(inDir)
     try {
       val files = stream.iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[DecodeResult]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (files.hasNext) {
         val f = files.next()
         val name = f.getFileName.toString
         if (Files.isRegularFile(f) && name.startsWith("nfcapd.") &&
             !name.startsWith("nfcapd.current") &&
             !Files.exists(stagingDir.resolve(name + ".csv")))
-          try out += decodeFile(f, stagingDir, command)
-          catch {
-            case e: Exception =>
-              System.err.println(s"[nfdump-exec] skipping $name: ${e.getMessage}")
-          }
+          out += f
       }
       out.toSeq
     } finally stream.close()
   }
+
+  /** Decode every CLOSED nfcapd file in `inDir` (non-recursive) into
+    * `stagingDir` — idempotent, so a watcher can call it on every
+    * rotation tick. One failing file does not abort the sweep;
+    * failures go to stderr and the file is retried next tick (nothing
+    * was staged for it).
+    */
+  def decodeDir(inDir: Path, stagingDir: Path,
+      command: String = "nfdump"): Seq[DecodeResult] =
+    closedCaptures(inDir, stagingDir).flatMap { f =>
+      try Some(decodeFile(f, stagingDir, command))
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[nfdump-exec] skipping ${f.getFileName}: ${e.getMessage}")
+          None
+      }
+    }
 
   /** Executor-distributed variant of [[decodeDir]] for many-collector
     * backfills: the driver lists closed files (a metadata-only sweep,
@@ -109,21 +119,7 @@ object NfdumpExec {
     */
   def decodeDirDistributed(spark: SparkSession, inDir: Path, stagingDir: Path,
       command: String = "nfdump", parallelism: Int = 0): Seq[DecodeResult] = {
-    val stream = Files.list(inDir)
-    val todo =
-      try {
-        val files = stream.iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (files.hasNext) {
-          val f = files.next()
-          val name = f.getFileName.toString
-          if (Files.isRegularFile(f) && name.startsWith("nfcapd.") &&
-              !name.startsWith("nfcapd.current") &&
-              !Files.exists(stagingDir.resolve(name + ".csv")))
-            buf += f.toString
-        }
-        buf.toSeq
-      } finally stream.close()
+    val todo = closedCaptures(inDir, stagingDir).map(_.toString)
     if (todo.isEmpty) return Seq.empty
     val par = math.min(
       if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism,

@@ -24,10 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * ranking.
   *
   * `k` is an expression evaluated per input row (the per-doc prefix
-  * length rides along each posting row); it is constant within a group
-  * by construction, and the aggregate takes the max seen for safety —
-  * a larger prefix only widens the candidate superset, never loses a
-  * true pair.
+  * length rides along each posting row) and MUST be constant within a
+  * group — entries evicted under an earlier smaller k are gone, so a
+  * late larger k could NOT be honored retroactively; `update` throws
+  * on a mismatch rather than silently dropping candidates. (Merging a
+  * populated buffer with an empty partial buffer, whose k is still 0,
+  * is the one legitimate k difference — `merge` max-resolves it.)
   */
 case class PrefixMinAgg(
     df: Expression,
@@ -73,7 +75,11 @@ case class PrefixMinAgg(
   override def update(buf: Buf, input: InternalRow): Buf = {
     val d = df.eval(input); val g = gram.eval(input); val kv = k.eval(input)
     if (d != null && g != null && kv != null) {
-      buf.k = math.max(buf.k, kv.asInstanceOf[Int])
+      val ki = kv.asInstanceOf[Int]
+      if (buf.k != 0 && ki != buf.k)
+        throw new IllegalArgumentException(
+          s"prefix_min requires k constant per group, saw ${buf.k} then $ki")
+      buf.k = ki
       offer(buf, (d.asInstanceOf[Long], g.asInstanceOf[UTF8String].getBytes.clone()))
     }
     buf

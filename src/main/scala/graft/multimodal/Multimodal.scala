@@ -164,7 +164,11 @@ object Multimodal {
         org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .withColumn("is_dup", $"doc_id" =!= $"keep_id")
       .select($"doc_id", $"h", $"keep_id", $"is_dup")
-      .orderBy($"doc_id")
+      // h as secondary sort key: at a scale factor where doc_id+30000
+      // collides with a real doc_id, doc_id alone would leave the
+      // colliding rows' relative order engine-dependent and break the
+      // bitwise compare
+      .orderBy($"doc_id", $"h")
   }
 
   val binaryDedupSql: String =
@@ -175,7 +179,7 @@ object Multimodal {
       |SELECT doc_id, md5(text) AS h,
       |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
       |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-      |FROM corpus ORDER BY doc_id""".stripMargin
+      |FROM corpus ORDER BY doc_id, h""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stats" -> decodeStats _,

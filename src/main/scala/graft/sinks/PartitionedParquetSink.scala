@@ -68,15 +68,26 @@ object PartitionedParquetSink {
             // steps leaves either the old or the new copy reachable by
             // recoverStale; at no point is the only copy scheduled for
             // deletion.
+            // Every FS call's boolean result is checked: Hadoop
+            // FileSystem reports most failures by RETURNING false, and
+            // an unchecked rename can NEST src inside an
+            // unexpectedly-existing dst instead of replacing it.
             val backup = new Path(root, s".compact_old_${part.getPath.getName}")
-            fs.delete(backup, true) // stale leftover from a prior crash
+            if (fs.exists(backup) && !fs.delete(backup, true))
+              throw new java.io.IOException(
+                s"compact: stale backup $backup could not be removed; " +
+                  s"partition untouched, rewrite is at $tmp")
             if (!fs.rename(part.getPath, backup))
               throw new java.io.IOException(
                 s"compact: failed to park ${part.getPath} at $backup; partition untouched, rewrite is at $tmp")
             if (!fs.rename(tmp, part.getPath)) {
-              fs.rename(backup, part.getPath) // roll back: restore the original
+              val restored = fs.rename(backup, part.getPath)
               throw new java.io.IOException(
-                s"compact: failed to rename $tmp to ${part.getPath}; original partition restored")
+                if (restored)
+                  s"compact: failed to rename $tmp to ${part.getPath}; original partition restored"
+                else
+                  s"compact: failed to promote $tmp AND failed to restore $backup — " +
+                    s"partition data is intact under $backup; run recoverStale")
             }
             if (!fs.delete(backup, true))
               throw new java.io.IOException(

@@ -31,24 +31,28 @@ object StreamingOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Stage the single-file events table behind a symlink spool dir
-    * (the shape the reference's watcher consumes) and enable the
-    * nanos-as-long read. Re-links unconditionally: Files.exists
-    * follows symlinks, so a dangling link from a prior run would read
-    * as absent yet make createSymbolicLink throw FileAlreadyExists
-    * forever after.
+  /** Stage a single-file table behind a symlink spool dir (the shape
+    * the reference's watcher consumes). Re-links unconditionally:
+    * Files.exists follows symlinks, so a dangling link from a prior
+    * run would read as absent yet make createSymbolicLink throw
+    * FileAlreadyExists forever after.
     */
-  private def spoolEvents(spark: SparkSession, dir: String): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val spool = java.nio.file.Paths.get(
+  private def spool(spark: SparkSession, dir: String, table: String): String = {
+    val spoolDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_events_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(spool)
-    val link = spool.resolve("events.parquet")
+      s"graft_stream_${table}_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(spoolDir)
+    val link = spoolDir.resolve(s"$table.parquet")
     java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get(dir, "events.parquet"))
-    spool.toString
+      link, java.nio.file.Paths.get(dir, s"$table.parquet"))
+    spoolDir.toString
+  }
+
+  /** events spool + the nanos-as-long read the events parquet needs. */
+  private def spoolEvents(spark: SparkSession, dir: String): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spool(spark, dir, "events")
   }
 
   /** E1: windowed streaming aggregation with watermark, drained to a
@@ -199,21 +203,6 @@ object StreamingOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Stage documents.parquet behind a spool dir (same lifecycle as
-    * [[spoolEvents]]).
-    */
-  private def spoolDocuments(spark: SparkSession, dir: String): String = {
-    val spool = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_docs_${Integer.toHexString(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(spool)
-    val link = spool.resolve("documents.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get(dir, "documents.parquet"))
-    spool.toString
-  }
-
   /** E6: streaming decontamination — incoming documents checked
     * against the held-out eval phrase set AS THEY ARRIVE (the ingest
     * gate a training pipeline puts in front of its corpus, vs D21's
@@ -230,7 +219,7 @@ object StreamingOps {
     import spark.implicits._
     val k = graft.dedup.Dedup.ContamPhraseTokens
     val name = s"graft_stream_decon_${counter.incrementAndGet()}"
-    val spool = spoolDocuments(spark, dir)
+    val docsSpool = spool(spark, dir, "documents")
     // static side: the same deterministic benchmark derivation as D21
     val phrases = graft.Tables.load(spark, dir, "documents")
       .where($"doc_id" % 50 === 0)
@@ -239,15 +228,11 @@ object StreamingOps {
       .select($"bench_id", concat_ws(" ",
         expr(s"slice(toks, CAST(size(toks) / 2 AS INT) - ${k / 2}, $k)"))
         .as("phrase"))
-    val q = spark.readStream
+    val docStream = spark.readStream
       .schema(documentsSchema)
-      .parquet(spool)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .where(size($"toks") >= k)
-      .select($"doc_id", $"toks",
-        explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("p"))
-      .select($"doc_id", $"p".cast("long").as("p"),
-        concat_ws(" ", expr(s"slice(toks, p, $k)")).as("phrase"))
+      .parquet(docsSpool)
+    val q = graft.dedup.Dedup.tokenGrams(docStream, k)
+      .withColumnRenamed("gram", "phrase")
       .join(broadcast(phrases), "phrase")
       .select($"doc_id", $"bench_id", $"p")
       .writeStream
