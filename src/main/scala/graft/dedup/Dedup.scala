@@ -679,6 +679,74 @@ object Dedup {
        |HAVING count(*) + ${PassageGramTokens - 1} >= $PassageMinTokens
        |ORDER BY d1, d2, p1, p2""".stripMargin
 
+  /** D23: Bloom-filter ingest gate — the incremental-dedup pattern for
+    * a corpus that grows batch by batch: the already-ingested corpus is
+    * summarized ONCE into a fixed [[BloomBits]]-bit filter over
+    * md5(text) content hashes ([[graft.functions.BloomAgg]] — map-side
+    * partial filters OR-merge, so the build shuffle carries one bitset
+    * per partition, never the key set), and the incoming batch probes
+    * the broadcast filter map-only. At 100 TB the alternative — an
+    * anti-join against all ingested hashes — re-shuffles the full
+    * corpus key set on every batch; the filter is O(1) size chosen
+    * from the target FP rate.
+    *
+    * Hashing is md5-derived, so the filter INCLUDING its false
+    * positives is a pure function of the key set — the oracle replays
+    * the exact bit positions in SQL (no rows-only escape). `is_dup`
+    * (the exact answer, via the hash join the filter replaces) rides
+    * along so the output exhibits the FP/no-FN contract; the spec
+    * pins no-false-negatives and the FP bound.
+    */
+  val BloomBits = 65536
+  val BloomHashes = 4
+
+  def bloomGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    // incoming batch: true duplicates of every 5th doc + fresh docs
+    // derived from every 3rd (suffix-perturbed → new content hash)
+    val incoming = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+      .union(docs.where($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 30000).as("doc_id"),
+          concat($"text", lit(" incoming fresh suffix")).as("text")))
+    val bf = docs.agg(graft.functions.BloomAgg.bloom_agg(
+      md5($"text".cast("binary")), BloomBits, BloomHashes).as("bf"))
+    val truth = docs.select(md5($"text".cast("binary")).as("h")).distinct()
+      .withColumn("present", lit(true))
+    incoming
+      .withColumn("h", md5($"text".cast("binary")))
+      .crossJoin(broadcast(bf))
+      .join(broadcast(truth), Seq("h"), "left")
+      .select($"doc_id",
+        graft.functions.BloomAgg.bloom_contains($"bf", $"h").as("flagged"),
+        coalesce($"present", lit(false)).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  val bloomGateSql: String =
+    s"""WITH inc AS (
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 30000 AS doc_id, text || ' incoming fresh suffix' AS text
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |setpos AS (
+       |  SELECT DISTINCT
+       |    ('0x' || substr(md5(i || ':' || md5(text)), 1, 15))::BIGINT % $BloomBits AS pos
+       |  FROM documents, range(0, $BloomHashes) t(i)),
+       |probe AS (SELECT doc_id, md5(text) AS h FROM inc),
+       |cand AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(i || ':' || h), 1, 15))::BIGINT % $BloomBits AS pos
+       |  FROM probe, range(0, $BloomHashes) t(i)),
+       |hits AS (
+       |  SELECT c.doc_id, bool_and(s.pos IS NOT NULL) AS flagged
+       |  FROM cand c LEFT JOIN setpos s USING (pos) GROUP BY c.doc_id),
+       |truth AS (SELECT DISTINCT md5(text) AS h FROM documents)
+       |SELECT p.doc_id, hi.flagged, (t.h IS NOT NULL) AS is_dup
+       |FROM probe p JOIN hits hi USING (doc_id) LEFT JOIN truth t USING (h)
+       |ORDER BY doc_id""".stripMargin
+
   /** D4b: bounded edit-distance near-dup pass. Blocking is two-level —
     * (lang, length bucket, 12-char prefix) — so the O(len²) distance
     * only runs on near-certain candidates; the corpusNear plants give
@@ -898,9 +966,11 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_edit_distance" -> editDistance _,
     "dedup_contamination" -> contamination _,
-    "dedup_passages" -> passageDedup _)
+    "dedup_passages" -> passageDedup _,
+    "dedup_bloom_gate" -> bloomGate _)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_bloom_gate" -> bloomGateSql,
     "dedup_clusters" -> clustersSql,
     "dedup_exact" -> (corpusExactSql +
       """SELECT doc_id, md5(text) AS h,

@@ -48,7 +48,12 @@ object GraftFunctions {
       SpaceSavingAgg(e(0), intArg(e(1), "space_saving")).toAggregateExpression() }),
     "space_saving_weighted" -> (e => { arity("space_saving_weighted", e, 3)
       SpaceSavingAgg(e(0), intArg(e(2), "space_saving_weighted"), Some(e(1)))
-        .toAggregateExpression() }))
+        .toAggregateExpression() }),
+    "bloom_agg" -> (e => { arity("bloom_agg", e, 3)
+      BloomAgg(e(0), intArg(e(1), "bloom_agg"), intArg(e(2), "bloom_agg"))
+        .toAggregateExpression() }),
+    "bloom_contains" -> (e => { arity("bloom_contains", e, 2)
+      BloomContains(e(0), e(1)) }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =
