@@ -575,7 +575,40 @@ object FlowAnalytics {
       .orderBy($"k_decile")
   }
 
+  /** B16: point-frequency estimation — the Count-Min sketch
+    * ([[graft.functions.CmsAgg]]): "how many flows did THIS peer
+    * send" for any peer, from a fixed d×w counter block instead of a
+    * corpus-scale per-key count table. The complement of SpaceSaving
+    * (B11, which finds the frequent keys but can't answer point
+    * queries for arbitrary ones). Build is one combine-heavy pass
+    * (partials merge by elementwise add — the shuffle carries one
+    * d×w block per partition); probes hit the broadcast sketch
+    * map-only. Width 256 against ~1000 users forces real collisions,
+    * and the md5-derived row hashes mean the oracle rebuilds the
+    * EXACT counters — overestimates included — so the estimate column
+    * is hash-checked, not bounded-checked; `true_cnt` rides along to
+    * exhibit the est ≥ true contract (spec-pinned alongside the
+    * ε·N error bound).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  def freqCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val sk = ev.agg(graft.functions.CmsAgg.cms_sketch(
+      $"user_id".cast("string"), CmsDepth, CmsWidth).as("sk"))
+    ev.where($"user_id" < 20)
+      .groupBy($"user_id").agg(count(lit(1)).as("true_cnt"))
+      .crossJoin(broadcast(sk))
+      .select($"user_id",
+        graft.functions.CmsAgg.cms_query($"sk", $"user_id".cast("string")).as("est"),
+        $"true_cnt")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_freq_cms" -> freqCms _,
     "flow_top_talkers_salted" -> topTalkersSalted _,
     "json_props_agg" -> jsonPropsAgg _,
     "flow_flag_filter" -> flagFilter _,
@@ -608,6 +641,23 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_freq_cms" ->
+      s"""WITH counters AS (
+         |  SELECT i,
+         |    ('0x' || substr(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $CmsWidth AS bucket,
+         |    count(*) AS c
+         |  FROM events, range(0, $CmsDepth) t(i)
+         |  GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT user_id, count(*) AS true_cnt FROM events WHERE user_id < 20 GROUP BY 1),
+         |pp AS (
+         |  SELECT p.user_id, p.true_cnt, i,
+         |    ('0x' || substr(md5(i || ':' || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT % $CmsWidth AS bucket
+         |  FROM probes p, range(0, $CmsDepth) t(i))
+         |SELECT pp.user_id, min(coalesce(c.c, 0)) AS est, pp.true_cnt
+         |FROM pp LEFT JOIN counters c USING (i, bucket)
+         |GROUP BY pp.user_id, pp.true_cnt
+         |ORDER BY user_id""".stripMargin,
     "flow_time_series_sliding" -> (flowsCte +
       """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - kk * INTERVAL 15 MINUTE AS win_start,
         |  count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes

@@ -53,7 +53,12 @@ object GraftFunctions {
       BloomAgg(e(0), intArg(e(1), "bloom_agg"), intArg(e(2), "bloom_agg"))
         .toAggregateExpression() }),
     "bloom_contains" -> (e => { arity("bloom_contains", e, 2)
-      BloomContains(e(0), e(1)) }))
+      BloomContains(e(0), e(1)) }),
+    "cms_sketch" -> (e => { arity("cms_sketch", e, 3)
+      CmsAgg(e(0), intArg(e(1), "cms_sketch"), intArg(e(2), "cms_sketch"))
+        .toAggregateExpression() }),
+    "cms_query" -> (e => { arity("cms_query", e, 2)
+      CmsQuery(e(0), e(1)) }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -114,4 +114,54 @@ class SketchBoundsSpec extends SparkSpecBase {
       .getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
     assert(got === Seq(("a", 3L), ("b", 1L)))
   }
+
+  // ---- Count-Min sketch (B16) -----------------------------------------
+
+  test("CMS: est >= true for every key and the eps*N bound holds, merges included") {
+    import spark.implicits._
+    import graft.functions.CmsAgg.{cms_query, cms_sketch}
+    // zipfish multiset: key j appears 200/(j+1) times, 50 distinct keys
+    val rows = (0 until 50).flatMap(j => Seq.fill(200 / (j + 1))(s"k$j"))
+    val df = rows.toDF("k").repartition(8) // force partial sketches + add-merge
+    val n = rows.size
+    val (d, w) = (4, 64)
+    val sk = df.agg(cms_sketch($"k", d, w).as("sk"))
+    val est = df.distinct().crossJoin(broadcast(sk))
+      .select($"k", cms_query($"sk", $"k").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"CMS underestimated $k: ${est(k)} < $t")
+      // eps = e/w; the 1-delta guarantee is probabilistic, but on this
+      // fixed input + md5 hashing the outcome is deterministic — the
+      // bound holding here pins the construction, not luck
+      assert(est(k) <= t + math.ceil(math.E / w * n).toLong,
+        s"CMS overestimate out of bound for $k: ${est(k)} vs $t (N=$n)")
+    }
+  }
+
+  test("CMS: sketch bytes are a pure function of the multiset, any partitioning") {
+    import spark.implicits._
+    import graft.functions.CmsAgg.cms_sketch
+    val df = spark.range(1000).select(concat(lit("u"), pmod($"id", lit(37))).as("k"))
+    val one = df.coalesce(1).agg(cms_sketch($"k", 4, 128)).head().getAs[Array[Byte]](0)
+    val many = df.repartition(16).agg(cms_sketch($"k", 4, 128)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, many))
+  }
+
+  test("SQL surface: cms_sketch/cms_query registered via extensions") {
+    import spark.implicits._
+    Seq("a", "b", "a", "a").toDF("k").createOrReplaceTempView("cms_in")
+    val got = spark.sql(
+      """WITH s AS (SELECT cms_sketch(k, 4, 64) AS sk FROM cms_in)
+        |SELECT cms_query(sk, 'a'), cms_query(sk, 'b') FROM s""".stripMargin).head()
+    assert(got.getLong(0) === 3L && got.getLong(1) === 1L)
+  }
+
+  test("flow_freq_cms: estimates dominate true counts") {
+    val rows = graft.flow.FlowAnalytics.freqCms(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"CMS under true count for user ${r.get(0)}"))
+  }
 }
