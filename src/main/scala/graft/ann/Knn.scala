@@ -386,6 +386,168 @@ object Knn {
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** D7d: product-quantization ANN (`ann_topk_pq`) — the memory-side
+    * scale path: each vector is compressed to [[PqSubspaces]] small
+    * codes (one per [[PqSubDim]]-dim subspace, [[PqCodes]]-entry
+    * codebook each → 8 nibbles ≈ 4 bytes vs 256 bytes of floats), and
+    * probes score the WHOLE corpus from the codes alone via
+    * asymmetric-distance lookup (ADC): per probe a tiny
+    * (sub, cid) → ⟨probe_sub, codeword⟩ table, candidate score =
+    * Σ_sub lut[sub, code]. 16 subspaces × 32 codes = 80 bits per
+    * vector vs 2048 bits of floats (~25× compression); at 100 TB this
+    * is what makes exhaustive re-ranking feasible — the scoring join
+    * touches the codes table and never reads a full vector; production
+    * stacks it inside IVF cells (IVF-PQ), both halves of which this
+    * module now has. On the synthetic corpus the ADC top-3 lands in
+    * the exact dot-product top-10 at 0.77 / top-20 at 0.93
+    * (spec-pinned) — unclustered random vectors are the hard case for
+    * any quantizer.
+    *
+    * Codebooks are trained per subspace with [[PqIters]] Lloyd's
+    * iterations — subspaces ride an exploded `sub` column, so ALL
+    * [[PqSubspaces]] codebooks train in ONE pipeline (one assign +
+    * one mean aggregation per iteration, not per subspace). Seeding is
+    * the same stride rule as IVF; every step is md5-free determinism
+    * (argmin by (d2, cid) total order, means rounded 6 dp in both
+    * engines) so the DuckDB oracle replays training, encoding, and
+    * ADC scoring bit-for-bit.
+    *
+    * The ADC sum itself is 8 doubles whose addition order would vary
+    * with partitioning — rounded to 9 dp and summed as
+    * DECIMAL(28,9) (exact, order-free), then cast back (the
+    * [[graft.Tables.dsum]] parity rule applied to scores).
+    */
+  val PqSubspaces = 16
+  val PqSubDim = 4
+  val PqCodes = 32
+  val PqStride = 8
+  val PqIters = 2
+
+  /** (vec_id, sub, svec): the exploded subspace view. The slice sits
+    * OUTSIDE any lambda → whole-stage codegen.
+    */
+  private[graft] def subvecs(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("sub"))
+      .join(vecs, "vec_id")
+      .select($"vec_id", $"sub",
+        expr(s"slice(embedding, sub * $PqSubDim + 1, $PqSubDim)").as("svec"))
+  }
+
+  /** Nearest-codeword assignment per (vec_id, sub): argmin squared L2,
+    * ties to the lowest cid (total order). d² = x·x − 2·x·c + c·c from
+    * three native index-order folds — the exact arithmetic the oracle
+    * writes out with list_reduce, so boundary argmins can't flip.
+    * The codebook is ≤ [[PqSubspaces]]×[[PqCodes]] rows → broadcast;
+    * the corpus never shuffles for assignment (the groupBy reuses the
+    * subvec exchange; `min_by` carries n×M rows, not n×M×K).
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    import sv.sparkSession.implicits._
+    sv.join(broadcast(cb), "sub")
+      .withColumn("d2",
+        vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
+          vdot($"cent", $"cent"))
+      .groupBy($"vec_id", $"sub")
+      .agg(first($"svec").as("svec"),
+        min_by($"cid", struct($"d2", $"cid")).as("cid"))
+  }
+
+  private[graft] def pqCodebooks(sv: DataFrame, iters: Int): DataFrame = {
+    import sv.sparkSession.implicits._
+    var cb = sv
+      .where($"vec_id" % PqStride === 0 && $"vec_id" < PqStride * PqCodes)
+      .select($"sub", expr(s"vec_id div $PqStride").as("cid"), $"svec".as("cent"))
+    for (_ <- 1 to iters) {
+      cb = pqAssign(sv, cb)
+        .select($"sub", $"cid", posexplode($"svec"))
+        .groupBy($"sub", $"cid", $"pos")
+        .agg(round(avg($"col".cast("double")), 6).as("m"))
+        .groupBy($"sub", $"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cent"))
+    }
+    cb
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val sv = subvecs(vecs)
+    val cb = pqCodebooks(sv, PqIters)
+    val codes = pqAssign(sv, cb).select($"vec_id", $"sub", $"cid")
+    val lut = sv.where($"vec_id" < 10)
+      .join(broadcast(cb), "sub")
+      .select($"vec_id".as("probe_id"), $"sub", $"cid",
+        round(vdot($"svec", $"cent"), 9).as("dotp"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .where($"vec_id" =!= $"probe_id")
+      .groupBy($"probe_id", $"vec_id")
+      .agg(sum($"dotp".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("score"))
+    rankTopK(scored, 3, Seq.empty)
+  }
+
+  /** Index-order dot fold over [[PqSubDim]]-element slices. */
+  private def subDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private def subD2Sql(x: String, c: String): String =
+    s"${subDotSql(x, x)} - 2 * ${subDotSql(x, c)} + ${subDotSql(c, c)}"
+
+  private def pqAssignCteSql(cb: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, sub, svec, cid FROM (
+       |    SELECT s.vec_id, s.sub, s.svec, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY ${subD2Sql("s.svec", "c.cent")}, c.cid) AS rn
+       |    FROM sv s JOIN $cb c ON s.sub = c.sub) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private def pqMeanCteSql(assigned: String, out: String): String =
+    s"""$out AS (
+       |  SELECT sub, cid, list(m ORDER BY pos) AS cent FROM (
+       |    SELECT sub, cid, pos, round(avg(CAST(svec[pos] AS DOUBLE)), 6) AS m
+       |    FROM $assigned, range(1, ${PqSubDim + 1}) t(pos)
+       |    GROUP BY sub, cid, pos)
+       |  GROUP BY sub, cid)""".stripMargin
+
+  val pqTopKSql: String = {
+    val training = (1 to PqIters).map { i =>
+      pqAssignCteSql(s"cb${i - 1}", s"a$i") + ",\n" + pqMeanCteSql(s"a$i", s"cb$i")
+    }.mkString(",\n")
+    s"""WITH sv AS (
+       |  SELECT vec_id, sub,
+       |    list_transform(range(1, ${PqSubDim + 1}), i -> embedding[sub * $PqSubDim + i]) AS svec
+       |  FROM embeddings, range(0, $PqSubspaces) t(sub)),
+       |cb0 AS (
+       |  SELECT sub, vec_id // $PqStride AS cid, svec AS cent FROM sv
+       |  WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqCodes}),
+       |$training,
+       |${pqAssignCteSql(s"cb$PqIters", "codes")},
+       |lut AS (
+       |  SELECT s.vec_id AS probe_id, c.sub, c.cid,
+       |    round(${subDotSql("s.svec", "c.cent")}, 9) AS dotp
+       |  FROM sv s JOIN cb$PqIters c ON s.sub = c.sub
+       |  WHERE s.vec_id < 10),
+       |scored AS (
+       |  SELECT l.probe_id, co.vec_id,
+       |    CAST(sum(CAST(l.dotp AS DECIMAL(28, 9))) AS DOUBLE) AS score
+       |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+       |  WHERE co.vec_id != l.probe_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** D20: int8 embedding quantization — max-abs scale per vector,
     * round to [-127,127], report the quantized payload (md5-pinned)
     * and reconstruction RMSE. The compression step before shipping an
@@ -459,6 +621,7 @@ object Knn {
     "ann_topk_lsh" -> lshTopK _,
     "ann_topk_ivf" -> ivfTopK _,
     "ann_topk_ivf_mp" -> ivfTopKMulti _,
+    "ann_topk_pq" -> pqTopK _,
     "dedup_embedding" -> embDedup _,
     "emb_norms" -> embNorms _,
     "emb_quantize" -> embQuantize _)
@@ -468,6 +631,7 @@ object Knn {
     "ann_topk_lsh" -> lshTopKSql,
     "ann_topk_ivf" -> ivfTopKSql,
     "ann_topk_ivf_mp" -> ivfTopKMultiSql,
+    "ann_topk_pq" -> pqTopKSql,
     "dedup_embedding" -> embDedupSql,
     "emb_norms" -> embNormsSql,
     "emb_quantize" -> embQuantizeSql)
