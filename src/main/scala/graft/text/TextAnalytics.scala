@@ -299,7 +299,70 @@ object TextAnalytics {
       .limit(20)
   }
 
+  /** D9d: character-entropy quality signal — Shannon entropy of the
+    * per-doc character distribution over a fixed 27-symbol alphabet
+    * (a–z + space, everything else pooled as "other") plus the
+    * top-character ratio. Low entropy or one dominating symbol marks
+    * machine junk / boilerplate the token-level rules (D9/D9c) miss.
+    *
+    * Counts come from 27 `length(replace(...))` passes — integer
+    * arithmetic, no explode, pure whole-stage codegen, map-only. The
+    * entropy sum is a FIXED left-fold order (c0..c26 then other) with
+    * the oracle spelling out the identical chain, and the result is
+    * rounded 6 dp — ln() may differ from DuckDB's by an ulp, and the
+    * fold order is part of the cross-engine contract.
+    */
+  private val EntropyChars: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .withColumn("len", length($"text").cast("double"))
+    val counts = EntropyChars.map(c =>
+      (length($"text") - length(expr(s"replace(text, '$c', '')"))).cast("double"))
+    val other = $"len" - counts.reduce(_ + _)
+    val h = (counts :+ other)
+      .map(c => when(c > 0, -(c / $"len") * log(c / $"len")).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val top = counts.reduce((a, b) => greatest(a, b))
+    d.where($"len" > 0)
+      .withColumn("entropy_r", round(h, 6))
+      .withColumn("top_char_ratio_r", round(top / $"len", 6))
+      .withColumn("keep", $"entropy_r" >= 2.0 && $"top_char_ratio_r" <= 0.5)
+      .select($"doc_id", $"entropy_r", $"top_char_ratio_r", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val entropySql: String = {
+    val cols = EntropyChars.zipWithIndex.map { case (ch, i) =>
+      s"CAST(length(text) - length(replace(text, '$ch', '')) AS DOUBLE) AS c$i"
+    }.mkString(",\n    ")
+    val names = EntropyChars.indices.map(i => s"c$i")
+    val known = names.mkString(" + ")
+    val topc = s"greatest(${names.mkString(", ")})"
+    val terms = (names :+ "oth")
+      .map(n => s"(CASE WHEN $n > 0 THEN -($n / len) * ln($n / len) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+       |    $cols
+       |  FROM documents WHERE length(text) > 0),
+       |k AS (
+       |  SELECT doc_id, len, ${names.mkString(", ")},
+       |    len - ($known) AS oth, $topc AS topc
+       |  FROM c),
+       |e AS (
+       |  SELECT doc_id,
+       |    round($terms, 6) AS entropy_r,
+       |    round(topc / len, 6) AS top_char_ratio_r
+       |  FROM k)
+       |SELECT doc_id, entropy_r, top_char_ratio_r,
+       |  (entropy_r >= 2.0 AND top_char_ratio_r <= 0.5) AS keep
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> entropy _,
     "text_wordcount" -> wordcount _,
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
@@ -328,6 +391,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_entropy" -> entropySql,
     "text_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks,
