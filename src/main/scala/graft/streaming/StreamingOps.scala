@@ -113,6 +113,42 @@ object StreamingOps {
     spark.table(name).orderBy($"event_type")
   }
 
+  /** E7: streaming sessionization — `session_window(ts, gap)` as a
+    * STREAMING aggregation with a watermark (the live twin of batch
+    * B7b): sessions merge across micro-batches in the state store and
+    * emit in append mode once the watermark passes their end
+    * (last event + gap), which is also what bounds state — a session
+    * can only grow while its end is above the watermark. The DuckDB
+    * oracle reproduces both the gap-merge semantics (lag/cumsum
+    * formulation, boundary-exact: diff == gap starts a new session)
+    * and the append emission rule (end ≤ max ts − watermark lag).
+    */
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
+    val sp = spoolEvents(spark, dir)
+    val q = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(sp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "60 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Tables.dsum($"value").as("session_value"))
+      .select($"user_id",
+        $"sw.start".cast("timestamp_ntz").as("session_start"),
+        $"sw.end".cast("timestamp_ntz").as("session_end"),
+        $"n_events", $"session_value")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"user_id", $"session_start")
+  }
+
   case class Evt(event_id: Long, user_id: Long, event_type: String)
 
   /** E2: stateful streaming dedup — keep only each key's first-ever
@@ -248,6 +284,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _,
     "stream_running_totals" -> runningTotals _,
+    "stream_sessions_agg" -> sessionAgg _,
     "stream_decontaminate" -> decontaminate _)
 
   /** Oracle: batch tumbling-window agg, keeping only windows whose end
@@ -255,6 +292,28 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    "stream_sessions_agg" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 60 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 60 MINUTE AS session_end,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events, session_value
+        |FROM sess
+        |WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_running_totals" ->
       """SELECT event_type, count(*) AS n,
         |  max(user_id) AS max_user,
