@@ -123,8 +123,12 @@ object Dedup {
     val exploded = corpus
       .select(col("doc_id"),
         explode(graft.functions.StrFuncs.char_grams(col("text"), ShingleLen)).as("s"))
-      .select(col("doc_id"), expr(
-        s"CAST(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) AS BIGINT) % $MinhashP").as("h"))
+      // one md5 per shingle via the native md5_prefix kernel — the
+      // conv(substring(md5(...))) composition allocates a digest, a
+      // hex string, and a decimal parse per shingle (millions per
+      // corpus pass; measured ~2s of the sf0.1 signature stage)
+      .select(col("doc_id"),
+        (graft.functions.StrFuncs.md5_prefix(col("s"), 15) % MinhashP).as("h"))
     val slots = (0 until NumHashes).map(j =>
       min((col("h") * haConst(j) + hbConst(j)) % MinhashP).as(s"m$j"))
     exploded
@@ -245,7 +249,7 @@ object Dedup {
     val tok = corpus
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", expr("CAST(conv(substring(md5(cast(w as binary)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("h", graft.functions.StrFuncs.md5_prefix($"w", 12))
     val votes = (0 until SimBits).map(i =>
       sum(when(expr(s"(h div ${1L << i}) % 2") === 1, $"cnt").otherwise(-$"cnt"))
         .as(s"v$i"))

@@ -127,9 +127,65 @@ case class JaccardSorted(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sorted"
 }
 
+/** Runtime kernel for [[Md5Prefix]]. */
+object HashUtil {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The first `nHex` hex digits of md5(s) as a long — bit-identical
+    * to `CAST(conv(substring(md5(cast(s as binary)), 1, nHex), 16, 10)
+    * AS BIGINT)` (and DuckDB's `('0x' || substr(md5(s), 1, nHex))::
+    * BIGINT`) for nHex ≤ 15, but with no hex-string allocation, no
+    * conv() parse, and a thread-local reused MessageDigest. The
+    * composed form allocates a digest + a 32-char hex string + a
+    * substring + a decimal parse PER CALL — at one md5 per shingle
+    * that's tens of millions of allocations per corpus pass, and this
+    * kernel sits in the hottest loop of the minhash/simhash pipelines.
+    */
+  def md5Prefix(s: UTF8String, nHex: Int): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    val full = nHex / 2
+    var v = 0L
+    var i = 0
+    while (i < full) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    if (nHex % 2 == 1) v = (v << 4) | ((b(full) & 0xff) >>> 4)
+    v
+  }
+}
+
+/** `md5_prefix(s, nHex)` — leading `nHex` hex digits of md5(s) as a
+  * BIGINT, as a native codegen'd expression (nHex ≤ 15 keeps the
+  * value under 2⁶⁰, so downstream `% p` arithmetic never overflows).
+  */
+case class Md5Prefix(child: Expression, nHex: Int) extends UnaryExpression {
+  require(nHex > 0 && nHex <= 15, "md5_prefix requires 0 < nHex <= 15")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix expects STRING, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    HashUtil.md5Prefix(s.asInstanceOf[UTF8String], nHex)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HashUtil.md5Prefix($s, $nHex)")
+  override protected def withNewChildInternal(c: Expression): Md5Prefix = copy(child = c)
+  override def prettyName: String = "md5_prefix"
+}
+
 object StrFuncs {
   def char_grams(s: Column, n: Int, sorted: Boolean = false): Column =
     ExpressionUtils.column(CharGrams(ExpressionUtils.expression(s), n, sorted))
+
+  def md5_prefix(s: Column, nHex: Int): Column =
+    ExpressionUtils.column(Md5Prefix(ExpressionUtils.expression(s), nHex))
 
   def jaccard_sorted(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSorted(

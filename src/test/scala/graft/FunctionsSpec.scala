@@ -66,6 +66,19 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("md5_prefix matches the conv(substring(md5)) composition") {
+    import spark.implicits._
+    val df = Seq("", "a", "hello world", "shing", "日本語テキスト").toDF("s")
+    for (n <- Seq(1, 7, 12, 15)) {
+      val got = df.select(
+        graft.functions.StrFuncs.md5_prefix($"s", n).as("k"),
+        expr(s"CAST(conv(substring(md5(cast(s as binary)), 1, $n), 16, 10) AS BIGINT)")
+          .as("ref"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) === r.getLong(1), s"nHex=$n"))
+    }
+  }
+
   test("jaccard_sorted equals the array set-op composition") {
     import spark.implicits._
     val df = Seq(
