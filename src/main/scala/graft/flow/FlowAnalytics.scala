@@ -607,7 +607,37 @@ object FlowAnalytics {
       .orderBy($"user_id")
   }
 
+  /** B17: Z-order locality — the data-skipping layout check for the
+    * warehouse sink's z-ordered write path
+    * ([[graft.sinks.PartitionedParquetSink.writeZOrdered]]): flows
+    * keyed by the 2-D Morton interleave of (sp, dp), then per-chunk
+    * min/max spans of BOTH dimensions along the key order — the
+    * row-group stats a z-ordered file would carry. Tight spans on both
+    * columns = a scan filtered on EITHER port can skip most chunks;
+    * a single-column sort gives this for one dimension only. Chunking
+    * rides a per-protocol row_number (no global single-reducer sort);
+    * all integer math → exact oracle via DuckDB bit arithmetic.
+    */
+  val ZBits = 16
+  val ZChunk = 500
+
+  def zorderLocality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = asFlows(spark, dir).withColumn("zkey",
+      graft.functions.StrFuncs.zorder2($"sp".cast("long"), $"dp".cast("long"), ZBits))
+    val w = Window.partitionBy($"pr").orderBy($"zkey", $"event_id")
+    f.withColumn("rn", row_number().over(w))
+      .withColumn("chunk", expr(s"CAST((rn - 1) div $ZChunk AS BIGINT)"))
+      .groupBy($"pr", $"chunk")
+      .agg(count(lit(1)).as("n"),
+        min($"sp").as("sp_min"), max($"sp").as("sp_max"),
+        min($"dp").as("dp_min"), max($"dp").as("dp_max"),
+        min($"zkey").as("z_min"), max($"zkey").as("z_max"))
+      .orderBy($"pr", $"chunk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_zorder_locality" -> zorderLocality _,
     "flow_freq_cms" -> freqCms _,
     "flow_top_talkers_salted" -> topTalkersSalted _,
     "json_props_agg" -> jsonPropsAgg _,
@@ -641,6 +671,24 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_zorder_locality" -> (flowsCte +
+      s""", z AS (
+         |  SELECT pr, event_id, sp, dp,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, $ZBits), i ->
+         |        (((CAST(sp AS BIGINT) >> i) & 1) << (2 * i)) |
+         |        (((CAST(dp AS BIGINT) >> i) & 1) << (2 * i + 1)))),
+         |      (a, v) -> a | v) AS zkey
+         |  FROM flows),
+         |r AS (
+         |  SELECT pr, sp, dp, zkey,
+         |    row_number() OVER (PARTITION BY pr ORDER BY zkey, event_id) AS rn
+         |  FROM z)
+         |SELECT pr, (rn - 1) // $ZChunk AS chunk, count(*) AS n,
+         |  min(sp) AS sp_min, max(sp) AS sp_max,
+         |  min(dp) AS dp_min, max(dp) AS dp_max,
+         |  min(zkey) AS z_min, max(zkey) AS z_max
+         |FROM r GROUP BY pr, chunk ORDER BY pr, chunk""".stripMargin),
     "flow_freq_cms" ->
       s"""WITH counters AS (
          |  SELECT i,

@@ -58,7 +58,9 @@ object GraftFunctions {
       CmsAgg(e(0), intArg(e(1), "cms_sketch"), intArg(e(2), "cms_sketch"))
         .toAggregateExpression() }),
     "cms_query" -> (e => { arity("cms_query", e, 2)
-      CmsQuery(e(0), e(1)) }))
+      CmsQuery(e(0), e(1)) }),
+    "zorder2" -> (e => { arity("zorder2", e, 3)
+      ZOrder2(e(0), e(1), intArg(e(2), "zorder2")) }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

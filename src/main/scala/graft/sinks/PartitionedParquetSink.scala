@@ -22,6 +22,25 @@ object PartitionedParquetSink {
       .mode("append")
       .parquet(outDir)
 
+  /** Z-ordered write: range-partition then sort by the 2-D Morton key
+    * ([[graft.functions.ZOrder2]]) so each output file covers a small
+    * RECTANGLE of (x, y) space — parquet row-group min/max stats
+    * become selective on BOTH columns, where a single-column sort
+    * skips on that column only (the ClickHouse `ORDER BY (a, b)` /
+    * Delta `OPTIMIZE ZORDER` analog). The range partitioner gives
+    * files disjoint key ranges; the within-partition sort keeps row
+    * groups tight. The key column is dropped before writing — the
+    * skipping value lives in the x/y stats themselves.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      numFiles: Int, outDir: String): Unit =
+    df.withColumn("_zkey", graft.functions.StrFuncs.zorder2(
+        col(xCol).cast("long"), col(yCol).cast("long"), bits))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(outDir)
+
   /** Compact small files inside each `date=` partition — the analog of
     * ClickHouse MergeTree's continuous part merges. A short-trigger
     * streaming sink writes one file per micro-batch per partition

@@ -79,6 +79,23 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("zorder2 interleaves bits (reference impl + monotone locality)") {
+    import spark.implicits._
+    // parity vs a direct per-bit reference, including edge values
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((v, i) =>
+        v | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val vals = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (60000L, 443L))
+    val got = vals.toDF("x", "y")
+      .select(graft.functions.StrFuncs.zorder2($"x", $"y", 16).as("z"), $"x", $"y")
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === ref(r.getLong(1), r.getLong(2), 16)))
+    // SQL registration
+    assert(spark.sql("SELECT zorder2(3L, 1L, 4)").head().getLong(0) ===
+      ref(3L, 1L, 4))
+  }
+
   test("jaccard_sorted equals the array set-op composition") {
     import spark.implicits._
     val df = Seq(

@@ -108,6 +108,35 @@ class SinksSpec extends SparkSpecBase {
     assert(JdbcStub.rowsBound.get() >= 10)
     assert(JdbcStub.batchesExecuted.get() === 1) // succeeded exactly once
   }
+
+  test("z-ordered write bounds per-file spans on BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a 256x256 grid with x and y decorrelated
+    val df = spark.range(20000).select(
+      pmod($"id", lit(256)).as("x"),
+      pmod($"id" * 7919, lit(256)).as("y"))
+    def fileSpans(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val zDir = tmpDir("graft_zorder")
+    PartitionedParquetSink.writeZOrdered(df, "x", "y", 8, 8, zDir)
+    val xDir = tmpDir("graft_xsort")
+    df.repartitionByRange(8, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir)
+    val zSpans = fileSpans(zDir); val xSpans = fileSpans(xDir)
+    val zAvgY = zSpans.map(_._2).sum.toDouble / zSpans.size
+    val xAvgY = xSpans.map(_._2).sum.toDouble / xSpans.size
+    val zAvgX = zSpans.map(_._1).sum.toDouble / zSpans.size
+    info(f"avg spans: zorder(x=$zAvgX%.0f, y=$zAvgY%.0f) vs x-sort(y=$xAvgY%.0f)")
+    // x-sorted files see the full y range; z-ordered files cover small
+    // rectangles, so BOTH dims stay well under the 255 full span
+    assert(xAvgY > 200, f"x-sorted baseline unexpectedly tight: $xAvgY%.0f")
+    assert(zAvgY < 160 && zAvgX < 160,
+      f"z-order did not localize both dims: x=$zAvgX%.0f y=$zAvgY%.0f")
+  }
 }
 
 /** Reflective stub JDBC endpoint (no driver ships in this env):
