@@ -636,7 +636,36 @@ object FlowAnalytics {
       .orderBy($"pr", $"chunk")
   }
 
+  /** B18: hash-verified approximate distinct — HyperLogLog with
+    * md5-derived hashing ([[graft.functions.HllAgg]]): per-protocol
+    * distinct-peer estimates from a constant 512-byte register block
+    * (merge = elementwise max → map-side partials, one block per
+    * partition crosses the shuffle at ANY key cardinality — the
+    * reason approx-distinct exists at 100 TB). Unlike C14's
+    * `approx_count_distinct` (whose internal HLL++ the oracle can't
+    * replay → rows-only check), every piece here is derandomized:
+    * the oracle rebuilds the registers in SQL and replays the
+    * bias-corrected estimator double-op for double-op, so the
+    * ESTIMATE column itself hash-matches. `exact_distinct` rides
+    * along; the sketch-vs-exact error bound is spec-pinned.
+    */
+  val HllP = 9 // 512 registers
+
+  def distinctHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        graft.functions.HllAgg.hll_sketch($"user_id".cast("string"), HllP).as("sk"),
+        countDistinct($"user_id").as("exact_distinct"))
+      .select($"event_type",
+        round(graft.functions.HllAgg.hll_estimate($"sk", HllP), 6).as("hll_est_r"),
+        $"exact_distinct")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_distinct_hll" -> distinctHll _,
     "flow_zorder_locality" -> zorderLocality _,
     "flow_freq_cms" -> freqCms _,
     "flow_top_talkers_salted" -> topTalkersSalted _,
@@ -671,6 +700,45 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_distinct_hll" -> {
+      val m = 1 << HllP
+      val wBits = 60 - HllP
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |  FROM events),
+         |reg AS (
+         |  SELECT event_type, hv % $m AS b,
+         |    max(CASE WHEN hv // $m = 0 THEN ${wBits + 1}
+         |             ELSE ${wBits + 1} - length(bin(hv // $m)) END) AS mr
+         |  FROM h GROUP BY 1, 2),
+         |regs AS (
+         |  SELECT g.event_type, r.b, coalesce(reg.mr, 0) AS mr
+         |  FROM (SELECT DISTINCT event_type FROM events) g
+         |  CROSS JOIN range(0, $m) r(b)
+         |  LEFT JOIN reg ON reg.event_type = g.event_type AND reg.b = r.b),
+         |s AS (
+         |  SELECT event_type,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mr) ORDER BY b)),
+         |      (a, v) -> a + v) AS ssum,
+         |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type,
+         |    CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $m) * $m * $m / ssum AS raw,
+         |    zeros
+         |  FROM s),
+         |t AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |  round(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * $m AND zeros > 0
+         |             THEN $m * ln(CAST($m AS DOUBLE) / zeros) ELSE raw END, 6) AS hll_est_r,
+         |  t.exact_distinct
+         |FROM est e JOIN t USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
     "flow_zorder_locality" -> (flowsCte +
       s""", z AS (
          |  SELECT pr, event_id, sp, dp,

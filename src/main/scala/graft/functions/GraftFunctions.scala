@@ -60,7 +60,11 @@ object GraftFunctions {
     "cms_query" -> (e => { arity("cms_query", e, 2)
       CmsQuery(e(0), e(1)) }),
     "zorder2" -> (e => { arity("zorder2", e, 3)
-      ZOrder2(e(0), e(1), intArg(e(2), "zorder2")) }))
+      ZOrder2(e(0), e(1), intArg(e(2), "zorder2")) }),
+    "hll_sketch" -> (e => { arity("hll_sketch", e, 2)
+      HllAgg(e(0), intArg(e(1), "hll_sketch")).toAggregateExpression() }),
+    "hll_estimate" -> (e => { arity("hll_estimate", e, 2)
+      HllEstimate(e(0), intArg(e(1), "hll_estimate")) }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

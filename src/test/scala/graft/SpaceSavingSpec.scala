@@ -158,6 +158,38 @@ class SketchBoundsSpec extends SparkSpecBase {
     assert(got.getLong(0) === 3L && got.getLong(1) === 1L)
   }
 
+  // ---- HyperLogLog (B18) ----------------------------------------------
+
+  test("HLL: estimate within the 1.04/sqrt(m) band across cardinalities, merges included") {
+    import spark.implicits._
+    import graft.functions.HllAgg.{hll_estimate, hll_sketch}
+    for (n <- Seq(100, 1000, 20000)) {
+      val df = spark.range(n).select(concat(lit("key"), $"id").as("k")).repartition(8)
+      val est = df.agg(hll_estimate(hll_sketch($"k", 9), 9)).head().getDouble(0)
+      val rse = 1.04 / math.sqrt(512) // ~4.6%
+      assert(math.abs(est - n) / n < 3 * rse,
+        f"HLL off at n=$n: $est%.0f (${math.abs(est - n) / n * 100}%.1f%%)")
+    }
+  }
+
+  test("HLL: register bytes are a pure function of the key set, any partitioning") {
+    import spark.implicits._
+    import graft.functions.HllAgg.hll_sketch
+    val df = spark.range(5000).select(concat(lit("u"), $"id").as("k"))
+    val one = df.coalesce(1).agg(hll_sketch($"k", 9)).head().getAs[Array[Byte]](0)
+    val many = df.repartition(16).agg(hll_sketch($"k", 9)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, many))
+  }
+
+  test("SQL surface: hll_sketch/hll_estimate registered via extensions") {
+    import spark.implicits._
+    spark.range(1000).select(concat(lit("x"), $"id").as("k"))
+      .createOrReplaceTempView("hll_in")
+    val est = spark.sql(
+      "SELECT hll_estimate(hll_sketch(k, 9), 9) FROM hll_in").head().getDouble(0)
+    assert(math.abs(est - 1000) / 1000.0 < 0.15, s"SQL-path estimate off: $est")
+  }
+
   test("flow_freq_cms: estimates dominate true counts") {
     val rows = graft.flow.FlowAnalytics.freqCms(spark, sf0001).collect()
     assert(rows.nonEmpty)
