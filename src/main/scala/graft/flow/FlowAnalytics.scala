@@ -664,7 +664,32 @@ object FlowAnalytics {
       .orderBy($"event_type")
   }
 
+  /** B19: DDoS triage composite — the reference README's use case
+    * rolled into one ranked suspicion list: per target address, fan-in
+    * (distinct sources), SYN-flag ratio, and log-scaled volume
+    * multiplied into a single score. One user_id-free groupBy(da) with
+    * a single distinct agg; the score arithmetic is a fixed left-assoc
+    * chain rounded 6 dp so both engines agree bit-for-bit (ln ulp).
+    */
+  def ddosScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy($"da")
+      .agg(countDistinct($"sa").as("fan_in"),
+        count(lit(1)).as("n_flows"),
+        sum(when($"flg" === ".A..S.", 1).otherwise(0)).as("syn_n"),
+        dsum($"value").as("bytes"))
+      .where($"fan_in" >= 5)
+      .select($"da", $"fan_in", $"n_flows",
+        round($"syn_n".cast("double") / $"n_flows", 6).as("syn_ratio_r"),
+        round($"fan_in".cast("double") * ($"syn_n".cast("double") / $"n_flows") *
+          log(lit(1.0) + $"bytes"), 6).as("score_r"))
+      .orderBy($"score_r".desc, $"da")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_ddos_score" -> ddosScore _,
     "flow_distinct_hll" -> distinctHll _,
     "flow_zorder_locality" -> zorderLocality _,
     "flow_freq_cms" -> freqCms _,
@@ -700,6 +725,18 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_ddos_score" -> (flowsCte +
+      """, agg AS (
+        |  SELECT da, count(DISTINCT sa) AS fan_in, count(*) AS n_flows,
+        |    sum(CASE WHEN flg = '.A..S.' THEN 1 ELSE 0 END) AS syn_n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS bytes
+        |  FROM flows GROUP BY da)
+        |SELECT da, fan_in, n_flows,
+        |  round(CAST(syn_n AS DOUBLE) / n_flows, 6) AS syn_ratio_r,
+        |  round(CAST(fan_in AS DOUBLE) * (CAST(syn_n AS DOUBLE) / n_flows)
+        |    * ln(1 + bytes), 6) AS score_r
+        |FROM agg WHERE fan_in >= 5
+        |ORDER BY score_r DESC, da LIMIT 20""".stripMargin),
     "flow_distinct_hll" -> {
       val m = 1 << HllP
       val wBits = 60 - HllP
