@@ -189,6 +189,42 @@ class PlanAuditSpec extends SparkSpecBase {
       s"asof must be exactly one shuffle (the window partitioning):\n$p")
   }
 
+  test("sketch builds (bloom/CMS/HLL) partial-aggregate map-side") {
+    // each build must show a partial + final ObjectHashAggregate pair:
+    // per-partition fixed-size sketch blocks merge, raw rows never
+    // cross the shuffle
+    for (df <- Seq(graft.dedup.Dedup.bloomGate(spark, sf0001),
+                   FlowAnalytics.freqCms(spark, sf0001),
+                   FlowAnalytics.distinctHll(spark, sf0001))) {
+      val p = plan(df)
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"sketch not partial-aggregated:\n$p")
+    }
+  }
+
+  test("bloom gate probes via broadcast — the corpus key set never re-shuffles") {
+    val p = plan(graft.dedup.Dedup.bloomGate(spark, sf0001))
+    assert(p.contains("bloom_contains"), s"probe expression missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe side shuffle-joined (the exact-key-set shape the filter replaces):\n$p")
+  }
+
+  test("PQ ANN scores from codes + broadcast LUT: no window, heap-ranked") {
+    val p = plan(graft.ann.Knn.pqTopK(spark, sf0001))
+    assert(!p.contains("Window"), s"sort window crept into PQ ranking:\n$p")
+    assert(p.contains("topk_by"), s"bounded-heap ranking missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ADC LUT not broadcast:\n$p")
+  }
+
+  test("zorder locality query has no global single-reducer sort") {
+    val p = plan(FlowAnalytics.zorderLocality(spark, sf0001))
+    // the row_number window partitions by protocol — a hash exchange,
+    // never SinglePartition (the final presentation orderBy is range)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window serializes the corpus:\n$p")
+    assert(p.contains("zorder2"), s"native interleave missing:\n$p")
+  }
+
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
