@@ -488,6 +488,110 @@ object Knn {
     rankTopK(scored, 3, Seq.empty)
   }
 
+  /** D7e: IVF-PQ — the production ANN index assembled from the two
+    * halves this module already has: IVF coarse cells ROUTE (probes
+    * search one cell, [[IvfPqCoarseIters]] Lloyd's iteration on the
+    * routing centroids) and PQ codes SCORE (candidates ranked from
+    * their 80-bit codes via the broadcast ADC LUT — full vectors are
+    * never touched after encode time). At 100 TB this is the shape
+    * every large vector index ships: the corpus lives as (cell, code)
+    * rows ~25× smaller than the embeddings, a probe reads one cell's
+    * codes, and both the routing table and the LUT broadcast.
+    *
+    * This is the NON-RESIDUAL variant (codes quantize raw vectors, not
+    * x − centroid). Residual PQ recovers more accuracy per code bit by
+    * centering each cell's distribution, at the cost of per-cell
+    * codebooks (or a shared one over residuals) — the documented
+    * upgrade path; the plumbing (cell join → code join → LUT sum) is
+    * identical.
+    */
+  val IvfPqCoarseIters = 1
+
+  /** (vec_id, cell) routing assignment — exposed for the cell-locality
+    * spec.
+    */
+  private[graft] def cellsOf(vecs: DataFrame, iters: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    assign(vecs, trainedCentroids(vecs, iters)).select($"vec_id", $"cid".as("cell"))
+  }
+
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    // coarse routing cells (broadcast-trained, argmax-assigned)
+    val cents = trainedCentroids(vecs, IvfPqCoarseIters)
+    val cells = assign(vecs, cents).select($"vec_id", $"cid".as("cell"))
+    // PQ codes of the full corpus (one exploded-sub pipeline)
+    val sv = subvecs(vecs)
+    val cb = pqCodebooks(sv, PqIters)
+    val codes = pqAssign(sv, cb).select($"vec_id", $"sub", $"cid")
+    val probes = cells.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"cell")
+    val lut = sv.where($"vec_id" < 10)
+      .join(broadcast(cb), "sub")
+      .select($"vec_id".as("probe_id"), $"sub", $"cid",
+        round(vdot($"svec", $"cent"), 9).as("dotp"))
+    // candidates: the probe's cell only; scored from codes alone
+    val cands = cells.join(broadcast(probes), "cell")
+      .where($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+    val scored = cands.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
+      .groupBy($"probe_id", $"vec_id")
+      .agg(sum($"dotp".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("score"))
+    rankTopK(scored, 3, Seq.empty)
+  }
+
+  val ivfPqTopKSql: String = {
+    val coarse = (1 to IvfPqCoarseIters).map { i =>
+      assignCteSql(s"icents${i - 1}", s"ia$i") + ",\n" + meanCteSql(s"ia$i", s"icents$i")
+    }.mkString(",\n")
+    val pqTraining = (1 to PqIters).map { i =>
+      pqAssignCteSql(s"cb${i - 1}", s"a$i") + ",\n" + pqMeanCteSql(s"a$i", s"cb$i")
+    }.mkString(",\n")
+    s"""WITH icents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$coarse,
+       |${assignCteSql(s"icents$IvfPqCoarseIters", "cellassign")},
+       |cells AS (SELECT vec_id, cid AS cell FROM cellassign),
+       |sv AS (
+       |  SELECT vec_id, sub,
+       |    list_transform(range(1, ${PqSubDim + 1}), i -> embedding[sub * $PqSubDim + i]) AS svec
+       |  FROM embeddings, range(0, $PqSubspaces) t(sub)),
+       |cb0 AS (
+       |  SELECT sub, vec_id // $PqStride AS cid, svec AS cent FROM sv
+       |  WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqCodes}),
+       |$pqTraining,
+       |${pqAssignCteSql(s"cb$PqIters", "codes")},
+       |probes AS (
+       |  SELECT vec_id AS probe_id, cell FROM cells WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT s.vec_id AS probe_id, c.sub, c.cid,
+       |    round(${subDotSql("s.svec", "c.cent")}, 9) AS dotp
+       |  FROM sv s JOIN cb$PqIters c ON s.sub = c.sub
+       |  WHERE s.vec_id < 10),
+       |cands AS (
+       |  SELECT p.probe_id, cl.vec_id
+       |  FROM cells cl JOIN probes p USING (cell)
+       |  WHERE cl.vec_id != p.probe_id),
+       |scored AS (
+       |  SELECT ca.probe_id, ca.vec_id,
+       |    CAST(sum(CAST(l.dotp AS DECIMAL(28, 9))) AS DOUBLE) AS score
+       |  FROM cands ca
+       |  JOIN codes co ON co.vec_id = ca.vec_id
+       |  JOIN lut l ON l.probe_id = ca.probe_id AND l.sub = co.sub AND l.cid = co.cid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** Index-order dot fold over [[PqSubDim]]-element slices. */
   private def subDotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -622,6 +726,7 @@ object Knn {
     "ann_topk_ivf" -> ivfTopK _,
     "ann_topk_ivf_mp" -> ivfTopKMulti _,
     "ann_topk_pq" -> pqTopK _,
+    "ann_topk_ivfpq" -> ivfPqTopK _,
     "dedup_embedding" -> embDedup _,
     "emb_norms" -> embNorms _,
     "emb_quantize" -> embQuantize _)
@@ -632,6 +737,7 @@ object Knn {
     "ann_topk_ivf" -> ivfTopKSql,
     "ann_topk_ivf_mp" -> ivfTopKMultiSql,
     "ann_topk_pq" -> pqTopKSql,
+    "ann_topk_ivfpq" -> ivfPqTopKSql,
     "dedup_embedding" -> embDedupSql,
     "emb_norms" -> embNormsSql,
     "emb_quantize" -> embQuantizeSql)

@@ -86,6 +86,21 @@ class KnnSpec extends SparkSpecBase {
     })
   }
 
+  test("IVF-PQ returns neighbors only from the probe's routing cell") {
+    import spark.implicits._
+    val vecs = graft.Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val cells = Knn.cellsOf(vecs, Knn.IvfPqCoarseIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Knn.ivfPqTopK(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (probe, nbr) = (r.getLong(0), r.getLong(1))
+      assert(cells(nbr) === cells(probe),
+        s"neighbor $nbr not in probe $probe's cell")
+    }
+  }
+
   test("training converges: iterations only refine cell means (centroid count bounded)") {
     import spark.implicits._
     val vecs = graft.Tables.load(spark, sf001, "embeddings")

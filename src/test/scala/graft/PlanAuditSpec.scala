@@ -210,10 +210,13 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("PQ ANN scores from codes + broadcast LUT: no window, heap-ranked") {
-    val p = plan(graft.ann.Knn.pqTopK(spark, sf0001))
-    assert(!p.contains("Window"), s"sort window crept into PQ ranking:\n$p")
-    assert(p.contains("topk_by"), s"bounded-heap ranking missing:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"ADC LUT not broadcast:\n$p")
+    for (df <- Seq(graft.ann.Knn.pqTopK(spark, sf0001),
+                   graft.ann.Knn.ivfPqTopK(spark, sf0001))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"sort window crept into PQ ranking:\n$p")
+      assert(p.contains("topk_by"), s"bounded-heap ranking missing:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"ADC LUT not broadcast:\n$p")
+    }
   }
 
   test("zorder locality query has no global single-reducer sort") {
