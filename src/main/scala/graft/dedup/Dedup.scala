@@ -765,9 +765,13 @@ object Dedup {
     l.join(r,
         $"l.pfx" === $"r.pfx" && $"l.bucket" === $"r.bucket" &&
         $"l.doc_id" < $"r.doc_id")
+      // bounded levenshtein: with a threshold Spark computes only the
+      // 2k+1 diagonal band and exits early (O(len·k), not O(len²)) —
+      // for kept pairs (dist ≤ 25 < threshold) the value is exact, so
+      // the full-distance oracle agrees on every surviving row
       .withColumn("dist",
-        levenshtein($"l.text", $"r.text").cast("long"))
-      .where($"dist" <= 25)
+        levenshtein($"l.text", $"r.text", 26).cast("long"))
+      .where($"dist" >= 0 && $"dist" <= 25)
       .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"), $"dist")
       .orderBy($"d1", $"d2")
   }
