@@ -688,7 +688,57 @@ object FlowAnalytics {
       .limit(20)
   }
 
+  /** B11c: windowed sketch top-K — SpaceSaving per 6-hour tumbling
+    * window (the "top talkers per dashboard panel" shape): sketches
+    * build per (window, k) group with map-side partials exactly like
+    * the global B11, so adding the time dimension costs nothing but
+    * group count. Graded exact in the no-eviction regime (capacity 16
+    * ≥ 5 protocols per window); the windowed eviction behavior is the
+    * same code path SketchBoundsSpec bounds.
+    */
+  def topKWindowed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(window($"ts".cast("timestamp"), "6 hours").as("w"))
+      .agg(graft.functions.SpaceSavingAgg.space_saving($"pr", 16).as("tk"))
+      .select($"w.start".cast("timestamp_ntz").as("win_start"),
+        posexplode($"tk").as(Seq("pos", "e")))
+      .where($"pos" < 3)
+      .select($"win_start", ($"pos" + 1).cast("long").as("rnk"),
+        $"e.key".as("proto"), $"e.est")
+      .orderBy($"win_start", $"rnk")
+  }
+
+  /** B20: traffic anomaly detection — per-hour volume z-score against
+    * the trailing 24-hour baseline (a RANGE-frame window, so sparse
+    * hours don't shift the baseline): the alerting query behind the
+    * reference's Grafana panels. Exact variance over the frame;
+    * round(6) guards sqrt/division ulps; anomalous = |z| > 2 with at
+    * least 12 baseline hours (cold-start suppression).
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = asFlows(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(dsum($"value").as("vol"))
+    val w = Window.orderBy($"h".cast("timestamp").cast("long"))
+      .rangeBetween(-24L * 3600, -3600)
+    hourly
+      .withColumn("n_base", count($"vol").over(w))
+      .withColumn("mean_base", avg($"vol").over(w))
+      .withColumn("sd_base", stddev_samp($"vol").over(w))
+      .where($"n_base" >= 12 && $"sd_base" > 0)
+      .withColumn("z_r", round(($"vol" - $"mean_base") / $"sd_base", 6))
+      // flag off the ROUNDED z: the raw quotient can differ by an ulp
+      // across engines (stddev accumulation order), the 6-dp value
+      // can't
+      .select($"h", $"vol", $"z_r", (abs($"z_r") > 2.0).as("anomalous"))
+      .orderBy($"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_topk_windowed" -> topKWindowed _,
+    "flow_anomaly_zscore" -> anomalyZscore _,
     "flow_ddos_score" -> ddosScore _,
     "flow_distinct_hll" -> distinctHll _,
     "flow_zorder_locality" -> zorderLocality _,
@@ -725,6 +775,37 @@ object FlowAnalytics {
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_topk_windowed" -> (flowsCte +
+      """, hourly AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, pr,
+        |    count(*) AS est
+        |  FROM flows GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT win_start, pr, est,
+        |    row_number() OVER (PARTITION BY win_start
+        |      ORDER BY est DESC, pr) AS rnk
+        |  FROM hourly)
+        |SELECT win_start, CAST(rnk AS BIGINT) AS rnk, pr AS proto, est
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY win_start, rnk""".stripMargin),
+    "flow_anomaly_zscore" -> (flowsCte +
+      """, hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vol
+        |  FROM flows GROUP BY 1),
+        |base AS (
+        |  SELECT h, vol,
+        |    count(vol) OVER w AS n_base,
+        |    avg(vol) OVER w AS mean_base,
+        |    stddev_samp(vol) OVER w AS sd_base
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY epoch(h)
+        |    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT h, vol,
+        |  round((vol - mean_base) / sd_base, 6) AS z_r,
+        |  abs(round((vol - mean_base) / sd_base, 6)) > 2.0 AS anomalous
+        |FROM base WHERE n_base >= 12 AND sd_base > 0
+        |ORDER BY h""".stripMargin),
     "flow_ddos_score" -> (flowsCte +
       """, agg AS (
         |  SELECT da, count(DISTINCT sa) AS fan_in, count(*) AS n_flows,
