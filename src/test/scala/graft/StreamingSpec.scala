@@ -172,6 +172,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1L, 3L), (3L, 1L), (4L, 2L), (4L, 12L)))
   }
 
+  test("streaming session windows merge sessions ACROSS micro-batches") {
+    import spark.implicits._
+    // one user's events 20 min apart (one session), split so the
+    // session's halves arrive in different micro-batches; a late
+    // second user closes the watermark. The state store must merge
+    // the cross-batch halves into ONE session — the property a
+    // single-batch drain can't distinguish from batch aggregation.
+    val src = tmpDir("sesssrc") + "/ev"
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    val batch1 = Seq((1L, ts(0)), (1L, ts(20)))
+    val batch2 = Seq((1L, ts(40)), (2L, ts(600))) // user 2 advances the watermark
+    Seq(batch1, batch2).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "ts").repartition(1).write.parquet(s"$src/part$i")
+    }
+    val q = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/part*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "60 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"sw.start".as("s"), $"sw.end".as("e"), $"n")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_out").orderBy("user_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // user 1's three events (0/20/40 min, gaps < 60) = ONE session of
+    // 3 despite arriving in two batches; user 2's session stays open
+    // past the final watermark and must NOT emit
+    assert(got.toSeq === Seq((1L, 3L)),
+      s"cross-batch session merge broken: ${got.toSeq}")
+  }
+
   test("stream-static join enriches without shuffling the stream side") {
     import spark.implicits._
     val src = tmpDir("enrichsrc") + "/data"
