@@ -51,10 +51,13 @@ object TextAnalytics {
     * composed into a keep/drop score. Formula order matters (IEEE
     * parity with the oracle): keep the exact expression shape in sync.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    load(spark, dir, "documents")
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+  /** The quality columns over any frame with `text` — shared by the
+    * graded D9 query and the curation composite (D24), so the formula
+    * can't drift between them.
+    */
+  private[graft] def qualityCols(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.withColumn("n_tokens", size(split($"text", " ")).cast("long"))
       .withColumn("n_chars_m", length($"text"))
       .withColumn("n_stop",
         expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))"))
@@ -65,6 +68,11 @@ object TextAnalytics {
         ($"avg_token_len" * 0.2) + ($"stop_ratio" * 2.0) +
           (least($"n_tokens", lit(100)).cast("double") / 100.0))
       .withColumn("keep", $"score" > 1.5 && $"n_tokens" >= 10)
+  }
+
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityCols(load(spark, dir, "documents"))
       .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio",
         $"score", $"keep")
       .orderBy($"doc_id")
@@ -361,7 +369,106 @@ object TextAnalytics {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** D24: end-to-end corpus curation — the four batch stages a
+    * training corpus actually runs, composed as ONE declarative plan:
+    * quality gate (D9's exact formula via [[qualityCols]]) → exact
+    * dedup (keep-first per content hash) → benchmark decontamination
+    * (token-8-gram equi-join vs the broadcast eval-phrase set, D21's
+    * machinery) → hash-stable train/val/test split (D18's rule), then
+    * per-(split, lang) corpus accounting. The point is composition:
+    * each stage is a column transform / one keyed shuffle, so
+    * Catalyst pipelines the whole chain — there is no materialization
+    * between stages, and at 100 TB the curation run is exactly this
+    * plan over the full corpus. (Near-dup removal slots in as one
+    * more anti-join against D15's cluster losers when the minhash
+    * pass has been run.)
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"lang", $"text")
+    val q = qualityCols(docs).where($"keep")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text".cast("binary")))
+    val deduped = q.withColumn("keep_id", min($"doc_id").over(w))
+      .where($"doc_id" === $"keep_id")
+    val k = graft.dedup.Dedup.ContamPhraseTokens
+    val phrases = docs.where($"doc_id" % 50 === 0)
+      .select(split($"text", " ").as("toks"))
+      .where(size($"toks") >= k + 4)
+      .select(concat_ws(" ",
+        expr(s"slice(toks, CAST(size(toks) / 2 AS INT) - ${k / 2}, $k)")).as("phrase"))
+    val contaminated = graft.dedup.Dedup.tokenGrams(docs.select($"doc_id", $"text"), k)
+      .select($"doc_id", $"gram".as("phrase"))
+      .join(broadcast(phrases), "phrase")
+      .select($"doc_id").distinct()
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(cast(concat('split:', doc_id) as binary)), 1, 7), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when($"h" < 80, "train").when($"h" < 90, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("sum_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"split", $"lang")
+  }
+
+  val corpusCurateSql: String = {
+    val k = graft.dedup.Dedup.ContamPhraseTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    length(text) AS n_chars_m,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |    CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+       |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+       |  FROM t),
+       |keepq AS (
+       |  SELECT doc_id, lang, text FROM r
+       |  WHERE ((avg_token_len * 0.2) + (stop_ratio * 2.0) +
+       |    (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)) > 1.5
+       |    AND n_tokens >= 10),
+       |deduped AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |    FROM keepq) WHERE doc_id = keep_id),
+       |pt AS (
+       |  SELECT string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |phrases AS (
+       |  SELECT array_to_string(
+       |    toks[(n // 2 - ${k / 2}) : (n // 2 + ${k / 2 - 1})], ' ') AS phrase
+       |  FROM pt WHERE n >= ${k + 4}),
+       |tt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(toks[p : p + ${k - 1}], ' ') AS phrase
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, n - ${k - 2})) AS p
+       |    FROM tt WHERE n >= $k)),
+       |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN phrases USING (phrase)),
+       |f AS (
+       |  SELECT doc_id, lang, text,
+       |    ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT % 100 AS h
+       |  FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+       |SELECT
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM f GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curate" -> corpusCurate _,
     "text_entropy" -> entropy _,
     "text_wordcount" -> wordcount _,
     "text_lang_id" -> langId _,
@@ -391,6 +498,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_curate" -> corpusCurateSql,
     "text_entropy" -> entropySql,
     "text_chunk" ->
       s"""WITH t AS (
