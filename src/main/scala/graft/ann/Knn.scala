@@ -442,7 +442,7 @@ object Knn {
     * the corpus never shuffles for assignment (the groupBy reuses the
     * subvec exchange; `min_by` carries n×M rows, not n×M×K).
     */
-  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
     import sv.sparkSession.implicits._
     sv.join(broadcast(cb), "sub")
       .withColumn("d2",
@@ -592,6 +592,106 @@ object Knn {
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** D7f: residual IVF-PQ — the accuracy upgrade documented on D7e,
+    * now implemented: codes quantize each vector's RESIDUAL
+    * (x − centroid of its routing cell, via the native
+    * [[graft.functions.VecSub]] kernel) instead of the raw vector.
+    * Residuals concentrate around the origin — the same code budget
+    * spends its resolution on the within-cell offsets that actually
+    * distinguish candidates, which is why FAISS-style indexes default
+    * to it. Scoring is L2-ADC: the LUT holds per-(sub, code) squared
+    * distances from the probe's residual subvectors, candidate
+    * distance = Σ_sub lut[code] (decimal-summed for order-free
+    * parity), ranked by negated distance through the same bounded
+    * heap. One shared codebook over residuals (FAISS default), one
+    * training pipeline for all subspaces, everything derandomized —
+    * the oracle replays routing, residuals, training, encoding, and
+    * scoring bit-for-bit.
+    */
+  def ivfPqResTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VecFuncs.vsub
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = trainedCentroids(vecs, IvfPqCoarseIters)
+    val assigned = assign(vecs, cents)
+    val rvecs = assigned.join(broadcast(cents), "cid")
+      .select($"vec_id", $"cid".as("cell"),
+        vsub($"embedding", $"cent").as("embedding"))
+    val rsv = subvecs(rvecs.select($"vec_id", $"embedding"))
+    val cb = pqCodebooks(rsv, PqIters)
+    val codes = pqAssign(rsv, cb).select($"vec_id", $"sub", $"cid")
+    val cells = rvecs.select($"vec_id", $"cell")
+    val probes = cells.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"cell")
+    val lut = rsv.where($"vec_id" < 10)
+      .join(broadcast(cb), "sub")
+      .select($"vec_id".as("probe_id"), $"sub", $"cid",
+        round(vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
+          vdot($"cent", $"cent"), 9).as("dist2"))
+    val cands = cells.join(broadcast(probes), "cell")
+      .where($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+    val scored = cands.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
+      .groupBy($"probe_id", $"vec_id")
+      .agg((-sum($"dist2".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double")).as("score"))
+    rankTopK(scored, 3, Seq.empty)
+  }
+
+  val ivfPqResTopKSql: String = {
+    val coarse = (1 to IvfPqCoarseIters).map { i =>
+      assignCteSql(s"icents${i - 1}", s"ia$i") + ",\n" + meanCteSql(s"ia$i", s"icents$i")
+    }.mkString(",\n")
+    val pqTraining = (1 to PqIters).map { i =>
+      pqAssignCteSql(s"cb${i - 1}", s"a$i") + ",\n" + pqMeanCteSql(s"a$i", s"cb$i")
+    }.mkString(",\n")
+    s"""WITH icents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$coarse,
+       |${assignCteSql(s"icents$IvfPqCoarseIters", "cellassign")},
+       |rv AS (
+       |  SELECT a.vec_id, a.cid AS cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - c.cent[i]) AS emb
+       |  FROM cellassign a JOIN icents$IvfPqCoarseIters c ON c.cid = a.cid),
+       |sv AS (
+       |  SELECT vec_id, sub,
+       |    list_transform(range(1, ${PqSubDim + 1}), i -> emb[sub * $PqSubDim + i]) AS svec
+       |  FROM rv, range(0, $PqSubspaces) t(sub)),
+       |cb0 AS (
+       |  SELECT sub, vec_id // $PqStride AS cid, svec AS cent FROM sv
+       |  WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqCodes}),
+       |$pqTraining,
+       |${pqAssignCteSql(s"cb$PqIters", "codes")},
+       |probes AS (
+       |  SELECT vec_id AS probe_id, cell FROM rv WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT s.vec_id AS probe_id, c.sub, c.cid,
+       |    round(${subD2Sql("s.svec", "c.cent")}, 9) AS dist2
+       |  FROM sv s JOIN cb$PqIters c ON s.sub = c.sub
+       |  WHERE s.vec_id < 10),
+       |cands AS (
+       |  SELECT p.probe_id, r.vec_id
+       |  FROM rv r JOIN probes p USING (cell)
+       |  WHERE r.vec_id != p.probe_id),
+       |scored AS (
+       |  SELECT ca.probe_id, ca.vec_id,
+       |    -(CAST(sum(CAST(l.dist2 AS DECIMAL(28, 9))) AS DOUBLE)) AS score
+       |  FROM cands ca
+       |  JOIN codes co ON co.vec_id = ca.vec_id
+       |  JOIN lut l ON l.probe_id = ca.probe_id AND l.sub = co.sub AND l.cid = co.cid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** Index-order dot fold over [[PqSubDim]]-element slices. */
   private def subDotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -727,6 +827,7 @@ object Knn {
     "ann_topk_ivf_mp" -> ivfTopKMulti _,
     "ann_topk_pq" -> pqTopK _,
     "ann_topk_ivfpq" -> ivfPqTopK _,
+    "ann_topk_ivfpq_res" -> ivfPqResTopK _,
     "dedup_embedding" -> embDedup _,
     "emb_norms" -> embNorms _,
     "emb_quantize" -> embQuantize _)
@@ -738,6 +839,7 @@ object Knn {
     "ann_topk_ivf_mp" -> ivfTopKMultiSql,
     "ann_topk_pq" -> pqTopKSql,
     "ann_topk_ivfpq" -> ivfPqTopKSql,
+    "ann_topk_ivfpq_res" -> ivfPqResTopKSql,
     "dedup_embedding" -> embDedupSql,
     "emb_norms" -> embNormsSql,
     "emb_quantize" -> embQuantizeSql)

@@ -38,6 +38,7 @@ object GraftFunctions {
     "ip6_ntoa" -> (e => { arity("ip6_ntoa", e, 1); Ip6Ntoa(e.head) }),
     "ip6_in_cidr" -> (e => { arity("ip6_in_cidr", e, 2); Ip6InCidr(e(0), e(1)) }),
     "vec_dot" -> (e => { arity("vec_dot", e, 2); VecDot(e(0), e(1)) }),
+    "vec_sub" -> (e => { arity("vec_sub", e, 2); VecSub(e(0), e(1)) }),
     "vec_norm" -> (e => { arity("vec_norm", e, 1); VecNorm(e.head) }),
     "vec_cos" -> (e => { arity("vec_cos", e, 2); VecCos(e(0), e(1)) }),
     "topk_agg" -> (e => { arity("topk_agg", e, 2)

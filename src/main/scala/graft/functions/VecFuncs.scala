@@ -46,6 +46,15 @@ object VecUtil {
 
   def norm(a: ArrayData, aF: Boolean): Double = math.sqrt(normSq(a, aF))
 
+  /** Elementwise a−b (double-widened, index order) over min length. */
+  def sub(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = get(a, i, aF) - get(b, i, bF); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** dot/(‖a‖·‖b‖) in one pass — three independent accumulators, each
     * summed in index order, so the result is bitwise what the composed
     * vdot/vnorm columns produced.
@@ -88,6 +97,25 @@ case class VecDot(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.dot($a, $b, $aF, $bF)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(l, r)
+}
+
+/** `vec_sub(a, b)` — elementwise a−b widened to double (index order),
+  * `array<double>` out: the residual step of residual-quantized
+  * indexes (x − centroid). Native because a `zip_with` lambda
+  * evaluates interpreted per ELEMENT.
+  */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression with VecTypes {
+  override protected def vecInputs: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private lazy val aF = isFloatArr(left); private lazy val bF = isFloatArr(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.sub($a, $b, $aF, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSub =
     copy(l, r)
 }
 
@@ -134,6 +162,10 @@ object VecFuncs {
 
   /** ‖a‖₂ */
   def vnorm(a: Column): Column = ExpressionUtils.column(VecNorm(expr(a)))
+
+  /** Elementwise a−b as array<double> (the residual step). */
+  def vsub(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecSub(expr(a), expr(b)))
 
   /** cosine(a, b) = dot / (‖a‖·‖b‖), one fused pass. */
   def vcos(a: Column, b: Column): Column =

@@ -101,6 +101,34 @@ class KnnSpec extends SparkSpecBase {
     }
   }
 
+  test("residual codes reconstruct tighter than raw codes at the same budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecFuncs.{vdot, vsub}
+    val vecs = graft.Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+    // mean squared quantization error of a PQ over a given vector frame
+    def meanErr(frame: org.apache.spark.sql.DataFrame): Double = {
+      val sv = Knn.subvecs(frame)
+      val cb = Knn.pqCodebooks(sv, Knn.PqIters)
+      Knn.pqAssign(sv, cb)
+        .join(broadcast(cb), Seq("sub", "cid"))
+        .select((vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
+          vdot($"cent", $"cent")).as("d2"))
+        .agg(avg($"d2")).head().getDouble(0)
+    }
+    val rawErr = meanErr(vecs)
+    val cents = Knn.trainedCentroids(vecs, Knn.IvfPqCoarseIters)
+    val residuals = Knn.cellsOf(vecs, Knn.IvfPqCoarseIters)
+      .join(vecs, "vec_id")
+      .join(broadcast(cents), col("cell") === col("cid"))
+      .select($"vec_id", vsub($"embedding", $"cent").as("embedding"))
+    val resErr = meanErr(residuals)
+    info(f"mean sq quantization error: raw=$rawErr%.4f residual=$resErr%.4f")
+    assert(resErr < rawErr,
+      f"residual coding did not reduce quantization error: $resErr%.4f vs $rawErr%.4f")
+  }
+
   test("training converges: iterations only refine cell means (centroid count bounded)") {
     import spark.implicits._
     val vecs = graft.Tables.load(spark, sf001, "embeddings")
