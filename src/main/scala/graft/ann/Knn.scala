@@ -507,6 +507,15 @@ object Knn {
     */
   val IvfPqCoarseIters = 1
 
+  /** Truncate lineage for a many-consumer intermediate (reliable
+    * checkpoint when a dir is configured — the cluster path — else
+    * executor-memory localCheckpoint; same policy as the dedup
+    * pipelines).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** (vec_id, cell) routing assignment — exposed for the cell-locality
     * spec.
     */
@@ -614,9 +623,15 @@ object Knn {
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val cents = trainedCentroids(vecs, IvfPqCoarseIters)
     val assigned = assign(vecs, cents)
-    val rvecs = assigned.join(broadcast(cents), "cid")
+    // materialize ONCE: Spark has no cross-branch CSE, and the
+    // residual table feeds ~7 consumers (two training iterations,
+    // encode, LUT, cells, probes, candidates) — each would re-run the
+    // n×C coarse scoring pass. The table is n rows of one double[64]
+    // (~2.5 MB at sf0.1; at 100 TB this is the staging table a real
+    // pipeline writes between index-build stages).
+    val rvecs = materialize(assigned.join(broadcast(cents), "cid")
       .select($"vec_id", $"cid".as("cell"),
-        vsub($"embedding", $"cent").as("embedding"))
+        vsub($"embedding", $"cent").as("embedding")))
     val rsv = subvecs(rvecs.select($"vec_id", $"embedding"))
     val cb = pqCodebooks(rsv, PqIters)
     val codes = pqAssign(rsv, cb).select($"vec_id", $"sub", $"cid")
