@@ -149,6 +149,39 @@ object StreamingOps {
     spark.table(name).orderBy($"user_id", $"session_start")
   }
 
+  /** E8: streaming sketch top-K — the SpaceSaving aggregate running as
+    * a complete-mode streaming aggregation (the live "top protocols
+    * right now" dashboard): per-micro-batch partial sketches merge
+    * into the state-store sketch, and the full ranked table re-emits
+    * each trigger. This is the payoff of making every sketch a
+    * mergeable TypedImperativeAggregate — batch, windowed (B11c), and
+    * streaming are the SAME aggregate. Graded exact in the
+    * no-eviction regime (capacity 16 ≥ 5 protocols), where the merged
+    * sketch is arrival-order-independent.
+    */
+  def topKApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_topk_${counter.incrementAndGet()}"
+    val sp = spoolEvents(spark, dir)
+    val q = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(sp)
+      .agg(graft.functions.SpaceSavingAgg.space_saving(
+        upper($"event_type"), 16).as("tk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(posexplode($"tk").as(Seq("pos", "e")))
+      .select(($"pos" + 1).cast("long").as("rnk"),
+        $"e.key".as("proto"), $"e.est")
+      .orderBy($"rnk")
+  }
+
   case class Evt(event_id: Long, user_id: Long, event_type: String)
 
   /** E2: stateful streaming dedup — keep only each key's first-ever
@@ -285,6 +318,7 @@ object StreamingOps {
     "stream_window_agg" -> windowAgg _,
     "stream_running_totals" -> runningTotals _,
     "stream_sessions_agg" -> sessionAgg _,
+    "stream_topk" -> topKApprox _,
     "stream_decontaminate" -> decontaminate _)
 
   /** Oracle: batch tumbling-window agg, keeping only windows whose end
@@ -292,6 +326,13 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    "stream_topk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY est DESC, proto) AS BIGINT) AS rnk,
+        |  proto, est
+        |FROM (
+        |  SELECT upper(event_type) AS proto, count(*) AS est
+        |  FROM events GROUP BY 1)
+        |ORDER BY rnk""".stripMargin,
     "stream_sessions_agg" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts, value,

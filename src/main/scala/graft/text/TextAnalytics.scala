@@ -467,7 +467,52 @@ object TextAnalytics {
        |FROM f GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   }
 
+  /** D9e: unigram LM surprisal — mean per-token negative log
+    * probability under the corpus's own unigram distribution (the
+    * CCNet-style "LM perplexity" quality proxy, with the corpus as its
+    * own LM): −(1/n)Σ ln p(wᵢ) = ln N − (1/n)Σ ln cnt(wᵢ). Documents
+    * full of rare tokens (noise, codes, mangled encodings) score
+    * high; stopword-heavy prose scores low. Two combine-heavy
+    * aggregations (vocab counts, per-doc sums) + one token-level
+    * join — no per-doc state beyond a decimal accumulator.
+    *
+    * Parity: per-token ln cnt is rounded 9 dp and summed as
+    * DECIMAL(28,9) — token order inside a doc is partition-dependent
+    * in Spark and the oracle, so the sum must be order-free; the
+    * final ln N − s/n chain is fixed-order, rounded 6 dp.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val vocab = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val tot = tok.agg(count(lit(1)).as("nn"))
+    tok.join(vocab, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(log($"cnt"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("s"))
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"n_tokens",
+        round(log($"nn") - ($"s".cast("double") / $"n_tokens"), 6).as("nll_r"))
+      .orderBy($"doc_id")
+  }
+
+  val unigramLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      |tot AS (SELECT count(*) AS nn FROM tok),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |    sum(CAST(round(ln(v.cnt), 9) AS DECIMAL(28, 9))) AS s
+      |  FROM tok t JOIN vocab v USING (w) GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(ln((SELECT nn FROM tot)) - (CAST(s AS DOUBLE) / n_tokens), 6) AS nll_r
+      |FROM per ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> unigramLogprob _,
     "corpus_curate" -> corpusCurate _,
     "text_entropy" -> entropy _,
     "text_wordcount" -> wordcount _,
@@ -498,6 +543,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_unigram_logprob" -> unigramLogprobSql,
     "corpus_curate" -> corpusCurateSql,
     "text_entropy" -> entropySql,
     "text_chunk" ->

@@ -33,7 +33,8 @@ class PlanSnapshotSpec extends SparkSpecBase {
     Set("flow_retention", "flow_by_source", "agg_distinct")
   private val skip =
     Set("stream_window_agg", "stream_running_totals",
-      "stream_decontaminate", "stream_sessions_agg") ++ multiDistinct
+      "stream_decontaminate", "stream_sessions_agg",
+      "stream_topk") ++ multiDistinct
   private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
 
   /** Strip run-varying tokens: expression ids, rdd ids, file paths,
