@@ -314,7 +314,51 @@ object StreamingOps {
     spark.table(name).orderBy($"doc_id", $"bench_id", $"p")
   }
 
+  /** E9: streaming Bloom ingest gate — D23's incremental-dedup filter
+    * in its natural position: IN FRONT of the stream. The ingested
+    * corpus is summarized once into the fixed-size filter (batch
+    * side, one aggregate row → broadcast); each arriving doc probes
+    * it map-only and is tagged maybe-duplicate/fresh as it lands.
+    * Stateless like E6 (no watermark, no state store): the filter is
+    * read-only within the run, so output is deterministic under any
+    * micro-batch split and the FP-exact D23 oracle applies verbatim
+    * to the stream output. (Production rebuilds the filter per
+    * ingest epoch — between runs, not within one.)
+    */
+  def bloomGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BloomAgg.{bloom_agg, bloom_contains}
+    val name = s"graft_stream_bloom_${counter.incrementAndGet()}"
+    val docsSpool = spool(spark, dir, "documents")
+    val existing = graft.Tables.load(spark, dir, "documents")
+    val bf = existing.agg(bloom_agg(md5($"text".cast("binary")),
+      graft.dedup.Dedup.BloomBits, graft.dedup.Dedup.BloomHashes).as("bf"))
+    // the stream plays the INCOMING batch: same derivation as D23
+    // (dups of every 5th doc + fresh suffix-perturbed every 3rd)
+    val incoming = spark.readStream
+      .schema(documentsSchema)
+      .parquet(docsSpool)
+    val staged = incoming.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+      .union(incoming.where($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 30000).as("doc_id"),
+          concat($"text", lit(" incoming fresh suffix")).as("text")))
+    val q = staged
+      .crossJoin(broadcast(bf))
+      .select($"doc_id",
+        bloom_contains($"bf", md5($"text".cast("binary"))).as("flagged"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bloom_gate" -> bloomGate _,
     "stream_window_agg" -> windowAgg _,
     "stream_running_totals" -> runningTotals _,
     "stream_sessions_agg" -> sessionAgg _,
@@ -326,6 +370,28 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    "stream_bloom_gate" -> {
+      val m = graft.dedup.Dedup.BloomBits
+      val k = graft.dedup.Dedup.BloomHashes
+      s"""WITH inc AS (
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000 AS doc_id, text || ' incoming fresh suffix' AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |setpos AS (
+         |  SELECT DISTINCT
+         |    ('0x' || substr(md5(i || ':' || md5(text)), 1, 15))::BIGINT % $m AS pos
+         |  FROM documents, range(0, $k) t(i)),
+         |probe AS (SELECT doc_id, md5(text) AS h FROM inc),
+         |cand AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(i || ':' || h), 1, 15))::BIGINT % $m AS pos
+         |  FROM probe, range(0, $k) t(i)),
+         |hits AS (
+         |  SELECT c.doc_id, bool_and(s.pos IS NOT NULL) AS flagged
+         |  FROM cand c LEFT JOIN setpos s USING (pos) GROUP BY c.doc_id)
+         |SELECT doc_id, flagged FROM hits ORDER BY doc_id""".stripMargin
+    },
     "stream_topk" ->
       """SELECT CAST(row_number() OVER (ORDER BY est DESC, proto) AS BIGINT) AS rnk,
         |  proto, est
