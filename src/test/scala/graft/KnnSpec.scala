@@ -136,4 +136,24 @@ class KnnSpec extends SparkSpecBase {
     val n = Knn.trainedCentroids(vecs, Knn.KMeansIters).count()
     assert(n > 0 && n <= Knn.CentBudget, s"centroid count $n out of bounds")
   }
+
+  test("semantic dedup drops every planted copy and keeps its original") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Knn.semanticDedup(spark, sf001)
+      .select($"vec_id", $"kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val planted = out.keys.filter(_ >= 10000)
+    assert(planted.nonEmpty, "no planted copies in the corpus")
+    planted.foreach { v =>
+      // the exact copy shares cell and centroid-cosine with its
+      // original, so the (csim, id) tie-break must keep the lower id
+      assert(!out(v), s"planted copy $v survived")
+      assert(out(v - 10000), s"original ${v - 10000} was dropped in favor of its copy")
+    }
+    val kept = out.values.count(identity)
+    assert(kept < out.size, "nothing was dropped")
+    assert(kept >= out.size - planted.size - out.size / 10,
+      s"dropped far more than the planted duplicates: kept $kept of ${out.size}")
+  }
 }

@@ -33,4 +33,16 @@ class QueriesSmokeSpec extends SparkSpecBase {
 
   // approx-sketch error bounds live with the other sketch-bound tests
   // in SketchBoundsSpec (SpaceSavingSpec.scala)
+
+  test("corpus_dsir enriches the target language beyond its corpus share") {
+    // uses sf0.01: at sf0.001 the 50-doc corpus makes the top-50 the
+    // whole corpus and the selection vacuous
+    val sel = graft.text.TextAnalytics.corpusDsir(spark, "/root/testdata/sf0.01")
+      .select("lang").collect().map(_.getString(0))
+    val share = sel.count(_ == graft.text.TextAnalytics.DsirTargetLang)
+      .toDouble / sel.length
+    info(f"target-lang share of selected docs: $share%.2f (corpus ~0.46)")
+    assert(share > 0.6,
+      f"importance selection did not enrich the target language: $share%.2f")
+  }
 }
