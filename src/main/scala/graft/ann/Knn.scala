@@ -767,6 +767,131 @@ object Knn {
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** D7g: farthest-point-seeded IVF (`ann_topk_ivf_fps`) — the
+    * derandomized k-means++ analog. Stride seeding picks centroids by
+    * id arithmetic, which on clustered data can land several seeds in
+    * one dense region and leave others uncovered; k-means++ fixes that
+    * with D²-weighted RANDOM sampling, whose deterministic limit is
+    * greedy farthest-point traversal: each next seed is the vector
+    * with MAXIMUM min-distance (1 − cos) to the seeds chosen so far
+    * (ties → lowest id). Same idea, zero randomness → the DuckDB
+    * oracle replays seed selection, refinement, and search exactly.
+    *
+    * Scale shape: seed selection is [[FpsBudget]] sequential rounds
+    * (k is a small constant, independent of n) — each round one
+    * map-side scoring pass against the ≤k-row broadcast seed set, one
+    * combine-heavy min-aggregation, and a 1-row TakeOrdered argmax;
+    * the corpus never shuffles. Lloyd's refinement and cell search
+    * reuse the IVF machinery. Seeding quality is pinned in KnnSpec:
+    * at equal budget and iterations, farthest-point seeds cover the
+    * space better than stride seeds (lower k-means inertia).
+    */
+  val FpsBudget = 8
+  val FpsIters = 1
+
+  /** Greedy farthest-point seed set: (cid, cent), cid = seed vec_id. */
+  private[graft] def fpsSeeds(vecs: DataFrame, k: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    var seeds = vecs.orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("cid"), $"embedding".as("cent"))
+    for (_ <- 2 to k) {
+      val next = vecs.crossJoin(broadcast(seeds))
+        .withColumn("d", lit(1.0) - vcos($"embedding", $"cent"))
+        .groupBy($"vec_id")
+        .agg(first($"embedding").as("embedding"), min($"d").as("mind"))
+        .orderBy($"mind".desc, $"vec_id")
+        .limit(1)
+        .select($"vec_id".as("cid"), $"embedding".as("cent"))
+      seeds = seeds.union(next)
+    }
+    seeds
+  }
+
+  /** Lloyd's rounds from an arbitrary seed frame (the stride-seeded
+    * twin is [[trainedCentroids]]).
+    */
+  private[graft] def refine(vecs: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      cents = assign(vecs, cents)
+        .select($"cid", posexplode($"embedding"))
+        .groupBy($"cid", $"pos")
+        .agg(round(avg($"col".cast("double")), 6).as("m"))
+        .groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cent"))
+    }
+    cents
+  }
+
+  def ivfFpsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = refine(vecs, fpsSeeds(vecs, FpsBudget), FpsIters)
+    val assigned = assign(vecs, cents)
+    val probes = assigned.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"), $"cid")
+    val cands = assigned.join(probes, Seq("cid"))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score", vcos($"probe_emb", $"embedding"))
+    rankTopK(cands, 3, Seq("cid"))
+  }
+
+  val ivfFpsTopKSql: String = {
+    // seed rounds: s1 = {vec 0}; s_i = s_{i-1} ∪ argmax min-dist
+    val seedCtes = (2 to FpsBudget).map { i =>
+      s"""n$i AS (
+         |  SELECT vec_id AS cid, embedding AS cent FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      min(1 - ${cosSql("e.embedding", "s.cent")}) AS mind
+         |    FROM embeddings e, s${i - 1} s
+         |    GROUP BY e.vec_id, e.embedding
+         |    ORDER BY mind DESC, e.vec_id LIMIT 1)),
+         |s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM n$i)""".stripMargin
+    }.mkString(",\n")
+    val refineCtes = (1 to FpsIters).map { i =>
+      val src = if (i == 1) s"s$FpsBudget" else s"fcents${i - 1}"
+      s"""fa$i AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+         |    FROM embeddings e, $src c) t
+         |  WHERE rn = 1),
+         |fcents$i AS (
+         |  SELECT cid, list(m ORDER BY pos) AS cent FROM (
+         |    SELECT cid, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS m
+         |    FROM fa$i, range(1, ${Dim + 1}) t(pos)
+         |    GROUP BY cid, pos)
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s1 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  ORDER BY vec_id LIMIT 1),
+       |$seedCtes,
+       |$refineCtes,
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM embeddings e, fcents$FpsIters c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb, cid
+       |  FROM assigned WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT p.probe_id, a.vec_id, a.cid,
+       |    ${cosSql("p.probe_emb", "a.embedding")} AS score,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("p.probe_emb", "a.embedding")} DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id != p.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  score, cid
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** D25: SemDeDup-style semantic dedup (`dedup_semantic`) — the
     * embedding-space complement to MinHash/SimHash: near-duplicate
     * MEANING collapses even when the surface text differs. The
@@ -945,6 +1070,7 @@ object Knn {
     "ann_topk_pq" -> pqTopK _,
     "ann_topk_ivfpq" -> ivfPqTopK _,
     "ann_topk_ivfpq_res" -> ivfPqResTopK _,
+    "ann_topk_ivf_fps" -> ivfFpsTopK _,
     "dedup_embedding" -> embDedup _,
     "dedup_semantic" -> semanticDedup _,
     "emb_norms" -> embNorms _,
@@ -958,6 +1084,7 @@ object Knn {
     "ann_topk_pq" -> pqTopKSql,
     "ann_topk_ivfpq" -> ivfPqTopKSql,
     "ann_topk_ivfpq_res" -> ivfPqResTopKSql,
+    "ann_topk_ivf_fps" -> ivfFpsTopKSql,
     "dedup_embedding" -> embDedupSql,
     "dedup_semantic" -> semanticDedupSql,
     "emb_norms" -> embNormsSql,

@@ -556,14 +556,15 @@ object TextAnalytics {
           |  (a, b) -> concat(a, ' ', b)))""".stripMargin)).as("w"))
       .withColumn("b", expr(
         s"CAST(conv(substring(md5(cast(concat('dsir:', w) as binary)), 1, 7), 16, 10) AS BIGINT) % $DsirBuckets"))
-    val allCnt = tok.groupBy($"b").agg(count(lit(1)).as("a"))
-    val tgtCnt = tok.where($"lang" === DsirTargetLang)
-      .groupBy($"b").agg(count(lit(1)).as("t"))
-    val totals = tok.agg(
-      count(lit(1)).as("nn"),
-      sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("tt"))
-    val weights = allCnt.join(tgtCnt, Seq("b"), "left")
-      .na.fill(0L, Seq("t"))
+    // one combine-heavy pass produces BOTH distributions (raw count +
+    // target count per bucket); corpus-level totals then reduce the
+    // 1024-row bucket table, not the corpus — the token stream is
+    // scanned twice total (here + the scoring join), not four times
+    val bucketCnt = tok.groupBy($"b").agg(
+      count(lit(1)).as("a"),
+      sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("t"))
+    val totals = bucketCnt.agg(sum($"a").as("nn"), sum($"t").as("tt"))
+    val weights = bucketCnt
       .crossJoin(broadcast(totals))
       .select($"b", round(
         log(($"t" + 1).cast("double") / ($"tt" + lit(DsirBuckets))) -
@@ -588,17 +589,16 @@ object TextAnalytics {
        |  FROM (SELECT doc_id, lang, unnest(list_concat(ts,
        |          list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS w
        |        FROM toks)),
-       |allc AS (SELECT b, count(*) AS a FROM tb GROUP BY b),
-       |tgtc AS (SELECT b, count(*) AS t FROM tb
-       |         WHERE lang = '$DsirTargetLang' GROUP BY b),
-       |tot AS (SELECT count(*) AS nn,
-       |          sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tt
-       |        FROM tb),
+       |bc AS (
+       |  SELECT b, count(*) AS a,
+       |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS t
+       |  FROM tb GROUP BY b),
+       |tot AS (SELECT sum(a) AS nn, sum(t) AS tt FROM bc),
        |w AS (
-       |  SELECT allc.b,
-       |    round(ln(CAST(coalesce(t, 0) + 1 AS DOUBLE) / (tt + $DsirBuckets))
+       |  SELECT b,
+       |    round(ln(CAST(t + 1 AS DOUBLE) / (tt + $DsirBuckets))
        |        - ln(CAST(a + 1 AS DOUBLE) / (nn + $DsirBuckets)), 9) AS lw
-       |  FROM allc LEFT JOIN tgtc ON allc.b = tgtc.b, tot),
+       |  FROM bc, tot),
        |per AS (
        |  SELECT tb.doc_id, count(*) AS n_tokens,
        |    sum(CAST(lw AS DECIMAL(28, 9))) AS s

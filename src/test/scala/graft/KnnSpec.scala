@@ -137,6 +137,32 @@ class KnnSpec extends SparkSpecBase {
     assert(n > 0 && n <= Knn.CentBudget, s"centroid count $n out of bounds")
   }
 
+  test("farthest-point seeding covers the space better than stride at equal budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecFuncs.vcos
+    val vecs = graft.Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+    // k-means inertia after the same refinement: Σ (1 − cos to the
+    // nearest centroid) — the objective seeding exists to lower
+    def inertia(seeds: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Knn.refine(vecs, seeds, Knn.FpsIters)
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("c", vcos($"embedding", $"cent"))
+        .groupBy($"vec_id").agg(max($"c").as("best"))
+        .agg(sum(lit(1.0) - $"best")).head().getDouble(0)
+    }
+    val stride = vecs
+      .where($"vec_id" % Knn.CentStride === 0 &&
+        $"vec_id" < Knn.CentStride * Knn.FpsBudget)
+      .select($"vec_id".as("cid"), $"embedding".as("cent"))
+    val iStride = inertia(stride)
+    val iFps = inertia(Knn.fpsSeeds(vecs, Knn.FpsBudget))
+    info(f"inertia at budget ${Knn.FpsBudget}: stride=$iStride%.3f fps=$iFps%.3f")
+    assert(iFps < iStride,
+      f"farthest-point seeding did not lower inertia: $iFps%.3f vs $iStride%.3f")
+  }
+
   test("semantic dedup drops every planted copy and keeps its original") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
