@@ -453,11 +453,12 @@ object Knn {
         min_by($"cid", struct($"d2", $"cid")).as("cid"))
   }
 
-  private[graft] def pqCodebooks(sv: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pqCodebooks(sv: DataFrame, iters: Int,
+      codes: Int = PqCodes, stride: Int = PqStride): DataFrame = {
     import sv.sparkSession.implicits._
     var cb = sv
-      .where($"vec_id" % PqStride === 0 && $"vec_id" < PqStride * PqCodes)
-      .select($"sub", expr(s"vec_id div $PqStride").as("cid"), $"svec".as("cent"))
+      .where($"vec_id" % stride === 0 && $"vec_id" < stride * codes)
+      .select($"sub", expr(s"vec_id div $stride").as("cid"), $"svec".as("cent"))
     for (_ <- 1 to iters) {
       cb = pqAssign(sv, cb)
         .select($"sub", $"cid", posexplode($"svec"))
@@ -652,6 +653,174 @@ object Knn {
       .agg((-sum($"dist2".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
         .cast("double")).as("score"))
     rankTopK(scored, 3, Seq.empty)
+  }
+
+  /** D7h: per-cell residual codebooks (`ann_topk_ivfpq_pc`) — the
+    * next accuracy notch over D7f's single shared residual codebook:
+    * every routing cell trains its OWN [[PcCodes]]-entry codebook per
+    * subspace. Same code width on disk (a [[PcCodes]]-way code per
+    * subspace), C× the codebook parameters — the classic IVF-PQ
+    * accuracy/metadata trade: cell-local codewords fit each cell's
+    * residual distribution instead of a compromise over all cells
+    * (KnnSpec pins the quantization-error drop vs a shared codebook
+    * of the SAME code count). Codebook storage is C×M×[[PcCodes]]
+    * rows — thousands, still broadcast-size; candidates only ever
+    * score against their own cell's codebook, and the probe's ADC LUT
+    * is built from the probe's cell codebook, so the join plumbing is
+    * identical to D7f with `cell` added to the codebook key.
+    *
+    * Seeding must be cell-local (stride-by-id would land all seeds in
+    * a few cells): per cell, the [[PcCodes]] lowest vec_ids via a
+    * `topk_by` bounded heap (≤K ids per (partition, cell) cross the
+    * shuffle — no per-cell row_number sort), cid = heap position.
+    * Training is ONE exploded pipeline over (cell, sub) — all
+    * C×M codebooks in one assign + one mean agg per iteration.
+    */
+  val PcCodes = 8
+
+  /** Per-(cell, sub) nearest-codeword assignment (cb keyed by
+    * (cell, sub, cid)).
+    */
+  private[graft] def pcAssign(svc: DataFrame, cb: DataFrame): DataFrame = {
+    import svc.sparkSession.implicits._
+    svc.join(broadcast(cb), Seq("cell", "sub"))
+      .withColumn("d2",
+        vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
+          vdot($"cent", $"cent"))
+      .groupBy($"vec_id", $"cell", $"sub")
+      .agg(first($"svec").as("svec"),
+        min_by($"cid", struct($"d2", $"cid")).as("cid"))
+  }
+
+  /** All per-cell codebooks trained in one pipeline; `svc` =
+    * (vec_id, cell, sub, svec).
+    */
+  private[graft] def pcCodebooks(svc: DataFrame, iters: Int): DataFrame = {
+    import svc.sparkSession.implicits._
+    val seedIds = svc.select($"vec_id", $"cell").distinct()
+      .groupBy($"cell")
+      .agg(graft.functions.TopKByAgg.topk_by(
+        (-$"vec_id").cast("double"), $"vec_id", PcCodes).as("s"))
+      .select($"cell", posexplode($"s"))
+      .select($"cell", $"pos".cast("long").as("cid"), $"col.id".as("vec_id"))
+    var cb = seedIds.join(svc, Seq("cell", "vec_id"))
+      .select($"cell", $"sub", $"cid", $"svec".as("cent"))
+    for (_ <- 1 to iters) {
+      cb = pcAssign(svc, cb)
+        .select($"cell", $"sub", $"cid", posexplode($"svec"))
+        .groupBy($"cell", $"sub", $"cid", $"pos")
+        .agg(round(avg($"col".cast("double")), 6).as("m"))
+        .groupBy($"cell", $"sub", $"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cent"))
+    }
+    cb
+  }
+
+  def ivfPqPcTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VecFuncs.vsub
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = trainedCentroids(vecs, IvfPqCoarseIters)
+    val assigned = assign(vecs, cents)
+    val rvecs = materialize(assigned.join(broadcast(cents), "cid")
+      .select($"vec_id", $"cid".as("cell"),
+        vsub($"embedding", $"cent").as("embedding")))
+    val svc = subvecs(rvecs.select($"vec_id", $"embedding"))
+      .join(rvecs.select($"vec_id", $"cell"), "vec_id")
+    val cb = pcCodebooks(svc, PqIters)
+    val codes = pcAssign(svc, cb).select($"vec_id", $"cell", $"sub", $"cid")
+    val probes = rvecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"cell")
+    val lut = svc.where($"vec_id" < 10)
+      .join(broadcast(cb), Seq("cell", "sub"))
+      .select($"vec_id".as("probe_id"), $"sub", $"cid",
+        round(vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
+          vdot($"cent", $"cent"), 9).as("dist2"))
+    val cands = rvecs.select($"vec_id", $"cell")
+      .join(broadcast(probes), "cell")
+      .where($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+    val scored = cands.join(codes.drop("cell"), "vec_id")
+      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
+      .groupBy($"probe_id", $"vec_id")
+      .agg((-sum($"dist2".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double")).as("score"))
+    rankTopK(scored, 3, Seq.empty)
+  }
+
+  val ivfPqPcTopKSql: String = {
+    val coarse = (1 to IvfPqCoarseIters).map { i =>
+      assignCteSql(s"icents${i - 1}", s"ia$i") + ",\n" + meanCteSql(s"ia$i", s"icents$i")
+    }.mkString(",\n")
+    def pcAssignCte(cb: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, cell, sub, svec, cid FROM (
+         |    SELECT s.vec_id, s.cell, s.sub, s.svec, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${subD2Sql("s.svec", "c.cent")}, c.cid) AS rn
+         |    FROM sv s JOIN $cb c ON s.cell = c.cell AND s.sub = c.sub) t
+         |  WHERE rn = 1)""".stripMargin
+    def pcMeanCte(assigned: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cell, sub, cid, list(m ORDER BY pos) AS cent FROM (
+         |    SELECT cell, sub, cid, pos, round(avg(CAST(svec[pos] AS DOUBLE)), 6) AS m
+         |    FROM $assigned, range(1, ${PqSubDim + 1}) t(pos)
+         |    GROUP BY cell, sub, cid, pos)
+         |  GROUP BY cell, sub, cid)""".stripMargin
+    val training = (1 to PqIters).map { i =>
+      pcAssignCte(s"cb${i - 1}", s"a$i") + ",\n" + pcMeanCte(s"a$i", s"cb$i")
+    }.mkString(",\n")
+    s"""WITH icents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$coarse,
+       |${assignCteSql(s"icents$IvfPqCoarseIters", "cellassign")},
+       |rv AS (
+       |  SELECT a.vec_id, a.cid AS cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - c.cent[i]) AS emb
+       |  FROM cellassign a JOIN icents$IvfPqCoarseIters c ON c.cid = a.cid),
+       |sv AS (
+       |  SELECT vec_id, cell, sub,
+       |    list_transform(range(1, ${PqSubDim + 1}), i -> emb[sub * $PqSubDim + i]) AS svec
+       |  FROM rv, range(0, $PqSubspaces) t(sub)),
+       |seeds AS (
+       |  SELECT cell, vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+       |    SELECT cell, vec_id,
+       |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |    FROM rv) t
+       |  WHERE rn <= $PcCodes),
+       |cb0 AS (
+       |  SELECT s.cell, v.sub, s.cid, v.svec AS cent
+       |  FROM seeds s JOIN sv v ON v.vec_id = s.vec_id),
+       |$training,
+       |${pcAssignCte(s"cb$PqIters", "codes")},
+       |probes AS (
+       |  SELECT vec_id AS probe_id, cell FROM rv WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT s.vec_id AS probe_id, c.sub, c.cid,
+       |    round(${subD2Sql("s.svec", "c.cent")}, 9) AS dist2
+       |  FROM sv s JOIN cb$PqIters c ON s.cell = c.cell AND s.sub = c.sub
+       |  WHERE s.vec_id < 10),
+       |cands AS (
+       |  SELECT p.probe_id, r.vec_id
+       |  FROM rv r JOIN probes p USING (cell)
+       |  WHERE r.vec_id != p.probe_id),
+       |scored AS (
+       |  SELECT ca.probe_id, ca.vec_id,
+       |    -(CAST(sum(CAST(l.dist2 AS DECIMAL(28, 9))) AS DOUBLE)) AS score
+       |  FROM cands ca
+       |  JOIN codes co ON co.vec_id = ca.vec_id
+       |  JOIN lut l ON l.probe_id = ca.probe_id AND l.sub = co.sub AND l.cid = co.cid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
   val ivfPqResTopKSql: String = {
@@ -1071,6 +1240,7 @@ object Knn {
     "ann_topk_ivfpq" -> ivfPqTopK _,
     "ann_topk_ivfpq_res" -> ivfPqResTopK _,
     "ann_topk_ivf_fps" -> ivfFpsTopK _,
+    "ann_topk_ivfpq_pc" -> ivfPqPcTopK _,
     "dedup_embedding" -> embDedup _,
     "dedup_semantic" -> semanticDedup _,
     "emb_norms" -> embNorms _,
@@ -1085,6 +1255,7 @@ object Knn {
     "ann_topk_ivfpq" -> ivfPqTopKSql,
     "ann_topk_ivfpq_res" -> ivfPqResTopKSql,
     "ann_topk_ivf_fps" -> ivfFpsTopKSql,
+    "ann_topk_ivfpq_pc" -> ivfPqPcTopKSql,
     "dedup_embedding" -> embDedupSql,
     "dedup_semantic" -> semanticDedupSql,
     "emb_norms" -> embNormsSql,

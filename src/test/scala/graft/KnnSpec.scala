@@ -137,6 +137,38 @@ class KnnSpec extends SparkSpecBase {
     assert(n > 0 && n <= Knn.CentBudget, s"centroid count $n out of bounds")
   }
 
+  test("per-cell codebooks beat one shared codebook at equal code width") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecFuncs.{vdot, vsub}
+    val vecs = graft.Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val cents = Knn.trainedCentroids(vecs, Knn.IvfPqCoarseIters)
+    val residuals = Knn.cellsOf(vecs, Knn.IvfPqCoarseIters)
+      .join(vecs, "vec_id")
+      .join(broadcast(cents), col("cell") === col("cid"))
+      .select($"vec_id", $"cell", vsub($"embedding", $"cent").as("embedding"))
+    def d2(sv: String, cent: String) =
+      (vdot(col(sv), col(sv)) - lit(2.0) * vdot(col(sv), col(cent)) +
+        vdot(col(cent), col(cent))).as("d2")
+    // shared codebook, SAME code count as the per-cell one
+    val sv = Knn.subvecs(residuals.select($"vec_id", $"embedding"))
+    val sharedCb = Knn.pqCodebooks(sv, Knn.PqIters, codes = Knn.PcCodes)
+    val sharedErr = Knn.pqAssign(sv, sharedCb)
+      .join(broadcast(sharedCb), Seq("sub", "cid"))
+      .select(d2("svec", "cent"))
+      .agg(avg($"d2")).head().getDouble(0)
+    val svc = sv.join(residuals.select($"vec_id", $"cell"), "vec_id")
+    val pcCb = Knn.pcCodebooks(svc, Knn.PqIters)
+    val pcErr = Knn.pcAssign(svc, pcCb)
+      .join(broadcast(pcCb), Seq("cell", "sub", "cid"))
+      .select(d2("svec", "cent"))
+      .agg(avg($"d2")).head().getDouble(0)
+    info(f"mean sq quantization error at ${Knn.PcCodes} codes: shared=$sharedErr%.4f per-cell=$pcErr%.4f")
+    assert(pcErr < sharedErr,
+      f"per-cell codebooks did not reduce quantization error: $pcErr%.4f vs $sharedErr%.4f")
+  }
+
   test("farthest-point seeding covers the space better than stride at equal budget") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
