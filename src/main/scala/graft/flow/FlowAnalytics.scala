@@ -530,6 +530,69 @@ object FlowAnalytics {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** B16: beaconing detection (`flow_beaconing`) — C2 beacons call
+    * home on a timer, so a beaconing host pair's inter-arrival gaps
+    * are unusually REGULAR. Per (user_id, da) pair with ≥
+    * [[BeaconMinFlows]] flows: gap series via one lag window
+    * (shard-parallel on the pair key — no global sort), regularity =
+    * coefficient of variation sqrt(Var g)/E g (scale-free: a 10 s and
+    * a 10 min beacon score alike), low cv ranks first.
+    *
+    * Parity: moments are integer-exact — Σg as BIGINT and Σg² as
+    * DECIMAL(38,0) (HUGEINT in the oracle) over micro-second gaps, so
+    * shuffle order can't wobble the variance; the mean/var/cv chain is
+    * then fixed-order double arithmetic, rounded 6 dp. A pair whose
+    * gaps are all zero gets NULL cv in both engines.
+    */
+  val BeaconMinFlows = 5
+
+  def beaconing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id", $"da").orderBy($"ts", $"event_id")
+    asFlows(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .where($"prev_ts".isNotNull)
+      .withColumn("g", unix_micros($"ts".cast("timestamp")) -
+        unix_micros($"prev_ts".cast("timestamp")))
+      .groupBy($"user_id", $"da")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"g").as("s"),
+        sum($"g".cast(DecimalType(38, 0)) * $"g").as("s2"))
+      .where($"n_gaps" >= BeaconMinFlows - 1)
+      .withColumn("mean_us", $"s".cast("double") / $"n_gaps")
+      .withColumn("var_us",
+        greatest($"s2".cast("double") / $"n_gaps" - $"mean_us" * $"mean_us",
+          lit(0.0)))
+      .withColumn("cv_r",
+        when($"mean_us" === 0d, lit(null).cast("double"))
+          .otherwise(round(sqrt($"var_us") / $"mean_us", 6)))
+      .select($"user_id", $"da", ($"n_gaps" + 1).as("n_flows"),
+        round($"mean_us" / 1e6, 6).as("mean_gap_s"), $"cv_r")
+      .orderBy($"cv_r", $"user_id", $"da")
+  }
+
+  /** B17: port-scan detection (`flow_portscan`) — scans fan OUT: one
+    * source touches many distinct (da, dp) targets inside a window
+    * (the converse of [[fanIn]], windowed). Exact distinct-count per
+    * (6 h window, source); the distinct expands map-side and
+    * partial-aggregates, so the shuffle carries (win, user, target)
+    * once each, never raw flows.
+    */
+  val ScanMinTargets = 4
+
+  def portScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(window($"ts", "6 hours").as("win"), $"user_id")
+      .agg(countDistinct(concat($"da", lit(":"), $"dp")).as("n_targets"),
+        count(lit(1)).as("n_flows"))
+      .where($"n_targets" >= ScanMinTargets)
+      .select($"win.start".cast("timestamp_ntz").as("win_start"),
+        $"user_id", $"n_targets", $"n_flows")
+      .orderBy($"win_start", $"user_id")
+  }
+
   /** B8: heavy hitters — sources above an absolute volume threshold.
     * Pure two-phase aggregation; no sort of the full key space.
     */
@@ -772,9 +835,41 @@ object FlowAnalytics {
     "flow_window_filter" -> windowFilter _,
     "flow_value_percentiles" -> valuePercentiles _,
     "flow_sessions" -> sessions _,
+    "flow_beaconing" -> beaconing _,
+    "flow_portscan" -> portScan _,
     "flow_heavy_hitters" -> heavyHitters _)
 
   val oracleSql: Map[String, String] = Map(
+    "flow_beaconing" -> (flowsCte +
+      s""", g AS (
+         |  SELECT user_id, da,
+         |    epoch_us(ts) - lag(epoch_us(ts))
+         |      OVER (PARTITION BY user_id, da ORDER BY ts, event_id) AS gp
+         |  FROM flows),
+         |agg AS (
+         |  SELECT user_id, da, count(*) AS n_gaps,
+         |    sum(gp) AS s, sum(CAST(gp AS HUGEINT) * gp) AS s2
+         |  FROM g WHERE gp IS NOT NULL
+         |  GROUP BY user_id, da
+         |  HAVING count(*) >= ${BeaconMinFlows - 1}),
+         |m AS (
+         |  SELECT user_id, da, n_gaps,
+         |    CAST(s AS DOUBLE) / n_gaps AS mean_us,
+         |    greatest(CAST(s2 AS DOUBLE) / n_gaps
+         |      - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps),
+         |      0.0) AS var_us
+         |  FROM agg)
+         |SELECT user_id, da, n_gaps + 1 AS n_flows,
+         |  round(mean_us / 1e6, 6) AS mean_gap_s,
+         |  CASE WHEN mean_us = 0 THEN NULL
+         |    ELSE round(sqrt(var_us) / mean_us, 6) END AS cv_r
+         |FROM m ORDER BY cv_r, user_id, da""".stripMargin),
+    "flow_portscan" -> (flowsCte +
+      s"""SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, user_id,
+         |  count(DISTINCT da || ':' || dp) AS n_targets, count(*) AS n_flows
+         |FROM flows GROUP BY 1, 2
+         |HAVING count(DISTINCT da || ':' || dp) >= $ScanMinTargets
+         |ORDER BY win_start, user_id""".stripMargin),
     "flow_topk_windowed" -> (flowsCte +
       """, hourly AS (
         |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, pr,
