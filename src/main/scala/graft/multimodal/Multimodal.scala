@@ -181,13 +181,112 @@ object Multimodal {
       |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM corpus ORDER BY doc_id, h""".stripMargin
 
+  /** D12c: perceptual-hash near-dup (`mm_phash_dedup`) — the media
+    * analog of MinHash: a re-encoded/lossily-recompressed copy is
+    * byte-different (exact dedup [[binaryDedup]] misses it) but
+    * perceptually identical, and a hash over DECODED content features
+    * collapses the pair. Classic aHash recipe on the stub decoder's
+    * "pixels": sample 64 evenly-spaced bytes (cell i = byte i·step,
+    * step = ⌊n/64⌋), bit i = sampled value above the sampled mean
+    * (integer cross-multiplied — no division), hash = the 64-char
+    * bit string (strings sidestep BIGINT sign overflow in both
+    * engines). Copies of every 5th doc are planted (+40000) with
+    * "re-encode noise" — bytes at positions ≡ 2 (mod step) flipped to
+    * 'z', which by construction never touches a sampled position
+    * (sampled ≡ 1 mod step): their md5 differs, their aHash doesn't —
+    * QueriesSmokeSpec pins both halves. Dedup itself is one shuffle
+    * on the hash, exactly D1's shape; hamming-tolerant matching
+    * (τ > 0) composes with D3's pigeonhole segment blocking.
+    */
+  object PHash {
+    val Cells = 64
+    def step(n: Int): Int = math.max(n / Cells, 1)
+    def corrupt(payload: Array[Byte]): Array[Byte] = {
+      val s = step(payload.length)
+      val out = payload.clone()
+      if (s >= 3) {
+        // positions are 1-based in the contract (oracle substring);
+        // byte index p-1 for p ≡ 2 (mod s)
+        var p = 2
+        while (p <= out.length) { out(p - 1) = 'z'.toByte; p += s }
+      }
+      out
+    }
+    def ahash(payload: Array[Byte]): String = {
+      val n = payload.length
+      val s = step(n)
+      val vals = (0 until Cells).collect {
+        case i if i * s < n => payload(i * s) & 0xff
+      }
+      val sum = vals.sum
+      vals.map(v => if (v.toLong * vals.length > sum) '1' else '0').mkString
+    }
+  }
+
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(load(spark, dir, "documents"))
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap(_.flatMap { case (id, p) =>
+          val orig = (id, PHash.ahash(p))
+          if (id % 5 == 0) Seq(orig, (id + 40000, PHash.ahash(PHash.corrupt(p))))
+          else Seq(orig)
+        })
+      }
+      .toDF("doc_id", "phash")
+      .withColumn("keep_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"phash")))
+      .withColumn("is_dup", $"doc_id" =!= $"keep_id")
+      .select($"doc_id", $"phash", $"keep_id", $"is_dup")
+      .orderBy($"doc_id", $"phash")
+  }
+
+  val phashDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    greatest(length(text) // 64, 1) AS step
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, text, n, step FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 40000 AS doc_id,
+      |    CASE WHEN step >= 3 THEN
+      |      array_to_string(list_transform(range(1, n + 1),
+      |        p -> CASE WHEN p % step = 2 THEN 'z'
+      |             ELSE substring(text, p, 1) END), '')
+      |    ELSE text END AS text,
+      |    n, step
+      |  FROM base WHERE doc_id % 5 = 0),
+      |vals AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(range(0, 64),
+      |      i -> CASE WHEN i * step + 1 <= n
+      |           THEN ascii(substring(text, i * step + 1, 1)) END),
+      |      v -> v IS NOT NULL) AS vs
+      |  FROM corpus),
+      |ph AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(vs,
+      |      v -> CASE WHEN v * len(vs) >
+      |             list_reduce(list_prepend(0, vs), (a, b) -> a + b)
+      |           THEN '1' ELSE '0' END), '') AS phash
+      |  FROM vals)
+      |SELECT doc_id, phash,
+      |  min(doc_id) OVER (PARTITION BY phash) AS keep_id,
+      |  doc_id != min(doc_id) OVER (PARTITION BY phash) AS is_dup
+      |FROM ph ORDER BY doc_id, phash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> phashDedup _,
     "mm_decode_stats" -> decodeStats _,
     "mm_resize" -> resizeStats _,
     "mm_frame_sample" -> frameSample _,
     "mm_binary_dedup" -> binaryDedup _)
 
   val oracleSql: Map[String, String] = Map(
+    "mm_phash_dedup" -> phashDedupSql,
     "mm_binary_dedup" -> binaryDedupSql,
     "mm_resize" ->
       """SELECT doc_id,

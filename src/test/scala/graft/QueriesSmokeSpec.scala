@@ -34,6 +34,22 @@ class QueriesSmokeSpec extends SparkSpecBase {
   // approx-sketch error bounds live with the other sketch-bound tests
   // in SketchBoundsSpec (SpaceSavingSpec.scala)
 
+  test("mm_phash_dedup: re-encode noise defeats md5 but not the perceptual hash") {
+    import graft.multimodal.Multimodal
+    val payload = Array.tabulate(1000)(i => (i * 37 % 256).toByte)
+    val noisy = Multimodal.PHash.corrupt(payload)
+    assert(!java.util.Arrays.equals(payload, noisy),
+      "corruption did not change the bytes — exact dedup would catch it")
+    assert(Multimodal.PHash.ahash(payload) == Multimodal.PHash.ahash(noisy),
+      "corruption leaked into the sampled cells — perceptual hash broke")
+    val out = Multimodal.phashDedup(spark, sf0001)
+      .select("doc_id", "is_dup").collect()
+    val copies = out.filter(_.getLong(0) >= 40000)
+    assert(copies.nonEmpty, "no planted copies")
+    copies.foreach(r => assert(r.getBoolean(1),
+      s"planted re-encoded copy ${r.getLong(0)} not flagged as dup"))
+  }
+
   test("corpus_dsir enriches the target language beyond its corpus share") {
     // uses sf0.01: at sf0.001 the 50-doc corpus makes the top-50 the
     // whole corpus and the selection vacuous
