@@ -14,7 +14,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FlowAnalytics.queries ++
       graft.text.TextAnalytics.queries ++ graft.dedup.Dedup.queries ++
-      graft.ann.Knn.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.ann.Knn.queries ++ graft.ann.Pca.queries ++
+      graft.multimodal.Multimodal.queries ++
       graft.streaming.StreamingOps.queries ++ graft.operators.Joins.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -23,6 +24,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ FlowAnalytics.oracleSql ++
       graft.text.TextAnalytics.oracleSql ++ graft.dedup.Dedup.oracleSql ++
-      graft.ann.Knn.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
+      graft.ann.Knn.oracleSql ++ graft.ann.Pca.oracleSql ++
+      graft.multimodal.Multimodal.oracleSql ++
       graft.streaming.StreamingOps.oracleSql ++ graft.operators.Joins.oracleSql
 }

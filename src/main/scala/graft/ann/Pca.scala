@@ -1,0 +1,180 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.load
+
+/** D27: distributed PCA by power iteration (`emb_pca`) — the
+  * dimensionality-reduction / whitening step an embedding pipeline
+  * runs before building an ANN index (project 64-dim vectors onto the
+  * leading principal components; small PCs are mostly noise).
+  *
+  * The 100 TB shape: the ONLY corpus-sized work is the covariance
+  * aggregation — one (i, j) pair-explode feeding a combine-heavy
+  * decimal-sum aggregate, shuffling ≤ D² = 4096 groups regardless of
+  * corpus size. Everything after (power iteration on the D×D matrix)
+  * is constant-size: iterations are joins between a 4096-row frame
+  * and a 64-row vector, the corpus is never touched again. The
+  * covariance frame feeds all [[Iters]] iterations → materialized
+  * once (without it, each iteration's lineage would re-run the
+  * corpus aggregation — the same staging-table policy as the
+  * residual-PQ index build).
+  *
+  * Derandomization: the iterate starts from the all-ones direction
+  * and every step is rounded — per-term products to 9 dp summed as
+  * DECIMAL(28,9) (shuffle-order-free), normalized components to
+  * 9 dp — so the DuckDB oracle replays centering, covariance, all
+  * iterations, and the final Rayleigh quotient bit-for-bit. Power
+  * iteration's Rayleigh quotient is monotone nondecreasing on a
+  * symmetric PSD matrix; PcaSpec pins that plus unit norm.
+  */
+object Pca {
+
+  val Dim = 64
+  val Iters = 6
+
+  /** Power-iteration start value (≈ 1/√Dim with 9 generic decimal
+    * places; only the direction matters — step 1 normalizes).
+    */
+  val Seed = 0.118033989
+
+  /** Round, decimal-cast, order-free sum → double (the dsum pattern
+    * at 9 dp for doubles that are not exactly decimal).
+    */
+  private def rsum(c: org.apache.spark.sql.Column) =
+    sum(round(c, 9).cast(DecimalType(28, 9))).cast("double")
+
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** (i, j, c): the centered covariance matrix SCALED BY N (i.e. the
+    * scatter matrix), i/j in 1..Dim. Skipping the /n keeps every cov
+    * entry a sum of rounded terms — a division by a round count like
+    * 500 would turn each 9-dp entry into an exact 12-dp decimal whose
+    * 9-dp rounding lands on a .5 tie with probability ~1e-3/entry,
+    * where the two engines' rounding of the nearest DOUBLE disagrees
+    * ~half the time. Eigenvectors and the variance share are
+    * n-invariant; the one eigenvalue is divided by n at the very end.
+    * The mean rides the same order-free decimal sum (a plain avg's
+    * partial double sums are shuffle-order-dependent).
+    */
+  private[graft] def covariance(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val comp = vecs.select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", ($"pos" + 1).as("i"), $"col".cast("double").as("x"))
+    val mean = comp.groupBy($"i")
+      .agg(round(rsum($"x") / count(lit(1)), 6).as("mu"))
+    val centered = comp.join(broadcast(mean), "i")
+      .select($"vec_id", $"i", ($"x" - $"mu").as("x"))
+    centered.as("a")
+      .join(centered.as("b"), Seq("vec_id"))
+      .select($"a.i".as("i"), $"b.i".as("j"), ($"a.x" * $"b.x").as("p"))
+      .groupBy($"i", $"j")
+      .agg(rsum($"p").as("c"))
+  }
+
+  /** One normalized power step: v ← C·v / ‖C·v‖. */
+  private def step(cov: DataFrame, v: DataFrame): DataFrame = {
+    import cov.sparkSession.implicits._
+    val w = cov.join(broadcast(v), $"j" === $"k")
+      .groupBy($"i")
+      .agg(rsum($"c" * $"vk").as("w"))
+    val norm = w.agg(sqrt(rsum($"w" * $"w")).as("nrm"))
+    w.crossJoin(broadcast(norm))
+      .select($"i".as("k"), round($"w" / $"nrm", 9).as("vk"))
+  }
+
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaWith(spark, dir, Iters)
+
+  private[graft] def embPcaWith(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val nframe = vecs.agg(count(lit(1)).as("n"))
+    val cov = materialize(covariance(vecs))
+    // start direction: a constant with 9 generic decimal places — an
+    // exact-short start like 0.125 makes round(c*vk, 9) hit exact .5
+    // ties at probability 1/8 per term, where the engines' double
+    // rounding disagrees; 9-dp × 9-dp products tie at ~1e-9 instead
+    var v = spark.range(1, Dim + 1).toDF("k")
+      .select($"k", lit(Seed).as("vk"))
+    // each iterate is 64 rows but its plan holds the previous step
+    // TWICE (once direct, once under the broadcast norm scalar) —
+    // unmaterialized, re-execution doubles per step; checkpointing the
+    // tiny frame keeps every step a constant-cost job
+    for (_ <- 1 to iters) v = materialize(step(cov, v))
+    // Rayleigh quotient λ = vᵀCv (v is unit) and the variance total
+    // trace(C) give the explained-variance share of the leading PC
+    val lambda = cov.join(broadcast(v.select($"k".as("j"), $"vk".as("vj"))), "j")
+      .join(broadcast(v.select($"k".as("i"), $"vk".as("vi"))), "i")
+      .agg(rsum($"vi" * $"c" * $"vj").as("lambda"))
+    val trace = cov.where($"i" === $"j").agg(rsum($"c").as("tr"))
+    v.crossJoin(broadcast(lambda)).crossJoin(broadcast(trace))
+      .crossJoin(broadcast(nframe))
+      .select($"k".as("pos"), $"vk".as("loading_r"),
+        round($"lambda" / $"n", 6).as("eigval_r"),
+        round($"lambda" / $"tr", 6).as("var_share_r"))
+      .orderBy($"pos")
+  }
+
+  /** The oracle's decimal-sum helper over an expression per row set:
+    * written inline — DuckDB's sum over DECIMAL is exact like Spark's.
+    */
+  val embPcaSql: String = {
+    def stepCte(i: Int): String = {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""w$i AS MATERIALIZED (
+         |  SELECT c.i,
+         |    CAST(sum(CAST(round(c.c * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS w
+         |  FROM cov c JOIN $prev v ON v.k = c.j GROUP BY c.i),
+         |n$i AS MATERIALIZED (
+         |  SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28, 9))) AS DOUBLE)) AS nrm
+         |  FROM w$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT i AS k, round(w / (SELECT nrm FROM n$i), 9) AS vk FROM w$i)""".stripMargin
+    }
+    val steps = (1 to Iters).map(stepCte).mkString(",\n")
+    s"""WITH comp AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
+       |mean AS MATERIALIZED (
+       |  SELECT i,
+       |    round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28, 9))) AS DOUBLE)
+       |      / count(*), 6) AS mu
+       |  FROM comp GROUP BY i),
+       |centered AS MATERIALIZED (
+       |  SELECT c.vec_id, c.i, c.x - m.mu AS x
+       |  FROM comp c JOIN mean m USING (i)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+       |cov AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(round(a.x * b.x, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS c
+       |  FROM centered a JOIN centered b USING (vec_id)
+       |  GROUP BY a.i, b.i),
+       |v0 AS MATERIALIZED (
+       |  SELECT i AS k, CAST($Seed AS DOUBLE) AS vk
+       |  FROM range(1, ${Dim + 1}) t(i)),
+       |$steps,
+       |lam AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(vi.vk * c.c * vj.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS lambda
+       |  FROM cov c
+       |  JOIN v$Iters vj ON vj.k = c.j
+       |  JOIN v$Iters vi ON vi.k = c.i),
+       |tr AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(c, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS tr
+       |  FROM cov WHERE i = j)
+       |SELECT v.k AS pos, v.vk AS loading_r,
+       |  round((SELECT lambda FROM lam) / (SELECT n FROM nn), 6) AS eigval_r,
+       |  round((SELECT lambda FROM lam) / (SELECT tr FROM tr), 6) AS var_share_r
+       |FROM v$Iters v ORDER BY pos""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca" -> embPca _)
+
+  val oracleSql: Map[String, String] = Map(
+    "emb_pca" -> embPcaSql)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Pca
+
+/** D27: power-iteration PCA invariants the oracle replay can't see —
+  * that the iteration actually CONVERGES toward the leading
+  * eigenvector, not just that both engines replay the same arithmetic.
+  */
+class PcaSpec extends SparkSpecBase {
+
+  private lazy val result = Pca.embPca(spark, sf0001).cache()
+
+  test("leading PC is unit-norm and explains a plausible share") {
+    val row = result.agg(
+      sum(col("loading_r") * col("loading_r")).as("norm2"),
+      first(col("eigval_r")).as("lambda"),
+      first(col("var_share_r")).as("share")).head()
+    val (norm2, lambda, share) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    info(f"norm2=$norm2%.9f lambda=$lambda%.6f share=$share%.6f")
+    // components are rounded to 9 dp, so allow 64 half-ulps of slack
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"not unit norm: $norm2")
+    assert(lambda > 0, s"nonpositive leading eigenvalue: $lambda")
+    assert(share > 1.0 / Pca.Dim && share <= 1.0,
+      s"leading PC explains less than a uniform share: $share")
+  }
+
+  test("Rayleigh quotient is nondecreasing across iterations") {
+    // power iteration on a symmetric PSD matrix: λ(v_t) monotonically
+    // approaches λ_max; a drop means the step direction is wrong
+    val lambdas = Seq(1, 3, Pca.Iters).map { it =>
+      Pca.embPcaWith(spark, sf0001, it).select("eigval_r").head().getDouble(0)
+    }
+    info(s"lambda by iters(1,3,${Pca.Iters}) = $lambdas")
+    assert(lambdas.sliding(2).forall { case Seq(a, b) => b >= a - 1e-6 },
+      s"Rayleigh quotient decreased: $lambdas")
+  }
+
+  test("iterate agrees with a driver-side dense power iteration") {
+    // replay the same rounded recurrence on the driver from the SAME
+    // covariance frame; the distributed joins must reproduce it exactly
+    val covRows = Pca.covariance(
+      graft.Tables.load(spark, sf0001, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(Pca.Dim)(Pca.Seed)
+    for (_ <- 1 to Pca.Iters) {
+      val w = Array.tabulate(Pca.Dim) { i =>
+        (1 to Pca.Dim).map(j => BigDecimal(r9(covRows((i + 1, j)) * v(j - 1))))
+          .sum.toDouble
+      }
+      val nrm = math.sqrt(w.map(x => BigDecimal(r9(x * x))).sum.toDouble)
+      v = w.map(x => r9(x / nrm))
+    }
+    val dist = result.orderBy("pos").select("loading_r")
+      .collect().map(_.getDouble(0))
+    assert(dist.sameElements(v),
+      s"distributed iterate diverged from dense replay: " +
+        dist.zip(v).zipWithIndex.filter { case ((a, b), _) => a != b }.take(3)
+          .mkString(", "))
+  }
+}
