@@ -60,16 +60,22 @@ object Pca {
     * The mean rides the same order-free decimal sum (a plain avg's
     * partial double sums are shuffle-order-dependent).
     */
-  private[graft] def covariance(vecs: DataFrame): DataFrame = {
+  /** (vec_id, i, x): mean-centered vector components, i in 1..Dim. */
+  private[graft] def centered(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     val comp = vecs.select($"vec_id", posexplode($"embedding"))
       .select($"vec_id", ($"pos" + 1).as("i"), $"col".cast("double").as("x"))
     val mean = comp.groupBy($"i")
       .agg(round(rsum($"x") / count(lit(1)), 6).as("mu"))
-    val centered = comp.join(broadcast(mean), "i")
+    comp.join(broadcast(mean), "i")
       .select($"vec_id", $"i", ($"x" - $"mu").as("x"))
-    centered.as("a")
-      .join(centered.as("b"), Seq("vec_id"))
+  }
+
+  private[graft] def covariance(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val cent = centered(vecs)
+    cent.as("a")
+      .join(cent.as("b"), Seq("vec_id"))
       .select($"a.i".as("i"), $"b.i".as("j"), ($"a.x" * $"b.x").as("p"))
       .groupBy($"i", $"j")
       .agg(rsum($"p").as("c"))
@@ -86,15 +92,12 @@ object Pca {
       .select($"i".as("k"), round($"w" / $"nrm", 9).as("vk"))
   }
 
-  def embPca(spark: SparkSession, dir: String): DataFrame =
-    embPcaWith(spark, dir, Iters)
-
-  private[graft] def embPcaWith(spark: SparkSession, dir: String,
+  /** The leading eigenvector after `iters` normalized power steps
+    * over a (materialized) covariance frame.
+    */
+  private def iterate(spark: SparkSession, cov: DataFrame,
       iters: Int): DataFrame = {
     import spark.implicits._
-    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val nframe = vecs.agg(count(lit(1)).as("n"))
-    val cov = materialize(covariance(vecs))
     // start direction: a constant with 9 generic decimal places — an
     // exact-short start like 0.125 makes round(c*vk, 9) hit exact .5
     // ties at probability 1/8 per term, where the engines' double
@@ -106,6 +109,19 @@ object Pca {
     // unmaterialized, re-execution doubles per step; checkpointing the
     // tiny frame keeps every step a constant-cost job
     for (_ <- 1 to iters) v = materialize(step(cov, v))
+    v
+  }
+
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaWith(spark, dir, Iters)
+
+  private[graft] def embPcaWith(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val nframe = vecs.agg(count(lit(1)).as("n"))
+    val cov = materialize(covariance(vecs))
+    val v = iterate(spark, cov, iters)
     // Rayleigh quotient λ = vᵀCv (v is unit) and the variance total
     // trace(C) give the explained-variance share of the leading PC
     val lambda = cov.join(broadcast(v.select($"k".as("j"), $"vk".as("vj"))), "j")
@@ -120,22 +136,49 @@ object Pca {
       .orderBy($"pos")
   }
 
+  /** D27b: per-vector PC1 scores (`emb_pca_scores`) — the projection
+    * that actually APPLIES the learned component to the corpus: score
+    * = Σᵢ xᵢ·vᵢ over centered components. The corpus-sized part is one
+    * map-side broadcast join (64-row vector) + a per-vector decimal
+    * sum; output is corpus-sized by design (one coordinate per
+    * vector), so nothing here shuffles more than the input.
+    */
+  def embPcaScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cov = materialize(covariance(vecs))
+    val v = iterate(spark, cov, Iters)
+    centered(vecs)
+      .join(broadcast(v.select($"k".as("i"), $"vk")), "i")
+      .groupBy($"vec_id")
+      .agg(rsum($"x" * $"vk").as("pc1_score"))
+      .orderBy($"vec_id")
+  }
+
   /** The oracle's decimal-sum helper over an expression per row set:
     * written inline — DuckDB's sum over DECIMAL is exact like Spark's.
     */
-  val embPcaSql: String = {
-    def stepCte(i: Int): String = {
-      val prev = if (i == 1) "v0" else s"v${i - 1}"
-      s"""w$i AS MATERIALIZED (
-         |  SELECT c.i,
-         |    CAST(sum(CAST(round(c.c * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS w
-         |  FROM cov c JOIN $prev v ON v.k = c.j GROUP BY c.i),
-         |n$i AS MATERIALIZED (
-         |  SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28, 9))) AS DOUBLE)) AS nrm
-         |  FROM w$i),
-         |v$i AS MATERIALIZED (
-         |  SELECT i AS k, round(w / (SELECT nrm FROM n$i), 9) AS vk FROM w$i)""".stripMargin
-    }
+  private def stepCte(i: Int): String = {
+    val prev = if (i == 1) "v0" else s"v${i - 1}"
+    s"""w$i AS MATERIALIZED (
+       |  SELECT c.i,
+       |    CAST(sum(CAST(round(c.c * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS w
+       |  FROM cov c JOIN $prev v ON v.k = c.j GROUP BY c.i),
+       |n$i AS MATERIALIZED (
+       |  SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28, 9))) AS DOUBLE)) AS nrm
+       |  FROM w$i),
+       |v$i AS MATERIALIZED (
+       |  SELECT i AS k, round(w / (SELECT nrm FROM n$i), 9) AS vk FROM w$i)""".stripMargin
+  }
+
+  /** Shared oracle CTE chain: components → centering → covariance →
+    * v0 → (w/n/v)×Iters. Every CTE is MATERIALIZED: cov feeds all
+    * Iters steps (+ λ + trace) and each v_i appears under both w_{i+1}
+    * and the norm subquery, so un-materialized inlining would replay
+    * the chain exponentially — the oracle-side dual of the Spark
+    * per-step checkpoint.
+    */
+  private val cteChain: String = {
     val steps = (1 to Iters).map(stepCte).mkString(",\n")
     s"""WITH comp AS MATERIALIZED (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -157,7 +200,11 @@ object Pca {
        |v0 AS MATERIALIZED (
        |  SELECT i AS k, CAST($Seed AS DOUBLE) AS vk
        |  FROM range(1, ${Dim + 1}) t(i)),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  val embPcaSql: String =
+    s"""$cteChain,
        |lam AS MATERIALIZED (
        |  SELECT CAST(sum(CAST(round(vi.vk * c.c * vj.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS lambda
        |  FROM cov c
@@ -170,11 +217,19 @@ object Pca {
        |  round((SELECT lambda FROM lam) / (SELECT n FROM nn), 6) AS eigval_r,
        |  round((SELECT lambda FROM lam) / (SELECT tr FROM tr), 6) AS var_share_r
        |FROM v$Iters v ORDER BY pos""".stripMargin
-  }
+
+  val embPcaScoresSql: String =
+    s"""$cteChain
+       |SELECT c.vec_id,
+       |  CAST(sum(CAST(round(c.x * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS pc1_score
+       |FROM centered c JOIN v$Iters v ON v.k = c.i
+       |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_pca" -> embPca _)
+    "emb_pca" -> embPca _,
+    "emb_pca_scores" -> embPcaScores _)
 
   val oracleSql: Map[String, String] = Map(
-    "emb_pca" -> embPcaSql)
+    "emb_pca" -> embPcaSql,
+    "emb_pca_scores" -> embPcaScoresSql)
 }

@@ -197,6 +197,56 @@ object TextAnalytics {
        |WHERE rn <= $CapPerSource
        |ORDER BY source, doc_id""".stripMargin
 
+  /** D28: deterministic weighted sampling WITHOUT replacement —
+    * priority sampling (Duffield–Lund–Thorup 2007): priority
+    * qᵢ = wᵢ/uᵢ with uᵢ uniform in (0,1], keep the top-k priorities,
+    * and report the unbiased weight estimate ŵᵢ = max(wᵢ, τ) where τ
+    * is the (k+1)-th priority. This is the mixture-sampling primitive
+    * a training pipeline uses for "sample documents ∝ length/quality"
+    * — and unlike exponential-race sampling (keys -ln(u)/w) it needs
+    * NO transcendental, so the key is an exact IEEE quotient both
+    * engines compute bit-identically: u = (md5₅₂(doc_id)+1)/2⁵², an
+    * exact 52-bit double. The two top-k passes are bounded
+    * TakeOrderedAndProject over the scored scan (map-side k+1 rows
+    * per partition cross the shuffle); the k+1 frame is materialized
+    * once and feeds both τ and the sample.
+    */
+  val PrioritySampleK = 50
+
+  def samplePriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.StrFuncs.md5_prefix
+    val scored = load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        ($"n_chars".cast("double") /
+          ((md5_prefix($"doc_id".cast("string"), 13).cast("double") + lit(1.0)) /
+            lit(4503599627370496.0))).as("priority"))
+    val top = scored
+      .orderBy($"priority".desc, $"doc_id").limit(PrioritySampleK + 1)
+      .localCheckpoint()
+    val tau = top.agg(min($"priority").as("tau"))
+    top.orderBy($"priority".desc, $"doc_id").limit(PrioritySampleK)
+      .crossJoin(broadcast(tau))
+      .select($"doc_id", $"source", $"n_chars",
+        greatest($"n_chars".cast("double"), $"tau").as("w_hat"))
+      .orderBy($"doc_id")
+  }
+
+  val samplePrioritySql: String =
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(n_chars AS DOUBLE) /
+       |      ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+       |        + CAST(1 AS DOUBLE)) / CAST(4503599627370496 AS DOUBLE)) AS priority
+       |  FROM documents),
+       |top1 AS MATERIALIZED (
+       |  SELECT * FROM scored ORDER BY priority DESC, doc_id LIMIT ${PrioritySampleK + 1}),
+       |tau AS MATERIALIZED (SELECT min(priority) AS tau FROM top1)
+       |SELECT doc_id, source, n_chars,
+       |  greatest(CAST(n_chars AS DOUBLE), (SELECT tau FROM tau)) AS w_hat
+       |FROM (SELECT * FROM top1 ORDER BY priority DESC, doc_id LIMIT $PrioritySampleK) s
+       |ORDER BY doc_id""".stripMargin
+
   // RE2-safe patterns (valid and identical in Java regex and DuckDB's
   // RE2): no backrefs, no lookaround.
   val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -625,7 +675,8 @@ object TextAnalytics {
     "text_split_assign" -> splitAssign _,
     "text_chunk" -> chunk _,
     "corpus_mix" -> corpusMix _,
-    "corpus_cap_per_source" -> capPerSource _)
+    "corpus_cap_per_source" -> capPerSource _,
+    "corpus_sample_priority" -> samplePriority _)
 
   private val profileCase: String = {
     val conds = profiles.map { case (l, _) =>
@@ -760,6 +811,7 @@ object TextAnalytics {
         |    THEN n_chars ELSE 0 END) AS DOUBLE) AS kept_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "corpus_cap_per_source" -> capPerSourceSql,
+    "corpus_sample_priority" -> samplePrioritySql,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

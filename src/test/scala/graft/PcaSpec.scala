@@ -37,6 +37,20 @@ class PcaSpec extends SparkSpecBase {
       s"Rayleigh quotient decreased: $lambdas")
   }
 
+  test("PC1 score variance recovers the eigenvalue") {
+    // Var(scores) = vᵀCv = λ when v is the true eigenvector; after
+    // Iters power steps the residual off-eigenvector mass should be
+    // far under 5%
+    val n = graft.Tables.load(spark, sf0001, "embeddings").count()
+    val varScores = Pca.embPcaScores(spark, sf0001)
+      .agg(sum(col("pc1_score") * col("pc1_score")).as("ss"))
+      .head().getDouble(0) / n
+    val lambda = result.select("eigval_r").head().getDouble(0)
+    info(f"var(scores)=$varScores%.6f lambda=$lambda%.6f")
+    assert(math.abs(varScores - lambda) / lambda < 0.05,
+      s"score variance $varScores disagrees with eigenvalue $lambda")
+  }
+
   test("iterate agrees with a driver-side dense power iteration") {
     // replay the same rounded recurrence on the driver from the SAME
     // covariance frame; the distributed joins must reproduce it exactly

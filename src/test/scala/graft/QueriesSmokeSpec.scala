@@ -50,6 +50,37 @@ class QueriesSmokeSpec extends SparkSpecBase {
       s"planted re-encoded copy ${r.getLong(0)} not flagged as dup"))
   }
 
+  test("corpus_sample_priority implements Duffield–Lund–Thorup exactly") {
+    import spark.implicits._
+    val k = graft.text.TextAnalytics.PrioritySampleK
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble + 1.0) /
+        4503599627370496.0
+    }
+    val sorted = docs.map { case (id, w) => (id, w, w.toDouble / u(id)) }
+      .sortBy(p => (-p._3, p._1))
+    val tau = sorted(k)._3
+    val expect = sorted.take(k)
+      .map { case (id, w, _) => (id, math.max(w.toDouble, tau)) }.toMap
+    val got = graft.text.TextAnalytics.samplePriority(spark, sf0001)
+      .select($"doc_id", $"w_hat").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == expect, "distributed sample diverged from dense replay")
+    // the point of the ŵ = max(w, τ) rule: Σŵ over the sample is an
+    // unbiased estimator of the TOTAL weight
+    val total = docs.map(_._2.toDouble).sum
+    val est = got.values.sum
+    info(f"subset-sum estimate $est%.0f vs true $total%.0f " +
+      f"(${(est / total - 1) * 100}%+.1f%%)")
+    assert(math.abs(est / total - 1) < 0.5,
+      s"priority-sample subset-sum estimate $est far from true total $total")
+  }
+
   test("corpus_dsir enriches the target language beyond its corpus share") {
     // uses sf0.01: at sf0.001 the 50-doc corpus makes the top-50 the
     // whole corpus and the selection vacuous
