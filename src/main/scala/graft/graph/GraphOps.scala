@@ -120,9 +120,89 @@ object GraphOps {
          |ORDER BY pr DESC, node LIMIT $TopN""".stripMargin
   }
 
+  /** B20: HITS hubs & authorities (`flow_hits`) — the complement of
+    * PageRank on a DIRECTED bipartite flow graph: sources are hubs
+    * (good at reaching important services), destinations are
+    * authorities (services that well-connected sources reach). The
+    * sa/da namespaces are disjoint, so the two score vectors live on
+    * disjoint node sets and each half-step is one edges⋈scores join +
+    * a decimal sum + an L2 normalization. Same iterative-join scale
+    * shape as PageRank (edge table built once; score tables
+    * checkpointed per round). Derandomization is cheaper here: the
+    * half-steps are pure SUMS of already-9-dp scores (no per-edge
+    * product), so only the normalization quotient is rounded.
+    */
+  val HitsIters = 4
+  val HitsTopN = 10
+
+  def flowHits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val edges = materialize(
+      flows.select($"sa".as("src"), $"da".as("dst")).distinct())
+    def normalize(raw: DataFrame, col: String): DataFrame = {
+      val nrm = raw.agg(sqrt(rsum($"v" * $"v")).as("nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select($"node", round($"v" / $"nrm", 9).as(col))
+    }
+    var hub = edges.select($"src".as("node")).distinct()
+      .select($"node", lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auth = materialize(normalize(
+        edges.join(hub, $"src" === $"node")
+          .groupBy($"dst").agg(rsum($"h").as("v"))
+          .select($"dst".as("node"), $"v"), "a"))
+      hub = materialize(normalize(
+        edges.join(auth, $"dst" === $"node")
+          .groupBy($"src").agg(rsum($"a").as("v"))
+          .select($"src".as("node"), $"v"), "h"))
+    }
+    auth.orderBy($"a".desc, $"node").limit(HitsTopN)
+      .select(lit("authority").as("role"), $"node", $"a".as("score"))
+      .unionAll(
+        hub.orderBy($"h".desc, $"node").limit(HitsTopN)
+          .select(lit("hub").as("role"), $"node", $"h".as("score")))
+      .orderBy($"role", $"score".desc, $"node")
+  }
+
+  val flowHitsSql: String = {
+    def halfStep(raw: String, joinCol: String, groupCol: String,
+        prev: String, prevCol: String, out: String, outCol: String): String =
+      s"""${raw} AS MATERIALIZED (
+         |  SELECT e.$groupCol AS node,
+         |    CAST(sum(CAST(round(x.$prevCol, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS v
+         |  FROM edges e JOIN $prev x ON x.node = e.$joinCol GROUP BY e.$groupCol),
+         |${raw}_n AS MATERIALIZED (
+         |  SELECT sqrt(CAST(sum(CAST(round(v * v, 9) AS DECIMAL(28, 9))) AS DOUBLE)) AS nrm
+         |  FROM $raw),
+         |$out AS MATERIALIZED (
+         |  SELECT node, round(v / (SELECT nrm FROM ${raw}_n), 9) AS $outCol FROM $raw)""".stripMargin
+    val rounds = (1 to HitsIters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      halfStep(s"a${i}_raw", "src", "dst", prevH, "h", s"a$i", "a") + ",\n" +
+        halfStep(s"h${i}_raw", "dst", "src", s"a$i", "a", s"h$i", "h")
+    }.mkString(",\n")
+    FlowAnalytics.flowsCte.replace("WITH flows AS (", "WITH flows AS MATERIALIZED (") +
+      s""", edges AS MATERIALIZED (
+         |  SELECT DISTINCT sa AS src, da AS dst FROM flows),
+         |h0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, CAST(1 AS DOUBLE) AS h FROM edges),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT 'authority' AS role, node, a AS score
+         |  FROM (SELECT * FROM a$HitsIters ORDER BY a DESC, node LIMIT $HitsTopN)
+         |  UNION ALL
+         |  SELECT 'hub' AS role, node, h AS score
+         |  FROM (SELECT * FROM h$HitsIters ORDER BY h DESC, node LIMIT $HitsTopN))
+         |ORDER BY role, score DESC, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "flow_pagerank" -> flowPagerank _)
+    "flow_pagerank" -> flowPagerank _,
+    "flow_hits" -> flowHits _)
 
   val oracleSql: Map[String, String] = Map(
-    "flow_pagerank" -> flowPagerankSql)
+    "flow_pagerank" -> flowPagerankSql,
+    "flow_hits" -> flowHitsSql)
 }

@@ -247,6 +247,79 @@ object TextAnalytics {
        |FROM (SELECT * FROM top1 ORDER BY priority DESC, doc_id LIMIT $PrioritySampleK) s
        |ORDER BY doc_id""".stripMargin
 
+  /** D29: BM25 retrieval scoring (`text_bm25`) — the ranked-search
+    * primitive over the corpus: score every document against a fixed
+    * term set with Okapi BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)/
+    * (df+.5))) and return the top matches. The 100 TB shape: the
+    * per-token stream is filtered to the query terms MAP-SIDE before
+    * any shuffle (tf aggregation touches only matching tokens); df/idf
+    * is a term-count-sized broadcast; doc length joins tf on doc_id.
+    * Determinism: idf is rounded to 6 dp (ln differs between libms
+    * only in the last ulp — a 6-dp boundary crossing needs a 1e-11
+    * coincidence), per-term contributions to 9 dp summed as
+    * DECIMAL(28,9) (order-free); everything else is mirrored IEEE
+    * expression trees.
+    */
+  val Bm25K1 = 1.2
+  val Bm25K1p1 = 2.2
+  val Bm25B = 0.75
+  val Bm25TopN = 20
+  val Bm25Terms = Seq("vector", "hash", "join", "stream", "spill")
+
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val dl = toks.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("nd"),
+      (sum($"dl".cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+        .cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.where($"w".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy($"w").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(stats))
+      .select($"w", round(log(lit(1.0) +
+        ($"nd" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6).as("idf"))
+    tf.join(broadcast(idf), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select($"avgdl")))
+      .groupBy($"doc_id")
+      .agg(graft.Tables.dsum(round($"idf" * (($"tf" * lit(Bm25K1p1)) /
+        ($"tf" + lit(Bm25K1) * ((lit(1.0) - lit(Bm25B)) +
+          (lit(Bm25B) * $"dl") / $"avgdl"))), 9), 9).as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(Bm25TopN)
+  }
+
+  val bm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+       |stats AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(CAST(dl AS DECIMAL(28, 0))) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dl),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       |  WHERE w IN ($terms) GROUP BY doc_id, w),
+       |idf AS MATERIALIZED (
+       |  SELECT w, round(ln(CAST(1 AS DOUBLE) +
+       |    ((SELECT nd FROM stats) - CAST(count(*) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / (CAST(count(*) AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6) AS idf
+       |  FROM tf GROUP BY w)
+       |SELECT doc_id,
+       |  CAST(sum(CAST(round(i.idf * ((t.tf * CAST($Bm25K1p1 AS DOUBLE)) /
+       |    (t.tf + CAST($Bm25K1 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST($Bm25B AS DOUBLE)) +
+       |      (CAST($Bm25B AS DOUBLE) * d.dl) / (SELECT avgdl FROM stats)))), 9)
+       |    AS DECIMAL(28, 9))) AS DOUBLE) AS score
+       |FROM tf t JOIN idf i USING (w) JOIN dl d USING (doc_id)
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+  }
+
   // RE2-safe patterns (valid and identical in Java regex and DuckDB's
   // RE2): no backrefs, no lookaround.
   val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -676,7 +749,8 @@ object TextAnalytics {
     "text_chunk" -> chunk _,
     "corpus_mix" -> corpusMix _,
     "corpus_cap_per_source" -> capPerSource _,
-    "corpus_sample_priority" -> samplePriority _)
+    "corpus_sample_priority" -> samplePriority _,
+    "text_bm25" -> bm25 _)
 
   private val profileCase: String = {
     val conds = profiles.map { case (l, _) =>
@@ -812,6 +886,7 @@ object TextAnalytics {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "corpus_cap_per_source" -> capPerSourceSql,
     "corpus_sample_priority" -> samplePrioritySql,
+    "text_bm25" -> bm25Sql,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

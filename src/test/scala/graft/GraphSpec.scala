@@ -41,6 +41,39 @@ class GraphSpec extends SparkSpecBase {
       "top rank did not exceed the uniform distribution")
   }
 
+  test("HITS: score vectors are unit-norm and the top authority is a " +
+      "high-in-degree dst") {
+    import spark.implicits._
+    val out = GraphOps.flowHits(spark, sf0001).collect()
+    assert(out.length == 2 * GraphOps.HitsTopN)
+    val (auths, hubs) = out.partition(_.getString(0) == "authority")
+    assert(auths.length == GraphOps.HitsTopN && hubs.length == GraphOps.HitsTopN)
+    // namespaces must not leak across roles
+    auths.foreach(r => assert(r.getString(1).startsWith("192.168."), r.toString))
+    hubs.foreach(r => assert(r.getString(1).startsWith("10."), r.toString))
+    // normalization: top-10 squared mass must be ≤ 1 (full vector is
+    // unit-norm; the graded query only exposes the top slice)
+    Seq(auths, hubs).foreach { part =>
+      val mass = part.map(r => math.pow(r.getDouble(2), 2)).sum
+      assert(mass <= 1.0 + 1e-6 && mass > 0, s"squared mass $mass out of range")
+    }
+    // mutual reinforcement: the top authority must have above-median
+    // in-degree (authority ≈ weighted in-degree after one round;
+    // later rounds reweight by hub quality but must not surface a
+    // poorly-connected dst)
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val indeg = flows.select($"sa", $"da").distinct()
+      .groupBy($"da").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val degs = indeg.values.toSeq.sorted
+    val median = degs(degs.size / 2)
+    val topDeg = indeg(auths.head.getString(1))
+    info(s"top authority in-degree $topDeg vs median $median")
+    assert(topDeg > median,
+      s"top authority has in-degree $topDeg, not above median $median")
+  }
+
   test("hubs outrank leaves: top nodes are dst-side concentrators") {
     // da values collide across flows (192.168.k%256.user%256) while
     // sa values are nearly unique per event — the walk must surface
