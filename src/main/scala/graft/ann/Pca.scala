@@ -22,10 +22,13 @@ import graft.Tables.load
   * residual-PQ index build).
   *
   * Derandomization: the iterate starts from the all-ones direction
-  * and every step is rounded — per-term products to 9 dp summed as
-  * DECIMAL(28,9) (shuffle-order-free), normalized components to
-  * 9 dp — so the DuckDB oracle replays centering, covariance, all
-  * iterations, and the final Rayleigh quotient bit-for-bit. Power
+  * and every sum is order-free — corpus-sized passes (mean,
+  * covariance, scores) quantize each term to an exact integer via
+  * [[qsum]] and sum as LONG (codegen-primitive, zero cross-engine
+  * tie window); the constant-size iteration frames use the 9-dp
+  * decimal pattern — so the DuckDB oracle replays centering,
+  * covariance, all iterations, and the final Rayleigh quotient
+  * bit-for-bit. Power
   * iteration's Rayleigh quotient is monotone nondecreasing on a
   * symmetric PSD matrix; PcaSpec pins that plus unit norm.
   */
@@ -40,10 +43,19 @@ object Pca {
   val Seed = 0.118033989
 
   /** Round, decimal-cast, order-free sum → double (the dsum pattern
-    * at 9 dp for doubles that are not exactly decimal).
+    * at 9 dp for doubles that are not exactly decimal). Per-row cost
+    * is a BigDecimal allocation — fine for the constant-size
+    * iteration frames, NOT for the corpus-sized passes.
     */
   private def rsum(c: org.apache.spark.sql.Column) =
     sum(round(c, 9).cast(DecimalType(28, 9))).cast("double")
+
+  /** Corpus-sized passes use the quantized long sum (see
+    * [[graft.Tables.qsum]]); the constant-size iteration frames keep
+    * the decimal pattern above.
+    */
+  private def qsum(c: org.apache.spark.sql.Column) = graft.Tables.qsum(c)
+  private def qsumSql(expr: String): String = graft.Tables.qsumSql(expr)
 
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -66,7 +78,7 @@ object Pca {
     val comp = vecs.select($"vec_id", posexplode($"embedding"))
       .select($"vec_id", ($"pos" + 1).as("i"), $"col".cast("double").as("x"))
     val mean = comp.groupBy($"i")
-      .agg(round(rsum($"x") / count(lit(1)), 6).as("mu"))
+      .agg(round(qsum($"x") / count(lit(1)), 6).as("mu"))
     comp.join(broadcast(mean), "i")
       .select($"vec_id", $"i", ($"x" - $"mu").as("x"))
   }
@@ -78,7 +90,7 @@ object Pca {
       .join(cent.as("b"), Seq("vec_id"))
       .select($"a.i".as("i"), $"b.i".as("j"), ($"a.x" * $"b.x").as("p"))
       .groupBy($"i", $"j")
-      .agg(rsum($"p").as("c"))
+      .agg(qsum($"p").as("c"))
   }
 
   /** One normalized power step: v ← C·v / ‖C·v‖. */
@@ -151,7 +163,7 @@ object Pca {
     centered(vecs)
       .join(broadcast(v.select($"k".as("i"), $"vk")), "i")
       .groupBy($"vec_id")
-      .agg(rsum($"x" * $"vk").as("pc1_score"))
+      .agg(qsum($"x" * $"vk").as("pc1_score"))
       .orderBy($"vec_id")
   }
 
@@ -184,17 +196,14 @@ object Pca {
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
        |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
        |mean AS MATERIALIZED (
-       |  SELECT i,
-       |    round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28, 9))) AS DOUBLE)
-       |      / count(*), 6) AS mu
+       |  SELECT i, round(${qsumSql("x")} / count(*), 6) AS mu
        |  FROM comp GROUP BY i),
        |centered AS MATERIALIZED (
        |  SELECT c.vec_id, c.i, c.x - m.mu AS x
        |  FROM comp c JOIN mean m USING (i)),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
        |cov AS MATERIALIZED (
-       |  SELECT a.i, b.i AS j,
-       |    CAST(sum(CAST(round(a.x * b.x, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS c
+       |  SELECT a.i, b.i AS j, ${qsumSql("a.x * b.x")} AS c
        |  FROM centered a JOIN centered b USING (vec_id)
        |  GROUP BY a.i, b.i),
        |v0 AS MATERIALIZED (
@@ -220,8 +229,7 @@ object Pca {
 
   val embPcaScoresSql: String =
     s"""$cteChain
-       |SELECT c.vec_id,
-       |  CAST(sum(CAST(round(c.x * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS pc1_score
+       |SELECT c.vec_id, ${qsumSql("c.x * v.vk")} AS pc1_score
        |FROM centered c JOIN v$Iters v ON v.k = c.i
        |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
 

@@ -30,12 +30,14 @@ import graft.flow.FlowAnalytics
   * dangling mass dropped (the common batch simplification — ranks
   * then sum to < 1; rankings are unaffected at fixed iteration
   * count). Derandomized for the DuckDB oracle like D27: per-edge
-  * contributions rounded to 9 dp and summed as DECIMAL(28,9)
-  * (order-free), and the damping factor carries 9 generic decimal
-  * places — textbook 0.85 would park every 9-dp contribution of a
-  * rank/outdeg quotient on an exact .5 tie at probability ~1e-2,
-  * exactly where Spark's shortest-repr HALF_UP and DuckDB's scaled
-  * binary rounding disagree.
+  * contributions quantized to exact integers and summed as LONG
+  * ([[graft.Tables.qsum]] — order-free, codegen-primitive, and
+  * overflow-free here since a round's per-group quantized mass is
+  * bounded by d·10⁹), and the damping factor carries 9 generic
+  * decimal places — textbook 0.85 would park the rank-update
+  * roundings of a rank/outdeg quotient on exact .5 ties at
+  * probability ~1e-2, exactly where Spark's shortest-repr HALF_UP
+  * and DuckDB's scaled binary rounding disagree.
   */
 object GraphOps {
 
@@ -46,6 +48,12 @@ object GraphOps {
 
   private def rsum(c: Column) =
     sum(round(c, 9).cast(DecimalType(28, 9))).cast("double")
+
+  // EDGE-sized aggregations (the corpus-scale part of an iterative
+  // graph pass) use the quantized long sum — codegen-primitive, and
+  // overflow-free here by construction: a PageRank round's per-group
+  // quantized mass is ≤ d·10⁹, a HITS half-step's ≤ degree·10⁹
+  private def qsum(c: Column) = graft.Tables.qsum(c)
 
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -74,7 +82,7 @@ object GraphOps {
     for (_ <- 1 to Iters) {
       val contribs = srcEdges.join(ranks, $"src" === $"node")
         .select($"dst", ($"pr" * lit(Damping) / $"outdeg").as("p"))
-        .groupBy($"dst").agg(rsum($"p").as("s"))
+        .groupBy($"dst").agg(qsum($"p").as("s"))
       ranks = materialize(
         nodes.join(contribs, $"node" === $"dst", "left")
           .crossJoin(broadcast(nframe))
@@ -91,8 +99,7 @@ object GraphOps {
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""c$i AS MATERIALIZED (
          |  SELECT e.dst,
-         |    CAST(sum(CAST(round(r.pr * CAST($Damping AS DOUBLE) / e.outdeg, 9)
-         |      AS DECIMAL(28, 9))) AS DOUBLE) AS s
+         |    ${graft.Tables.qsumSql(s"r.pr * CAST($Damping AS DOUBLE) / e.outdeg")} AS s
          |  FROM se e JOIN $prev r ON r.node = e.src GROUP BY e.dst),
          |r$i AS MATERIALIZED (
          |  SELECT n.node,
@@ -151,11 +158,11 @@ object GraphOps {
     for (_ <- 1 to HitsIters) {
       auth = materialize(normalize(
         edges.join(hub, $"src" === $"node")
-          .groupBy($"dst").agg(rsum($"h").as("v"))
+          .groupBy($"dst").agg(qsum($"h").as("v"))
           .select($"dst".as("node"), $"v"), "a"))
       hub = materialize(normalize(
         edges.join(auth, $"dst" === $"node")
-          .groupBy($"src").agg(rsum($"a").as("v"))
+          .groupBy($"src").agg(qsum($"a").as("v"))
           .select($"src".as("node"), $"v"), "h"))
     }
     auth.orderBy($"a".desc, $"node").limit(HitsTopN)
@@ -171,7 +178,7 @@ object GraphOps {
         prev: String, prevCol: String, out: String, outCol: String): String =
       s"""${raw} AS MATERIALIZED (
          |  SELECT e.$groupCol AS node,
-         |    CAST(sum(CAST(round(x.$prevCol, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS v
+         |    ${graft.Tables.qsumSql(s"x.$prevCol")} AS v
          |  FROM edges e JOIN $prev x ON x.node = e.$joinCol GROUP BY e.$groupCol),
          |${raw}_n AS MATERIALIZED (
          |  SELECT sqrt(CAST(sum(CAST(round(v * v, 9) AS DECIMAL(28, 9))) AS DOUBLE)) AS nrm
