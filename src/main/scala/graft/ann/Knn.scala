@@ -484,8 +484,7 @@ object Knn {
     val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
       .where($"vec_id" =!= $"probe_id")
       .groupBy($"probe_id", $"vec_id")
-      .agg(sum($"dotp".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-        .cast("double").as("score"))
+      .agg(graft.Tables.qsum($"dotp").as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -548,8 +547,7 @@ object Knn {
     val scored = cands.join(codes, "vec_id")
       .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
       .groupBy($"probe_id", $"vec_id")
-      .agg(sum($"dotp".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-        .cast("double").as("score"))
+      .agg(graft.Tables.qsum($"dotp").as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -650,8 +648,7 @@ object Knn {
     val scored = cands.join(codes, "vec_id")
       .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
       .groupBy($"probe_id", $"vec_id")
-      .agg((-sum($"dist2".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-        .cast("double")).as("score"))
+      .agg((-graft.Tables.qsum($"dist2")).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -744,8 +741,7 @@ object Knn {
     val scored = cands.join(codes.drop("cell"), "vec_id")
       .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
       .groupBy($"probe_id", $"vec_id")
-      .agg((-sum($"dist2".cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-        .cast("double")).as("score"))
+      .agg((-graft.Tables.qsum($"dist2")).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 

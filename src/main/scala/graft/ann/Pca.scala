@@ -124,6 +124,14 @@ object Pca {
     v
   }
 
+  /** λ = vᵀCv as a 1-row frame (v unit ⇒ the Rayleigh quotient). */
+  private def rayleigh(cov: DataFrame, v: DataFrame): DataFrame = {
+    import cov.sparkSession.implicits._
+    cov.join(broadcast(v.select($"k".as("j"), $"vk".as("vj"))), "j")
+      .join(broadcast(v.select($"k".as("i"), $"vk".as("vi"))), "i")
+      .agg(rsum($"vi" * $"c" * $"vj").as("lambda"))
+  }
+
   def embPca(spark: SparkSession, dir: String): DataFrame =
     embPcaWith(spark, dir, Iters)
 
@@ -136,9 +144,7 @@ object Pca {
     val v = iterate(spark, cov, iters)
     // Rayleigh quotient λ = vᵀCv (v is unit) and the variance total
     // trace(C) give the explained-variance share of the leading PC
-    val lambda = cov.join(broadcast(v.select($"k".as("j"), $"vk".as("vj"))), "j")
-      .join(broadcast(v.select($"k".as("i"), $"vk".as("vi"))), "i")
-      .agg(rsum($"vi" * $"c" * $"vj").as("lambda"))
+    val lambda = rayleigh(cov, v)
     val trace = cov.where($"i" === $"j").agg(rsum($"c").as("tr"))
     v.crossJoin(broadcast(lambda)).crossJoin(broadcast(trace))
       .crossJoin(broadcast(nframe))
@@ -167,20 +173,76 @@ object Pca {
       .orderBy($"vec_id")
   }
 
+  /** One power step with Gram–Schmidt projection against `v1`:
+    * w ← C·v; w ← w − (w·v₁)v₁; v ← w/‖w‖ — orthogonal iteration's
+    * second column. Plain deflation (C − λ₁v₁v₁ᵀ) breaks down
+    * exactly on THIS corpus: the embedding spectrum is
+    * near-degenerate (λ₂/λ₁ ≈ 0.98), so after any fixed iteration
+    * budget v₁ still carries off-eigenvector mass and the deflated
+    * matrix leaks it back (measured v₁·v₂ ≈ 0.085). The explicit
+    * per-step projection forces orthogonality BY CONSTRUCTION
+    * regardless of convergence speed.
+    */
+  private def stepOrth(cov: DataFrame, v: DataFrame, v1: DataFrame): DataFrame = {
+    import cov.sparkSession.implicits._
+    val p1 = v1.select($"k".as("i"), $"vk".as("v1"))
+    val w = cov.join(broadcast(v), $"j" === $"k")
+      .groupBy($"i").agg(rsum($"c" * $"vk").as("w"))
+    val d = w.join(broadcast(p1), "i").agg(rsum($"w" * $"v1").as("d"))
+    val wp = w.join(broadcast(p1), "i").crossJoin(broadcast(d))
+      .select($"i", round($"w" - $"d" * $"v1", 9).as("w"))
+    val norm = wp.agg(sqrt(rsum($"w" * $"w")).as("nrm"))
+    wp.crossJoin(broadcast(norm))
+      .select($"i".as("k"), round($"w" / $"nrm", 9).as("vk"))
+  }
+
+  /** D27c: top-2 components (`emb_pca2`) — the step from "a leading
+    * direction" to an actual low-rank transform: a second iteration
+    * chain over the SAME covariance frame, orthogonalized against v₁
+    * every step ([[stepOrth]]). The corpus is touched exactly once,
+    * by the shared covariance pass; both chains run on the
+    * materialized D×D frame with 64-row iterates.
+    */
+  def embPca2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val nframe = vecs.agg(count(lit(1)).as("n"))
+    val cov = materialize(covariance(vecs))
+    val v1 = iterate(spark, cov, Iters)
+    val lam1 = rayleigh(cov, v1)
+    var v2 = spark.range(1, Dim + 1).toDF("k")
+      .select($"k", lit(Seed).as("vk"))
+    for (_ <- 1 to Iters) v2 = materialize(stepOrth(cov, v2, v1))
+    val lam2 = rayleigh(cov, v2)
+    v1.select($"k", $"vk".as("l1"))
+      .join(v2.select($"k", $"vk".as("l2")), "k")
+      .crossJoin(broadcast(lam1.select($"lambda".as("lambda1"))))
+      .crossJoin(broadcast(lam2.select($"lambda".as("lambda2"))))
+      .crossJoin(broadcast(nframe))
+      .select($"k".as("pos"), $"l1".as("loading1_r"), $"l2".as("loading2_r"),
+        round($"lambda1" / $"n", 6).as("eigval1_r"),
+        round($"lambda2" / $"n", 6).as("eigval2_r"))
+      .orderBy($"pos")
+  }
+
   /** The oracle's decimal-sum helper over an expression per row set:
     * written inline — DuckDB's sum over DECIMAL is exact like Spark's.
     */
-  private def stepCte(i: Int): String = {
-    val prev = if (i == 1) "v0" else s"v${i - 1}"
-    s"""w$i AS MATERIALIZED (
+  /** One oracle power step over covariance CTE `cov`; `p` prefixes
+    * the step CTE names so a second (deflated) chain can coexist.
+    * The shared v0 seed CTE is used by both chains.
+    */
+  private def stepCte(i: Int, covName: String = "cov", p: String = ""): String = {
+    val prev = if (i == 1) "v0" else s"${p}v${i - 1}"
+    s"""${p}w$i AS MATERIALIZED (
        |  SELECT c.i,
        |    CAST(sum(CAST(round(c.c * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS w
-       |  FROM cov c JOIN $prev v ON v.k = c.j GROUP BY c.i),
-       |n$i AS MATERIALIZED (
+       |  FROM $covName c JOIN $prev v ON v.k = c.j GROUP BY c.i),
+       |${p}n$i AS MATERIALIZED (
        |  SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28, 9))) AS DOUBLE)) AS nrm
-       |  FROM w$i),
-       |v$i AS MATERIALIZED (
-       |  SELECT i AS k, round(w / (SELECT nrm FROM n$i), 9) AS vk FROM w$i)""".stripMargin
+       |  FROM ${p}w$i),
+       |${p}v$i AS MATERIALIZED (
+       |  SELECT i AS k, round(w / (SELECT nrm FROM ${p}n$i), 9) AS vk FROM ${p}w$i)""".stripMargin
   }
 
   /** Shared oracle CTE chain: components → centering → covariance →
@@ -191,7 +253,7 @@ object Pca {
     * per-step checkpoint.
     */
   private val cteChain: String = {
-    val steps = (1 to Iters).map(stepCte).mkString(",\n")
+    val steps = (1 to Iters).map(i => stepCte(i)).mkString(",\n")
     s"""WITH comp AS MATERIALIZED (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
        |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
@@ -227,6 +289,47 @@ object Pca {
        |  round((SELECT lambda FROM lam) / (SELECT tr FROM tr), 6) AS var_share_r
        |FROM v$Iters v ORDER BY pos""".stripMargin
 
+  /** Oracle step with the Gram–Schmidt projection against v_Iters. */
+  private def stepOrthCte(i: Int): String = {
+    val prev = if (i == 1) "v0" else s"bv${i - 1}"
+    s"""bw$i AS MATERIALIZED (
+       |  SELECT c.i,
+       |    CAST(sum(CAST(round(c.c * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS w
+       |  FROM cov c JOIN $prev v ON v.k = c.j GROUP BY c.i),
+       |bd$i AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(w.w * v.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS d
+       |  FROM bw$i w JOIN v$Iters v ON v.k = w.i),
+       |bp$i AS MATERIALIZED (
+       |  SELECT w.i, round(w.w - (SELECT d FROM bd$i) * v.vk, 9) AS w
+       |  FROM bw$i w JOIN v$Iters v ON v.k = w.i),
+       |bn$i AS MATERIALIZED (
+       |  SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28, 9))) AS DOUBLE)) AS nrm
+       |  FROM bp$i),
+       |bv$i AS MATERIALIZED (
+       |  SELECT i AS k, round(w / (SELECT nrm FROM bn$i), 9) AS vk FROM bp$i)""".stripMargin
+  }
+
+  val embPca2Sql: String = {
+    val steps2 = (1 to Iters).map(stepOrthCte).mkString(",\n")
+    s"""$cteChain,
+       |lam1 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(vi.vk * c.c * vj.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS lambda
+       |  FROM cov c
+       |  JOIN v$Iters vj ON vj.k = c.j
+       |  JOIN v$Iters vi ON vi.k = c.i),
+       |$steps2,
+       |lam2 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(vi.vk * c.c * vj.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS lambda
+       |  FROM cov c
+       |  JOIN bv$Iters vj ON vj.k = c.j
+       |  JOIN bv$Iters vi ON vi.k = c.i)
+       |SELECT a.k AS pos, a.vk AS loading1_r, b.vk AS loading2_r,
+       |  round((SELECT lambda FROM lam1) / (SELECT n FROM nn), 6) AS eigval1_r,
+       |  round((SELECT lambda FROM lam2) / (SELECT n FROM nn), 6) AS eigval2_r
+       |FROM v$Iters a JOIN bv$Iters b ON b.k = a.k
+       |ORDER BY pos""".stripMargin
+  }
+
   val embPcaScoresSql: String =
     s"""$cteChain
        |SELECT c.vec_id, ${qsumSql("c.x * v.vk")} AS pc1_score
@@ -235,9 +338,11 @@ object Pca {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> embPca _,
+    "emb_pca2" -> embPca2 _,
     "emb_pca_scores" -> embPcaScores _)
 
   val oracleSql: Map[String, String] = Map(
     "emb_pca" -> embPcaSql,
+    "emb_pca2" -> embPca2Sql,
     "emb_pca_scores" -> embPcaScoresSql)
 }

@@ -205,11 +205,99 @@ object GraphOps {
          |ORDER BY role, score DESC, node""".stripMargin
   }
 
+  /** B21: label-propagation community detection
+    * (`flow_communities`) — which users and services form access
+    * groups; the segmentation step network triage runs before
+    * per-community baselines. LPA over the BIPARTITE user↔service
+    * graph (edges = distinct (user, da) contacts — node-sized, not
+    * flow-sized), with the semi-synchronous two-phase schedule that
+    * bipartite graphs require: each round first every SERVICE adopts
+    * the label most frequent among its users, then every USER adopts
+    * the label most frequent among its services (plain synchronous
+    * LPA provably oscillates 2-cycles on bipartite graphs). Ties
+    * break to the SMALLEST label; fixed [[LpaIters]] rounds.
+    * Everything is integer/string arithmetic — the oracle replay is
+    * EXACT, no float anywhere. The per-phase argmax is two
+    * aggregations (per-(node,label) counts → max count → min label
+    * at the max), not a row_number window: at 100 TB the count
+    * table is already collapsed and no per-node sort materializes.
+    * Users sharing services converge onto one label (at small SF the
+    * service namespace partitions per user, so communities are
+    * exactly user+services stars; at sf0.1+ user-id cohorts share
+    * services and merge — GraphSpec pins both regimes' invariants).
+    */
+  val LpaIters = 3
+  val LpaTopN = 20
+
+  /** One vote: `pairs` = (tgt, lbl) per edge; tgt's new label is its
+    * most frequent incoming label, ties to the smallest.
+    */
+  private def vote(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val cnt = pairs.groupBy($"tgt", $"lbl").agg(count(lit(1)).as("c"))
+    val best = cnt.groupBy($"tgt").agg(max($"c").as("cmax"))
+    cnt.join(best, "tgt").where($"c" === $"cmax")
+      .groupBy($"tgt").agg(min($"lbl").as("lbl"))
+      .select($"tgt".as("node"), $"lbl")
+  }
+
+  def flowCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val ue = materialize(flows
+      .select(concat(lit("u:"), $"user_id").as("unode"), $"da").distinct())
+    var usr = ue.select($"unode".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    var svc = ue.select($"da".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      svc = materialize(vote(
+        ue.join(usr, $"unode" === $"node").select($"da".as("tgt"), $"lbl")))
+      usr = materialize(vote(
+        ue.join(svc, $"da" === $"node").select($"unode".as("tgt"), $"lbl")))
+    }
+    usr.unionAll(svc)
+      .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"n_nodes".desc, $"lbl")
+      .limit(LpaTopN)
+      .select($"lbl".as("community"), $"n_nodes")
+  }
+
+  val flowCommunitiesSql: String = {
+    def voteCte(pfx: String, i: Int, joinCol: String, tgtCol: String,
+        prev: String): String =
+      s"""${pfx}c$i AS MATERIALIZED (
+         |  SELECT e.$tgtCol AS tgt, x.lbl, count(*) AS c
+         |  FROM ue e JOIN $prev x ON x.node = e.$joinCol GROUP BY e.$tgtCol, x.lbl),
+         |${pfx}b$i AS MATERIALIZED (
+         |  SELECT tgt, max(c) AS cmax FROM ${pfx}c$i GROUP BY tgt),
+         |${pfx}l$i AS MATERIALIZED (
+         |  SELECT c.tgt AS node, min(c.lbl) AS lbl
+         |  FROM ${pfx}c$i c JOIN ${pfx}b$i b ON b.tgt = c.tgt AND c.c = b.cmax
+         |  GROUP BY c.tgt)""".stripMargin
+    val rounds = (1 to LpaIters).map { i =>
+      val prevU = if (i == 1) "u0" else s"ul${i - 1}"
+      voteCte("s", i, "unode", "da", prevU) + ",\n" +
+        voteCte("u", i, "da", "unode", s"sl$i")
+    }.mkString(",\n")
+    FlowAnalytics.flowsCte.replace("WITH flows AS (", "WITH flows AS MATERIALIZED (") +
+      s""", ue AS MATERIALIZED (
+         |  SELECT DISTINCT 'u:' || user_id AS unode, da FROM flows),
+         |u0 AS MATERIALIZED (
+         |  SELECT DISTINCT unode AS node, unode AS lbl FROM ue),
+         |$rounds
+         |SELECT lbl AS community, count(*) AS n_nodes
+         |FROM (SELECT * FROM ul$LpaIters UNION ALL SELECT * FROM sl$LpaIters)
+         |GROUP BY lbl ORDER BY n_nodes DESC, lbl LIMIT $LpaTopN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_pagerank" -> flowPagerank _,
-    "flow_hits" -> flowHits _)
+    "flow_hits" -> flowHits _,
+    "flow_communities" -> flowCommunities _)
 
   val oracleSql: Map[String, String] = Map(
     "flow_pagerank" -> flowPagerankSql,
-    "flow_hits" -> flowHitsSql)
+    "flow_hits" -> flowHitsSql,
+    "flow_communities" -> flowCommunitiesSql)
 }

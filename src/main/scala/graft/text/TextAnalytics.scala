@@ -613,8 +613,7 @@ object TextAnalytics {
     tok.join(vocab, "w")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(round(log($"cnt"), 9)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("s"))
+        graft.Tables.qsum(round(log($"cnt"), 9)).as("s"))
       .crossJoin(broadcast(tot))
       .select($"doc_id", $"n_tokens",
         round(log($"nn") - ($"s".cast("double") / $"n_tokens"), 6).as("nll_r"))
@@ -695,7 +694,7 @@ object TextAnalytics {
     tok.join(broadcast(weights), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum($"lw".cast(DecimalType(28, 9))).as("s"))
+        graft.Tables.qsum($"lw").as("s"))
       .join(docs.select($"doc_id", $"lang"), "doc_id")
       .select($"doc_id", $"lang", $"n_tokens",
         round($"s".cast("double") / $"n_tokens", 6).as("dsir_r"))

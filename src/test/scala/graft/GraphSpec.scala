@@ -74,6 +74,29 @@ class GraphSpec extends SparkSpecBase {
       s"top authority has in-degree $topDeg, not above median $median")
   }
 
+  test("bipartite LPA: small-SF communities are exactly user+service stars") {
+    import spark.implicits._
+    val out = GraphOps.flowCommunities(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= GraphOps.LpaTopN)
+    // after round 1 every label is a user label (services vote first)
+    out.foreach(r => assert(r.getString(0).startsWith("u:"),
+      s"community label is not a user label: ${r.getString(0)}"))
+    // at sf0.001 user_id < 256, so the da namespace partitions by
+    // user: every community must be exactly one user plus their
+    // distinct services — compare the full top-N size profile
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val expected = flows
+      .select($"user_id", $"da").distinct()
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("nda"))
+      .collect().map(_.getLong(1) + 1)
+      .sorted.reverse.take(GraphOps.LpaTopN).toSeq
+    val sizes = out.map(_.getLong(1)).toSeq
+    info(s"top community sizes: ${sizes.take(5)} (expected ${expected.take(5)})")
+    assert(sizes == expected,
+      s"community sizes diverged from the star profile: $sizes vs $expected")
+  }
+
   test("hubs outrank leaves: top nodes are dst-side concentrators") {
     // da values collide across flows (192.168.k%256.user%256) while
     // sa values are nearly unique per event — the walk must surface
