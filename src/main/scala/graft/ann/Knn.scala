@@ -967,7 +967,11 @@ object Knn {
         .orderBy($"mind".desc, $"vec_id")
         .limit(1)
         .select($"vec_id".as("cid"), $"embedding".as("cent"))
-      seeds = seeds.union(next)
+      // materialize each round: the next round's crossJoin references
+      // this frame and the union chain references it again — left
+      // lazy, round t replays every prior round's corpus pass (the
+      // same lineage-doubling the PCA iterate checkpoints away)
+      seeds = materialize(seeds.union(next))
     }
     seeds
   }
