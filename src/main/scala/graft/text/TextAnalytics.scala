@@ -247,6 +247,70 @@ object TextAnalytics {
        |FROM (SELECT * FROM top1 ORDER BY priority DESC, doc_id LIMIT $PrioritySampleK) s
        |ORDER BY doc_id""".stripMargin
 
+  /** D30: temperature-scaled mixture rebalancing
+    * (`corpus_temperature_mix`) — the multilingual/multi-source
+    * rebalancing step (mT5/XLM-style): per-source budgets
+    * n_s ∝ (char mass_s)^α with α = 0.5, then a deterministic
+    * md5-ordered selection up to each budget. α fixed at ½ on
+    * purpose: sqrt is CORRECTLY-ROUNDED IEEE (pow(x, 0.7) is not),
+    * so both engines derive bit-identical budgets with no rounding
+    * escape hatch. Selection reuses the bounded [[graft.functions.TopKByAgg]]
+    * heap sized at the GLOBAL budget, then keeps each source's
+    * prefix at its own budget via posexplode position — per-group
+    * variable-k selection without a row_number sort over the corpus.
+    */
+  val TempMixBudget = 100
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val mass = docs.groupBy($"source")
+      .agg(graft.Tables.dsum($"n_chars", 0).as("w"))
+    // sqrt is correctly-rounded IEEE → s is bit-identical in both
+    // engines unrounded; the order-free total rides the exact
+    // floor-quantized long sum (zero cross-engine tie window)
+    val sq = mass.select($"source", sqrt($"w").as("s"))
+    val tot = sq.agg(graft.Tables.qsum($"s").as("st"))
+    val bud = sq.crossJoin(broadcast(tot))
+      .select($"source",
+        greatest(lit(1L), floor(lit(TempMixBudget.toDouble) * $"s" / $"st"))
+          .as("b"))
+    docs
+      .select($"source", $"doc_id",
+        expr("CAST(conv(substring(md5(cast(cast(doc_id AS STRING) as binary)), 1, 12), 16, 10) AS BIGINT)")
+          .cast("double").as("score"))
+      .groupBy($"source")
+      .agg(graft.functions.TopKByAgg.topk_by($"score", $"doc_id", TempMixBudget)
+        .as("keep"))
+      .join(broadcast(bud), "source")
+      .select($"source", $"b", posexplode($"keep.id"))
+      .where($"pos" < $"b")
+      .select($"source", $"col".as("doc_id"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH mass AS MATERIALIZED (
+       |  SELECT source, CAST(sum(CAST(n_chars AS DECIMAL(28, 0))) AS DOUBLE) AS w
+       |  FROM documents GROUP BY source),
+       |sq AS MATERIALIZED (SELECT source, sqrt(w) AS s FROM mass),
+       |tot AS MATERIALIZED (
+       |  SELECT ${graft.Tables.qsumSql("s")} AS st FROM sq),
+       |bud AS MATERIALIZED (
+       |  SELECT source,
+       |    greatest(1, CAST(floor(CAST($TempMixBudget AS DOUBLE) * s / (SELECT st FROM tot)) AS BIGINT)) AS b
+       |  FROM sq),
+       |ranked AS MATERIALIZED (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT DESC,
+       |        doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.source, r.doc_id
+       |FROM ranked r JOIN bud b USING (source)
+       |WHERE r.rn <= b.b
+       |ORDER BY source, doc_id""".stripMargin
+
   /** D29: BM25 retrieval scoring (`text_bm25`) — the ranked-search
     * primitive over the corpus: score every document against a fixed
     * term set with Okapi BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)/
@@ -749,6 +813,7 @@ object TextAnalytics {
     "corpus_mix" -> corpusMix _,
     "corpus_cap_per_source" -> capPerSource _,
     "corpus_sample_priority" -> samplePriority _,
+    "corpus_temperature_mix" -> temperatureMix _,
     "text_bm25" -> bm25 _)
 
   private val profileCase: String = {
@@ -885,6 +950,7 @@ object TextAnalytics {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "corpus_cap_per_source" -> capPerSourceSql,
     "corpus_sample_priority" -> samplePrioritySql,
+    "corpus_temperature_mix" -> temperatureMixSql,
     "text_bm25" -> bm25Sql,
     "text_normalize" ->
       """SELECT doc_id,

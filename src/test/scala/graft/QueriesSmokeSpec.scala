@@ -81,6 +81,30 @@ class QueriesSmokeSpec extends SparkSpecBase {
       s"priority-sample subset-sum estimate $est far from true total $total")
   }
 
+  test("corpus_temperature_mix flattens the source distribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val mass = docs.groupBy($"source").agg(sum($"n_chars").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = mass.values.sum.toDouble
+    val sel = graft.text.TextAnalytics.temperatureMix(spark, sf0001)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val nSel = sel.values.sum.toDouble
+    val (smallest, largest) =
+      (mass.minBy(_._2)._1, mass.maxBy(_._2)._1)
+    val gainSmall = (sel.getOrElse(smallest, 0L) / nSel) / (mass(smallest) / total)
+    val gainLarge = (sel.getOrElse(largest, 0L) / nSel) / (mass(largest) / total)
+    info(f"share gain: smallest=$gainSmall%.2f largest=$gainLarge%.2f")
+    // sqrt temperature: the smallest source's selected share must
+    // exceed its mass share, the largest source's must shrink
+    assert(gainSmall > 1.0,
+      s"smallest source not over-sampled (gain $gainSmall)")
+    assert(gainLarge < 1.0,
+      s"largest source not down-sampled (gain $gainLarge)")
+  }
+
   test("corpus_dsir enriches the target language beyond its corpus share") {
     // uses sf0.01: at sf0.001 the 50-doc corpus makes the top-50 the
     // whole corpus and the selection vacuous
