@@ -954,24 +954,37 @@ object Knn {
   val FpsBudget = 8
   val FpsIters = 1
 
-  /** Greedy farthest-point seed set: (cid, cent), cid = seed vec_id. */
+  /** Greedy farthest-point seed set: (cid, cent), cid = seed vec_id.
+    *
+    * Carries a materialized running min-distance column instead of
+    * re-scoring the corpus against the whole seed set each round:
+    * min-dist to seeds 1..i = min(min-dist to 1..i-1, dist to seed i),
+    * so round i costs ONE cosine per vector (k·n total) where the
+    * re-scoring form costs i (k²n/2 total) — and the argmax needs no
+    * aggregation at all, just a 1-row TakeOrdered over the state.
+    * Identical math, identical ties → the oracle replay is unchanged.
+    */
   private[graft] def fpsSeeds(vecs: DataFrame, k: Int): DataFrame = {
     import vecs.sparkSession.implicits._
     var seeds = vecs.orderBy($"vec_id").limit(1)
       .select($"vec_id".as("cid"), $"embedding".as("cent"))
-    for (_ <- 2 to k) {
-      val next = vecs.crossJoin(broadcast(seeds))
-        .withColumn("d", lit(1.0) - vcos($"embedding", $"cent"))
-        .groupBy($"vec_id")
-        .agg(first($"embedding").as("embedding"), min($"d").as("mind"))
-        .orderBy($"mind".desc, $"vec_id")
-        .limit(1)
+    // (vec_id, embedding, mind): min-distance to the seed set so far
+    var state = materialize(vecs.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"embedding",
+        (lit(1.0) - vcos($"embedding", $"cent")).as("mind")))
+    for (i <- 2 to k) {
+      val next = state.orderBy($"mind".desc, $"vec_id").limit(1)
         .select($"vec_id".as("cid"), $"embedding".as("cent"))
-      // materialize each round: the next round's crossJoin references
-      // this frame and the union chain references it again — left
-      // lazy, round t replays every prior round's corpus pass (the
-      // same lineage-doubling the PCA iterate checkpoints away)
       seeds = materialize(seeds.union(next))
+      if (i < k) {
+        // fold the new seed into the running min (materialized: the
+        // next round's argmax and update both read it — left lazy,
+        // round t replays every prior round's corpus pass, the same
+        // lineage-doubling the PCA iterate checkpoints away)
+        state = materialize(state.crossJoin(broadcast(next))
+          .select($"vec_id", $"embedding",
+            least($"mind", lit(1.0) - vcos($"embedding", $"cent")).as("mind")))
+      }
     }
     seeds
   }

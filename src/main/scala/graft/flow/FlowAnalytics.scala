@@ -727,6 +727,39 @@ object FlowAnalytics {
       .orderBy($"event_type")
   }
 
+  /** B18b: sliding-window distinct via sketch REUSE
+    * (`flow_distinct_hll_sliding`) — the payoff of a MERGEABLE
+    * sketch: per-hour HLL register blocks are built from the raw scan
+    * ONCE, then every 4-hour sliding window is a union (elementwise
+    * max) of 4 hourly blocks via [[graft.functions.HllUnionAgg]]. The
+    * explode-by-offset fan-out runs over SKETCHES (groups × 512 B),
+    * never raw events — at 100 TB the alternative (re-counting
+    * distinct per overlapping window) scans the corpus once per
+    * window overlap. Register construction is md5-derandomized like
+    * B18, so the oracle rebuilds each window's registers directly
+    * from the events in range and the estimate hash-matches.
+    */
+  val HllSlideHours = 4
+
+  def distinctHllSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = graft.Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(graft.functions.HllAgg.hll_sketch(
+        $"user_id".cast("string"), HllP).as("sk"))
+    hourly
+      .select($"event_type", $"sk", $"hour",
+        explode(sequence(lit(0), lit(HllSlideHours - 1))).as("k"))
+      .select($"event_type", $"sk",
+        expr("hour - make_interval(0, 0, 0, 0, k, 0, 0)").as("win_start"))
+      .groupBy($"event_type", $"win_start")
+      .agg(graft.functions.HllAgg.hll_union($"sk", HllP).as("wsk"),
+        count(lit(1)).as("n_hours"))
+      .select($"event_type", $"win_start", $"n_hours",
+        round(graft.functions.HllAgg.hll_estimate($"wsk", HllP), 6).as("hll_est_r"))
+      .orderBy($"event_type", $"win_start")
+  }
+
   /** B19: DDoS triage composite — the reference README's use case
     * rolled into one ranked suspicion list: per target address, fan-in
     * (distinct sources), SYN-flag ratio, and log-scaled volume
@@ -804,6 +837,7 @@ object FlowAnalytics {
     "flow_anomaly_zscore" -> anomalyZscore _,
     "flow_ddos_score" -> ddosScore _,
     "flow_distinct_hll" -> distinctHll _,
+    "flow_distinct_hll_sliding" -> distinctHllSliding _,
     "flow_zorder_locality" -> zorderLocality _,
     "flow_freq_cms" -> freqCms _,
     "flow_top_talkers_salted" -> topTalkersSalted _,
@@ -951,6 +985,49 @@ object FlowAnalytics {
          |  t.exact_distinct
          |FROM est e JOIN t USING (event_type)
          |ORDER BY event_type""".stripMargin
+    },
+    "flow_distinct_hll_sliding" -> {
+      val m = 1 << HllP
+      val wBits = 60 - HllP
+      s"""WITH h AS MATERIALIZED (
+         |  SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |  FROM events),
+         |x AS MATERIALIZED (
+         |  SELECT event_type, hr - k.k * INTERVAL 1 HOUR AS win_start, hr, hv
+         |  FROM h CROSS JOIN range(0, $HllSlideHours) k(k)),
+         |reg AS MATERIALIZED (
+         |  SELECT event_type, win_start, hv % $m AS b,
+         |    max(CASE WHEN hv // $m = 0 THEN ${wBits + 1}
+         |             ELSE ${wBits + 1} - length(bin(hv // $m)) END) AS mr
+         |  FROM x GROUP BY 1, 2, 3),
+         |nh AS MATERIALIZED (
+         |  SELECT event_type, win_start, count(DISTINCT hr) AS n_hours
+         |  FROM x GROUP BY 1, 2),
+         |regs AS (
+         |  SELECT g.event_type, g.win_start, r.b, coalesce(reg.mr, 0) AS mr
+         |  FROM (SELECT DISTINCT event_type, win_start FROM x) g
+         |  CROSS JOIN range(0, $m) r(b)
+         |  LEFT JOIN reg ON reg.event_type = g.event_type
+         |    AND reg.win_start = g.win_start AND reg.b = r.b),
+         |s AS (
+         |  SELECT event_type, win_start,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mr) ORDER BY b)),
+         |      (a, v) -> a + v) AS ssum,
+         |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM regs GROUP BY 1, 2),
+         |est AS (
+         |  SELECT event_type, win_start,
+         |    CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $m) * $m * $m / ssum AS raw,
+         |    zeros
+         |  FROM s)
+         |SELECT e.event_type, e.win_start, nh.n_hours,
+         |  round(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * $m AND zeros > 0
+         |             THEN $m * ln(CAST($m AS DOUBLE) / zeros) ELSE raw END, 6) AS hll_est_r
+         |FROM est e
+         |JOIN nh ON nh.event_type = e.event_type AND nh.win_start = e.win_start
+         |ORDER BY e.event_type, e.win_start""".stripMargin
     },
     "flow_zorder_locality" -> (flowsCte +
       s""", z AS (

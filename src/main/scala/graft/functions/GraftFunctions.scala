@@ -65,7 +65,9 @@ object GraftFunctions {
     "hll_sketch" -> (e => { arity("hll_sketch", e, 2)
       HllAgg(e(0), intArg(e(1), "hll_sketch")).toAggregateExpression() }),
     "hll_estimate" -> (e => { arity("hll_estimate", e, 2)
-      HllEstimate(e(0), intArg(e(1), "hll_estimate")) }))
+      HllEstimate(e(0), intArg(e(1), "hll_estimate")) }),
+    "hll_union" -> (e => { arity("hll_union", e, 2)
+      HllUnionAgg(e(0), intArg(e(1), "hll_union")).toAggregateExpression() }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

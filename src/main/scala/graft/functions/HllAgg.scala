@@ -124,6 +124,71 @@ case class HllAgg(
   override def prettyName: String = "hll_sketch"
 }
 
+/** `hll_union(sketch, p)` — merges PRE-BUILT [[HllAgg]] register
+  * blocks (elementwise max). This is the re-aggregation half of the
+  * sketch contract: hourly sketches roll up into daily / sliding /
+  * all-time windows without touching raw data again — at 100 TB the
+  * raw scan happens once, and every coarser panel is a merge over
+  * (groups × m bytes), not a re-count.
+  */
+case class HllUnionAgg(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, "hll_union requires 4 <= p <= 16")
+  private def m: Int = 1 << p
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"hll_union expects a BINARY sketch, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(regs: Array[Byte], input: InternalRow): Array[Byte] = {
+    val s = child.eval(input)
+    if (s != null) {
+      val bytes = s.asInstanceOf[Array[Byte]]
+      require(bytes.length == HllUtil.headerBytes + m,
+        s"hll_union: sketch built with a different p (got ${bytes.length} bytes, want ${HllUtil.headerBytes + m})")
+      var i = 0
+      while (i < m) {
+        val b = bytes(HllUtil.headerBytes + i)
+        if (b > regs(i)) regs(i) = b
+        i += 1
+      }
+    }
+    regs
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(regs: Array[Byte]): Any = HllUtil.serialize(regs, m)
+  override def serialize(regs: Array[Byte]): Array[Byte] = HllUtil.serialize(regs, m)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, HllUtil.headerBytes, HllUtil.headerBytes + m)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllUnionAgg =
+    copy(child = c(0))
+  override def prettyName: String = "hll_union"
+}
+
 /** `hll_estimate(sketch, p)` — cardinality estimate of an
   * [[HllAgg]]-built register set; codegen'd.
   */
@@ -149,6 +214,10 @@ object HllAgg {
   def hll_sketch(key: Column, p: Int): Column =
     ExpressionUtils.column(
       HllAgg(ExpressionUtils.expression(key), p).toAggregateExpression())
+
+  def hll_union(sketch: Column, p: Int): Column =
+    ExpressionUtils.column(
+      HllUnionAgg(ExpressionUtils.expression(sketch), p).toAggregateExpression())
 
   def hll_estimate(sketch: Column, p: Int): Column =
     ExpressionUtils.column(HllEstimate(ExpressionUtils.expression(sketch), p))

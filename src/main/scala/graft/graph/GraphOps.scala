@@ -291,13 +291,126 @@ object GraphOps {
          |GROUP BY lbl ORDER BY n_nodes DESC, lbl LIMIT $LpaTopN""".stripMargin
   }
 
+  /** B22: triangle counting + local clustering coefficient
+    * (`graph_triangles`) — the flow graph is bipartite (sa/da
+    * namespaces are disjoint, so it has NO triangles by construction);
+    * the triangle-rich graph in this corpus is part CO-ORDERING:
+    * nodes = parts, an edge when two parts share an order. Triangles
+    * and the clustering coefficient are the standard cohesion
+    * signals (co-purchase basket clustering here; on a host graph the
+    * same query separates scanners — star centers, coefficient ≈ 0 —
+    * from peer groups).
+    *
+    * The 100 TB shape is the classic degree-ordered orientation
+    * (Cohen / "MapReduce triangle counting"):
+    *  - pair generation is per-order and basket-bounded (≤ C(k,2)
+    *    rows per order, k ≤ ~13 here) — never a parts × parts cross.
+    *  - each undirected edge is oriented low-(deg,id) → high-(deg,id);
+    *    every out-neighborhood then has size O(√m), so the wedge
+    *    self-join Σ outdeg² is m^1.5 worst-case instead of Σ deg²
+    *    (which a hub node makes quadratic).
+    *  - wedges close against the oriented edge list with an equi-join
+    *    on BOTH endpoints; a wedge's two out-neighbors are ordered by
+    *    the same (deg,id) key, so each triangle materializes exactly
+    *    once, no post-dedup.
+    * Everything is integer counting — exact oracle replay, no floats
+    * until the final rounded coefficient.
+    */
+  val TriTopN = 20
+
+  /** Per-node (node, deg, triangles, clustering) over an undirected
+    * edge set given as (u, v) with u < v, deduplicated. Exposed for
+    * the planted-graph spec.
+    */
+  private[graft] def triangleCounts(edges0: DataFrame): DataFrame = {
+    import edges0.sparkSession.implicits._
+    val edges = materialize(edges0)
+    val deg = materialize(
+      edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg")))
+    // u < v always; orient toward the higher (deg, id) endpoint, so
+    // ties on degree keep the id order
+    val oriented = materialize(
+      edges.join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+        .select(
+          when($"du" <= $"dv", $"u").otherwise($"v").as("s"),
+          when($"du" <= $"dv", $"v").otherwise($"u").as("t"),
+          when($"du" <= $"dv", $"dv").otherwise($"du").as("dt")))
+    val e1 = oriented.select($"s", $"t".as("y"), $"dt".as("dy"))
+    val e2 = oriented.select($"s", $"t".as("z"), $"dt".as("dz"))
+    val tri = e1.join(e2, "s")
+      .where($"dy" < $"dz" || ($"dy" === $"dz" && $"y" < $"z"))
+      // the closing {y,z} edge, if present, is oriented y→z because
+      // (deg,id)(y) < (deg,id)(z) by the wedge ordering above
+      .join(oriented.select($"s".as("y"), $"t".as("z")), Seq("y", "z"))
+    val perNode = tri
+      .select(explode(array($"s", $"y", $"z")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node", $"deg",
+        coalesce($"triangles", lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when($"deg" < 2, lit(0.0)).otherwise(
+          round($"triangles".cast("double") * 2.0 / ($"deg" * ($"deg" - 1)), 9)))
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val op = li.select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val edges = op.join(op.withColumnRenamed("p", "q"), "ok")
+      .where($"p" < $"q")
+      .select($"p".as("u"), $"q".as("v")).distinct()
+    triangleCounts(edges)
+      .orderBy($"triangles".desc, $"node").limit(TriTopN)
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+       |deg AS MATERIALIZED (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+       |  GROUP BY node),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN du.deg <= dv.deg THEN e.u ELSE e.v END AS s,
+       |         CASE WHEN du.deg <= dv.deg THEN e.v ELSE e.u END AS t,
+       |         CASE WHEN du.deg <= dv.deg THEN dv.deg ELSE du.deg END AS dt
+       |  FROM edges e
+       |  JOIN deg du ON du.node = e.u
+       |  JOIN deg dv ON dv.node = e.v),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.s AS s, e1.t AS y, e2.t AS z
+       |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+       |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+       |  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+       |pn AS (
+       |  SELECT node, count(*) AS triangles FROM (
+       |    SELECT s AS node FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY node)
+       |SELECT d.node, d.deg, coalesce(pn.triangles, 0) AS triangles,
+       |  CASE WHEN d.deg < 2 THEN CAST(0 AS DOUBLE)
+       |       ELSE round(CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+       |              * CAST(2 AS DOUBLE) / (d.deg * (d.deg - 1)), 9)
+       |  END AS clustering
+       |FROM deg d LEFT JOIN pn USING (node)
+       |ORDER BY triangles DESC, node LIMIT $TriTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_pagerank" -> flowPagerank _,
     "flow_hits" -> flowHits _,
-    "flow_communities" -> flowCommunities _)
+    "flow_communities" -> flowCommunities _,
+    "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
     "flow_pagerank" -> flowPagerankSql,
     "flow_hits" -> flowHitsSql,
-    "flow_communities" -> flowCommunitiesSql)
+    "flow_communities" -> flowCommunitiesSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

@@ -794,7 +794,116 @@ object TextAnalytics {
        |FROM per p JOIN documents d USING (doc_id)
        |ORDER BY dsir_r DESC, doc_id LIMIT $DsirTopN""".stripMargin
 
+  /** D30: BPE merge training (`text_bpe_merges`) — the first
+    * [[BpeRounds]] byte-pair-encoding merges learned from the corpus,
+    * the statistics pass of tokenizer training (Sennrich et al. 2016).
+    * Each round counts adjacent symbol pairs (weighted by word
+    * frequency), picks the most frequent (ties → lexicographic), and
+    * applies the merge with the canonical greedy LEFT-TO-RIGHT scan —
+    * expressed as an array fold: the pair merges when the
+    * accumulator's last symbol is `a` and the next is `b` (a merged
+    * symbol is strictly longer than `a`, so it can never spuriously
+    * re-trigger within the round).
+    *
+    * The 100 TB shape is the classic BPE factoring: the corpus scan
+    * happens ONCE (word counts — one combine-heavy groupBy); every
+    * round after that runs over the VOCABULARY (distinct words ×
+    * counts, millions of rows at web scale, not billions), pair
+    * counts combine map-side, the per-round winner is a 1-row
+    * TakeOrdered broadcast back, and the vocabulary re-folds map-only.
+    * The per-round fold is an interpreted HOF over vocab-sized data —
+    * the same budget class as D11's fingerprint fold.
+    *
+    * Oracle: pair counting is plain SQL; the fold replays per word as
+    * a recursive CTE carrying the accumulator list — exact, no floats
+    * anywhere.
+    */
+  val BpeRounds = 3
+
+  /** The canonical greedy left-to-right merge of pair (`a`,`b`) over
+    * `syms`, as an array fold (exposed for the spec: string-replace
+    * formulations get overlapping runs like [b,b,b,b] wrong; the fold
+    * must not).
+    */
+  private[graft] val bpeFoldExpr: String =
+    """aggregate(slice(syms, 2, size(syms) - 1),
+      |  array(element_at(syms, 1)),
+      |  (acc, s) -> CASE
+      |    WHEN element_at(acc, -1) = a AND s = b
+      |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+      |    ELSE concat(acc, array(s)) END)""".stripMargin
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def mat(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var words = mat(load(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split($"w", "")))
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val pairs = words
+        .select($"cnt", explode(arrays_zip(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1))).as("pr"))
+        .select($"pr".getField("0").as("a"), $"pr".getField("1").as("b"), $"cnt")
+        .groupBy($"a", $"b").agg(sum($"cnt").as("freq"))
+      val best = mat(pairs.orderBy($"freq".desc, $"a", $"b").limit(1))
+      merges += best.select(lit(r).cast("long").as("round"), $"a", $"b",
+        concat($"a", $"b").as("merged"), $"freq")
+      if (r < BpeRounds)
+        words = mat(words.crossJoin(broadcast(best.select($"a", $"b")))
+          .withColumn("syms", expr(bpeFoldExpr))
+          .select($"w", $"cnt", $"syms"))
+    }
+    merges.result().reduce(_ unionAll _).orderBy($"round")
+  }
+
+  val bpeMergesSql: String = {
+    def pairCte(i: Int): String = {
+      val src = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS freq
+         |  FROM $src, LATERAL (SELECT unnest(range(1, len(syms))) AS i) u
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT a, b, freq FROM p$i ORDER BY freq DESC, a, b LIMIT 1)""".stripMargin
+    }
+    def foldCte(i: Int): String = {
+      val src = if (i == 1) "w0" else s"w${i - 1}"
+      s"""f$i AS (
+         |  SELECT w, cnt, syms, 2 AS i, [syms[1]] AS acc FROM $src
+         |  UNION ALL
+         |  SELECT f.w, f.cnt, f.syms, f.i + 1,
+         |    CASE WHEN f.acc[-1] = m.a AND f.syms[f.i] = m.b
+         |         THEN list_append(f.acc[1:len(f.acc) - 1], m.a || m.b)
+         |         ELSE list_append(f.acc, f.syms[f.i]) END
+         |  FROM f$i f, m$i m WHERE f.i <= len(f.syms)),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, cnt, acc AS syms FROM f$i WHERE i = len(syms) + 1)""".stripMargin
+    }
+    val rounds = (1 to BpeRounds).map { i =>
+      if (i < BpeRounds) pairCte(i) + ",\n" + foldCte(i) else pairCte(i)
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, a, b, a || b AS merged,
+         |  CAST(freq AS BIGINT) AS freq FROM m$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt, string_split(w, '') AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> '' GROUP BY w),
+       |$rounds
+       |SELECT * FROM (
+       |$out)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> bpeMerges _,
     "corpus_dsir" -> corpusDsir _,
     "text_unigram_logprob" -> unigramLogprob _,
     "corpus_curate" -> corpusCurate _,
@@ -830,6 +939,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeMergesSql,
     "corpus_dsir" -> corpusDsirSql,
     "text_unigram_logprob" -> unigramLogprobSql,
     "corpus_curate" -> corpusCurateSql,

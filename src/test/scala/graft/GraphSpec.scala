@@ -97,6 +97,61 @@ class GraphSpec extends SparkSpecBase {
       s"community sizes diverged from the star profile: $sizes vs $expected")
   }
 
+  test("triangles: planted K4 + path counts exactly, coefficient in [0,1]") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node: deg 3, 3 triangles, coefficient 1)
+    // plus a path 5-6-7 (no triangles; node 6 deg 2, coefficient 0)
+    // — includes the degree-tie orientation case (all K4 degrees equal)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val got = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    (1L to 4L).foreach { n =>
+      assert(got(n) == ((3L, 3L, 1.0)), s"K4 node $n: ${got(n)}")
+    }
+    assert(got(5L) == ((1L, 0L, 0.0)) && got(7L) == ((1L, 0L, 0.0)))
+    assert(got(6L) == ((2L, 0L, 0.0)))
+  }
+
+  test("triangles: graded query matches a brute-force recount at sf0.001") {
+    import spark.implicits._
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    val op = li.select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val edgePairs = op.join(op.withColumnRenamed("p", "q"), "ok")
+      .where($"p" < $"q")
+      .select($"p".as("u"), $"q".as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side brute force over the (small) sf0.001 edge set
+    val adj = edgePairs.foldLeft(Map.empty[Long, Set[Long]]) {
+      case (m, (u, v)) =>
+        m.updated(u, m.getOrElse(u, Set.empty) + v)
+          .updated(v, m.getOrElse(v, Set.empty) + u)
+    }
+    val triPerNode = adj.map { case (n, nbrs) =>
+      val s = nbrs.toSeq
+      n -> s.combinations(2).count { case Seq(a, b) =>
+        edgePairs.contains((math.min(a, b), math.max(a, b)))
+      }.toLong
+    }
+    val got = GraphOps.graphTriangles(spark, sf0001).collect()
+    assert(got.length == GraphOps.TriTopN)
+    got.foreach { r =>
+      val (node, deg, tri) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(adj(node).size.toLong == deg, s"deg mismatch at $node")
+      assert(triPerNode(node) == tri,
+        s"triangle count mismatch at $node: got $tri want ${triPerNode(node)}")
+      val c = r.getDouble(3)
+      assert(c >= 0.0 && c <= 1.0, s"clustering out of range at $node: $c")
+    }
+    // the top-20 must really be the global top by (triangles desc, node)
+    val expectTop = triPerNode.toSeq
+      .sortBy { case (n, t) => (-t, n) }.take(GraphOps.TriTopN).map(_._2)
+    assert(got.map(_.getLong(2)).toSeq == expectTop,
+      "top-20 triangle counts are not the global maxima")
+  }
+
   test("hubs outrank leaves: top nodes are dst-side concentrators") {
     // da values collide across flows (192.168.k%256.user%256) while
     // sa values are nearly unique per event — the walk must surface

@@ -34,6 +34,39 @@ class QueriesSmokeSpec extends SparkSpecBase {
   // approx-sketch error bounds live with the other sketch-bound tests
   // in SketchBoundsSpec (SpaceSavingSpec.scala)
 
+  test("text_bpe_merges: the fold is the canonical greedy scan, not string-replace") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (syms, a, b, expected) — [b,b,b,b] is the case replace-based
+    // merges get wrong ([bb,b,b] or [bb,b,bb] depending on delimiter
+    // handling; canonical BPE gives [bb,bb])
+    val cases = Seq(
+      (Seq("b", "b", "b", "b"), "b", "b", Seq("bb", "bb")),
+      (Seq("b", "b", "b"), "b", "b", Seq("bb", "b")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("a", "a", "b"), "a", "b", Seq("a", "ab")),
+      (Seq("x"), "a", "b", Seq("x")),
+      (Seq("c", "a"), "a", "b", Seq("c", "a")))
+    val got = cases.toDF("syms", "a", "b", "expected")
+      .withColumn("merged", expr(graft.text.TextAnalytics.bpeFoldExpr))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](4) == r.getSeq[String](3),
+        s"fold mismatch for ${r.getSeq[String](0)}: got ${r.getSeq[String](4)}")
+    }
+  }
+
+  test("text_bpe_merges: rounds are distinct pairs with non-increasing frequency") {
+    val rows = graft.text.TextAnalytics.bpeMerges(spark, sf0001).collect()
+    assert(rows.length == graft.text.TextAnalytics.BpeRounds)
+    val freqs = rows.map(_.getLong(4))
+    assert(freqs.zip(freqs.tail).forall { case (x, y) => x >= y },
+      s"merge frequencies increased across rounds: ${freqs.toSeq}")
+    val pairs = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length == pairs.length, "duplicate merge pair")
+    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+  }
+
   test("mm_phash_dedup: re-encode noise defeats md5 but not the perceptual hash") {
     import graft.multimodal.Multimodal
     val payload = Array.tabulate(1000)(i => (i * 37 % 256).toByte)
