@@ -833,7 +833,11 @@ object TextAnalytics {
       |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
       |    ELSE concat(acc, array(s)) END)""".stripMargin
 
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** BPE training rounds over the corpus vocabulary. Returns the
+    * per-round winner frames (round, a, b, merged, freq) and the
+    * vocabulary with ALL [[BpeRounds]] merges applied.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
     def mat(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -854,15 +858,49 @@ object TextAnalytics {
       val best = mat(pairs.orderBy($"freq".desc, $"a", $"b").limit(1))
       merges += best.select(lit(r).cast("long").as("round"), $"a", $"b",
         concat($"a", $"b").as("merged"), $"freq")
-      if (r < BpeRounds)
-        words = mat(words.crossJoin(broadcast(best.select($"a", $"b")))
-          .withColumn("syms", expr(bpeFoldExpr))
-          .select($"w", $"cnt", $"syms"))
+      val folded = words.crossJoin(broadcast(best.select($"a", $"b")))
+        .withColumn("syms", expr(bpeFoldExpr))
+        .select($"w", $"cnt", $"syms")
+      // the last fold stays lazy: bpeMerges drops it unexecuted,
+      // bpeTokenize pipelines it into the token aggregation
+      words = if (r < BpeRounds) mat(folded) else folded
     }
-    merges.result().reduce(_ unionAll _).orderBy($"round")
+    (merges.result(), words)
   }
 
-  val bpeMergesSql: String = {
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrain(spark, dir)._1.reduce(_ unionAll _).orderBy($"round")
+  }
+
+  /** D30b: BPE application (`text_bpe_tokenize`) — the learned merges
+    * applied back to the corpus: the resulting token inventory (top
+    * tokens by weighted frequency) plus, per token, whether it is a
+    * merge product. The apply side shares the training fold verbatim
+    * (one broadcast merge per round, map-only over the vocabulary);
+    * tokenizing the CORPUS then costs one join from words to their
+    * final symbol arrays — documents never re-fold.
+    */
+  val BpeTokenTopN = 20
+
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, words) = bpeTrain(spark, dir)
+    val mergedSet = merges.reduce(_ unionAll _).select($"merged").distinct()
+    words.select(explode($"syms").as("token"), $"cnt")
+      .groupBy($"token").agg(sum($"cnt").as("freq"))
+      .join(mergedSet.withColumn("is_merge", lit(true)),
+        $"token" === $"merged", "left")
+      .select($"token", $"freq",
+        coalesce($"is_merge", lit(false)).as("is_merge"))
+      .orderBy($"freq".desc, $"token").limit(BpeTokenTopN)
+  }
+
+  /** The shared training CTE chain: w0 (vocabulary), then per round
+    * pair counts p_i, winner m_i, and (when `foldLast` or i <
+    * [[BpeRounds]]) the recursive fold f_i → folded vocabulary w_i.
+    */
+  private def bpeCteChain(foldLast: Boolean): String = {
     def pairCte(i: Int): String = {
       val src = if (i == 1) "w0" else s"w${i - 1}"
       s"""p$i AS (
@@ -886,24 +924,46 @@ object TextAnalytics {
          |  SELECT w, cnt, acc AS syms FROM f$i WHERE i = len(syms) + 1)""".stripMargin
     }
     val rounds = (1 to BpeRounds).map { i =>
-      if (i < BpeRounds) pairCte(i) + ",\n" + foldCte(i) else pairCte(i)
+      if (i < BpeRounds || foldLast) pairCte(i) + ",\n" + foldCte(i)
+      else pairCte(i)
     }.mkString(",\n")
-    val out = (1 to BpeRounds).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS round, a, b, a || b AS merged,
-         |  CAST(freq AS BIGINT) AS freq FROM m$i""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS cnt, string_split(w, '') AS syms
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
        |  WHERE w <> '' GROUP BY w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val out = (1 to BpeRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, a, b, a || b AS merged,
+         |  CAST(freq AS BIGINT) AS freq FROM m$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeCteChain(foldLast = false)}
        |SELECT * FROM (
        |$out)
        |ORDER BY round""".stripMargin
   }
 
+  val bpeTokenizeSql: String = {
+    val ms = (1 to BpeRounds)
+      .map(i => s"SELECT a || b AS merged FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""${bpeCteChain(foldLast = true)},
+       |tf AS (
+       |  SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(syms) AS token, cnt FROM w$BpeRounds) t
+       |  GROUP BY token),
+       |ms AS (SELECT DISTINCT merged FROM (
+       |$ms))
+       |SELECT t.token, t.freq, (ms.merged IS NOT NULL) AS is_merge
+       |FROM tf t LEFT JOIN ms ON ms.merged = t.token
+       |ORDER BY freq DESC, token LIMIT $BpeTokenTopN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> bpeMerges _,
+    "text_bpe_tokenize" -> bpeTokenize _,
     "corpus_dsir" -> corpusDsir _,
     "text_unigram_logprob" -> unigramLogprob _,
     "corpus_curate" -> corpusCurate _,
@@ -940,6 +1000,7 @@ object TextAnalytics {
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_tokenize" -> bpeTokenizeSql,
     "corpus_dsir" -> corpusDsirSql,
     "text_unigram_logprob" -> unigramLogprobSql,
     "corpus_curate" -> corpusCurateSql,

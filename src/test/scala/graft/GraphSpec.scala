@@ -117,8 +117,12 @@ class GraphSpec extends SparkSpecBase {
 
   test("triangles: graded query matches a brute-force recount at sf0.001") {
     import spark.implicits._
+    import graft.functions.StrFuncs.md5_prefix
     val li = graft.Tables.load(spark, sf0001, "lineitem")
-    val op = li.select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val op = li.select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+      .where(md5_prefix(concat(lit("tri:"), $"p".cast("string")), 7)
+        % GraphOps.TriSampleMod === 0)
+      .distinct()
     val edgePairs = op.join(op.withColumnRenamed("p", "q"), "ok")
       .where($"p" < $"q")
       .select($"p".as("u"), $"q".as("v")).distinct()
