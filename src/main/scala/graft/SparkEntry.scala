@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.queries ++ FlowAnalytics.queries ++
       graft.text.TextAnalytics.queries ++ graft.dedup.Dedup.queries ++
       graft.ann.Knn.queries ++ graft.ann.Pca.queries ++
-      graft.graph.GraphOps.queries ++
+      graft.graph.GraphOps.queries ++ graft.graph.GraphSearch.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.streaming.StreamingOps.queries ++ graft.operators.Joins.queries
 
@@ -26,7 +26,7 @@ object SparkEntry {
     Relational.oracleSql ++ FlowAnalytics.oracleSql ++
       graft.text.TextAnalytics.oracleSql ++ graft.dedup.Dedup.oracleSql ++
       graft.ann.Knn.oracleSql ++ graft.ann.Pca.oracleSql ++
-      graft.graph.GraphOps.oracleSql ++
+      graft.graph.GraphOps.oracleSql ++ graft.graph.GraphSearch.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
       graft.streaming.StreamingOps.oracleSql ++ graft.operators.Joins.oracleSql
 }

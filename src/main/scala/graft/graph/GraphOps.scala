@@ -59,6 +59,19 @@ object GraphOps {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Round-state staging for the iterative queries. Both checkpoint
+    * flavors cut lineage through [[org.apache.spark.sql.execution.LogicalRDD]],
+    * which ADVERTISES the staged plan's outputPartitioning — so a
+    * frame staged as hash(k) feeds every later join/aggregate on k
+    * with ZERO additional exchange. The iterative queries stage
+    * their edge tables pre-partitioned on the round's join key once,
+    * so each round's only shuffle is the contribution re-keying (the
+    * GraphX/MLlib iterative pattern). Rounds stay EAGER: a lazy
+    * recurrence compounds the logical plan each round and blows up
+    * analysis/AQE bookkeeping long before the data does.
+    */
+  private def stage(df: DataFrame): DataFrame = materialize(df)
+
   def flowPagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val flows = FlowAnalytics.asFlows(spark, dir)
@@ -71,19 +84,26 @@ object GraphOps {
       .union(flows.select($"da".as("src"), $"sa".as("dst")))
       .distinct()
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg), built once, reused by every round
-    val srcEdges = materialize(edges.join(outdeg, "src"))
-    val nodes = materialize(
+    // (src, dst, outdeg): built once, staged pre-partitioned on src so
+    // every round's rank join reads it in place
+    val srcEdges = stage(edges.join(outdeg, "src").repartition($"src"))
+    // distinct leaves nodes hash(node)-partitioned — the left-join key
+    val nodes = stage(
       edges.select($"src".as("node"))
         .union(edges.select($"dst".as("node"))).distinct())
     val nframe = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nframe))
       .select($"node", (lit(1.0) / $"n").as("pr"))
+    // per round: srcEdges is staged hash(src) and ranks comes back
+    // hash(node) from the previous round's left join, so the rank
+    // join runs exchange-free; the dst re-keying under the groupBy is
+    // the round's ONLY shuffle, and the left join back onto nodes
+    // (hash(node) vs the agg's hash(dst)) adds none
     for (_ <- 1 to Iters) {
       val contribs = srcEdges.join(ranks, $"src" === $"node")
         .select($"dst", ($"pr" * lit(Damping) / $"outdeg").as("p"))
         .groupBy($"dst").agg(qsum($"p").as("s"))
-      ranks = materialize(
+      ranks = stage(
         nodes.join(contribs, $"node" === $"dst", "left")
           .crossJoin(broadcast(nframe))
           .select($"node", round(
@@ -145,25 +165,36 @@ object GraphOps {
   def flowHits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val flows = FlowAnalytics.asFlows(spark, dir)
-    val edges = materialize(
-      flows.select($"sa".as("src"), $"da".as("dst")).distinct())
+    val edges = flows.select($"sa".as("src"), $"da".as("dst")).distinct()
+    // the edge table is read by half-steps joining on src (auth) and
+    // on dst (hub) alternately — stage one copy per partitioning so
+    // neither direction ever re-shuffles it
+    val eSrc = stage(edges.repartition($"src"))
+    val eDst = stage(edges.repartition($"dst"))
     def normalize(raw: DataFrame, col: String): DataFrame = {
       val nrm = raw.agg(sqrt(rsum($"v" * $"v")).as("nrm"))
       raw.crossJoin(broadcast(nrm))
         .select($"node", round($"v" / $"nrm", 9).as(col))
     }
-    var hub = edges.select($"src".as("node")).distinct()
+    var hub = eSrc.select($"src".as("node")).distinct()
       .select($"node", lit(1.0).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      auth = materialize(normalize(
-        edges.join(hub, $"src" === $"node")
+      // each raw half-step result feeds BOTH its norm aggregate and
+      // the normalized select — staged eagerly to stop the lineage
+      // doubling; the groupBy leaves it hash-partitioned on exactly
+      // the NEXT half-step's join key, so staging also makes every
+      // cross-round join exchange-free
+      val rawA = stage(
+        eSrc.join(hub, $"src" === $"node")
           .groupBy($"dst").agg(qsum($"h").as("v"))
-          .select($"dst".as("node"), $"v"), "a"))
-      hub = materialize(normalize(
-        edges.join(auth, $"dst" === $"node")
+          .select($"dst".as("node"), $"v"))
+      auth = normalize(rawA, "a")
+      val rawH = stage(
+        eDst.join(auth, $"dst" === $"node")
           .groupBy($"src").agg(qsum($"a").as("v"))
-          .select($"src".as("node"), $"v"), "h"))
+          .select($"src".as("node"), $"v"))
+      hub = normalize(rawH, "h")
     }
     auth.orderBy($"a".desc, $"node").limit(HitsTopN)
       .select(lit("authority").as("role"), $"node", $"a".as("score"))
@@ -230,11 +261,17 @@ object GraphOps {
   val LpaTopN = 20
 
   /** One vote: `pairs` = (tgt, lbl) per edge; tgt's new label is its
-    * most frequent incoming label, ties to the smallest.
+    * most frequent incoming label, ties to the smallest. The count
+    * table is re-keyed to hash(tgt) BEFORE aggregating — hash(tgt)
+    * satisfies the (tgt,lbl) clustering, so the round's ONLY exchange
+    * is that re-keying; the max/filter/min chain and the staged
+    * output all stay on hash(tgt), which is exactly the next round's
+    * join key.
     */
   private def vote(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
-    val cnt = pairs.groupBy($"tgt", $"lbl").agg(count(lit(1)).as("c"))
+    val cnt = stage(pairs.repartition($"tgt")
+      .groupBy($"tgt", $"lbl").agg(count(lit(1)).as("c")))
     val best = cnt.groupBy($"tgt").agg(max($"c").as("cmax"))
     cnt.join(best, "tgt").where($"c" === $"cmax")
       .groupBy($"tgt").agg(min($"lbl").as("lbl"))
@@ -244,17 +281,20 @@ object GraphOps {
   def flowCommunities(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val flows = FlowAnalytics.asFlows(spark, dir)
-    val ue = materialize(flows
-      .select(concat(lit("u:"), $"user_id").as("unode"), $"da").distinct())
-    var usr = ue.select($"unode".as("node")).distinct()
+    val ue = flows
+      .select(concat(lit("u:"), $"user_id").as("unode"), $"da").distinct()
+    // one staged copy per vote direction (joins on unode / on da)
+    val ueU = stage(ue.repartition($"unode"))
+    val ueD = stage(ue.repartition($"da"))
+    var usr = ueU.select($"unode".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
-    var svc = ue.select($"da".as("node")).distinct()
+    var svc = ueD.select($"da".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
     for (_ <- 1 to LpaIters) {
-      svc = materialize(vote(
-        ue.join(usr, $"unode" === $"node").select($"da".as("tgt"), $"lbl")))
-      usr = materialize(vote(
-        ue.join(svc, $"da" === $"node").select($"unode".as("tgt"), $"lbl")))
+      svc = vote(
+        ueU.join(usr, $"unode" === $"node").select($"da".as("tgt"), $"lbl"))
+      usr = vote(
+        ueD.join(svc, $"da" === $"node").select($"unode".as("tgt"), $"lbl"))
     }
     usr.unionAll(svc)
       .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
@@ -370,7 +410,12 @@ object GraphOps {
     */
   val TriSampleMod = 4
 
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** Color-sampled part co-order edge set — (u, v) with u < v,
+    * deduplicated, over the 1-in-[[TriSampleMod]] md5 node sample.
+    * Shared by B22 triangles and the B24/B25 structure queries so
+    * all three read the SAME induced subgraph.
+    */
+  private[graft] def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.StrFuncs.md5_prefix
     val li = graft.Tables.load(spark, dir, "lineitem")
@@ -378,10 +423,14 @@ object GraphOps {
       .where(md5_prefix(concat(lit("tri:"), $"p".cast("string")), 7)
         % TriSampleMod === 0)
       .distinct()
-    val edges = op.join(op.withColumnRenamed("p", "q"), "ok")
+    op.join(op.withColumnRenamed("p", "q"), "ok")
       .where($"p" < $"q")
       .select($"p".as("u"), $"q".as("v")).distinct()
-    triangleCounts(edges)
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    triangleCounts(coOrderEdges(spark, dir))
       .orderBy($"triangles".desc, $"node").limit(TriTopN)
   }
 

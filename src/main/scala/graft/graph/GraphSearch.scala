@@ -1,0 +1,314 @@
+package graft.graph
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.flow.FlowAnalytics
+
+/** B23–B25: graph traversal + structure queries that complete the
+  * graph family — multi-source BFS (reachability/hop radius), k-core
+  * decomposition (density peeling), and neighborhood-Jaccard link
+  * prediction. Each brings an execution shape the B19–B22 set does
+  * not have: BFS is a DELTA iteration (per-round work proportional to
+  * the frontier, not the graph), k-core is a monotone PEELING loop
+  * (the working set only shrinks), and link Jaccard is an exact
+  * all-pairs wedge aggregation over the color-sampled graph.
+  */
+object GraphSearch {
+
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Free a superseded peel/frontier round (same policy as the dedup
+    * pipelines: cached blocks and, on the reliable-checkpoint path,
+    * the durable files — Spark's cleaner only removes those behind a
+    * non-default flag).
+    */
+  private def release(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      backingRdd(df).foreach { rdd =>
+        rdd.unpersist(blocking = true)
+        rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      }
+    }
+
+  // ---------------------------------------------------------------- B23 BFS
+
+  /** B23: multi-source BFS over the undirected user↔service contact
+    * graph (`graph_bfs_hops`) — hop distance from the [[BfsSeeds]]
+    * highest-degree nodes to every node, reported as a hop histogram
+    * (unreached = -1). The triage question behind it: lateral-movement
+    * blast radius — how many accounts and services sit within k hops
+    * of the most-shared services. (The sa↔da graph is the WRONG
+    * subject here: sa values are event-unique, so that graph is a
+    * union of depth-≤2 stars; the user↔service graph is the one with
+    * real multi-hop structure — users share services, services link
+    * users — the same contact graph B21's communities partition.)
+    *
+    * The 100 TB shape is the textbook FRONTIER (delta) iteration, the
+    * one iterative pattern B19–B22 don't exercise:
+    *  - each round joins ONLY the newly-discovered frontier against
+    *    the staged hash(src) edge table — per-round cost is
+    *    O(edges touched by the frontier), and every node is expanded
+    *    exactly once, so the WHOLE traversal costs O(E) total, unlike
+    *    PageRank's fixed full-graph cost per round;
+    *  - the frontier is small → AQE broadcasts it into the edge join
+    *    (no edge-side shuffle ever — the edge table is staged
+    *    pre-partitioned once);
+    *  - visited-set membership is a left-anti join against the union
+    *    of materialized PER-LAYER leaves (each a LogicalRDD — no
+    *    recompute, no single growing table rewritten per round).
+    * Converges when the frontier empties; [[BfsHopCap]] is both the
+    * runaway backstop (throws — a silent cap would mislabel deep
+    * nodes) and the oracle's recursion bound, so Spark and the replay
+    * agree by construction on any graph they don't throw on.
+    */
+  val BfsSeeds = 5
+  val BfsHopCap = 16
+
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    // undirected user↔service contacts: same link set as B21's LPA
+    val ue = flows.select(concat(lit("u:"), $"user_id").as("src"), $"da".as("dst"))
+    val edges = ue.union(ue.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val eSrc = materialize(edges.repartition($"src"))
+    // undirected edge list ⇒ every node appears as src; out-degree IS
+    // degree, and this frame doubles as the node universe
+    val deg = materialize(
+      eSrc.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")))
+    val seeds = deg.orderBy($"deg".desc, $"node").limit(BfsSeeds)
+    var frontier = materialize(seeds.select($"node", lit(0).as("hop")))
+    val layers = ArrayBuffer(frontier)
+    var hop = 0
+    var done = frontier.count() == 0L
+    while (!done) {
+      hop += 1
+      if (hop > BfsHopCap)
+        throw new IllegalStateException(
+          s"bfsHops frontier still live after $BfsHopCap hops — raise the cap " +
+            "(the oracle recursion bound must move with it)")
+      val seen = layers.map(_.select($"node")).reduce(_ unionAll _)
+      val next = materialize(
+        eSrc.join(frontier.select($"node".as("src")), "src")
+          .select($"dst".as("node")).distinct()
+          .join(seen, Seq("node"), "left_anti")
+          .select($"node", lit(hop).as("hop")))
+      if (next.count() == 0L) { release(next); done = true }
+      else { layers += next; frontier = next }
+    }
+    val reached = layers.map(l => l.select($"node", $"hop")).reduce(_ unionAll _)
+    deg.join(reached, Seq("node"), "left")
+      .select(coalesce($"hop", lit(-1)).as("hops"))
+      .groupBy($"hops").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"hops")
+  }
+
+  val bfsHopsSql: String =
+    FlowAnalytics.flowsCte.replace(
+      "WITH flows AS (", "WITH RECURSIVE flows AS MATERIALIZED (") +
+      s""", edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT 'u:' || user_id AS src, da AS dst FROM flows
+         |    UNION ALL SELECT da AS src, 'u:' || user_id AS dst FROM flows)),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS MATERIALIZED (
+         |  SELECT node FROM deg ORDER BY deg DESC, node LIMIT $BfsSeeds),
+         |reach(node, hop) AS (
+         |  SELECT node, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.node
+         |  WHERE r.hop < $BfsHopCap),
+         |mh AS MATERIALIZED (
+         |  SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+         |SELECT coalesce(mh.hop, -1) AS hops, count(*) AS n_nodes
+         |FROM deg d LEFT JOIN mh ON mh.node = d.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- B24 k-core
+
+  /** B24: k-core decomposition (`graph_kcore`) — the maximal subgraph
+    * in which every node keeps at least [[KcoreK]] neighbors, on the
+    * same color-sampled part co-order graph as B22's triangles. The
+    * k-core is the standard dense-nucleus extractor: basket analysis
+    * reads it as the stable co-purchase core, host-graph triage as
+    * the mesh that survives when scanners and one-off edges peel away.
+    *
+    * Execution shape: monotone PEELING — drop every node with degree
+    * < k, recompute degrees on the surviving edges, repeat to a fixed
+    * point. Each round is one degree aggregation (hash shuffle on
+    * node) plus two semi-joins filtering the edge list; the working
+    * set only SHRINKS, so unlike PageRank's constant per-round cost
+    * the loop gets cheaper as it runs. Convergence is a count
+    * compare: the next edge set is a subset of the current one, so
+    * equal counts ⇔ identical sets — no set-diff job. Converges or
+    * THROWS at [[KcoreMaxRounds]] (a silent cap would report a
+    * too-large core); the oracle unrolls exactly [[KcoreMaxRounds]]
+    * rounds, and peeling is idempotent at the fixed point, so the
+    * replay matches any run that doesn't throw.
+    */
+  val KcoreK = 4
+  val KcoreMaxRounds = 12
+  val KcoreTopN = 30
+
+  /** Peel `edges0` ((u, v), u < v, deduped) to its [[KcoreK]]-core;
+    * returns each surviving node with its in-core degree. Exposed for
+    * the planted-graph spec.
+    */
+  private[graft] def kcoreOf(edges0: DataFrame, k: Int = KcoreK): DataFrame = {
+    import edges0.sparkSession.implicits._
+    var edges = materialize(edges0)
+    var converged = false
+    var iter = 0
+    while (!converged) {
+      iter += 1
+      if (iter > KcoreMaxRounds) {
+        release(edges)
+        throw new IllegalStateException(
+          s"kcore did not reach a fixed point within $KcoreMaxRounds peel rounds — " +
+            "raise KcoreMaxRounds (the oracle unroll must move with it)")
+      }
+      val deg = edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where($"deg" >= k).select($"node")
+      val next = materialize(
+        edges
+          .join(keep.select($"node".as("u")), Seq("u"), "left_semi")
+          .join(keep.select($"node".as("v")), Seq("v"), "left_semi")
+          .select($"u", $"v"))
+      converged = next.count() == edges.count()
+      release(edges)
+      edges = next
+    }
+    edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kcoreOf(GraphOps.coOrderEdges(spark, dir))
+      .orderBy($"deg".desc, $"node").limit(KcoreTopN)
+  }
+
+  val kcoreSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+         |  GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KcoreK),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i))""".stripMargin
+    }
+    val rounds = (1 to KcoreMaxRounds).map(round).mkString(",\n")
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |  WHERE ('0x' || substr(md5('tri:' || l_partkey), 1, 7))::BIGINT
+       |    % ${GraphOps.TriSampleMod} = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+       |$rounds
+       |SELECT node, count(*) AS deg FROM (
+       |  SELECT u AS node FROM e$KcoreMaxRounds
+       |  UNION ALL SELECT v FROM e$KcoreMaxRounds)
+       |GROUP BY node ORDER BY deg DESC, node LIMIT $KcoreTopN""".stripMargin
+  }
+
+  // ------------------------------------------------------ B25 link Jaccard
+
+  /** B25: neighborhood-Jaccard link prediction
+    * (`graph_link_jaccard`) — for part pairs NOT yet co-ordered,
+    * score |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)| and return the top
+    * candidates: the classic "you may also like" / missing-link
+    * ranking, run on the same color-sampled co-order graph as B22.
+    *
+    * Exact all-pairs common-neighbor counting is inherently a wedge
+    * aggregation — every common neighbor s of (y, z) is one wedge
+    * y–s–z, so the cost is Σ deg(s)², and NO orientation trick
+    * applies (unlike triangles, the pair (y, z) must see common
+    * neighbors on EVERY side of the degree order). The scale lever is
+    * therefore the same node-color sample the triangle estimator
+    * uses: thinning NODES bounds Σ deg² at any data scale, and the
+    * candidate ranking stays exact on the induced subgraph. The
+    * wedge aggregation itself is one hash shuffle on (y, z) with
+    * map-side combine; existing edges leave by an anti-join before
+    * any degree arithmetic, and [[LjMinCommon]] prunes the long tail
+    * of one-wedge pairs inside the same aggregate.
+    */
+  val LjMinCommon = 3
+  val LjTopN = 30
+
+  def linkJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = materialize(GraphOps.coOrderEdges(spark, dir))
+    val adj = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
+    val deg = adj.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val common = adj.select($"u".as("s"), $"v".as("y"))
+      .join(adj.select($"u".as("s"), $"v".as("z")), "s")
+      .where($"y" < $"z")
+      .groupBy($"y", $"z").agg(count(lit(1)).as("common"))
+      .where($"common" >= LjMinCommon)
+    common
+      .join(edges.select($"u".as("y"), $"v".as("z")), Seq("y", "z"), "left_anti")
+      .join(deg.select($"node".as("y"), $"deg".as("dy")), "y")
+      .join(deg.select($"node".as("z"), $"deg".as("dz")), "z")
+      .select($"y".as("u"), $"z".as("v"), $"common",
+        round($"common".cast("double") / ($"dy" + $"dz" - $"common"), 9)
+          .as("jaccard"))
+      .orderBy($"jaccard".desc, $"u", $"v").limit(LjTopN)
+  }
+
+  val linkJaccardSql: String =
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |  WHERE ('0x' || substr(md5('tri:' || l_partkey), 1, 7))::BIGINT
+       |    % ${GraphOps.TriSampleMod} = 0),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+       |adj AS MATERIALIZED (
+       |  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+       |deg AS MATERIALIZED (
+       |  SELECT u AS node, count(*) AS deg FROM adj GROUP BY u),
+       |common AS MATERIALIZED (
+       |  SELECT a.v AS y, b.v AS z, count(*) AS common
+       |  FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+       |  GROUP BY a.v, b.v HAVING count(*) >= $LjMinCommon),
+       |cand AS MATERIALIZED (
+       |  SELECT c.y, c.z, c.common FROM common c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM edges e WHERE e.u = c.y AND e.v = c.z))
+       |SELECT c.y AS u, c.z AS v, c.common,
+       |  round(CAST(c.common AS DOUBLE) / (dy.deg + dz.deg - c.common), 9)
+       |    AS jaccard
+       |FROM cand c
+       |JOIN deg dy ON dy.node = c.y
+       |JOIN deg dz ON dz.node = c.z
+       |ORDER BY jaccard DESC, u, v LIMIT $LjTopN""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_hops" -> bfsHops _,
+    "graph_kcore" -> kcore _,
+    "graph_link_jaccard" -> linkJaccard _)
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_bfs_hops" -> bfsHopsSql,
+    "graph_kcore" -> kcoreSql,
+    "graph_link_jaccard" -> linkJaccardSql)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphOps, GraphSearch}
+
+/** B23–B25 invariants the oracle replay can't see: BFS really
+  * computes MIN hop distances (brute-force recheck), k-core peeling
+  * reaches the true fixed point (planted graph + brute recheck), and
+  * the link-Jaccard scores are the exact neighborhood statistics.
+  */
+class GraphSearchSpec extends SparkSpecBase {
+
+  test("BFS: hop histogram matches a driver-side BFS at sf0.001") {
+    import spark.implicits._
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val edgePairs = flows
+      .select(concat(lit("u:"), $"user_id").as("u"), $"da").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edgePairs.foldLeft(Map.empty[String, Set[String]]) {
+      case (m, (s, d)) =>
+        m.updated(s, m.getOrElse(s, Set.empty) + d)
+          .updated(d, m.getOrElse(d, Set.empty) + s)
+    }
+    val seeds = adj.toSeq
+      .sortBy { case (n, nbrs) => (-nbrs.size, n) }
+      .take(GraphSearch.BfsSeeds).map(_._1)
+    // driver-side layered BFS
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds.toSet
+    var hop = 0
+    while (frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(adj).diff(dist.keySet)
+      dist = dist ++ next.map(_ -> hop)
+      frontier = next
+    }
+    val expected = adj.keys.toSeq.map(n => dist.getOrElse(n, -1))
+      .groupBy(identity).map { case (h, xs) => (h, xs.size.toLong) }
+    val got = GraphSearch.bfsHops(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"histogram diverged: $got vs $expected")
+    // seeds occupy hop 0 exactly; every node is accounted for
+    assert(got(0) == GraphSearch.BfsSeeds.toLong)
+    assert(got.values.sum == adj.size.toLong)
+  }
+
+  test("k-core: planted K5 survives k=4 peeling, chain and star peel away") {
+    import spark.implicits._
+    // K5 on {1..5}; a chain 10-11-12-13; a star centered at 20 with 6
+    // leaves (degree 6 but every leaf degree 1 → whole star peels);
+    // a pendant 6 hanging off the K5 (peels, K5 unaffected)
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val star = (21L to 26L).map(l => (20L, l))
+    val pendant = Seq((5L, 6L))
+    val edges = (k5 ++ chain ++ star ++ pendant).toDF("u", "v")
+    val got = GraphSearch.kcoreOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(_ -> 4L).toMap,
+      s"expected exactly K5 with degree 4 each, got $got")
+  }
+
+  test("k-core: graded query matches driver-side peeling at sf0.001") {
+    import spark.implicits._
+    val edgePairs = GraphOps.coOrderEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var edges = edgePairs
+    var stable = false
+    while (!stable) {
+      val deg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).map { case (n, xs) => (n, xs.size) }
+      val keep = deg.filter(_._2 >= GraphSearch.KcoreK).keySet
+      val next = edges.filter { case (u, v) => keep(u) && keep(v) }
+      stable = next.size == edges.size
+      edges = next
+    }
+    val expectedDeg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }
+    val expectTop = expectedDeg.toSeq
+      .sortBy { case (n, d) => (-d, n) }.take(GraphSearch.KcoreTopN)
+    val got = GraphSearch.kcore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expectTop, s"k-core top diverged: $got vs $expectTop")
+  }
+
+  test("link Jaccard: exact neighborhood stats at sf0.001, no existing edges") {
+    import spark.implicits._
+    val edgePairs = GraphOps.coOrderEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edgePairs.foldLeft(Map.empty[Long, Set[Long]]) {
+      case (m, (u, v)) =>
+        m.updated(u, m.getOrElse(u, Set.empty) + v)
+          .updated(v, m.getOrElse(v, Set.empty) + u)
+    }
+    val got = GraphSearch.linkJaccard(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, v, common, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u < v, s"pair not canonical: $r")
+      assert(!edgePairs((u, v)), s"scored an existing edge: $r")
+      val inter = adj(u).intersect(adj(v)).size
+      val union = adj(u).union(adj(v)).size
+      assert(inter.toLong == common, s"common mismatch at ($u,$v): $r vs $inter")
+      assert(common >= GraphSearch.LjMinCommon)
+      // HALF_UP like Spark's round()
+      val expectJ = BigDecimal(inter.toDouble / union)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == expectJ, s"jaccard mismatch at ($u,$v): $j vs $expectJ")
+    }
+    // the returned slice must be the global top by (ROUNDED jaccard,
+    // u, v) — the query orders on the rounded score, so ties the
+    // rounding creates must break by pair id here too
+    val all = (for {
+      u <- adj.keys; v <- adj.keys if u < v && !edgePairs((u, v))
+      inter = adj(u).intersect(adj(v)).size
+      if inter >= GraphSearch.LjMinCommon
+    } yield (u, v,
+      BigDecimal(inter.toDouble / adj(u).union(adj(v)).size)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.sortBy { case (u, v, j) => (-j, u, v) }
+      .take(GraphSearch.LjTopN)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      all.map { case (u, v, _) => (u, v) },
+      "top slice is not the global maximum set")
+  }
+}
