@@ -227,15 +227,29 @@ object Knn {
   val CentBudget = 32
   val KMeansIters = 3
 
-  /** Nearest-centroid assignment: (vec_id, embedding, cid). */
+  /** Nearest-centroid assignment: (vec_id, embedding, cid).
+    *
+    * MAP-ONLY: the ≤[[CentBudget]]-row centroid table is collapsed to
+    * a single broadcast array row, and the argmax runs as an
+    * `array_max(transform(...))` expression per corpus row — the
+    * corpus never shuffles for assignment (the previous
+    * crossJoin + `max_by`-by-vec_id form re-keyed n full embeddings
+    * per call; at bench scale that shuffle wave per Lloyd's round was
+    * most of the IVF cost, and at 100 TB it is a corpus-sized
+    * exchange that simply doesn't need to exist). Tie semantics are
+    * unchanged: max over (score, -cid) structs = best score, then
+    * lowest cid — a total order under any parallelism.
+    */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("cscore", vcos($"embedding", $"cent"))
-      .groupBy($"vec_id")
-      .agg(
-        first($"embedding").as("embedding"),
-        max_by($"cid", struct($"cscore", (-$"cid").as("nc"))).as("cid"))
+    val centArr = cents.agg(collect_list(struct($"cid", $"cent")).as("cs"))
+    vecs.crossJoin(broadcast(centArr))
+      .select($"vec_id", $"embedding",
+        array_max(transform($"cs", c => struct(
+          vcos($"embedding", c.getField("cent")).as("s"),
+          (-c.getField("cid")).as("nc"),
+          c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
   }
 
   /** `iters` Lloyd's rounds from the stride-selected seed. An empty
@@ -248,16 +262,15 @@ object Knn {
       .where($"vec_id" % CentStride === 0 && $"vec_id" < CentStride * CentBudget)
       .select($"vec_id".as("cid"), $"embedding".as("cent"))
     for (_ <- 1 to iters) {
+      // per-dim means as Dim codegen'd avg columns in ONE ≤C-group
+      // aggregation (map-side partials) — with the map-only argmax
+      // above, a whole Lloyd's round is a single tiny shuffle; the
+      // previous posexplode → (cid,pos) agg → collect_list/array_sort
+      // chain spent two more full shuffle waves re-assembling arrays
       cents = assign(vecs, cents)
-        // per-(cid, dim) mean: the posexplode is map-side and the
-        // aggregation partial-combines down to ≤ C×Dim groups per
-        // partition before the shuffle; the array re-assembly touches
-        // only C rows
-        .select($"cid", posexplode($"embedding"))
-        .groupBy($"cid", $"pos")
-        .agg(round(avg($"col".cast("double")), 6).as("m"))
         .groupBy($"cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .agg(array((1 to Dim).map(i =>
+          round(avg(element_at($"embedding", i).cast("double")), 6)): _*)
           .as("cent"))
     }
     cents
@@ -444,13 +457,19 @@ object Knn {
     */
   private[graft] def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
     import sv.sparkSession.implicits._
-    sv.join(broadcast(cb), "sub")
-      .withColumn("d2",
-        vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
-          vdot($"cent", $"cent"))
-      .groupBy($"vec_id", $"sub")
-      .agg(first($"svec").as("svec"),
-        min_by($"cid", struct($"d2", $"cid")).as("cid"))
+    // map-only argmin, same shape as [[assign]]: one codebook array
+    // row per subspace (≤K entries) broadcast-joined on sub, the
+    // argmin an array_min over (d², cid) structs — the exploded
+    // corpus never shuffles for encoding
+    val cbArr = cb.groupBy($"sub")
+      .agg(collect_list(struct($"cid", $"cent")).as("cs"))
+    sv.join(broadcast(cbArr), "sub")
+      .select($"vec_id", $"sub", $"svec",
+        array_min(transform($"cs", c => struct(
+          (vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", c.getField("cent")) +
+            vdot(c.getField("cent"), c.getField("cent"))).as("d2"),
+          c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
   }
 
   private[graft] def pqCodebooks(sv: DataFrame, iters: Int,
@@ -460,12 +479,11 @@ object Knn {
       .where($"vec_id" % stride === 0 && $"vec_id" < stride * codes)
       .select($"sub", expr(s"vec_id div $stride").as("cid"), $"svec".as("cent"))
     for (_ <- 1 to iters) {
+      // one ≤M×K-group shuffle per round (see trainedCentroids)
       cb = pqAssign(sv, cb)
-        .select($"sub", $"cid", posexplode($"svec"))
-        .groupBy($"sub", $"cid", $"pos")
-        .agg(round(avg($"col".cast("double")), 6).as("m"))
         .groupBy($"sub", $"cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .agg(array((1 to PqSubDim).map(i =>
+          round(avg(element_at($"svec", i).cast("double")), 6)): _*)
           .as("cent"))
     }
     cb

@@ -107,7 +107,12 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = plan(graft.ann.Knn.ivfTopK(spark, sf0001))
     assert(!p.contains("Window"),
       s"row_number window over the scored corpus crept back in:\n$p")
-    assert(p.contains("max_by"), s"argmax assignment missing:\n$p")
+    // map-only argmax: an array_max over the broadcast centroid
+    // array, never a corpus-keyed aggregate (the old max_by-by-vec_id
+    // form re-shuffled n full embeddings per Lloyd's round)
+    assert(p.contains("array_max"), s"map-only argmax assignment missing:\n$p")
+    assert(!p.contains("max_by"),
+      s"shuffling argmax aggregate crept back into assignment:\n$p")
     assert(p.contains("topk_by"), s"bounded-heap ranking missing:\n$p")
     // TypedImperativeAggregate runs in ObjectHashAggregate with a
     // partial pass — the shuffle carries <=k rows per partition/group
