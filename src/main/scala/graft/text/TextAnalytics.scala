@@ -697,6 +697,81 @@ object TextAnalytics {
       |  round(ln((SELECT nn FROM tot)) - (CAST(s AS DOUBLE) / n_tokens), 6) AS nll_r
       |FROM per ORDER BY doc_id""".stripMargin
 
+  /** D9f: bigram LM negative log likelihood (`text_bigram_nll`) — the
+    * word-order-aware notch above [[unigramLogprob]]'s surprisal and
+    * the shape of the CCNet/KenLM perplexity filter proper: train an
+    * add-1-smoothed bigram model ON the corpus itself, then score
+    * every document by mean −ln p(wᵢ | wᵢ₋₁). Shuffled or
+    * boilerplate-repetitive text keeps a plausible unigram profile
+    * but improbable transitions — exactly what the bigram conditional
+    * catches. Reported in log space (mean NLL; perplexity = e^nll is
+    * monotone in it, and exp() parity across engines is not worth
+    * buying for a rank-invariant transform).
+    *
+    * p(w₂ | w₁) = (cnt(w₁w₂) + 1) / (cnt(w₁·) + V), V = unigram vocab
+    * size; docs need ≥ 2 tokens (one bigram) to score.
+    *
+    * Scale shape: the model is built VOCAB-sized, not corpus-sized —
+    * per-bigram-type ln p is precomputed by joining the bigram-type
+    * table to the prefix-count table (both combine-heavy aggregates
+    * of one exploded pass), and the corpus stream then takes ONE hash
+    * join against the scored type table (never broadcast — bigram
+    * vocab grows with the corpus) before the per-doc partial-agg sum.
+    * Parity: per-type ln p rounded 9 dp, per-doc sum as
+    * DECIMAL(28,9) (token order is partition-dependent → order-free
+    * sum), final mean rounded 6 dp ([[unigramLogprob]]'s rule).
+    */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+    val vocabN = tok.agg(countDistinct($"w").as("v"))
+    val bg = docs
+      .withColumn("ts", split($"text", " "))
+      .where(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+          |  (a, b) -> struct(a AS w1, concat(a, ' ', b) AS bg))""".stripMargin))
+        .as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.bg".as("bg"))
+    val bgCnt = bg.groupBy($"bg").agg(first($"w1").as("w1"), count(lit(1)).as("c2"))
+    val prefCnt = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val typeScore = bgCnt.join(prefCnt, "w1")
+      .crossJoin(broadcast(vocabN))
+      .select($"bg",
+        round(log(($"c2" + 1).cast("double") / ($"c1" + $"v")), 9).as("lnp"))
+    bg.join(typeScore, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Tables.qsum(-$"lnp").as("s"))
+      .select($"doc_id", $"n_bigrams",
+        round($"s".cast("double") / $"n_bigrams", 6).as("nll_r"))
+      .orderBy($"doc_id")
+  }
+
+  val bigramNllSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+      |tt AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ts[p] AS w1, ts[p] || ' ' || ts[p + 1] AS bg
+      |  FROM (SELECT doc_id, ts, unnest(range(1, n)) AS p FROM tt WHERE n >= 2)),
+      |bgc AS (SELECT bg, any_value(w1) AS w1, count(*) AS c2 FROM bg GROUP BY bg),
+      |pfc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |ts2 AS (
+      |  SELECT b.bg,
+      |    round(ln(CAST(b.c2 + 1 AS DOUBLE) / (p.c1 + (SELECT v FROM vocab))), 9)
+      |      AS lnp
+      |  FROM bgc b JOIN pfc p USING (w1))
+      |SELECT g.doc_id, count(*) AS n_bigrams,
+      |  round(${graft.Tables.qsumSql("-lnp")} / count(*), 6) AS nll_r
+      |FROM bg g JOIN ts2 USING (bg)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   /** D26: DSIR-style importance-weighted data selection
     * (`corpus_dsir`) — Xie et al. 2023 ("Data Selection for Language
     * Models via Importance Resampling"): score every raw document by
@@ -966,6 +1041,7 @@ object TextAnalytics {
     "text_bpe_tokenize" -> bpeTokenize _,
     "corpus_dsir" -> corpusDsir _,
     "text_unigram_logprob" -> unigramLogprob _,
+    "text_bigram_nll" -> bigramNll _,
     "corpus_curate" -> corpusCurate _,
     "text_entropy" -> entropy _,
     "text_wordcount" -> wordcount _,
@@ -1003,6 +1079,7 @@ object TextAnalytics {
     "text_bpe_tokenize" -> bpeTokenizeSql,
     "corpus_dsir" -> corpusDsirSql,
     "text_unigram_logprob" -> unigramLogprobSql,
+    "text_bigram_nll" -> bigramNllSql,
     "corpus_curate" -> corpusCurateSql,
     "text_entropy" -> entropySql,
     "text_chunk" ->

@@ -34,6 +34,41 @@ class QueriesSmokeSpec extends SparkSpecBase {
   // approx-sketch error bounds live with the other sketch-bound tests
   // in SketchBoundsSpec (SpaceSavingSpec.scala)
 
+  test("text_bigram_nll matches a driver-side add-1 bigram LM at sf0.001") {
+    import spark.implicits._
+    val texts = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = texts.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    val vocab = toks.flatMap(_._2).toSet.size
+    val bigrams = toks.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map { case (a, b) => (id, a, s"$a $b") }
+    }
+    val c2 = bigrams.groupBy(_._3).map { case (g, xs) => (g, xs.size) }
+    val c1 = bigrams.groupBy(_._2).map { case (w, xs) => (w, xs.size) }
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bigrams.groupBy(_._1).map { case (id, xs) =>
+      // replicate the engine arithmetic exactly: per-TYPE ln p rounded
+      // 9 dp, quantized long sum, mean rounded 6 dp
+      val q = xs.map { case (_, w1, g) =>
+        math.floor(-r9(math.log((c2(g) + 1.0) / (c1(w1) + vocab))) * 1e9 + 0.5).toLong
+      }.sum
+      id -> ((xs.size.toLong,
+        BigDecimal(q.toDouble / 1e9 / xs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = graft.text.TextAnalytics.bigramNll(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"doc coverage diverged: ${got.keySet.size} vs ${expected.keySet.size}")
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"doc $id: got $v want ${expected(id)}")
+    }
+    // the score separates text: not all docs identical
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("text_bpe_merges: the fold is the canonical greedy scan, not string-replace") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
