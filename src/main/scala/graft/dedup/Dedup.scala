@@ -765,12 +765,15 @@ object Dedup {
     l.join(r,
         $"l.pfx" === $"r.pfx" && $"l.bucket" === $"r.bucket" &&
         $"l.doc_id" < $"r.doc_id")
-      // bounded levenshtein: with a threshold Spark computes only the
-      // 2k+1 diagonal band and exits early (O(len·k), not O(len²)) —
-      // for kept pairs (dist ≤ 25 < threshold) the value is exact, so
-      // the full-distance oracle agrees on every surviving row
+      // native banded levenshtein (O(len·k) two-row DP on a decoded
+      // char array): the builtin's threshold form bands too, but its
+      // per-cell UTF8String.charAt re-scans the string (variable-width
+      // encoding), degrading to ~2 ms per ~300-char pair — 6.5 s of
+      // this query's 6.6 s at sf0.1. For kept pairs (dist ≤ 25 < the
+      // band) the value is exact, so the full-distance oracle agrees
+      // on every surviving row
       .withColumn("dist",
-        levenshtein($"l.text", $"r.text", 26).cast("long"))
+        graft.functions.StrFuncs.lev_banded($"l.text", $"r.text", 26).cast("long"))
       .where($"dist" >= 0 && $"dist" <= 25)
       .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"), $"dist")
       .orderBy($"d1", $"d2")

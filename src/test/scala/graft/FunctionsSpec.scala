@@ -130,6 +130,52 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got === Seq("b", "a"), s"got $got")
   }
 
+  test("lev_banded matches the builtin levenshtein threshold form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.levenshtein
+    // deterministic fuzz: mutated copies at controlled distances plus
+    // the edge cases (empty, equal, multibyte, band-exceeded,
+    // length-gap-exceeded)
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde fgh"
+    def randStr(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val i = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur = cur.take(i) + cur.drop(i + 1)
+          case 1 => cur = cur.take(i) + alpha(rnd.nextInt(alpha.length)) + cur.drop(i)
+          case _ if cur.nonEmpty =>
+            cur = cur.take(i) + alpha(rnd.nextInt(alpha.length)) + cur.drop(i + 1)
+          case _ => cur = cur + "x"
+        }
+      }
+      cur
+    }
+    val pairs =
+      (1 to 60).map { _ =>
+        val base = randStr(20 + rnd.nextInt(300))
+        (base, mutate(base, rnd.nextInt(40)))
+      } ++ Seq(
+        ("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+        ("über", "uber"), ("日本語テキスト", "日本語テキスト!"),
+        ("short", "a much longer string that exceeds any band"))
+    val df = pairs.toDF("l", "r")
+    for (k <- Seq(0, 1, 5, 26)) {
+      val rows = df.select(
+        levenshtein($"l", $"r", k).as("builtin"),
+        graft.functions.StrFuncs.lev_banded($"l", $"r", k).as("native"),
+        $"l", $"r").collect()
+      rows.foreach { row =>
+        assert(row.getInt(0) == row.getInt(1),
+          s"k=$k mismatch on (${row.getString(2)}, ${row.getString(3)}): " +
+            s"builtin ${row.getInt(0)} native ${row.getInt(1)}")
+      }
+    }
+  }
+
   test("SQL registration exposes the native functions to spark.sql") {
     GraftFunctions.register(spark)
     val row = spark.sql(
