@@ -147,6 +147,102 @@ object GraphOps {
          |ORDER BY pr DESC, node LIMIT $TopN""".stripMargin
   }
 
+  /** B19b: personalized PageRank (`flow_pagerank_pers`) — the same
+    * damped walk as B19 but with ALL teleport mass concentrated on a
+    * seed set: the [[PprSeeds]] services with the most error-flagged
+    * flows. Rank then measures proximity to the trouble spots instead
+    * of global importance — the TrustRank/"guilt by association"
+    * triage ranking (which hosts and services sit closest to the
+    * known-bad set in random-walk distance); nodes the seeds can't
+    * reach get exactly 0.
+    *
+    * Identical per-round dataflow and staging to [[flowPagerank]] —
+    * the only change is the teleport vector (uniform 1/N becomes
+    * (1−d)/|S| on seeds, 0 elsewhere), carried as a pre-joined column
+    * on the staged node table so rounds stay one-shuffle. Same
+    * quantized-sum and 9-dp rounding parity rules.
+    */
+  val PprSeeds = 5
+
+  def flowPagerankPers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val edges = flows.select($"sa".as("src"), $"da".as("dst"))
+      .union(flows.select($"da".as("src"), $"sa".as("dst")))
+      .distinct()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val srcEdges = stage(edges.join(outdeg, "src").repartition($"src"))
+    // seeds: services with the most reset-flagged (error) flows
+    val seeds = flows.where($"flg" === ".A.R..")
+      .groupBy($"da".as("node")).agg(count(lit(1)).as("errs"))
+      .orderBy($"errs".desc, $"node").limit(PprSeeds)
+      .select($"node")
+    // teleport mass rides the staged node table: (1-d)/|S| on seeds,
+    // 0 elsewhere — no per-round seed join
+    val nodes = stage(
+      edges.select($"src".as("node"))
+        .union(edges.select($"dst".as("node"))).distinct()
+        .join(seeds.select($"node", lit(true).as("is_seed")), Seq("node"), "left")
+        .select($"node",
+          when($"is_seed", (lit(1.0) - lit(Damping)) / PprSeeds)
+            .otherwise(lit(0.0)).as("tele")))
+    var ranks = nodes.select($"node",
+      when($"tele" > 0, lit(1.0) / PprSeeds).otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to Iters) {
+      val contribs = srcEdges.join(ranks, $"src" === $"node")
+        .select($"dst", ($"pr" * lit(Damping) / $"outdeg").as("p"))
+        .groupBy($"dst").agg(qsum($"p").as("s"))
+      ranks = stage(
+        nodes.join(contribs, $"node" === $"dst", "left")
+          .select($"node",
+            round($"tele" + coalesce($"s", lit(0.0)), 9).as("pr")))
+    }
+    ranks.orderBy($"pr".desc, $"node").limit(TopN)
+      .select($"node", $"pr".as("ppr"))
+  }
+
+  val flowPagerankPersSql: String = {
+    def roundCte(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst,
+         |    ${graft.Tables.qsumSql(s"r.pr * CAST($Damping AS DOUBLE) / e.outdeg")} AS s
+         |  FROM se e JOIN $prev r ON r.node = e.src GROUP BY e.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node, n.tele,
+         |    round(n.tele + coalesce(c.s, CAST(0 AS DOUBLE)), 9) AS pr
+         |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
+    }
+    val rounds = (1 to Iters).map(roundCte).mkString(",\n")
+    FlowAnalytics.flowsCte.replace("WITH flows AS (", "WITH flows AS MATERIALIZED (") +
+      s""", edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT sa AS src, da AS dst FROM flows
+         |    UNION ALL SELECT da AS src, sa AS dst FROM flows)),
+         |outdeg AS MATERIALIZED (
+         |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |se AS MATERIALIZED (
+         |  SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)),
+         |seeds AS MATERIALIZED (
+         |  SELECT da AS node FROM flows WHERE flg = '.A.R..'
+         |  GROUP BY da ORDER BY count(*) DESC, da LIMIT $PprSeeds),
+         |nodes AS MATERIALIZED (
+         |  SELECT t.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |      THEN (CAST(1 AS DOUBLE) - CAST($Damping AS DOUBLE)) / $PprSeeds
+         |      ELSE CAST(0 AS DOUBLE) END AS tele
+         |  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) t
+         |  LEFT JOIN seeds s USING (node)),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, tele,
+         |    CASE WHEN tele > 0 THEN CAST(1 AS DOUBLE) / $PprSeeds
+         |      ELSE CAST(0 AS DOUBLE) END AS pr
+         |  FROM nodes),
+         |$rounds
+         |SELECT node, pr AS ppr FROM r$Iters
+         |ORDER BY pr DESC, node LIMIT $TopN""".stripMargin
+  }
+
   /** B20: HITS hubs & authorities (`flow_hits`) — the complement of
     * PageRank on a DIRECTED bipartite flow graph: sources are hubs
     * (good at reaching important services), destinations are
@@ -474,12 +570,14 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_pagerank" -> flowPagerank _,
+    "flow_pagerank_pers" -> flowPagerankPers _,
     "flow_hits" -> flowHits _,
     "flow_communities" -> flowCommunities _,
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
     "flow_pagerank" -> flowPagerankSql,
+    "flow_pagerank_pers" -> flowPagerankPersSql,
     "flow_hits" -> flowHitsSql,
     "flow_communities" -> flowCommunitiesSql,
     "graph_triangles" -> graphTrianglesSql)

@@ -772,6 +772,65 @@ object TextAnalytics {
       |FROM bg g JOIN ts2 USING (bg)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** D9g: TF-IDF keyword extraction (`text_tfidf`) — each document's
+    * top-[[TfidfTopK]] terms by tf·idf, idf = ln(N/df): the classic
+    * salient-term summary (search indexing, topic labeling, the
+    * keyword features behind classic quality classifiers).
+    *
+    * Scale shape: tf = one (doc, term) combine-heavy aggregation; df
+    * falls out of the SAME table (its rows are distinct (doc, term)
+    * already — no second corpus pass); idf is a vocab-sized table
+    * hash-joined back (never broadcast — vocab grows with the
+    * corpus). The per-doc ranking is a row_number window partitioned
+    * by doc_id — here a window IS the scalable choice: partitions are
+    * doc-sized (bounded by document length), unlike the corpus-sized
+    * per-probe partitions the ANN rankings replaced with heap
+    * aggregates. Parity: idf rounded 9 dp before the tf product,
+    * product rounded 9 dp, ties broken by term ASC (total order).
+    */
+  val TfidfTopK = 3
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = load(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select($"w", round(log($"nd".cast("double") / $"df"), 9).as("idf"))
+    val scored = tf.join(idf, "w")
+      .select($"doc_id", $"w".as("term"),
+        round($"tf" * $"idf", 9).as("tfidf"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")))
+      .where($"rank" <= TfidfTopK)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tfidfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |nd AS (SELECT count(*) AS nd FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       |idf AS (
+       |  SELECT w, round(ln(CAST((SELECT nd FROM nd) AS DOUBLE) / count(*)), 9)
+       |    AS idf
+       |  FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT t.doc_id, t.w AS term, round(t.tf * i.idf, 9) AS tfidf
+       |  FROM tf t JOIN idf i USING (w)),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+       |      AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+       |FROM ranked WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   /** D26: DSIR-style importance-weighted data selection
     * (`corpus_dsir`) — Xie et al. 2023 ("Data Selection for Language
     * Models via Importance Resampling"): score every raw document by
@@ -1042,6 +1101,7 @@ object TextAnalytics {
     "corpus_dsir" -> corpusDsir _,
     "text_unigram_logprob" -> unigramLogprob _,
     "text_bigram_nll" -> bigramNll _,
+    "text_tfidf" -> tfidf _,
     "corpus_curate" -> corpusCurate _,
     "text_entropy" -> entropy _,
     "text_wordcount" -> wordcount _,
@@ -1080,6 +1140,7 @@ object TextAnalytics {
     "corpus_dsir" -> corpusDsirSql,
     "text_unigram_logprob" -> unigramLogprobSql,
     "text_bigram_nll" -> bigramNllSql,
+    "text_tfidf" -> tfidfSql,
     "corpus_curate" -> corpusCurateSql,
     "text_entropy" -> entropySql,
     "text_chunk" ->

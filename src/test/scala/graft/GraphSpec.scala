@@ -156,6 +156,30 @@ class GraphSpec extends SparkSpecBase {
       "top-20 triangle counts are not the global maxima")
   }
 
+  test("personalized PageRank: seeds hold the teleport floor, mass stays near seeds") {
+    import spark.implicits._
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val seedSet = flows.where($"flg" === ".A.R..")
+      .groupBy($"da").agg(count(lit(1)).as("e"))
+      .orderBy($"e".desc, $"da").limit(GraphOps.PprSeeds)
+      .collect().map(_.getString(0)).toSet
+    assert(seedSet.size == GraphOps.PprSeeds)
+    val top = GraphOps.flowPagerankPers(spark, sf0001).collect()
+    assert(top.length == GraphOps.TopN)
+    val byNode = top.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // every rank is a probability mass: [0, 1]
+    byNode.values.foreach(p => assert(p >= 0.0 && p < 1.0))
+    // each seed keeps at least its own teleport share
+    val floor = (1.0 - GraphOps.Damping) / GraphOps.PprSeeds
+    seedSet.foreach { s =>
+      assert(byNode.contains(s), s"seed $s fell out of the top ranks")
+      assert(byNode(s) >= floor - 1e-9, s"seed $s below teleport floor")
+    }
+    // the walk propagates: non-seed nodes carry positive rank
+    assert(top.exists(r => !seedSet(r.getString(0)) && r.getDouble(1) > 0),
+      "no rank mass escaped the seed set")
+  }
+
   test("hubs outrank leaves: top nodes are dst-side concentrators") {
     // da values collide across flows (192.168.k%256.user%256) while
     // sa values are nearly unique per event — the walk must surface

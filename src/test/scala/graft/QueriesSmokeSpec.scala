@@ -69,6 +69,33 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("text_tfidf matches a driver-side tf-idf ranking at sf0.001") {
+    import spark.implicits._
+    val texts = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = texts.length
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) => ((id, w), xs.length) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, xs) => (w, xs.size) }
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = tf.toSeq
+      .map { case ((id, w), f) => (id, w, r9(f * r9(math.log(n.toDouble / df(w))))) }
+      .groupBy(_._1).flatMap { case (id, xs) =>
+        xs.sortBy { case (_, w, s) => (-s, w) }
+          .take(graft.text.TextAnalytics.TfidfTopK)
+          .zipWithIndex.map { case ((_, w, s), i) => (id, i + 1L, w, s) }
+      }.toSet
+    val got = graft.text.TextAnalytics.tfidf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected,
+      s"tf-idf diverged; sample missing: ${(expected -- got).take(3)}, " +
+        s"sample extra: ${(got -- expected).take(3)}")
+  }
+
   test("text_bpe_merges: the fold is the canonical greedy scan, not string-replace") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
