@@ -82,70 +82,39 @@ object Dedup {
 
   val MinhashP = 2147483647L // 2^31-1: a*h stays < 2^62, no overflow
 
-  /** The j-th permutation constants a_j/b_j, md5-derived on the driver
-    * (same md5-hex arithmetic the oracle computes in SQL — see
-    * `minhashSql`'s `ha`/`hb` CTEs) and shipped as literal arrays.
-    * Literals, not expression columns: a column reference inside a
-    * higher-order-function lambda re-inlines its whole defining
-    * expression per element, which turned the signature pass into
-    * millions of interpreted md5 calls per document.
-    */
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private[dedup] lazy val haConst: Array[Long] = Array.tabulate(NumHashes)(j =>
-    java.lang.Long.parseLong(md5Hex(s"a:$j").substring(0, 7), 16) % (MinhashP - 1) + 1)
-  private[dedup] lazy val hbConst: Array[Long] = Array.tabulate(NumHashes)(j =>
-    java.lang.Long.parseLong(md5Hex(s"b:$j").substring(0, 7), 16) % MinhashP)
-
   /** (doc_id, minhashes) via universal hashing: ONE md5 per shingle
     * (h = md5(s) mod p), then slot j = min over shingles of
     * (a_j·h + b_j) mod p.
     *
-    * Shape matters more than the math here: shingles are *exploded*
-    * to (doc_id, h) rows and the 64 slots are 64 codegen'd `min`
-    * aggregates over plain arithmetic — higher-order-function lambdas
-    * have no codegen in Spark, and an array-fold formulation runs
-    * interpreted (~50× slower measured). The groupBy gives partial
-    * aggregation (map-side combine) and leaves the signature
-    * materialized at a shuffle boundary, so the band self-join
-    * downstream reads it as data instead of re-deriving the pipeline
-    * per candidate pair. That's also the 100 TB shape: one scan, one
-    * combine-heavy shuffle keyed by doc.
+    * Signature computation is embarrassingly MAP-PARALLEL — each
+    * doc's 64 slots depend only on its own gram set — so it runs as
+    * one native kernel call per row ([[graft.functions.MinhashUtil]]:
+    * char_grams array in, long[64] out, identical values to the
+    * oracle's per-doc list_transform). Earlier rounds expressed it as
+    * explode + 64 codegen'd min-slots; the values matched but the
+    * shape paid a corpus-sized explode, a shuffle, and ~2 s of janino
+    * compile for the 64-wide aggregate — an exchange that existed
+    * only because map work was phrased as aggregation.
+    *
+    * The signature table is MATERIALIZED (reliable checkpoint on the
+    * cluster path, localCheckpoint locally): with no aggregation
+    * boundary left, the band self-join's two sides and the score
+    * join-backs would otherwise each re-derive the scan + kernel
+    * pipeline; as a LogicalRDD leaf all four consumers read it as
+    * data — also the production shape, where the signature index is
+    * a persisted table, not a per-query recomputation.
     */
-  private def minhashed(corpus: DataFrame): DataFrame = {
-    // shingle arrays from the native codegen'd char_grams kernel — the
-    // equivalent array_distinct(transform(sequence(...), i ->
-    // substring(...))) evaluates its lambda INTERPRETED per element
-    // (the HOF trap; same shape measured 3.2 s → ~0.3 s on ngram D4).
-    // Bit-identical gram SET, and min() over the set is order-blind.
-    val exploded = corpus
-      .select(col("doc_id"),
-        explode(graft.functions.StrFuncs.char_grams(col("text"), ShingleLen)).as("s"))
-      // one md5 per shingle via the native md5_prefix kernel — the
-      // conv(substring(md5(...))) composition allocates a digest, a
-      // hex string, and a decimal parse per shingle (millions per
-      // corpus pass; measured ~2s of the sf0.1 signature stage)
-      .select(col("doc_id"),
-        (graft.functions.StrFuncs.md5_prefix(col("s"), 15) % MinhashP).as("h"))
-    val slots = (0 until NumHashes).map(j =>
-      min((col("h") * haConst(j) + hbConst(j)) % MinhashP).as(s"m$j"))
-    exploded
-      .groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("minhashes"))
-  }
+  private def minhashed(corpus: DataFrame): DataFrame =
+    materialize(corpus.select(col("doc_id"),
+      graft.functions.StrFuncs.minhash_sig(
+        graft.functions.StrFuncs.char_grams(col("text"), ShingleLen),
+        NumHashes, MinhashP).as("minhashes")))
 
   /** LSH candidate pairs from a signature frame (band equi-join,
     * deduped). Takes `mh` as input so [[minhash]] derives pairs and
-    * the score join-back from ONE signature frame. No materialization
-    * is needed for sharing: every consumer (band self-join sides, the
-    * two score join-backs) reads the signature aggregation's
-    * `Exchange(hash(doc_id))`, which ReuseExchange dedupes within the
-    * single job — measured, the lazy plan beats an eager checkpoint
-    * chain here by ~2x (pipelining + no serialization pass).
+    * the score join-back from ONE signature frame — every consumer
+    * (band self-join sides, the two score join-backs) reads the
+    * materialized signature leaf as data.
     */
   private def pairsFromSignatures(mh: DataFrame): DataFrame = {
     import mh.sparkSession.implicits._

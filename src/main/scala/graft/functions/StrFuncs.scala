@@ -127,6 +127,79 @@ case class JaccardSorted(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sorted"
 }
 
+/** Runtime kernel for [[MinhashSig]]. */
+object MinhashUtil {
+
+  /** Universal-hash permutation constants for slot j: a_j/b_j from the
+    * md5 hex of "a:j"/"b:j" — the same derivation the dedup oracle
+    * writes out in SQL (`ha`/`hb` CTEs). Cached per (n, p).
+    */
+  private val constCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  private def consts(n: Int, p: Long): (Array[Long], Array[Long]) =
+    constCache.computeIfAbsent((n, p), { _ =>
+      def md5Hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (Array.tabulate(n)(j =>
+         java.lang.Long.parseLong(md5Hex(s"a:$j").substring(0, 7), 16) % (p - 1) + 1),
+       Array.tabulate(n)(j =>
+         java.lang.Long.parseLong(md5Hex(s"b:$j").substring(0, 7), 16) % p))
+    })
+
+  /** n-slot minhash signature of a gram array: slot j = min over
+    * grams of (a_j·(md5(g) mod p) + b_j) mod p. One static call per
+    * ROW with the slot loop inside — the aggregate formulation
+    * (explode + n min-slots) computes the identical values but pays a
+    * corpus-sized explode, a shuffle, and the janino compile of an
+    * n-wide aggregate for what is embarrassingly map-parallel work.
+    */
+  def signature(grams: ArrayData, n: Int, p: Long): ArrayData = {
+    val (ha, hb) = consts(n, p)
+    val out = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    val len = grams.numElements()
+    while (i < len) {
+      val h = HashUtil.md5Prefix(grams.getUTF8String(i), 15) % p
+      var j = 0
+      while (j < n) {
+        val v = (ha(j) * h + hb(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `minhash_sig(grams, n, p)` — map-only n-slot minhash signature
+  * (see [[MinhashUtil.signature]]).
+  */
+case class MinhashSig(child: Expression, n: Int, p: Long) extends UnaryExpression {
+
+  require(n > 0 && p > 1, "minhash_sig requires n > 0 and p > 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+        child.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects ARRAY<STRING>, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(grams: Any): Any =
+    MinhashUtil.signature(grams.asInstanceOf[ArrayData], n, p)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"graft.functions.MinhashUtil.signature($g, $n, ${p}L)")
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
 /** Runtime kernel for [[LevBanded]]. */
 object LevUtil {
 
@@ -330,4 +403,7 @@ object StrFuncs {
   def lev_banded(l: Column, r: Column, k: Int): Column =
     ExpressionUtils.column(LevBanded(
       ExpressionUtils.expression(l), ExpressionUtils.expression(r), k))
+
+  def minhash_sig(grams: Column, n: Int, p: Long): Column =
+    ExpressionUtils.column(MinhashSig(ExpressionUtils.expression(grams), n, p))
 }

@@ -130,6 +130,47 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got === Seq("b", "a"), s"got $got")
   }
 
+  test("minhash_sig equals the exploded 64-slot min-aggregate formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.StrFuncs.{char_grams, md5_prefix, minhash_sig}
+    val n = 64
+    val p = 2147483647L
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ha = Array.tabulate(n)(j =>
+      java.lang.Long.parseLong(md5Hex(s"a:$j").substring(0, 7), 16) % (p - 1) + 1)
+    val hb = Array.tabulate(n)(j =>
+      java.lang.Long.parseLong(md5Hex(s"b:$j").substring(0, 7), 16) % p)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog!"),
+      (3L, "completely different text with other shingles"),
+      (4L, "tiny"), (5L, "")).toDF("doc_id", "text")
+    val viaAgg = {
+      val exploded = docs.select($"doc_id",
+        explode(char_grams($"text", 5)).as("s"))
+        .select($"doc_id", (md5_prefix($"s", 15) % p).as("h"))
+      val slots = (0 until n).map(j =>
+        min(($"h" * ha(j) + hb(j)) % p).as(s"m$j"))
+      exploded.groupBy($"doc_id").agg(slots.head, slots.tail: _*)
+        .select($"doc_id", array((0 until n).map(j => col(s"m$j")): _*).as("sig"))
+    }.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaKernel = docs
+      .select($"doc_id", minhash_sig(char_grams($"text", 5), n, p).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel.keySet == viaAgg.keySet)
+    viaKernel.foreach { case (id, sig) =>
+      assert(sig == viaAgg(id), s"signature mismatch for doc $id")
+      assert(sig.length == n)
+    }
+    // near-identical docs agree on most slots, unrelated docs don't
+    val agree12 = viaKernel(1L).zip(viaKernel(2L)).count { case (a, b) => a == b }
+    val agree13 = viaKernel(1L).zip(viaKernel(3L)).count { case (a, b) => a == b }
+    assert(agree12 > 48 && agree13 < 16, s"LSH signal off: $agree12 / $agree13")
+  }
+
   test("lev_banded matches the builtin levenshtein threshold form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.levenshtein

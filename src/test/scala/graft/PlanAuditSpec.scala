@@ -77,13 +77,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), "top-N sorted globally")
   }
 
-  test("minhash signature builds from codegen'd aggregates, not interpreted folds") {
+  test("minhash signature is map-only and read as a materialized leaf") {
     val p = plan(graft.dedup.Dedup.minhash(spark, sf0001))
-    // the 64 min slots must appear as PARTIAL min aggregates (map-side
-    // combine on the signature itself — pairs.distinct() contributes
-    // HashAggregates too, so count partial_min specifically)
-    assert("partial_min".r.findAllIn(p).length >= 64, s"signature not partial-aggregated:\n$p")
-    assert(p.contains("Generate"), "shingles not exploded")
+    // the signature is one native kernel call per row, never an
+    // exploded aggregation: no partial_min slots anywhere, and the
+    // four signature consumers (band join sides, score join-backs)
+    // must read the checkpointed leaf (ExistingRDD scans), not
+    // re-derive the scan + kernel pipeline
+    assert(!p.contains("partial_min"),
+      s"exploded signature aggregation crept back in:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 4,
+      s"signature consumers not reading the materialized leaf:\n$p")
   }
 
   test("minhash never FORCES a broadcast of the corpus-sized signature table") {
