@@ -698,13 +698,18 @@ object Knn {
     */
   private[graft] def pcAssign(svc: DataFrame, cb: DataFrame): DataFrame = {
     import svc.sparkSession.implicits._
-    svc.join(broadcast(cb), Seq("cell", "sub"))
-      .withColumn("d2",
-        vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
-          vdot($"cent", $"cent"))
-      .groupBy($"vec_id", $"cell", $"sub")
-      .agg(first($"svec").as("svec"),
-        min_by($"cid", struct($"d2", $"cid")).as("cid"))
+    // map-only argmin (the [[pqAssign]] shape with cell added to the
+    // codebook key): one codebook array row per (cell, sub) broadcast
+    // in, argmin as an array_min expression per row
+    val cbArr = cb.groupBy($"cell", $"sub")
+      .agg(collect_list(struct($"cid", $"cent")).as("cs"))
+    svc.join(broadcast(cbArr), Seq("cell", "sub"))
+      .select($"vec_id", $"cell", $"sub", $"svec",
+        array_min(transform($"cs", c => struct(
+          (vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", c.getField("cent")) +
+            vdot(c.getField("cent"), c.getField("cent"))).as("d2"),
+          c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
   }
 
   /** All per-cell codebooks trained in one pipeline; `svc` =
@@ -721,12 +726,11 @@ object Knn {
     var cb = seedIds.join(svc, Seq("cell", "vec_id"))
       .select($"cell", $"sub", $"cid", $"svec".as("cent"))
     for (_ <- 1 to iters) {
+      // one ≤C×M×K-group shuffle per round (see trainedCentroids)
       cb = pcAssign(svc, cb)
-        .select($"cell", $"sub", $"cid", posexplode($"svec"))
-        .groupBy($"cell", $"sub", $"cid", $"pos")
-        .agg(round(avg($"col".cast("double")), 6).as("m"))
         .groupBy($"cell", $"sub", $"cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .agg(array((1 to PqSubDim).map(i =>
+          round(avg(element_at($"svec", i).cast("double")), 6)): _*)
           .as("cent"))
     }
     cb

@@ -48,6 +48,9 @@ class PlanSnapshotSpec extends SparkSpecBase {
     .replaceAll("file:[^\\s,\\)\\]]*", "PATH")
     .replaceAll("/[^\\s,\\)\\]]*(testdata|graft|tmp)[^\\s,\\)\\]]*", "PATH")
     .replaceAll("(ExistingRDD|MapPartitionsRDD)\\[\\d+\\]", "$1[N]")
+    // lambda var names carry a session-global counter (x_26 vs x_76
+    // depending on what ran earlier) — not plan shape
+    .replaceAll("lambda x_\\d+", "lambda x_N")
     // materialize() legitimately flips between localCheckpoint and
     // reliable checkpoint with session config (and callsite lines move
     // with edits) — neither is plan shape
