@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.load
@@ -436,15 +436,18 @@ object Knn {
   val PqStride = 8
   val PqIters = 2
 
-  /** (vec_id, sub, svec): the exploded subspace view. The slice sits
-    * OUTSIDE any lambda → whole-stage codegen.
+  /** (vec_id[, keep...], sub, svec): the exploded subspace view. The
+    * slice sits OUTSIDE any lambda → whole-stage codegen. MAP-ONLY:
+    * the generator rides the scan row (embedding carried alongside) —
+    * the previous explode-then-self-join re-keyed the corpus on
+    * vec_id for nothing.
     */
-  private[graft] def subvecs(vecs: DataFrame): DataFrame = {
+  private[graft] def subvecs(vecs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     import vecs.sparkSession.implicits._
-    vecs.select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("sub"))
-      .join(vecs, "vec_id")
-      .select($"vec_id", $"sub",
-        expr(s"slice(embedding, sub * $PqSubDim + 1, $PqSubDim)").as("svec"))
+    vecs.select(($"vec_id" +: keep.map(col)) ++ Seq($"embedding",
+        explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("sub")): _*)
+      .select(($"vec_id" +: keep.map(col)) ++ Seq($"sub",
+        expr(s"slice(embedding, sub * $PqSubDim + 1, $PqSubDim)").as("svec")): _*)
   }
 
   /** Nearest-codeword assignment per (vec_id, sub): argmin squared L2,
@@ -489,20 +492,98 @@ object Knn {
     cb
   }
 
+  /** Map-side ADC machinery. The scoring path carries ONE row per
+    * (candidate, probe): a per-vector code ARRAY meets a broadcast
+    * per-probe LUT map, and the score is an ordered fold over
+    * subspaces, entirely inside the map stage. The previous shape
+    * joined the exploded (vec_id, sub, cid) codes table to the LUT
+    * and re-aggregated n×M×|probes| rows per query — at 100 TB that
+    * shuffle IS the cost of an ADC scan, and it doesn't need to
+    * exist. LUT entries are pre-quantized with [[graft.Tables.qsum]]'s
+    * rule (floor(x·1e9 + 0.5) as BIGINT) and the fold sums longs —
+    * exact and order-free — so scores match the decimal-sum oracle
+    * double-for-double and every oracle holds unchanged.
+    */
+  /** One-row nested codebook for broadcast: cbs[sub+1] = (cid, cent)
+    * list of subspace `sub`.
+    */
+  private def cbNested(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub")).agg(collect_list(struct(col("cid"), col("cent"))).as("cs"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cs))), s -> s.cs)").as("cbs"))
+
+  /** The whole-vector encode expression: nested-HOF argmin per
+    * subspace over the broadcast codebook row — d² = x·x − 2·x·c + c·c
+    * with ties to the lowest cid, the [[pqAssign]] total order, so
+    * codes are bit-identical to the exploded path the oracle replays.
+    */
+  private def encodeCol(cbs: Column): Column =
+    transform(sequence(lit(0), lit(PqSubspaces - 1)), sub => {
+      val sv = slice(col("embedding"), sub * lit(PqSubDim) + lit(1), lit(PqSubDim))
+      array_min(transform(element_at(cbs, sub + lit(1)), c => struct(
+        (vdot(sv, sv) - lit(2.0) * vdot(sv, c.getField("cent")) +
+          vdot(c.getField("cent"), c.getField("cent"))).as("d2"),
+        c.getField("cid").as("cid"))))
+        .getField("cid")
+    })
+
+  /** Whole-vector PQ encode, map-only: (vec_id[, keep...], cds) — the
+    * corpus never shuffles to build the codes table.
+    */
+  private[graft] def pqEncodeArr(vecs: DataFrame, cb: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.crossJoin(broadcast(cbNested(cb)))
+      .select(($"vec_id" +: keep.map(col)) :+ encodeCol($"cbs").as("cds"): _*)
+  }
+
+  /** Per-cell variant: the cell-keyed nested codebooks broadcast-join
+    * on cell; otherwise identical.
+    */
+  private[graft] def pcEncodeArr(rvecs: DataFrame, cb: DataFrame): DataFrame = {
+    import rvecs.sparkSession.implicits._
+    val byCell = cb.groupBy($"cell", $"sub")
+      .agg(collect_list(struct($"cid", $"cent")).as("cs"))
+      .groupBy($"cell")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cs))), s -> s.cs)").as("cbs"))
+    rvecs.join(broadcast(byCell), "cell")
+      .select($"vec_id", $"cell", encodeCol($"cbs").as("cds"))
+  }
+
+  /** Per-probe flat ADC LUT: (sub·1000 + cid) → qsum-quantized long,
+    * one broadcast map row per probe.
+    */
+  private def lutToMap(lut: DataFrame, v: Column): DataFrame = {
+    import lut.sparkSession.implicits._
+    lut.groupBy($"probe_id")
+      .agg(map_from_entries(collect_list(struct(
+        ($"sub".cast("long") * 1000 + $"cid").as("k"),
+        floor(v * lit(1.0e9) + lit(0.5)).cast("long").as("v")))).as("lutm"))
+  }
+
+  /** Ordered ADC fold: Σ_sub lutm[sub·1000 + cds[sub+1]], long-summed
+    * then rescaled — equals [[graft.Tables.qsum]] of the per-sub
+    * doubles exactly.
+    */
+  private def adcScore(cds: Column, lutm: Column): Column =
+    aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L),
+      (acc, sub) => acc + element_at(lutm,
+        sub.cast("long") * 1000 + element_at(cds, sub + lit(1))))
+      .cast("double") / lit(1.0e9)
+
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val sv = subvecs(vecs)
     val cb = pqCodebooks(sv, PqIters)
-    val codes = pqAssign(sv, cb).select($"vec_id", $"sub", $"cid")
-    val lut = sv.where($"vec_id" < 10)
+    val codes = pqEncodeArr(vecs, cb)
+    val lut = lutToMap(sv.where($"vec_id" < 10)
       .join(broadcast(cb), "sub")
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
-        round(vdot($"svec", $"cent"), 9).as("dotp"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+        round(vdot($"svec", $"cent"), 9).as("dotp")), $"dotp")
+    val scored = codes.crossJoin(broadcast(lut))
       .where($"vec_id" =!= $"probe_id")
-      .groupBy($"probe_id", $"vec_id")
-      .agg(graft.Tables.qsum($"dotp").as("score"))
+      .select($"probe_id", $"vec_id", adcScore($"cds", $"lutm").as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -547,25 +628,25 @@ object Knn {
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     // coarse routing cells (broadcast-trained, argmax-assigned)
     val cents = trainedCentroids(vecs, IvfPqCoarseIters)
-    val cells = assign(vecs, cents).select($"vec_id", $"cid".as("cell"))
-    // PQ codes of the full corpus (one exploded-sub pipeline)
     val sv = subvecs(vecs)
     val cb = pqCodebooks(sv, PqIters)
-    val codes = pqAssign(sv, cb).select($"vec_id", $"sub", $"cid")
-    val probes = cells.where($"vec_id" < 10)
+    // cell + codes in ONE map-only pass over the scan: assign keeps
+    // the embedding and the encoder consumes it — the corpus reaches
+    // its (cell, codes) index-row form without a single shuffle
+    val coded = pqEncodeArr(
+      assign(vecs, cents).withColumnRenamed("cid", "cell"),
+      cb, keep = Seq("cell"))
+    val probes = coded.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
-    val lut = sv.where($"vec_id" < 10)
+    val lut = lutToMap(sv.where($"vec_id" < 10)
       .join(broadcast(cb), "sub")
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
-        round(vdot($"svec", $"cent"), 9).as("dotp"))
-    // candidates: the probe's cell only; scored from codes alone
-    val cands = cells.join(broadcast(probes), "cell")
+        round(vdot($"svec", $"cent"), 9).as("dotp")), $"dotp")
+    // candidates: the probe's cell only; scored map-side from the
+    // code array against the probe's broadcast LUT
+    val scored = coded.join(broadcast(probes.join(lut, "probe_id")), "cell")
       .where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id")
-    val scored = cands.join(codes, "vec_id")
-      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
-      .groupBy($"probe_id", $"vec_id")
-      .agg(graft.Tables.qsum($"dotp").as("score"))
+      .select($"probe_id", $"vec_id", adcScore($"cds", $"lutm").as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -651,22 +732,20 @@ object Knn {
         vsub($"embedding", $"cent").as("embedding")))
     val rsv = subvecs(rvecs.select($"vec_id", $"embedding"))
     val cb = pqCodebooks(rsv, PqIters)
-    val codes = pqAssign(rsv, cb).select($"vec_id", $"sub", $"cid")
-    val cells = rvecs.select($"vec_id", $"cell")
-    val probes = cells.where($"vec_id" < 10)
+    // map-only residual encode off the staged table; candidates score
+    // map-side via the ordered L2-ADC fold (negated: lower distance =
+    // better)
+    val coded = pqEncodeArr(rvecs, cb, keep = Seq("cell"))
+    val probes = rvecs.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
-    val lut = rsv.where($"vec_id" < 10)
+    val lut = lutToMap(rsv.where($"vec_id" < 10)
       .join(broadcast(cb), "sub")
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
         round(vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
-          vdot($"cent", $"cent"), 9).as("dist2"))
-    val cands = cells.join(broadcast(probes), "cell")
+          vdot($"cent", $"cent"), 9).as("dist2")), $"dist2")
+    val scored = coded.join(broadcast(probes.join(lut, "probe_id")), "cell")
       .where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id")
-    val scored = cands.join(codes, "vec_id")
-      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
-      .groupBy($"probe_id", $"vec_id")
-      .agg((-graft.Tables.qsum($"dist2")).as("score"))
+      .select($"probe_id", $"vec_id", (-adcScore($"cds", $"lutm")).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -745,25 +824,21 @@ object Knn {
     val rvecs = materialize(assigned.join(broadcast(cents), "cid")
       .select($"vec_id", $"cid".as("cell"),
         vsub($"embedding", $"cent").as("embedding")))
-    val svc = subvecs(rvecs.select($"vec_id", $"embedding"))
-      .join(rvecs.select($"vec_id", $"cell"), "vec_id")
+    val svc = subvecs(rvecs, keep = Seq("cell"))
     val cb = pcCodebooks(svc, PqIters)
-    val codes = pcAssign(svc, cb).select($"vec_id", $"cell", $"sub", $"cid")
+    // map-only per-cell encode (cell-keyed nested codebooks broadcast
+    // in); candidates score map-side via the ordered L2-ADC fold
+    val coded = pcEncodeArr(rvecs, cb)
     val probes = rvecs.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
-    val lut = svc.where($"vec_id" < 10)
+    val lut = lutToMap(svc.where($"vec_id" < 10)
       .join(broadcast(cb), Seq("cell", "sub"))
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
         round(vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
-          vdot($"cent", $"cent"), 9).as("dist2"))
-    val cands = rvecs.select($"vec_id", $"cell")
-      .join(broadcast(probes), "cell")
+          vdot($"cent", $"cent"), 9).as("dist2")), $"dist2")
+    val scored = coded.join(broadcast(probes.join(lut, "probe_id")), "cell")
       .where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id")
-    val scored = cands.join(codes.drop("cell"), "vec_id")
-      .join(broadcast(lut), Seq("probe_id", "sub", "cid"))
-      .groupBy($"probe_id", $"vec_id")
-      .agg((-graft.Tables.qsum($"dist2")).as("score"))
+      .select($"probe_id", $"vec_id", (-adcScore($"cds", $"lutm")).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 

@@ -78,7 +78,7 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the CIDR
-  * literal-folding optimizer rule.
+  * literal-folding and rank-limit→heap optimizer rules.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -89,5 +89,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectOptimizerRule(_ => graft.plans.FoldCidrLiteral)
+    e.injectOptimizerRule(_ => graft.plans.RewriteRankLimit)
   }
 }

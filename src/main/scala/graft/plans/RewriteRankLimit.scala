@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.TopKRowsAgg
+
+/** Automatic `row_number() OVER (...) <= k` → bounded-heap rewrite.
+  *
+  * The window-rank-then-filter idiom is the standard SQL top-k-per-
+  * group, and it is also the classic large-scale anti-pattern: the
+  * Window operator shuffles EVERY row of every group to that group's
+  * reducer and full-sorts it, only for the filter to discard all but
+  * k. (Spark's own InferWindowGroupLimit bounds the per-task input
+  * with a sort-based group limit, but the full-group sort at the
+  * reducer remains.) This rule replaces the whole pattern with a
+  * [[graft.functions.TopKRowsAgg]] aggregation — O(k) heap state per
+  * group, map-side partial aggregation, ≤ k rows per (partition,
+  * group) crossing the shuffle, no sort anywhere — then restores the
+  * original schema (payload columns + the rank, with their original
+  * exprIds) via posexplode, so parent operators are untouched.
+  *
+  * Safety:
+  *  - Only `row_number` is rewritten. `rank`/`dense_rank` can emit
+  *    MORE than k rows under ties; a k-bounded heap cannot.
+  *  - Only conjuncts of the shapes rn<=k / rn<k / rn=1 (and mirror
+  *    forms) trigger; any other predicate on the rank column (rn>=2,
+  *    rn<=expr, ...) disables the rewrite for that filter. Residual
+  *    conjuncts on other columns are preserved above the rewrite.
+  *  - `k` is capped (`spark.graft.rankLimitRewrite.maxK`, default
+  *    1000): heap state is O(k) per group, and beyond that a sort is
+  *    the right plan anyway.
+  *  - The window's partition/order expressions must be deterministic.
+  *  - Under a non-total sort order, row_number is already
+  *    nondeterministic; the heap picks one valid outcome, as the
+  *    sort-based plan's pick already depends on partitioning.
+  *
+  * Registered via [[graft.functions.GraftExtensions]]
+  * (`injectOptimizerRule` → the operator-optimization fixed point, so
+  * it also catches the Filter once PushPredicateThroughNonJoin moves
+  * it adjacent to the Window). Disable with
+  * `spark.graft.rankLimitRewrite=false`.
+  */
+object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rankLimitRewrite", "true").toBoolean
+  private def maxK: Int =
+    conf.getConfString("spark.graft.rankLimitRewrite.maxK", "1000").toInt
+
+  /** conjunct → Some(k) if it bounds `rn` to a top-k prefix. */
+  private def limitOf(e: Expression, rn: Attribute): Option[Int] = e match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case f @ Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _))
+          if order.nonEmpty && (part ++ order.map(_.child)).forall(_.deterministic) =>
+        val rn = alias.toAttribute
+        val conjuncts = splitConjunctivePredicates(cond)
+        val (rnConjs, rest) = conjuncts.partition(_.references.contains(rn))
+        val ks = rnConjs.map(limitOf(_, rn))
+        if (rnConjs.isEmpty || ks.contains(None)) f
+        else {
+          val k = ks.flatten.min
+          if (k < 1 || k > maxK) f
+          else {
+            // InferWindowGroupLimit (if it ran first) inserts a
+            // sort-based group limit under the Window — subsumed by
+            // the heap, so strip it
+            val child = wchild match {
+              case WindowGroupLimit(_, _, _, _, c) => c
+              case c => c
+            }
+            rewrite(child, part, order, k, rn, rest)
+          }
+        }
+    }
+
+  private def rewrite(child: LogicalPlan, part: Seq[Expression],
+      order: Seq[SortOrder], k: Int, rn: Attribute,
+      rest: Seq[Expression]): LogicalPlan = {
+    val payload = CreateStruct(child.output)
+    val aggFn = TopKRowsAgg(k, order.map(_.child),
+      order.map(_.direction == Ascending),
+      order.map(_.nullOrdering == NullsFirst), payload)
+    val arr = Alias(aggFn.toAggregateExpression(), "topk_rows")()
+    val agg = Aggregate(part, Seq(arr), child)
+    val pos = AttributeReference("pos", IntegerType, nullable = false)()
+    val item = AttributeReference("item", payload.dataType, nullable = false)()
+    val gen = Generate(PosExplode(arr.toAttribute), unrequiredChildIndex = Seq(0),
+      outer = false, qualifier = None, generatorOutput = Seq(pos, item), agg)
+    // original columns + the rank, under their ORIGINAL exprIds —
+    // parent operators keep resolving unchanged
+    val cols = child.output.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(item, i, Some(a.name)), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val rnCol = Alias(Add(pos, Literal(1)), rn.name)(exprId = rn.exprId)
+    val proj = Project(cols :+ rnCol, gen)
+    if (rest.isEmpty) proj else Filter(rest.reduce(And), proj)
+  }
+}

@@ -78,6 +78,65 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
+  /** D28: Gopher-rule document filter (the Rae et al. 2021 §A1.1
+    * hard-gate family, instantiated with thresholds that have signal
+    * on this corpus): word-count bounds, a mean-word-length band, a
+    * minimum distinct-stopword presence, and a most-frequent-word
+    * dominance cap (the word-level analog of Gopher's
+    * top-2-gram-character-fraction rule). keep = all gates pass.
+    *
+    * Map-only: every metric is a higher-order fold over the split
+    * word array inside one projection — at 100 TB this is a single
+    * map stage, the shape a production quality-filter pass ships.
+    * Ratios are rounded to 6 dp in BOTH engines before the gate
+    * comparisons so a parallel-accumulation ulp can't flip `keep`.
+    */
+  private val GopherStops = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("words", expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("mean_wlen", round(
+        expr("aggregate(words, 0L, (acc, w) -> acc + length(w))").cast("double")
+          / $"n_words", 6))
+      .withColumn("distinct_stop",
+        size(array_intersect(array_distinct($"words"),
+          array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("top_frac", round(
+        array_max(expr("transform(array_distinct(words), w -> size(filter(words, x -> x = w)))"))
+          .cast("double") / $"n_words", 6))
+      .select($"doc_id", $"n_words", $"mean_wlen", $"distinct_stop", $"top_frac",
+        ($"n_words" >= 20 && $"n_words" <= 90 &&
+          $"mean_wlen" >= 4.0 && $"mean_wlen" <= 5.0 &&
+          $"distinct_stop" >= 1 && $"top_frac" <= 0.15).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val gopherFilterSql: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS words
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    round(CAST(list_aggregate(list_transform(words, x -> strlen(x)), 'sum')
+       |      AS DOUBLE) / len(words), 6) AS mean_wlen,
+       |    CAST(len(list_intersect(list_distinct(words), [$stops])) AS BIGINT)
+       |      AS distinct_stop,
+       |    round(CAST(list_max(list_transform(list_distinct(words),
+       |      w -> len(list_filter(words, x -> x = w)))) AS DOUBLE) / len(words), 6)
+       |      AS top_frac
+       |  FROM w)
+       |SELECT doc_id, n_words, mean_wlen, distinct_stop, top_frac,
+       |  (n_words >= 20 AND n_words <= 90 AND mean_wlen >= 4.0 AND mean_wlen <= 5.0
+       |    AND distinct_stop >= 1 AND top_frac <= 0.15) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** D10: token counting — whitespace tokens + BPE-ish regex subwords
     * (greedy ≤3-char chunks, a stand-in for a real BPE vocab).
     */
@@ -1107,6 +1166,7 @@ object TextAnalytics {
     "text_wordcount" -> wordcount _,
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
+    "text_gopher_filter" -> gopherFilter _,
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _,
     "text_normalize" -> normalize _,
@@ -1208,6 +1268,7 @@ object TextAnalytics {
          |SELECT doc_id, lang, $profileCase AS lang_pred,
          |  s_en, s_de, s_es, s_fr, s_zh
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_gopher_filter" -> gopherFilterSql,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id,

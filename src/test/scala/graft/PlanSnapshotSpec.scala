@@ -50,7 +50,7 @@ class PlanSnapshotSpec extends SparkSpecBase {
     .replaceAll("(ExistingRDD|MapPartitionsRDD)\\[\\d+\\]", "$1[N]")
     // lambda var names carry a session-global counter (x_26 vs x_76
     // depending on what ran earlier) — not plan shape
-    .replaceAll("lambda x_\\d+", "lambda x_N")
+    .replaceAll("lambda ([a-z])_\\d+", "lambda $1_N")
     // materialize() legitimately flips between localCheckpoint and
     // reliable checkpoint with session config (and callsite lines move
     // with edits) — neither is plan shape
