@@ -52,6 +52,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"full sort planned:\n$p")
   }
 
+  test("PQ ADC scoring is map-side: no (probe, vec) re-aggregation anywhere") {
+    // the pre-rewrite shape aggregated n×M×|probes| exploded code
+    // rows into (probe_id, vec_id) groups — at 100 TB that shuffle IS
+    // the cost of an ADC scan; the fold form must never bring it back
+    for (q <- Seq("ann_topk_pq", "ann_topk_ivfpq", "ann_topk_ivfpq_res",
+        "ann_topk_ivfpq_pc")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val scoreAgg = "(?s)HashAggregate.*?Keys \\[2\\]: \\[probe_id#\\d+L, vec_id#\\d+L\\]".r
+      assert(scoreAgg.findFirstIn(p).isEmpty,
+        s"$q re-aggregates scored (probe, vec) rows:\n$p")
+      assert(p.contains("topk_by"), s"$q lost the bounded-heap ranking")
+    }
+  }
+
   test("text ops prune documents to (doc_id, text)") {
     val p = plan(TextAnalytics.tokenCount(spark, sf0001))
     assert(!p.contains("lang"), s"unpruned documents scan:\n$p")
