@@ -118,6 +118,37 @@ class RankLimitRewriteSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.rankLimitRewrite.maxK")
   }
 
+  test("null sort keys follow the window's null ordering (asc nulls-first / desc nulls-last)") {
+    import spark.implicits._
+    def base = Seq(
+      (1L, Some(5.0)), (1L, None), (1L, Some(1.0)), (1L, Some(9.0)),
+      (2L, None), (2L, None), (2L, Some(3.0))).toDF("g", "v")
+      .withColumn("id", monotonically_increasing_id())
+    def asc = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v".asc, $"id")))
+      .where($"rn" <= 2)
+    def desc = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v".desc, $"id")))
+      .where($"rn" <= 2)
+    assert(rewritten(asc) && rewritten(desc))
+    assertSameRows(asc)
+    assertSameRows(desc)
+  }
+
+  test("groups smaller than k emit all their rows") {
+    import spark.implicits._
+    def q = Seq((1L, 10.0), (2L, 1.0), (2L, 2.0), (2L, 3.0), (2L, 4.0))
+      .toDF("g", "v")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v", $"g")))
+      .where($"rn" <= 3)
+    assert(rewritten(q))
+    assertSameRows(q)
+    assert(q.count() == 4, "expected 1 + 3 rows")
+  }
+
   test("rank column consumed ABOVE the filter keeps its values") {
     import spark.implicits._
     def q = events
