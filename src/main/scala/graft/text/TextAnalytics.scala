@@ -137,6 +137,44 @@ object TextAnalytics {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** D29: deterministic global corpus shuffle + sharding — the
+    * pre-training permutation every LLM data pipeline ends with.
+    * Each doc gets a seed-stable pseudo-random sort key (md5 over a
+    * seeded id), a shard from the key's hash prefix, and a position
+    * from a SHARD-LOCAL sort. At 100 TB a single global ORDER BY
+    * range-partitions the whole corpus through one sort wave;
+    * hash-bucketing the key space first makes every shard's sort
+    * independent and bounded (shards stream to their writers in
+    * parallel — [[ShuffleShards]] is a demo-sized stand-in for the
+    * thousands a real run uses), and re-runs are byte-identical, so
+    * resuming a partially-written shuffle never reorders data.
+    */
+  val ShuffleShards = 8
+
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("skey", expr("md5(cast(concat('shuf:', doc_id) as binary))"))
+      .withColumn("shard", expr(
+        s"CAST(conv(substring(skey, 1, 7), 16, 10) AS BIGINT) % $ShuffleShards"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"skey", $"doc_id")).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  val corpusShuffleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('shuf:' || doc_id) AS skey,
+       |    ('0x' || substr(md5('shuf:' || doc_id), 1, 7))::BIGINT % $ShuffleShards
+       |      AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM k ORDER BY shard, pos""".stripMargin
+
   /** D10: token counting — whitespace tokens + BPE-ish regex subwords
     * (greedy ≤3-char chunks, a stand-in for a real BPE vocab).
     */
@@ -1167,6 +1205,7 @@ object TextAnalytics {
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
     "text_gopher_filter" -> gopherFilter _,
+    "corpus_shuffle" -> corpusShuffle _,
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _,
     "text_normalize" -> normalize _,
@@ -1269,6 +1308,7 @@ object TextAnalytics {
          |  s_en, s_de, s_es, s_fr, s_zh
          |FROM scored ORDER BY doc_id""".stripMargin,
     "text_gopher_filter" -> gopherFilterSql,
+    "corpus_shuffle" -> corpusShuffleSql,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
