@@ -255,6 +255,16 @@ object Knn {
   /** `iters` Lloyd's rounds from the stride-selected seed. An empty
     * cell simply drops out of the next round (inner-join semantics in
     * both engines).
+    *
+    * Each round's centroid table (≤[[CentBudget]] rows) is STAGED via
+    * [[materialize]]: the lazy chain re-derived the whole training
+    * history — and with it a corpus scan per round per CONSUMER —
+    * every time the centroids were used (runtime-measured: 13 scans
+    * of the corpus in one ann_topk_pq execution, ReuseExchange
+    * recovering almost nothing across the divergent consumer
+    * subtrees). Staged, training is exactly one corpus pass per
+    * round, and every consumer reads the finished table — the only
+    * shape that survives a 100 TB index build.
     */
   private[graft] def trainedCentroids(vecs: DataFrame, iters: Int): DataFrame = {
     import vecs.sparkSession.implicits._
@@ -267,11 +277,11 @@ object Knn {
       // above, a whole Lloyd's round is a single tiny shuffle; the
       // previous posexplode → (cid,pos) agg → collect_list/array_sort
       // chain spent two more full shuffle waves re-assembling arrays
-      cents = assign(vecs, cents)
+      cents = materialize(assign(vecs, cents)
         .groupBy($"cid")
         .agg(array((1 to Dim).map(i =>
           round(avg(element_at($"embedding", i).cast("double")), 6)): _*)
-          .as("cent"))
+          .as("cent")))
     }
     cents
   }
@@ -482,12 +492,13 @@ object Knn {
       .where($"vec_id" % stride === 0 && $"vec_id" < stride * codes)
       .select($"sub", expr(s"vec_id div $stride").as("cid"), $"svec".as("cent"))
     for (_ <- 1 to iters) {
-      // one ≤M×K-group shuffle per round (see trainedCentroids)
-      cb = pqAssign(sv, cb)
+      // one ≤M×K-group shuffle per round (see trainedCentroids);
+      // staged per round for the same one-corpus-pass-per-round bound
+      cb = materialize(pqAssign(sv, cb)
         .groupBy($"sub", $"cid")
         .agg(array((1 to PqSubDim).map(i =>
           round(avg(element_at($"svec", i).cast("double")), 6)): _*)
-          .as("cent"))
+          .as("cent")))
     }
     cb
   }
@@ -805,12 +816,13 @@ object Knn {
     var cb = seedIds.join(svc, Seq("cell", "vec_id"))
       .select($"cell", $"sub", $"cid", $"svec".as("cent"))
     for (_ <- 1 to iters) {
-      // one ≤C×M×K-group shuffle per round (see trainedCentroids)
-      cb = pcAssign(svc, cb)
+      // one ≤C×M×K-group shuffle per round (see trainedCentroids);
+      // staged per round for the same one-corpus-pass-per-round bound
+      cb = materialize(pcAssign(svc, cb)
         .groupBy($"cell", $"sub", $"cid")
         .agg(array((1 to PqSubDim).map(i =>
           round(avg(element_at($"svec", i).cast("double")), 6)): _*)
-          .as("cent"))
+          .as("cent")))
     }
     cb
   }
