@@ -1099,19 +1099,20 @@ object Knn {
   }
 
   /** Lloyd's rounds from an arbitrary seed frame (the stride-seeded
-    * twin is [[trainedCentroids]]).
+    * twin is [[trainedCentroids]] — same one-tiny-shuffle round shape
+    * and the same per-round staging; this one previously kept the
+    * pre-R5 posexplode → (cid,pos) agg → collect_list re-assembly,
+    * two extra shuffle waves per round, and left rounds lazy).
     */
   private[graft] def refine(vecs: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     import vecs.sparkSession.implicits._
     var cents = seeds
     for (_ <- 1 to iters) {
-      cents = assign(vecs, cents)
-        .select($"cid", posexplode($"embedding"))
-        .groupBy($"cid", $"pos")
-        .agg(round(avg($"col".cast("double")), 6).as("m"))
+      cents = materialize(assign(vecs, cents)
         .groupBy($"cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("cent"))
+        .agg(array((1 to Dim).map(i =>
+          round(avg(element_at($"embedding", i).cast("double")), 6)): _*)
+          .as("cent")))
     }
     cents
   }
