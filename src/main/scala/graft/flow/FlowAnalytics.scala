@@ -404,31 +404,39 @@ object FlowAnalytics {
     * anchor over every step-1 occurrence; this is the stricter
     * first-touch-attribution variant — a user whose chain completes
     * only from a later signup counts at the level their first-signup
-    * window reached.) Four user_id-keyed aggregation/join passes plus
-    * the final level count — combine-heavy shuffles, no per-user sort
-    * or driver-side state.
+    * window reached.)
+    *
+    * ONE corpus pass: the [[funnelSliding]] prefix-min window-DFA
+    * pattern — three chained running-min passes over a single
+    * (user_id, ts) partitioning carry each stage's first-touch state
+    * to every row, then one partial-aggregated groupBy takes the
+    * per-user max level. The previous shape read events FOUR times
+    * (per-step filtered scans) and ran three join shuffles; at 100 TB
+    * those are four corpus passes doing the work of one. Prefix-min
+    * equals the global first-touch wherever it matters: a stage
+    * qualifies only via strict `>` against the PREVIOUS stage's ts,
+    * so by the time any row can qualify, its prefix already contains
+    * that stage's first touch — equal-ts tie order can't flip
+    * anything for the same reason.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = graft.Tables.events(spark, dir)
-    val s1 = ev.where($"event_type" === "signup")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val s2 = ev.where($"event_type" === "click")
-      .join(s1, "user_id")
-      .where($"ts" > $"t1" && $"ts" <= expr("t1 + INTERVAL 7 DAYS"))
-      .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
-    val s3 = ev.where($"event_type" === "purchase")
-      .join(s2, "user_id")
-      .where($"ts" > $"t2" && $"ts" <= expr("t1 + INTERVAL 7 DAYS"))
-      .groupBy($"user_id").agg(min($"ts").as("t3"))
-    val levels = ev.select($"user_id").distinct()
-      .join(s1.select($"user_id", lit(1).as("l1")), Seq("user_id"), "left")
-      .join(s2.select($"user_id", lit(1).as("l2")), Seq("user_id"), "left")
-      .join(s3.select($"user_id", lit(1).as("l3")), Seq("user_id"), "left")
-      .withColumn("funnel_level",
-        when($"l3".isNotNull, 3).when($"l2".isNotNull, 2)
-          .when($"l1".isNotNull, 1).otherwise(0))
-    levels.groupBy($"funnel_level")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("t1r", min(when($"event_type" === "signup", $"ts")).over(w))
+      .withColumn("qc", when($"event_type" === "click" && $"t1r".isNotNull &&
+        $"ts" > $"t1r" && $"ts" <= expr("t1r + INTERVAL 7 DAYS"), $"ts"))
+      .withColumn("t2r", min($"qc").over(w))
+      .withColumn("qp", when($"event_type" === "purchase" && $"t2r".isNotNull &&
+        $"ts" > $"t2r" && $"ts" <= expr("t1r + INTERVAL 7 DAYS"), $"ts"))
+      .groupBy($"user_id")
+      .agg(max(when($"qp".isNotNull, 3).when($"qc".isNotNull, 2)
+        .when($"event_type" === "signup", 1).otherwise(0)).as("funnel_level"))
+      .groupBy($"funnel_level")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"funnel_level")
   }
