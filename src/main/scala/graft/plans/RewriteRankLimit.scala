@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.TopKRowsAgg
+import graft.functions.{RankRowsAgg, TopKRowsAgg}
 
 /** Automatic `row_number() OVER (...) <= k` → bounded-heap rewrite.
   *
@@ -21,9 +21,15 @@ import graft.functions.TopKRowsAgg
   * original schema (payload columns + the rank, with their original
   * exprIds) via posexplode, so parent operators are untouched.
   *
+  * `rank()` and `dense_rank()` rewrite too, via
+  * [[graft.functions.RankRowsAgg]] — a tie-expanded KEY-GROUP heap
+  * (rank-like filters may legitimately emit more than k rows under
+  * boundary ties, so eviction is by key group; state is
+  * O(k + boundary ties), the semantics' own lower bound).
+  *
   * Safety:
-  *  - Only `row_number` is rewritten. `rank`/`dense_rank` can emit
-  *    MORE than k rows under ties; a k-bounded heap cannot.
+  *  - Only `row_number`/`rank`/`dense_rank` are rewritten; other
+  *    window functions keep their Window plan.
   *  - Only conjuncts of the shapes rn<=k / rn<k / rn=1 (and mirror
   *    forms) trigger; any other predicate on the rank column (rn>=2,
   *    rn<=expr, ...) disables the rewrite for that filter. Residual
@@ -64,9 +70,10 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
     if (!enabled) plan
     else plan.transformUp {
       case f @ Filter(cond,
-          Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+          Window(Seq(alias @ Alias(WindowExpression(fn,
             WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _))
-          if order.nonEmpty && (part ++ order.map(_.child)).forall(_.deterministic) =>
+          if order.nonEmpty && rankKind(fn).isDefined &&
+            (part ++ order.map(_.child)).forall(_.deterministic) =>
         val rn = alias.toAttribute
         val conjuncts = splitConjunctivePredicates(cond)
         val (rnConjs, rest) = conjuncts.partition(_.references.contains(rn))
@@ -83,10 +90,26 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
               case WindowGroupLimit(_, _, _, _, c) => c
               case c => c
             }
-            rewrite(child, part, order, k, rn, rest)
+            rankKind(fn).get match {
+              case RowNumKind => rewrite(child, part, order, k, rn, rest)
+              case RankKind => rewriteRankLike(child, part, order, k, rn, rest, dense = false)
+              case DenseKind => rewriteRankLike(child, part, order, k, rn, rest, dense = true)
+            }
           }
         }
     }
+
+  private sealed trait Kind
+  private case object RowNumKind extends Kind
+  private case object RankKind extends Kind
+  private case object DenseKind extends Kind
+
+  private def rankKind(fn: Expression): Option[Kind] = fn match {
+    case RowNumber() => Some(RowNumKind)
+    case _: Rank => Some(RankKind)
+    case _: DenseRank => Some(DenseKind)
+    case _ => None
+  }
 
   private def rewrite(child: LogicalPlan, part: Seq[Expression],
       order: Seq[SortOrder], k: Int, rn: Attribute,
@@ -108,6 +131,34 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
         exprId = a.exprId, qualifier = a.qualifier)
     }
     val rnCol = Alias(Add(pos, Literal(1)), rn.name)(exprId = rn.exprId)
+    val proj = Project(cols :+ rnCol, gen)
+    if (rest.isEmpty) proj else Filter(rest.reduce(And), proj)
+  }
+
+  /** rank()/dense_rank() variant: the aggregate emits
+    * `array<struct<rnk, row>>` (tie groups share a rank), so the rank
+    * is projected from the element instead of the explode position.
+    */
+  private def rewriteRankLike(child: LogicalPlan, part: Seq[Expression],
+      order: Seq[SortOrder], k: Int, rn: Attribute,
+      rest: Seq[Expression], dense: Boolean): LogicalPlan = {
+    val payload = CreateStruct(child.output)
+    val aggFn = RankRowsAgg(k, dense, order.map(_.child),
+      order.map(_.direction == Ascending),
+      order.map(_.nullOrdering == NullsFirst), payload)
+    val arr = Alias(aggFn.toAggregateExpression(), "rankk_rows")()
+    val agg = Aggregate(part, Seq(arr), child)
+    val elemType = aggFn.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType
+    val item = AttributeReference("item", elemType, nullable = false)()
+    val gen = Generate(Explode(arr.toAttribute), unrequiredChildIndex = Seq(0),
+      outer = false, qualifier = None, generatorOutput = Seq(item), agg)
+    val rowField = GetStructField(item, 1, Some("row"))
+    val cols = child.output.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(rowField, i, Some(a.name)), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val rnCol = Alias(GetStructField(item, 0, Some("rnk")), rn.name)(exprId = rn.exprId)
     val proj = Project(cols :+ rnCol, gen)
     if (rest.isEmpty) proj else Filter(rest.reduce(And), proj)
   }

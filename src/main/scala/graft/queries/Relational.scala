@@ -130,6 +130,26 @@ object Relational {
       .orderBy($"o_orderpriority", $"rnk")
   }
 
+  /** C6b: earliest-orders-per-priority via `rank()` — day-granular
+    * order dates tie heavily, so `rank() <= 2` legitimately emits
+    * MORE than 2 rows per priority (every order tied at the boundary
+    * date). Plans through [[graft.plans.RewriteRankLimit]]'s
+    * tie-expanded key-group heap ([[graft.functions.RankRowsAgg]]):
+    * the shuffle carries one pruned group-map per (partition,
+    * priority) instead of every order of every priority, and no
+    * per-group sort materializes — the rank-like twin of C6's
+    * row_number rewrite.
+    */
+  def windowRankTies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderdate")
+    load(spark, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where($"rnk" <= 2)
+      .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_orderdate")
+      .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
+  }
+
   /** C7: running revenue + lag within each customer's order history. */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -355,6 +375,7 @@ object Relational {
     "join_anti" -> joinAnti _,
     "agg_distinct" -> aggDistinct _,
     "window_rank" -> windowRank _,
+    "window_rank_ties" -> windowRankTies _,
     "window_running" -> windowRunning _,
     "rollup_cube" -> rollupCube _,
     "orderby_limit" -> orderbyLimit _,
@@ -474,6 +495,13 @@ object Relational {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "window_rank_ties" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_orderdate FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_orderdate,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_orderdate) AS BIGINT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 2 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))

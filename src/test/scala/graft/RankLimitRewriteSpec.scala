@@ -88,13 +88,81 @@ class RankLimitRewriteSpec extends SparkSpecBase {
     assertSameRows(q)
   }
 
-  test("rank() is NOT rewritten (ties can exceed k)") {
+  private def rankRewritten(df: DataFrame, agg: String): Boolean = {
+    val p = planOf(df)
+    p.contains(agg) && !p.contains("Window")
+  }
+
+  test("rank() <= k rewrites to a tie-expanded key-group heap") {
     import spark.implicits._
-    val q = events
+    def q = events
       .withColumn("rn", rank().over(
         Window.partitionBy($"user_id").orderBy($"event_type")))
       .where($"rn" <= 3)
-    assert(planOf(q).contains("Window"), "rank() must keep the window plan")
+    assert(rankRewritten(q, "rankk_rows"), s"expected rank heap, got:\n${planOf(q)}")
+    assertSameRows(q)
+  }
+
+  test("dense_rank() <= k rewrites and matches the window result") {
+    import spark.implicits._
+    def q = events
+      .withColumn("rn", dense_rank().over(
+        Window.partitionBy($"user_id").orderBy($"event_type")))
+      .where($"rn" <= 2)
+    assert(rankRewritten(q, "densek_rows"), s"expected dense heap, got:\n${planOf(q)}")
+    assertSameRows(q)
+  }
+
+  test("rank() boundary ties emit MORE than k rows (group eviction, not row eviction)") {
+    import spark.implicits._
+    // g=1: v ranks are 1,2,2,2,5 — rank <= 3 keeps the three tied 2s
+    def q = Seq((1L, 1.0), (1L, 2.0), (1L, 2.0), (1L, 2.0), (1L, 5.0))
+      .toDF("g", "v")
+      .withColumn("rn", rank().over(Window.partitionBy($"g").orderBy($"v")))
+      .where($"rn" <= 3)
+    assert(rankRewritten(q, "rankk_rows"))
+    assertSameRows(q)
+    assert(q.count() == 4, "rank<=3 over ranks 1,2,2,2,5 must emit 4 rows")
+  }
+
+  test("dense_rank() keeps every row of the k-th distinct key") {
+    import spark.implicits._
+    // dense ranks: 1 (v=1), 2 (v=2 x3) — dense_rank <= 2 keeps all 4
+    def q = Seq((1L, 1.0), (1L, 2.0), (1L, 2.0), (1L, 2.0), (1L, 5.0))
+      .toDF("g", "v")
+      .withColumn("rn", dense_rank().over(Window.partitionBy($"g").orderBy($"v")))
+      .where($"rn" <= 2)
+    assert(rankRewritten(q, "densek_rows"))
+    assertSameRows(q)
+    assert(q.count() == 4, "dense_rank<=2 over keys 1,2,2,2,5 must emit 4 rows")
+  }
+
+  test("rank() = 1 keeps ALL rows tied for best") {
+    import spark.implicits._
+    def q = Seq((1L, 2.0), (1L, 2.0), (1L, 3.0), (2L, 7.0))
+      .toDF("g", "v")
+      .withColumn("rn", rank().over(Window.partitionBy($"g").orderBy($"v")))
+      .where($"rn" === 1)
+      .drop("rn")
+    assert(rankRewritten(q, "rankk_rows"))
+    assertSameRows(q)
+    assert(q.count() == 3, "both tied minima in g=1 plus g=2's best")
+  }
+
+  test("rank() null sort keys follow the window's null ordering") {
+    import spark.implicits._
+    def base = Seq(
+      (1L, Some(5.0)), (1L, None), (1L, None), (1L, Some(1.0)),
+      (2L, None), (2L, Some(3.0))).toDF("g", "v")
+    def asc = base
+      .withColumn("rn", rank().over(Window.partitionBy($"g").orderBy($"v".asc)))
+      .where($"rn" <= 2)
+    def desc = base
+      .withColumn("rn", rank().over(Window.partitionBy($"g").orderBy($"v".desc)))
+      .where($"rn" <= 2)
+    assert(rankRewritten(asc, "rankk_rows") && rankRewritten(desc, "rankk_rows"))
+    assertSameRows(asc)
+    assertSameRows(desc)
   }
 
   test("a lower bound on rn disables the rewrite (the heap cannot skip rows)") {
