@@ -271,17 +271,26 @@ object Knn {
     var cents = vecs
       .where($"vec_id" % CentStride === 0 && $"vec_id" < CentStride * CentBudget)
       .select($"vec_id".as("cid"), $"embedding".as("cent"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // per-dim means as Dim codegen'd avg columns in ONE ≤C-group
       // aggregation (map-side partials) — with the map-only argmax
       // above, a whole Lloyd's round is a single tiny shuffle; the
       // previous posexplode → (cid,pos) agg → collect_list/array_sort
       // chain spent two more full shuffle waves re-assembling arrays
-      cents = materialize(assign(vecs, cents)
+      val next = assign(vecs, cents)
         .groupBy($"cid")
         .agg(array((1 to Dim).map(i =>
           round(avg(element_at($"embedding", i).cast("double")), 6)): _*)
-          .as("cent")))
+          .as("cent"))
+      // an INTERMEDIATE round is consumed exactly once — by the next
+      // round's broadcast side — so leaving every other round lazy
+      // keeps the one-corpus-pass-per-round bound (the unstaged
+      // round's pass just runs inside the next round's job) with half
+      // the eager barriers. The FINAL table is multi-consumed (probe
+      // filter, cell join, encode) and must stay staged: lazy it
+      // re-derived the whole training history per consumer (13 corpus
+      // scans measured in one ann_topk_pq execution).
+      cents = if (i % 2 == 0 || i == iters) materialize(next) else next
     }
     cents
   }
@@ -494,6 +503,9 @@ object Knn {
     for (_ <- 1 to iters) {
       // one ≤M×K-group shuffle per round (see trainedCentroids);
       // staged per round for the same one-corpus-pass-per-round bound
+      // (measured: leaving the intermediate round lazy here nests a
+      // broadcast-in-broadcast plan whose planning cost eats the
+      // saved barrier)
       cb = materialize(pqAssign(sv, cb)
         .groupBy($"sub", $"cid")
         .agg(array((1 to PqSubDim).map(i =>
@@ -818,6 +830,7 @@ object Knn {
     for (_ <- 1 to iters) {
       // one ≤C×M×K-group shuffle per round (see trainedCentroids);
       // staged per round for the same one-corpus-pass-per-round bound
+      // (same measured nested-broadcast planning cost as pqCodebooks)
       cb = materialize(pcAssign(svc, cb)
         .groupBy($"cell", $"sub", $"cid")
         .agg(array((1 to PqSubDim).map(i =>

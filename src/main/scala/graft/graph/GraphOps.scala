@@ -80,17 +80,24 @@ object GraphOps {
     // directed-only graph would leave every dst dangling and the walk
     // would fix after two rounds; the undirected link set makes rank
     // genuinely recirculate
-    val edges = flows.select($"sa".as("src"), $"da".as("dst"))
-      .union(flows.select($"da".as("src"), $"sa".as("dst")))
-      .distinct()
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    //
+    // ONE corpus pass: the flow-sized scan+distinct is staged
+    // hash(src) FIRST, and outdeg / srcEdges / nodes all derive from
+    // the staged EDGE-sized table — the previous shape re-scanned
+    // flows for each derived table. outdeg aggregates on the staged
+    // partitioning key and joins back exchange-free.
+    val e0 = stage(
+      flows.select($"sa".as("src"), $"da".as("dst"))
+        .union(flows.select($"da".as("src"), $"sa".as("dst")))
+        .distinct().repartition($"src"))
+    val outdeg = e0.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg): built once, staged pre-partitioned on src so
     // every round's rank join reads it in place
-    val srcEdges = stage(edges.join(outdeg, "src").repartition($"src"))
+    val srcEdges = stage(e0.join(outdeg, "src"))
     // distinct leaves nodes hash(node)-partitioned — the left-join key
     val nodes = stage(
-      edges.select($"src".as("node"))
-        .union(edges.select($"dst".as("node"))).distinct())
+      e0.select($"src".as("node"))
+        .union(e0.select($"dst".as("node"))).distinct())
     val nframe = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nframe))
       .select($"node", (lit(1.0) / $"n").as("pr"))
@@ -98,17 +105,24 @@ object GraphOps {
     // hash(node) from the previous round's left join, so the rank
     // join runs exchange-free; the dst re-keying under the groupBy is
     // the round's ONLY shuffle, and the left join back onto nodes
-    // (hash(node) vs the agg's hash(dst)) adds none
-    for (_ <- 1 to Iters) {
+    // (hash(node) vs the agg's hash(dst)) adds none. The round state
+    // is referenced exactly ONCE by the next round, so staging every
+    // SECOND round recomputes nothing — a two-round lazy segment
+    // keeps the plan bounded while halving the eager-job count (the
+    // blown-up case the eager policy guards against was the FULL
+    // unrolled recurrence)
+    for (i <- 1 to Iters) {
       val contribs = srcEdges.join(ranks, $"src" === $"node")
         .select($"dst", ($"pr" * lit(Damping) / $"outdeg").as("p"))
         .groupBy($"dst").agg(qsum($"p").as("s"))
-      ranks = stage(
-        nodes.join(contribs, $"node" === $"dst", "left")
-          .crossJoin(broadcast(nframe))
-          .select($"node", round(
-            (lit(1.0) - lit(Damping)) / $"n" +
-              coalesce($"s", lit(0.0)), 9).as("pr")))
+      val next = nodes.join(contribs, $"node" === $"dst", "left")
+        .crossJoin(broadcast(nframe))
+        .select($"node", round(
+          (lit(1.0) - lit(Damping)) / $"n" +
+            coalesce($"s", lit(0.0)), 9).as("pr"))
+      // the LAST round flows lazily into the output top-N (referenced
+      // once — nothing downstream re-derives it)
+      ranks = if (i % 2 == 0 && i < Iters) stage(next) else next
     }
     ranks.orderBy($"pr".desc, $"node").limit(TopN)
       .select($"node", $"pr".as("pagerank"))
@@ -167,11 +181,16 @@ object GraphOps {
   def flowPagerankPers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val flows = FlowAnalytics.asFlows(spark, dir)
-    val edges = flows.select($"sa".as("src"), $"da".as("dst"))
-      .union(flows.select($"da".as("src"), $"sa".as("dst")))
-      .distinct()
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val srcEdges = stage(edges.join(outdeg, "src").repartition($"src"))
+    // same one-corpus-pass staging as [[flowPagerank]]: edges staged
+    // hash(src) first, outdeg/srcEdges/nodes derive edge-sized (the
+    // seed scan is the one extra flow pass — it filters a different
+    // predicate than the edge projection)
+    val e0 = stage(
+      flows.select($"sa".as("src"), $"da".as("dst"))
+        .union(flows.select($"da".as("src"), $"sa".as("dst")))
+        .distinct().repartition($"src"))
+    val outdeg = e0.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val srcEdges = stage(e0.join(outdeg, "src"))
     // seeds: services with the most reset-flagged (error) flows
     val seeds = flows.where($"flg" === ".A.R..")
       .groupBy($"da".as("node")).agg(count(lit(1)).as("errs"))
@@ -180,22 +199,23 @@ object GraphOps {
     // teleport mass rides the staged node table: (1-d)/|S| on seeds,
     // 0 elsewhere — no per-round seed join
     val nodes = stage(
-      edges.select($"src".as("node"))
-        .union(edges.select($"dst".as("node"))).distinct()
+      e0.select($"src".as("node"))
+        .union(e0.select($"dst".as("node"))).distinct()
         .join(seeds.select($"node", lit(true).as("is_seed")), Seq("node"), "left")
         .select($"node",
           when($"is_seed", (lit(1.0) - lit(Damping)) / PprSeeds)
             .otherwise(lit(0.0)).as("tele")))
     var ranks = nodes.select($"node",
       when($"tele" > 0, lit(1.0) / PprSeeds).otherwise(lit(0.0)).as("pr"))
-    for (_ <- 1 to Iters) {
+    // every-second-round staging, same argument as [[flowPagerank]]
+    for (i <- 1 to Iters) {
       val contribs = srcEdges.join(ranks, $"src" === $"node")
         .select($"dst", ($"pr" * lit(Damping) / $"outdeg").as("p"))
         .groupBy($"dst").agg(qsum($"p").as("s"))
-      ranks = stage(
-        nodes.join(contribs, $"node" === $"dst", "left")
-          .select($"node",
-            round($"tele" + coalesce($"s", lit(0.0)), 9).as("pr")))
+      val next = nodes.join(contribs, $"node" === $"dst", "left")
+        .select($"node",
+          round($"tele" + coalesce($"s", lit(0.0)), 9).as("pr"))
+      ranks = if (i % 2 == 0 && i < Iters) stage(next) else next
     }
     ranks.orderBy($"pr".desc, $"node").limit(TopN)
       .select($"node", $"pr".as("ppr"))
@@ -264,9 +284,11 @@ object GraphOps {
     val edges = flows.select($"sa".as("src"), $"da".as("dst")).distinct()
     // the edge table is read by half-steps joining on src (auth) and
     // on dst (hub) alternately — stage one copy per partitioning so
-    // neither direction ever re-shuffles it
+    // neither direction ever re-shuffles it; the second copy derives
+    // from the FIRST staged copy (edge-sized re-key), so the flow
+    // corpus is scanned exactly once
     val eSrc = stage(edges.repartition($"src"))
-    val eDst = stage(edges.repartition($"dst"))
+    val eDst = stage(eSrc.repartition($"dst"))
     def normalize(raw: DataFrame, col: String): DataFrame = {
       val nrm = raw.agg(sqrt(rsum($"v" * $"v")).as("nrm"))
       raw.crossJoin(broadcast(nrm))
@@ -360,17 +382,23 @@ object GraphOps {
     * most frequent incoming label, ties to the smallest. The count
     * table is re-keyed to hash(tgt) BEFORE aggregating — hash(tgt)
     * satisfies the (tgt,lbl) clustering, so the round's ONLY exchange
-    * is that re-keying; the max/filter/min chain and the staged
-    * output all stay on hash(tgt), which is exactly the next round's
-    * join key.
+    * is that re-keying. The per-tgt argmax is written as the
+    * `row_number() = 1` idiom and left to
+    * [[graft.plans.RewriteRankLimit]], which turns it into ONE
+    * bounded-heap aggregation on the same hash(tgt) partitioning —
+    * the previous hand-built max → join-back → min chain was two
+    * aggregations plus a join over a table that had to be staged
+    * against double-compute; the heap form reads the count table
+    * once, so nothing here needs a checkpoint.
     */
   private def vote(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
-    val cnt = stage(pairs.repartition($"tgt")
-      .groupBy($"tgt", $"lbl").agg(count(lit(1)).as("c")))
-    val best = cnt.groupBy($"tgt").agg(max($"c").as("cmax"))
-    cnt.join(best, "tgt").where($"c" === $"cmax")
-      .groupBy($"tgt").agg(min($"lbl").as("lbl"))
+    pairs.repartition($"tgt")
+      .groupBy($"tgt", $"lbl").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"tgt").orderBy($"c".desc, $"lbl")))
+      .where($"rn" === 1)
       .select($"tgt".as("node"), $"lbl")
   }
 
@@ -379,18 +407,27 @@ object GraphOps {
     val flows = FlowAnalytics.asFlows(spark, dir)
     val ue = flows
       .select(concat(lit("u:"), $"user_id").as("unode"), $"da").distinct()
-    // one staged copy per vote direction (joins on unode / on da)
+    // one staged copy per vote direction (joins on unode / on da);
+    // the da-keyed copy derives from the staged unode-keyed one —
+    // edge-sized re-key, one flow-corpus scan total
     val ueU = stage(ue.repartition($"unode"))
-    val ueD = stage(ue.repartition($"da"))
+    val ueD = stage(ueU.repartition($"da"))
     var usr = ueU.select($"unode".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
     var svc = ueD.select($"da".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
-    for (_ <- 1 to LpaIters) {
-      svc = vote(
-        ueU.join(usr, $"unode" === $"node").select($"da".as("tgt"), $"lbl"))
-      usr = vote(
+    // label state is referenced once per vote, so only the USER half
+    // of each round is staged (one eager job per round, not two);
+    // the final svc feeds both the last usr vote and the output
+    // union, so it is staged — while the final usr flows lazily into
+    // the output aggregation (referenced once)
+    for (i <- 1 to LpaIters) {
+      val svcNext =
+        vote(ueU.join(usr, $"unode" === $"node").select($"da".as("tgt"), $"lbl"))
+      svc = if (i == LpaIters) stage(svcNext) else svcNext
+      val usrNext = vote(
         ueD.join(svc, $"da" === $"node").select($"unode".as("tgt"), $"lbl"))
+      usr = if (i < LpaIters) stage(usrNext) else usrNext
     }
     usr.unionAll(svc)
       .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
