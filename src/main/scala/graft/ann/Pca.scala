@@ -93,15 +93,33 @@ object Pca {
       .agg(qsum($"p").as("c"))
   }
 
-  /** One normalized power step: v ← C·v / ‖C·v‖. */
+  /** Decimal-quantized term for the order-free HOF sums below — the
+    * array-fold twin of [[rsum]] (accumulator held at DECIMAL(28,9),
+    * re-cast each fold step so the lambda's type matches the zero's).
+    */
+  private def qdec(c: org.apache.spark.sql.Column) =
+    round(c, 9).cast(DecimalType(28, 9))
+
+  /** One normalized power step: v ← C·v / ‖C·v‖.
+    *
+    * The 64-row product w = C·v is collapsed to a SINGLE array row
+    * and the norm is an `aggregate` fold over that array — the same
+    * rounded-decimal arithmetic as the old broadcast-norm form
+    * (values identical, oracle unchanged), but w is referenced
+    * exactly ONCE, so a step's plan no longer holds the previous
+    * step twice and the iterate chain stops doubling when left lazy.
+    */
   private def step(cov: DataFrame, v: DataFrame): DataFrame = {
     import cov.sparkSession.implicits._
-    val w = cov.join(broadcast(v), $"j" === $"k")
+    cov.join(broadcast(v), $"j" === $"k")
       .groupBy($"i")
       .agg(rsum($"c" * $"vk").as("w"))
-    val norm = w.agg(sqrt(rsum($"w" * $"w")).as("nrm"))
-    w.crossJoin(broadcast(norm))
-      .select($"i".as("k"), round($"w" / $"nrm", 9).as("vk"))
+      .agg(sort_array(collect_list(struct($"i", $"w"))).as("ws"))
+      .select($"ws", sqrt(aggregate($"ws", lit(0).cast(DecimalType(28, 9)),
+        (acc, x) => (acc + qdec(x.getField("w") * x.getField("w")))
+          .cast(DecimalType(28, 9))).cast("double")).as("nrm"))
+      .select(explode($"ws").as("e"), $"nrm")
+      .select($"e.i".as("k"), round($"e.w" / $"nrm", 9).as("vk"))
   }
 
   /** The leading eigenvector after `iters` normalized power steps
@@ -116,11 +134,14 @@ object Pca {
     // rounding disagrees; 9-dp × 9-dp products tie at ~1e-9 instead
     var v = spark.range(1, Dim + 1).toDF("k")
       .select($"k", lit(Seed).as("vk"))
-    // each iterate is 64 rows but its plan holds the previous step
-    // TWICE (once direct, once under the broadcast norm scalar) —
-    // unmaterialized, re-execution doubles per step; checkpointing the
-    // tiny frame keeps every step a constant-cost job
-    for (_ <- 1 to iters) v = materialize(step(cov, v))
+    // with the single-reference step above, an intermediate iterate
+    // is consumed once by the next step — every-other-step staging
+    // (see GraphOps) halves the eager jobs; the FINAL iterate is
+    // multi-consumed (rayleigh, scores, deflation) and stays staged
+    for (i <- 1 to iters) {
+      val next = step(cov, v)
+      v = if (i % 2 == 0 || i == iters) materialize(next) else next
+    }
     v
   }
 
@@ -185,15 +206,26 @@ object Pca {
     */
   private def stepOrth(cov: DataFrame, v: DataFrame, v1: DataFrame): DataFrame = {
     import cov.sparkSession.implicits._
+    // same single-array-row restructuring as [[step]]: w meets v1
+    // once, then the deflation dot product, the projected residual,
+    // and its norm are HOF folds over the one row — identical
+    // rounded-decimal arithmetic, every intermediate referenced once
     val p1 = v1.select($"k".as("i"), $"vk".as("v1"))
-    val w = cov.join(broadcast(v), $"j" === $"k")
+    cov.join(broadcast(v), $"j" === $"k")
       .groupBy($"i").agg(rsum($"c" * $"vk").as("w"))
-    val d = w.join(broadcast(p1), "i").agg(rsum($"w" * $"v1").as("d"))
-    val wp = w.join(broadcast(p1), "i").crossJoin(broadcast(d))
-      .select($"i", round($"w" - $"d" * $"v1", 9).as("w"))
-    val norm = wp.agg(sqrt(rsum($"w" * $"w")).as("nrm"))
-    wp.crossJoin(broadcast(norm))
-      .select($"i".as("k"), round($"w" / $"nrm", 9).as("vk"))
+      .join(broadcast(p1), "i")
+      .agg(sort_array(collect_list(struct($"i", $"w", $"v1"))).as("ws"))
+      .select($"ws", aggregate($"ws", lit(0).cast(DecimalType(28, 9)),
+        (acc, x) => (acc + qdec(x.getField("w") * x.getField("v1")))
+          .cast(DecimalType(28, 9))).cast("double").as("d"))
+      .select(transform($"ws", x => struct(
+        x.getField("i").as("i"),
+        round(x.getField("w") - $"d" * x.getField("v1"), 9).as("w"))).as("wp"))
+      .select($"wp", sqrt(aggregate($"wp", lit(0).cast(DecimalType(28, 9)),
+        (acc, x) => (acc + qdec(x.getField("w") * x.getField("w")))
+          .cast(DecimalType(28, 9))).cast("double")).as("nrm"))
+      .select(explode($"wp").as("e"), $"nrm")
+      .select($"e.i".as("k"), round($"e.w" / $"nrm", 9).as("vk"))
   }
 
   /** D27c: top-2 components (`emb_pca2`) — the step from "a leading
@@ -212,7 +244,10 @@ object Pca {
     val lam1 = rayleigh(cov, v1)
     var v2 = spark.range(1, Dim + 1).toDF("k")
       .select($"k", lit(Seed).as("vk"))
-    for (_ <- 1 to Iters) v2 = materialize(stepOrth(cov, v2, v1))
+    for (i <- 1 to Iters) {
+      val next = stepOrth(cov, v2, v1)
+      v2 = if (i % 2 == 0 || i == Iters) materialize(next) else next
+    }
     val lam2 = rayleigh(cov, v2)
     v1.select($"k", $"vk".as("l1"))
       .join(v2.select($"k", $"vk".as("l2")), "k")
