@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 
@@ -116,15 +116,23 @@ object Dedup {
     * (band self-join sides, the two score join-backs) reads the
     * materialized signature leaf as data.
     */
-  private def pairsFromSignatures(mh: DataFrame): DataFrame = {
+  /** (doc_id, minhashes, band_id, band_hash): the exploded LSH band
+    * view of a signature frame — map-only, rides the signature scan.
+    */
+  private def bandsOf(mh: DataFrame): DataFrame = {
     import mh.sparkSession.implicits._
-    val bands = mh.select($"doc_id", $"minhashes",
+    mh.select($"doc_id", $"minhashes",
       explode(expr(
         s"""transform(sequence(0, ${Bands - 1}), b ->
            |  named_struct('band_id', b,
            |    'band_hash', md5(cast(concat_ws(',', slice(minhashes, b * $RowsPerBand + 1, $RowsPerBand)) as binary))))""".stripMargin))
         .as("band"))
       .select($"doc_id", $"minhashes", $"band.band_id", $"band.band_hash")
+  }
+
+  private def pairsFromSignatures(mh: DataFrame): DataFrame = {
+    import mh.sparkSession.implicits._
+    val bands = bandsOf(mh)
     val l = bands.as("l"); val r = bands.as("r")
     // dedup candidate pairs BEFORE scoring: a pair can collide in up
     // to 16 bands, and the signature comparison is 64 ops — score each
@@ -143,24 +151,28 @@ object Dedup {
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsFromSignatures(minhashed(corpusNear(spark, dir)))
 
+  /** Estimated Jaccard from two signatures: 64 unrolled codegen'd
+    * slot-equality terms instead of an interpreted lambda fold.
+    */
+  private def sigEst(s1: Column, s2: Column): Column =
+    (0 until NumHashes).map(j =>
+      when(element_at(s1, j + 1) === element_at(s2, j + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mh = minhashed(corpusNear(spark, dir))
     val pairs = pairsFromSignatures(mh)
-    // unrolled slot comparisons: 64 codegen'd equality terms instead of
-    // an interpreted lambda fold. Signatures join back as plain shuffle
-    // joins on doc_id — the signature table grows with the corpus, so a
-    // broadcast build side would OOM every executor at scale; the pairs
-    // side is already hash-partitioned by d1/d2 from the distinct.
+    // Signatures join back as plain shuffle joins on doc_id — the
+    // signature table grows with the corpus, so a broadcast build side
+    // would OOM every executor at scale; the pairs side is already
+    // hash-partitioned by d1/d2 from the distinct.
     val m1 = mh.select($"doc_id".as("d1"), $"minhashes".as("s1"))
     val m2 = mh.select($"doc_id".as("d2"), $"minhashes".as("s2"))
-    val estExpr = (0 until NumHashes).map(j =>
-      when(element_at($"s1", j + 1) === element_at($"s2", j + 1), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / NumHashes
     pairs
       .join(m1, "d1")
       .join(m2, "d2")
-      .select($"d1", $"d2", estExpr.as("est_jaccard"))
+      .select($"d1", $"d2", sigEst($"s1", $"s2").as("est_jaccard"))
       .orderBy($"d1", $"d2")
   }
 
@@ -720,6 +732,111 @@ object Dedup {
        |FROM probe p JOIN hits hi USING (doc_id) LEFT JOIN truth t USING (h)
        |ORDER BY doc_id""".stripMargin
 
+  /** D23b: incremental MinHash dedup (`dedup_incremental`) — the
+    * NEAR-dup complement of the [[bloomGate]] exact-hash gate, and the
+    * production shape for a corpus that grows batch by batch: the
+    * standing corpus is summarized ONCE into a persisted signature
+    * index ([[minhashed]] — at scale a maintained table, not a
+    * per-batch recomputation), and each incoming batch is signed
+    * map-only and band-joined against the index. The candidate join
+    * is batch×index on (band_id, band_hash) — batch-sized output,
+    * never an index self-join, so daily-crawl dedup cost scales with
+    * the BATCH, not the corpus. A revision whose text drifts by a
+    * suffix keeps most of its shingles and fires (est ≥
+    * [[IncThreshold]]); fresh content shares no band and short-circuits
+    * to not-dup without a single signature comparison.
+    *
+    * The batch here derives from the corpus deterministically
+    * (revisions of every 5th doc, md5-gibberish fresh docs from every
+    * 3rd) so the DuckDB oracle replays the whole gate exactly,
+    * including est values (multiples of 1/64 — exact in both
+    * engines).
+    */
+  val IncThreshold = 0.5
+
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val incoming = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 50000).as("doc_id"),
+        concat($"text", lit(" rev2 batch tail")).as("text"))
+      .union(docs.where($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 70000).as("doc_id"),
+          md5(concat(lit("fresh:"), $"doc_id".cast("string"))).as("text")))
+    val index = minhashed(docs) // the persisted signature index
+    val batch = minhashed(incoming) // batch-sized; feeds bands + scoring
+    val cands = bandsOf(batch).as("n")
+      .join(bandsOf(index).as("o"),
+        $"n.band_id" === $"o.band_id" && $"n.band_hash" === $"o.band_hash")
+      .select($"n.doc_id".as("d_new"), $"o.doc_id".as("d_old"))
+      .distinct()
+    val scored = cands
+      .join(batch.select($"doc_id".as("d_new"), $"minhashes".as("s1")), "d_new")
+      .join(index.select($"doc_id".as("d_old"), $"minhashes".as("s2")), "d_old")
+      .select($"d_new", sigEst($"s1", $"s2").as("est"))
+    val agg = scored.groupBy($"d_new")
+      .agg(count(lit(1)).as("n_cands"), max($"est").as("best_est"))
+    batch.select($"doc_id")
+      .join(agg.select($"d_new".as("doc_id"), $"n_cands", $"best_est"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_cands", lit(0L)).as("n_cands"),
+        $"best_est",
+        coalesce($"best_est" >= IncThreshold, lit(false)).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  val minhashIncrementalSql: String =
+    s"""WITH inc AS (
+       |  SELECT doc_id + 50000 AS doc_id, text || ' rev2 batch tail' AS text
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 70000 AS doc_id, md5('fresh:' || doc_id) AS text
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |ad AS (
+       |  SELECT doc_id, text, 0 AS is_new FROM documents
+       |  UNION ALL SELECT doc_id, text, 1 AS is_new FROM inc),
+       |sh AS (
+       |  SELECT doc_id, is_new,
+       |    list_distinct(list_transform(range(1, greatest(length(text) - ${ShingleLen - 1}, 1) + 1),
+       |      i -> substring(text, i, $ShingleLen))) AS shingles
+       |  FROM ad),
+       |hashed AS (
+       |  SELECT doc_id, is_new,
+       |    list_transform(shingles, s ->
+       |      ('0x' || substr(md5(s), 1, 15))::BIGINT % $MinhashP) AS hs,
+       |    list_transform(range(0, $NumHashes), j ->
+       |      ('0x' || substr(md5('a:' || j), 1, 7))::BIGINT % ${MinhashP - 1} + 1) AS ha,
+       |    list_transform(range(0, $NumHashes), j ->
+       |      ('0x' || substr(md5('b:' || j), 1, 7))::BIGINT % $MinhashP) AS hb
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, is_new,
+       |    list_transform(range(1, $NumHashes + 1), j ->
+       |      list_min(list_transform(hs, h -> (ha[j] * h + hb[j]) % $MinhashP))) AS minhashes
+       |  FROM hashed),
+       |bands AS (
+       |  SELECT doc_id, is_new, minhashes, b AS band_id,
+       |    md5(array_to_string(minhashes[b * $RowsPerBand + 1 : b * $RowsPerBand + $RowsPerBand], ',')) AS band_hash
+       |  FROM mh, range(0, $Bands) t(b)),
+       |cands AS (
+       |  SELECT DISTINCT n.doc_id AS d_new, o.doc_id AS d_old
+       |  FROM bands n JOIN bands o
+       |    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+       |   AND n.is_new = 1 AND o.is_new = 0),
+       |scored AS (
+       |  SELECT c.d_new,
+       |    CAST(len(list_filter(range(1, $NumHashes + 1),
+       |      i -> m1.minhashes[i] = m2.minhashes[i])) AS DOUBLE) / $NumHashes AS est
+       |  FROM cands c
+       |  JOIN mh m1 ON m1.doc_id = c.d_new AND m1.is_new = 1
+       |  JOIN mh m2 ON m2.doc_id = c.d_old AND m2.is_new = 0),
+       |agg AS (
+       |  SELECT d_new AS doc_id, count(*) AS n_cands, max(est) AS best_est
+       |  FROM scored GROUP BY d_new)
+       |SELECT i.doc_id, coalesce(a.n_cands, 0) AS n_cands, a.best_est,
+       |  coalesce(a.best_est >= $IncThreshold, false) AS is_dup
+       |FROM inc i LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** D4b: bounded edit-distance near-dup pass. Blocking is two-level —
     * (lang, length bucket, 12-char prefix) — so the O(len²) distance
     * only runs on near-certain candidates; the corpusNear plants give
@@ -947,7 +1064,8 @@ object Dedup {
     "dedup_edit_distance" -> editDistance _,
     "dedup_contamination" -> contamination _,
     "dedup_passages" -> passageDedup _,
-    "dedup_bloom_gate" -> bloomGate _)
+    "dedup_bloom_gate" -> bloomGate _,
+    "dedup_incremental" -> minhashIncremental _)
 
   val oracleSql: Map[String, String] = Map(
     "dedup_bloom_gate" -> bloomGateSql,
@@ -962,5 +1080,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_edit_distance" -> editDistanceSql,
     "dedup_contamination" -> contaminationSql,
-    "dedup_passages" -> passageDedupSql)
+    "dedup_passages" -> passageDedupSql,
+    "dedup_incremental" -> minhashIncrementalSql)
 }

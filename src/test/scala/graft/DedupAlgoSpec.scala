@@ -148,4 +148,22 @@ class DedupAlgoSpec extends SparkSpecBase {
       s"prefix-filtered result diverges from brute force:\n got=${got.toSeq}\n brute=${brute.toSeq}")
     assert(got.nonEmpty, "planted pair not found at all")
   }
+
+  test("incremental gate: every revision flagged dup, every fresh doc clean") {
+    import spark.implicits._
+    val out = Dedup.minhashIncremental(spark, sf0001)
+      .select($"doc_id", $"is_dup").collect()
+    val (revs, fresh) = out.partition(_.getLong(0) < 70000)
+    assert(revs.nonEmpty && fresh.nonEmpty, "batch construction broke")
+    // a suffix revision keeps most shingles: the signature estimate
+    // must clear the LSH threshold for every planted revision
+    val missed = revs.filterNot(_.getBoolean(1))
+    assert(missed.isEmpty,
+      s"revisions not flagged: ${missed.map(_.getLong(0)).toSeq.sorted}")
+    // md5-gibberish shares no 5-gram shingle with English text — no
+    // fresh doc may flag (a flag here means the band join leaked)
+    val leaked = fresh.filter(_.getBoolean(1))
+    assert(leaked.isEmpty,
+      s"fresh docs flagged: ${leaked.map(_.getLong(0)).toSeq.sorted}")
+  }
 }
