@@ -104,7 +104,7 @@ object Dedup {
     * data — also the production shape, where the signature index is
     * a persisted table, not a per-query recomputation.
     */
-  private def minhashed(corpus: DataFrame): DataFrame =
+  private[graft] def minhashed(corpus: DataFrame): DataFrame =
     materialize(corpus.select(col("doc_id"),
       graft.functions.StrFuncs.minhash_sig(
         graft.functions.StrFuncs.char_grams(col("text"), ShingleLen),
@@ -117,9 +117,11 @@ object Dedup {
     * materialized signature leaf as data.
     */
   /** (doc_id, minhashes, band_id, band_hash): the exploded LSH band
-    * view of a signature frame — map-only, rides the signature scan.
+    * view of a signature frame — map-only, rides the signature scan
+    * (streaming-safe: no shuffle, no state — also the E10 stream-side
+    * sign step).
     */
-  private def bandsOf(mh: DataFrame): DataFrame = {
+  private[graft] def bandsOf(mh: DataFrame): DataFrame = {
     import mh.sparkSession.implicits._
     mh.select($"doc_id", $"minhashes",
       explode(expr(
@@ -154,7 +156,7 @@ object Dedup {
   /** Estimated Jaccard from two signatures: 64 unrolled codegen'd
     * slot-equality terms instead of an interpreted lambda fold.
     */
-  private def sigEst(s1: Column, s2: Column): Column =
+  private[graft] def sigEst(s1: Column, s2: Column): Column =
     (0 until NumHashes).map(j =>
       when(element_at(s1, j + 1) === element_at(s2, j + 1), 1).otherwise(0))
       .reduce(_ + _).cast("double") / NumHashes
@@ -785,7 +787,11 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  val minhashIncrementalSql: String =
+  /** Shared incremental-gate CTE chain (incoming batch + union
+    * signatures + band table) — also the E10 streaming-gate oracle
+    * prefix.
+    */
+  val minhashIncCtes: String =
     s"""WITH inc AS (
        |  SELECT doc_id + 50000 AS doc_id, text || ' rev2 batch tail' AS text
        |  FROM documents WHERE doc_id % 5 = 0
@@ -817,8 +823,10 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, is_new, minhashes, b AS band_id,
        |    md5(array_to_string(minhashes[b * $RowsPerBand + 1 : b * $RowsPerBand + $RowsPerBand], ',')) AS band_hash
-       |  FROM mh, range(0, $Bands) t(b)),
-       |cands AS (
+       |  FROM mh, range(0, $Bands) t(b))""".stripMargin
+
+  val minhashIncrementalSql: String = minhashIncCtes +
+    s""", cands AS (
        |  SELECT DISTINCT n.doc_id AS d_new, o.doc_id AS d_old
        |  FROM bands n JOIN bands o
        |    ON n.band_id = o.band_id AND n.band_hash = o.band_hash

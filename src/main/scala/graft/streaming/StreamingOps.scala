@@ -357,8 +357,72 @@ object StreamingOps {
     spark.table(name).orderBy($"doc_id")
   }
 
+  /** E10: streaming MinHash ingest gate — D23b's incremental NEAR-dup
+    * filter in front of the stream, the fuzzy twin of E9's exact-hash
+    * gate. The standing corpus is summarized once into the persisted
+    * signature/band index (batch side); each arriving doc is SIGNED
+    * MAP-ONLY ([[graft.functions.StrFuncs]] minhash kernel), band-
+    * exploded on the scan row, and equi-joined stream×static against
+    * the index. The one stateful operator is a single complete-mode
+    * max aggregation per doc — max over band-collision rows equals
+    * max over distinct candidate pairs (duplicates can't change a
+    * max), which is exactly why the streaming verdict drops D23b's
+    * n_cands: counting needs pair dedup, a second stateful operator.
+    * Fresh docs share no band, so they never enter the state store;
+    * they surface via the batch-side left join at the end (their ids
+    * are a deterministic function of the corpus, not of the stream).
+    */
+  def minhashGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val name = s"graft_stream_mh_${counter.incrementAndGet()}"
+    val docsSpool = spool(spark, dir, "documents")
+    val existing = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    // static side: the persisted signature index, band-exploded
+    val index = Dedup.bandsOf(Dedup.minhashed(existing))
+      .select($"doc_id".as("d_old"), $"minhashes".as("s_old"),
+        $"band_id", $"band_hash")
+    val incoming = spark.readStream
+      .schema(documentsSchema)
+      .parquet(docsSpool)
+    // the stream plays the D23b incoming batch (suffix revisions +
+    // md5-gibberish fresh docs)
+    val staged = incoming.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 50000).as("doc_id"),
+        concat($"text", lit(" rev2 batch tail")).as("text"))
+      .union(incoming.where($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 70000).as("doc_id"),
+          md5(concat(lit("fresh:"), $"doc_id".cast("string"))).as("text")))
+    val signed = staged.select($"doc_id",
+      graft.functions.StrFuncs.minhash_sig(
+        graft.functions.StrFuncs.char_grams($"text", Dedup.ShingleLen),
+        Dedup.NumHashes, Dedup.MinhashP).as("minhashes"))
+    val q = Dedup.bandsOf(signed)
+      .join(index, Seq("band_id", "band_hash"))
+      .groupBy($"doc_id")
+      .agg(max(Dedup.sigEst($"minhashes", $"s_old")).as("best_est"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // batch-side presentation: every staged doc id, flagged or clean
+    val ids = existing.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 50000).as("doc_id"))
+      .union(existing.where($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 70000).as("doc_id")))
+    ids.join(spark.table(name), Seq("doc_id"), "left")
+      .select($"doc_id", $"best_est",
+        coalesce($"best_est" >= Dedup.IncThreshold, lit(false)).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bloom_gate" -> bloomGate _,
+    "stream_minhash_gate" -> minhashGate _,
     "stream_window_agg" -> windowAgg _,
     "stream_running_totals" -> runningTotals _,
     "stream_sessions_agg" -> sessionAgg _,
@@ -391,6 +455,25 @@ object StreamingOps {
          |  SELECT c.doc_id, bool_and(s.pos IS NOT NULL) AS flagged
          |  FROM cand c LEFT JOIN setpos s USING (pos) GROUP BY c.doc_id)
          |SELECT doc_id, flagged FROM hits ORDER BY doc_id""".stripMargin
+    },
+    "stream_minhash_gate" -> {
+      // E10 = D23b's CTE chain, verdict = max over band-collision rows
+      // (identical to max over distinct pairs — duplicates can't move
+      // a max), the single-stateful-operator streaming form
+      val n = graft.dedup.Dedup.NumHashes
+      graft.dedup.Dedup.minhashIncCtes +
+        s""", coll AS (
+           |  SELECT n.doc_id,
+           |    CAST(len(list_filter(range(1, $n + 1),
+           |      i -> n.minhashes[i] = o.minhashes[i])) AS DOUBLE) / $n AS est
+           |  FROM bands n JOIN bands o
+           |    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+           |   AND n.is_new = 1 AND o.is_new = 0),
+           |agg AS (
+           |  SELECT doc_id, max(est) AS best_est FROM coll GROUP BY doc_id)
+           |SELECT i.doc_id, a.best_est,
+           |  coalesce(a.best_est >= ${graft.dedup.Dedup.IncThreshold}, false) AS is_dup
+           |FROM inc i LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "stream_topk" ->
       """SELECT CAST(row_number() OVER (ORDER BY est DESC, proto) AS BIGINT) AS rnk,
