@@ -1063,6 +1063,79 @@ object Dedup {
       |  doc_id = min(lbl) AS is_canonical
       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** D15b: quality-aware cluster representative selection
+    * (`dedup_keep_best`) — the last step of a production dedup
+    * pipeline: after near-dup clustering, KEEP THE BEST member of
+    * each cluster rather than the arbitrary lowest id (a crawl's
+    * canonical copy is usually the cleanest, not the first-seen).
+    * Composes three existing pieces end to end: D15's two-phase
+    * connected components over the minhash candidate graph, D9's
+    * quality score per member, and the `row_number()=1` keep-first
+    * idiom that [[graft.plans.RewriteRankLimit]] turns into one
+    * bounded-heap aggregation per cluster — no per-cluster sort, ≤1
+    * row per (partition, cluster) crossing the shuffle. Ties break to
+    * the smallest doc_id; score arithmetic is the D9 expression both
+    * engines evaluate bit-identically (text_quality's hash-green row
+    * is the proof), so the argmax replays exactly.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = corpusNear(spark, dir)
+    val labels = connectedComponentsTwoPhase(docs.select($"doc_id"),
+      minhashPairs(spark, dir))
+    val q = graft.text.TextAnalytics.qualityCols(docs)
+      .select($"doc_id", $"score")
+    val lq = labels.join(q, "doc_id")
+    val keeps = lq
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id")))
+      .where($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("keep_id"))
+    lq.join(keeps, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"score", $"keep_id",
+        ($"doc_id" === $"keep_id").as("is_kept"))
+      .orderBy($"doc_id")
+  }
+
+  val keepBestSql: String =
+    minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    """, edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+      |lab AS (
+      |  SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+      |tq AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    length(text) AS n_chars_m,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop
+      |  FROM corpus),
+      |qs AS (
+      |  SELECT doc_id,
+      |    ((CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens) * 0.2) +
+      |    ((CAST(n_stop AS DOUBLE) / n_tokens) * 2.0) +
+      |    (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS score
+      |  FROM tq),
+      |lq AS (
+      |  SELECT l.doc_id, l.cluster_id, q.score
+      |  FROM lab l JOIN qs q USING (doc_id)),
+      |keeps AS (
+      |  SELECT cluster_id, doc_id AS keep_id FROM (
+      |    SELECT cluster_id, doc_id,
+      |      row_number() OVER (PARTITION BY cluster_id
+      |                         ORDER BY score DESC, doc_id) AS rn
+      |    FROM lq) WHERE rn = 1)
+      |SELECT d.doc_id, d.cluster_id, d.score, k.keep_id,
+      |  d.doc_id = k.keep_id AS is_kept
+      |FROM lq d JOIN keeps k USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> clusters _,
     "dedup_exact" -> exact _,
@@ -1073,7 +1146,8 @@ object Dedup {
     "dedup_contamination" -> contamination _,
     "dedup_passages" -> passageDedup _,
     "dedup_bloom_gate" -> bloomGate _,
-    "dedup_incremental" -> minhashIncremental _)
+    "dedup_incremental" -> minhashIncremental _,
+    "dedup_keep_best" -> keepBest _)
 
   val oracleSql: Map[String, String] = Map(
     "dedup_bloom_gate" -> bloomGateSql,
@@ -1089,5 +1163,6 @@ object Dedup {
     "dedup_edit_distance" -> editDistanceSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_passages" -> passageDedupSql,
-    "dedup_incremental" -> minhashIncrementalSql)
+    "dedup_incremental" -> minhashIncrementalSql,
+    "dedup_keep_best" -> keepBestSql)
 }
