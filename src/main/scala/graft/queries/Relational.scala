@@ -150,6 +150,29 @@ object Relational {
       .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
   }
 
+  /** C6c: first/last/nth_value + lead-with-default over explicit
+    * frames — the navigation-function corner of the window surface
+    * (C6/C6b cover ranking, C7 covers running frames). One window
+    * partitioning serves all four functions, so the plan is a single
+    * sort+window pass; `nth_value` runs on the growing frame (NULL
+    * until the 3rd peer arrives) and `last_value` on the full-group
+    * frame — the two frame shapes that trip naive implementations.
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderdate", $"o_orderkey")
+    val grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    load(spark, dir, "orders")
+      .where($"o_custkey" < 500)
+      .select($"o_orderpriority", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("first_key", first($"o_orderkey").over(grow))
+      .withColumn("last_key", last($"o_orderkey").over(full))
+      .withColumn("third_key", nth_value($"o_orderkey", 3).over(grow))
+      .withColumn("lead2_price", lead($"o_totalprice", 2, -1.0).over(w))
+      .orderBy($"o_orderpriority", $"o_orderdate", $"o_orderkey")
+  }
+
   /** C7: running revenue + lag within each customer's order history. */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -376,6 +399,7 @@ object Relational {
     "agg_distinct" -> aggDistinct _,
     "window_rank" -> windowRank _,
     "window_rank_ties" -> windowRankTies _,
+    "window_firstlast" -> windowFirstLast _,
     "window_running" -> windowRunning _,
     "rollup_cube" -> rollupCube _,
     "orderby_limit" -> orderbyLimit _,
@@ -502,6 +526,20 @@ object Relational {
         |                      ORDER BY o_orderdate) AS BIGINT) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 2 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "window_firstlast" ->
+      """SELECT o_orderpriority, o_orderkey, o_orderdate, o_totalprice,
+        |  first_value(o_orderkey) OVER wg AS first_key,
+        |  last_value(o_orderkey) OVER wf AS last_key,
+        |  nth_value(o_orderkey, 3) OVER wg AS third_key,
+        |  lead(o_totalprice, 2, -1.0) OVER wo AS lead2_price
+        |FROM orders WHERE o_custkey < 500
+        |WINDOW
+        |  wo AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey),
+        |  wg AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin,
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
