@@ -85,6 +85,27 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("funnel is one corpus pass: a single events scan, no self-joins") {
+    val p = plan(FlowAnalytics.funnel(spark, sf0001))
+    // the prefix-min window DFA reads events ONCE; the previous shape
+    // scanned it four times (per-step filters) behind three joins.
+    // Count the "(n) Scan parquet" detail headers — the tree line
+    // would double-count each scan node.
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"per-step joins are back:\n$p")
+  }
+
+  test("incremental gate joins batch against the index — equi-join, no cartesian") {
+    val p = plan(graft.dedup.Dedup.minhashIncremental(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi candidate join:\n$p")
+    // both signature tables are staged leaves (the persisted-index
+    // shape): the band join and score join-backs read them as data
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("Scan ExistingRDD"), s"signature tables not staged:\n$p")
+  }
+
   test("flow analytics aggregate partially before the shuffle") {
     val p = plan(FlowAnalytics.topTalkers(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no map-side combine:\n$p")
