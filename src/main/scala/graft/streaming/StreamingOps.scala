@@ -379,8 +379,10 @@ object StreamingOps {
     val docsSpool = spool(spark, dir, "documents")
     val existing = graft.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text")
-    // static side: the persisted signature index, band-exploded
-    val index = Dedup.bandsOf(Dedup.minhashed(existing))
+    // static side: the persisted signature index, band-exploded and
+    // hot-band-capped (same D23b guard: an over-wide bucket is
+    // exact-dup territory and would blow up the stream-side join)
+    val index = Dedup.cappedBands(Dedup.minhashed(existing))
       .select($"doc_id".as("d_old"), $"minhashes".as("s_old"),
         $"band_id", $"band_hash")
     val incoming = spark.readStream
@@ -466,9 +468,9 @@ object StreamingOps {
            |  SELECT n.doc_id,
            |    CAST(len(list_filter(range(1, $n + 1),
            |      i -> n.minhashes[i] = o.minhashes[i])) AS DOUBLE) / $n AS est
-           |  FROM bands n JOIN bands o
+           |  FROM bands n JOIN okept o
            |    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
-           |   AND n.is_new = 1 AND o.is_new = 0),
+           |   AND n.is_new = 1),
            |agg AS (
            |  SELECT doc_id, max(est) AS best_est FROM coll GROUP BY doc_id)
            |SELECT i.doc_id, a.best_est,

@@ -149,6 +149,33 @@ class DedupAlgoSpec extends SparkSpecBase {
     assert(got.nonEmpty, "planted pair not found at all")
   }
 
+  test("hot-band cap bounds boilerplate blowup without losing genuine near-dups") {
+    import spark.implicits._
+    // 40 byte-identical boilerplate docs (identical signatures → one
+    // band bucket of width 40 in EVERY band → C(40,2)=780 quadratic
+    // candidate pairs uncapped) + one genuine near-dup pair with
+    // unique text (bucket width 2)
+    val boiler = (1L to 40L).map(i =>
+      (i, "the same boilerplate template page content repeated verbatim on every page"))
+    val pair = Seq(
+      (900L, "a genuinely unique document about distributed dataflow engines and their optimizers"),
+      (901L, "a genuinely unique document about distributed dataflow engines and their optimizers plus tail"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val mh = Dedup.minhashed(docs)
+    val capped = Dedup.pairsFromSignaturesCapped(mh, 8)
+    assert(capped.where($"d1" === 900L && $"d2" === 901L).count() === 1,
+      "genuine near-dup pair lost by the band cap")
+    assert(capped.where($"d1" < 900L).count() === 0,
+      "boilerplate bucket leaked through the cap")
+    val uncapped = Dedup.pairsFromSignaturesCapped(mh, 1000)
+    assert(uncapped.count() >= 780,
+      s"expected the quadratic bucket uncapped, got ${uncapped.count()}")
+    // the dropped bucket is exactly what the D1 hash path collapses at
+    // linear cost: all 40 docs share one content hash
+    assert(docs.groupBy(md5($"text".cast("binary"))).count()
+      .where($"count" === 40).count() === 1)
+  }
+
   test("incremental gate: every revision flagged dup, every fresh doc clean") {
     import spark.implicits._
     val out = Dedup.minhashIncremental(spark, sf0001)
