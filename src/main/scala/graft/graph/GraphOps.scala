@@ -21,9 +21,11 @@ import graft.flow.FlowAnalytics
   *  - on a cluster the edge table would be bucketed by src so the
   *    per-iteration shuffle is one-sided (ranks only); contributions
   *    combine map-side (decimal partial sums) before the dst shuffle.
-  *  - each round's rank table is checkpointed: the next round reads a
-  *    materialized table instead of replaying every prior round (the
-  *    same staging policy as D15's cluster propagation).
+  *  - every SECOND round's rank table is checkpointed: an
+  *    intermediate round is consumed exactly once by the next round,
+  *    so a two-round lazy segment replays nothing, while staging
+  *    still cuts lineage before the plan can compound (the full lazy
+  *    recurrence is refused — see [[stage]]).
   *
   * Semantics: fixed [[Iters]] synchronous rounds of
   * r(v) = (1-d)/N + d·Σ_{u→v} r(u)/outdeg(u), uniform init 1/N,
