@@ -271,7 +271,7 @@ object Knn {
     var cents = vecs
       .where($"vec_id" % CentStride === 0 && $"vec_id" < CentStride * CentBudget)
       .select($"vec_id".as("cid"), $"embedding".as("cent"))
-    for (i <- 1 to iters) {
+    for (r <- 1 to iters) {
       // per-dim means as Dim codegen'd avg columns in ONE ≤C-group
       // aggregation (map-side partials) — with the map-only argmax
       // above, a whole Lloyd's round is a single tiny shuffle; the
@@ -282,15 +282,13 @@ object Knn {
         .agg(array((1 to Dim).map(i =>
           round(avg(element_at($"embedding", i).cast("double")), 6)): _*)
           .as("cent"))
-      // an INTERMEDIATE round is consumed exactly once — by the next
-      // round's broadcast side — so leaving every other round lazy
-      // keeps the one-corpus-pass-per-round bound (the unstaged
-      // round's pass just runs inside the next round's job) with half
-      // the eager barriers. The FINAL table is multi-consumed (probe
-      // filter, cell join, encode) and must stay staged: lazy it
-      // re-derived the whole training history per consumer (13 corpus
-      // scans measured in one ann_topk_pq execution).
-      cents = if (i % 2 == 0 || i == iters) materialize(next) else next
+      // intermediate rounds are single-consumed → graft.Staging's
+      // every-second-round cadence; the FINAL table is multi-consumed
+      // (probe filter, cell join, encode) and must stay staged: lazy
+      // it re-derived the whole training history per consumer (13
+      // corpus scans measured in one ann_topk_pq execution)
+      cents = if (graft.Staging.stagePoint(r, iters, stageFinal = true))
+        materialize(next) else next
     }
     cents
   }

@@ -135,12 +135,14 @@ object Pca {
     var v = spark.range(1, Dim + 1).toDF("k")
       .select($"k", lit(Seed).as("vk"))
     // with the single-reference step above, an intermediate iterate
-    // is consumed once by the next step — every-other-step staging
-    // (see GraphOps) halves the eager jobs; the FINAL iterate is
-    // multi-consumed (rayleigh, scores, deflation) and stays staged
-    for (i <- 1 to iters) {
+    // is consumed once by the next step — graft.Staging's
+    // every-second-round cadence halves the eager jobs; the FINAL
+    // iterate is multi-consumed (rayleigh, scores, deflation) and
+    // stays staged
+    for (r <- 1 to iters) {
       val next = step(cov, v)
-      v = if (i % 2 == 0 || i == iters) materialize(next) else next
+      v = if (graft.Staging.stagePoint(r, iters, stageFinal = true))
+        materialize(next) else next
     }
     v
   }
@@ -244,9 +246,10 @@ object Pca {
     val lam1 = rayleigh(cov, v1)
     var v2 = spark.range(1, Dim + 1).toDF("k")
       .select($"k", lit(Seed).as("vk"))
-    for (i <- 1 to Iters) {
+    for (r <- 1 to Iters) {
       val next = stepOrth(cov, v2, v1)
-      v2 = if (i % 2 == 0 || i == Iters) materialize(next) else next
+      v2 = if (graft.Staging.stagePoint(r, Iters, stageFinal = true))
+        materialize(next) else next
     }
     val lam2 = rayleigh(cov, v2)
     v1.select($"k", $"vk".as("l1"))

@@ -31,6 +31,17 @@ import org.apache.spark.sql.types._
   * carries one pruned group-map per (partition, group) where the
   * window form shuffles and full-sorts every row of every group.
   *
+  * The boundary-tie term is input-dependent and therefore UNBOUNDED
+  * in the worst case (a million rows tied on the sort key all
+  * legitimately rank ≤ k) — and unlike the Window plan this replaces,
+  * an aggregation buffer cannot spill. `maxRows` is the fail-loud
+  * guard: once a group's RETAINED state exceeds it, the aggregate
+  * throws with guidance instead of concentrating the group into one
+  * executor OOM / 2 GB serialization overflow. Wrong results are
+  * never produced — the cap converts a silent memory blowup into the
+  * graft converge-or-throw contract (same policy as the cluster
+  * closure's iteration backstop).
+  *
   * Output is `array<struct<rnk int, row struct<...>>>` in rank
   * order; the rewrite explodes it and projects the payload columns +
   * `rnk` back under the window's original exprIds. Row order WITHIN
@@ -45,11 +56,13 @@ case class RankRowsAgg(
     ascending: Seq[Boolean],
     nullsFirst: Seq[Boolean],
     payload: Expression,
+    maxRows: Int = RankRowsAgg.DefaultMaxRows,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RankRowsAgg.Buf] {
 
   require(k > 0, "rankk_rows requires k > 0")
+  require(maxRows >= k, "rankk_rows maxRows must be >= k")
   require(orderKeys.nonEmpty && orderKeys.length == ascending.length &&
     orderKeys.length == nullsFirst.length, "sort spec arity mismatch")
 
@@ -133,6 +146,17 @@ case class RankRowsAgg(
         val ev = buf.map.pollLastEntry()
         buf.total -= ev.getValue.size
       }
+    }
+    // post-eviction: what's left is rows the semantics force us to
+    // keep — if that still exceeds the cap, fail loud before the
+    // buffer becomes an executor OOM (aggregation state can't spill)
+    if (buf.total > maxRows) {
+      throw new IllegalStateException(
+        s"$prettyName: a single group retains ${buf.total} rows (> maxRows=$maxRows) " +
+          "because of sort-key ties at the rank boundary. The rewritten heap cannot " +
+          "spill like the Window plan it replaced — raise " +
+          "spark.graft.rankLimitRewrite.maxTieRows, or disable the rewrite " +
+          "(spark.graft.rankLimitRewrite=false) for this query.")
     }
   }
 
@@ -238,6 +262,13 @@ case class RankRowsAgg(
 }
 
 object RankRowsAgg {
+  /** Default fail-loud cap on retained rows per group (k + boundary
+    * ties) — see the class doc. ~1M rows of modest width is
+    * hundreds of MB of buffer: past any sane tie population, well
+    * before the 2 GB serialization wall.
+    */
+  val DefaultMaxRows: Int = 1 << 20
+
   /** Ordered key-group map + total retained row count. */
   final class Buf(
       val map: java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]],

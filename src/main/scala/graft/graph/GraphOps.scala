@@ -124,7 +124,8 @@ object GraphOps {
             coalesce($"s", lit(0.0)), 9).as("pr"))
       // the LAST round flows lazily into the output top-N (referenced
       // once — nothing downstream re-derives it)
-      ranks = if (i % 2 == 0 && i < Iters) stage(next) else next
+      ranks = if (graft.Staging.stagePoint(i, Iters, stageFinal = false))
+        stage(next) else next
     }
     ranks.orderBy($"pr".desc, $"node").limit(TopN)
       .select($"node", $"pr".as("pagerank"))
@@ -217,7 +218,8 @@ object GraphOps {
       val next = nodes.join(contribs, $"node" === $"dst", "left")
         .select($"node",
           round($"tele" + coalesce($"s", lit(0.0)), 9).as("pr"))
-      ranks = if (i % 2 == 0 && i < Iters) stage(next) else next
+      ranks = if (graft.Staging.stagePoint(i, Iters, stageFinal = false))
+        stage(next) else next
     }
     ranks.orderBy($"pr".desc, $"node").limit(TopN)
       .select($"node", $"pr".as("ppr"))

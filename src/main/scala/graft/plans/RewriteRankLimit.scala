@@ -25,7 +25,11 @@ import graft.functions.{RankRowsAgg, TopKRowsAgg}
   * [[graft.functions.RankRowsAgg]] — a tie-expanded KEY-GROUP heap
   * (rank-like filters may legitimately emit more than k rows under
   * boundary ties, so eviction is by key group; state is
-  * O(k + boundary ties), the semantics' own lower bound).
+  * O(k + boundary ties), the semantics' own lower bound). The tie
+  * term is input-dependent, and unlike the Window plan an aggregation
+  * buffer cannot spill — the heap fails LOUD (never wrong) past
+  * `spark.graft.rankLimitRewrite.maxTieRows` retained rows per group,
+  * with guidance to raise the cap or disable the rewrite.
   *
   * Safety:
   *  - Only `row_number`/`rank`/`dense_rank` are rewritten; other
@@ -35,8 +39,10 @@ import graft.functions.{RankRowsAgg, TopKRowsAgg}
   *    rn<=expr, ...) disables the rewrite for that filter. Residual
   *    conjuncts on other columns are preserved above the rewrite.
   *  - `k` is capped (`spark.graft.rankLimitRewrite.maxK`, default
-  *    1000): heap state is O(k) per group, and beyond that a sort is
-  *    the right plan anyway.
+  *    1000): heap state is O(k) per group for row_number (O(k +
+  *    boundary ties) for rank-like, fail-loud-capped per the
+  *    paragraph above), and beyond that a sort is the right plan
+  *    anyway.
   *  - The window's partition/order expressions must be deterministic.
   *  - Under a non-total sort order, row_number is already
   *    nondeterministic; the heap picks one valid outcome, as the
@@ -54,6 +60,9 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString("spark.graft.rankLimitRewrite", "true").toBoolean
   private def maxK: Int =
     conf.getConfString("spark.graft.rankLimitRewrite.maxK", "1000").toInt
+  private def maxTieRows: Int =
+    conf.getConfString("spark.graft.rankLimitRewrite.maxTieRows",
+      graft.functions.RankRowsAgg.DefaultMaxRows.toString).toInt
 
   /** conjunct → Some(k) if it bounds `rn` to a top-k prefix. */
   private def limitOf(e: Expression, rn: Attribute): Option[Int] = e match {
@@ -145,7 +154,8 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
     val payload = CreateStruct(child.output)
     val aggFn = RankRowsAgg(k, dense, order.map(_.child),
       order.map(_.direction == Ascending),
-      order.map(_.nullOrdering == NullsFirst), payload)
+      order.map(_.nullOrdering == NullsFirst), payload,
+      maxRows = math.max(k, maxTieRows))
     val arr = Alias(aggFn.toAggregateExpression(), "rankk_rows")()
     val agg = Aggregate(part, Seq(arr), child)
     val elemType = aggFn.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]

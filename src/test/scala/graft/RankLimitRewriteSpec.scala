@@ -149,6 +149,25 @@ class RankLimitRewriteSpec extends SparkSpecBase {
     assert(q.count() == 3, "both tied minima in g=1 plus g=2's best")
   }
 
+  test("tie groups beyond the configured cap fail loud instead of growing unbounded") {
+    import spark.implicits._
+    // 10 rows all tied for rank 1: the semantics force the heap to
+    // retain every one — unlike the Window plan it cannot spill, so
+    // past the cap it must throw with guidance, never OOM or truncate
+    spark.conf.set("spark.graft.rankLimitRewrite.maxTieRows", "4")
+    try {
+      val q = (1 to 10).map(i => (1L, 1.0, i)).toDF("g", "v", "id")
+        .withColumn("rn", rank().over(Window.partitionBy($"g").orderBy($"v")))
+        .where($"rn" <= 1)
+      assert(rankRewritten(q, "rankk_rows"))
+      val e = intercept[Exception] { q.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("maxTieRows")),
+        s"expected the tie-cap guidance, got: ${messages(e)}")
+    } finally spark.conf.unset("spark.graft.rankLimitRewrite.maxTieRows")
+  }
+
   test("rank() null sort keys follow the window's null ordering") {
     import spark.implicits._
     def base = Seq(
