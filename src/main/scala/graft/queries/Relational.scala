@@ -206,6 +206,49 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** C24: FULL OUTER join — year-over-year revenue per customer,
+    * customers present in either year kept (the snapshot-diff shape:
+    * who appeared, who churned, who moved). Both sides are already
+    * aggregated to one row per key before the join, so the full
+    * outer is key-aligned and shuffle-partitioned on the join key —
+    * never a row-multiplying outer product.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+    def rev(year: Int, out: String) = o
+      .where($"o_orderdate" >= lit(s"$year-01-01 00:00:00").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit(s"${year + 1}-01-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy($"o_custkey").agg(graft.Tables.dsum($"o_totalprice").as(out))
+    val a = rev(1997, "rev97").as("a")
+    val b = rev(1998, "rev98").as("b")
+    a.join(b, $"a.o_custkey" === $"b.o_custkey", "full_outer")
+      .select(coalesce($"a.o_custkey", $"b.o_custkey").as("custkey"),
+        coalesce($"rev97", lit(0.0)).as("rev97"),
+        coalesce($"rev98", lit(0.0)).as("rev98"))
+      .where($"custkey" < 500)
+      .orderBy($"custkey")
+  }
+
+  /** C25: EXCEPT / INTERSECT set operations — customers active in
+    * 1997 partitioned into churned (EXCEPT 1998) and retained
+    * (INTERSECT 1998), tagged and unioned. Both set ops plan as
+    * aggregated joins (left-anti / left-semi over distincts), so the
+    * shuffle is key-sized.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+    def actives(year: Int) = o
+      .where($"o_orderdate" >= lit(s"$year-01-01 00:00:00").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit(s"${year + 1}-01-01 00:00:00").cast("timestamp_ntz"))
+      .select($"o_custkey")
+    val y97 = actives(1997); val y98 = actives(1998)
+    y97.except(y98).select($"o_custkey", lit("churned").as("cohort"))
+      .unionAll(y97.intersect(y98).select($"o_custkey", lit("retained").as("cohort")))
+      .orderBy($"o_custkey", $"cohort")
+  }
+
   /** C8: ROLLUP over (returnflag, linestatus). */
   def rollupCube(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -401,6 +444,8 @@ object Relational {
     "window_rank_ties" -> windowRankTies _,
     "window_firstlast" -> windowFirstLast _,
     "window_running" -> windowRunning _,
+    "join_full_outer" -> joinFullOuter _,
+    "set_ops" -> setOps _,
     "rollup_cube" -> rollupCube _,
     "orderby_limit" -> orderbyLimit _,
     "union_distinct" -> unionDistinct _,
@@ -526,6 +571,42 @@ object Relational {
         |                      ORDER BY o_orderdate) AS BIGINT) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 2 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH r97 AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS rev97
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |r98 AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS rev98
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+        |  coalesce(a.rev97, 0.0) AS rev97,
+        |  coalesce(b.rev98, 0.0) AS rev98
+        |FROM r97 a FULL OUTER JOIN r98 b ON a.o_custkey = b.o_custkey
+        |WHERE coalesce(a.o_custkey, b.o_custkey) < 500
+        |ORDER BY custkey""".stripMargin,
+    "set_ops" ->
+      """WITH y97 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |y98 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+        |SELECT o_custkey, 'churned' AS cohort
+        |FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+        |UNION ALL
+        |SELECT o_custkey, 'retained' AS cohort
+        |FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+        |ORDER BY o_custkey, cohort""".stripMargin,
     "window_firstlast" ->
       """SELECT o_orderpriority, o_orderkey, o_orderdate, o_totalprice,
         |  first_value(o_orderkey) OVER wg AS first_key,
