@@ -218,6 +218,22 @@ object FlowAnalytics {
       .orderBy($"win_start")
   }
 
+  /** B3c: weekly traffic profile (`flow_weekday_profile`) — the
+    * day-of-week × hour heatmap, the stock Grafana panel for spotting
+    * off-hours traffic on a netflow dashboard. One combine-heavy
+    * groupBy over ≤168 cells; dow is 1–7 with Sunday=1 (Spark's
+    * convention — the oracle's 0-based dayofweek is shifted to
+    * match).
+    */
+  def weekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(dayofweek($"ts").cast("long").as("dow"),
+        hour($"ts").cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_flows"), dsum($"ibyt", 0).as("bytes"))
+      .orderBy($"dow", $"hr")
+  }
+
   /** B7b: native session windows — `session_window(ts, gap)` merges
     * events closer than the gap into one state-backed window (the
     * same sessionization as B7's lag/cumsum, as the engine-native
@@ -872,6 +888,7 @@ object FlowAnalytics {
     "flow_proto_breakdown" -> protoBreakdown _,
     "flow_time_series" -> timeSeries _,
     "flow_time_series_sliding" -> timeSeriesSliding _,
+    "flow_weekday_profile" -> weekdayProfile _,
     "flow_sessions_native" -> sessionsNative _,
     "flow_fan_in" -> fanIn _,
     "flow_window_filter" -> windowFilter _,
@@ -1077,6 +1094,10 @@ object FlowAnalytics {
         |  count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes
         |FROM flows, range(0, 4) t(kk)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "flow_weekday_profile" -> (flowsCte +
+      """SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+        |  count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes
+        |FROM flows GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin),
     "flow_sessions_native" -> (flowsCte +
       """, s AS (
         |  SELECT user_id, event_id, ts, value,
