@@ -74,6 +74,46 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D1b: dedup-rate monitoring report (`dedup_rate_report`) — the
+    * daily artifact a curation pipeline actually watches: per-source
+    * document counts, duplicate counts, and the dup rate, computed
+    * from the D1 exact-hash pass. A source whose rate jumps is a
+    * crawler re-fetching or a pipeline double-ingesting; at 100 TB
+    * this is the same one-shuffle hash groupBy as D1 plus a
+    * source-keyed rollup over per-partition partial counts.
+    */
+  def dedupRateReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents").select($"doc_id", $"text", $"source")
+    val corpus = d.union(d.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text", $"source"))
+    corpus
+      .withColumn("keep_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5($"text".cast("binary")))))
+      .withColumn("is_dup", ($"doc_id" =!= $"keep_id").cast("int"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"is_dup").cast("long").as("n_dups"))
+      .select($"source", $"n_docs", $"n_dups",
+        round($"n_dups".cast("double") / $"n_docs", 6).as("dup_rate"))
+      .orderBy($"source")
+  }
+
+  val dedupRateReportSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text, source
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |f AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY md5(text))
+      |      THEN 1 ELSE 0 END AS is_dup
+      |  FROM corpus)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+      |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   // ---- MinHash+LSH ----------------------------------------------------
   val ShingleLen = 5
   val NumHashes = 64
@@ -1208,7 +1248,8 @@ object Dedup {
     "dedup_passages" -> passageDedup _,
     "dedup_bloom_gate" -> bloomGate _,
     "dedup_incremental" -> minhashIncremental _,
-    "dedup_keep_best" -> keepBest _)
+    "dedup_keep_best" -> keepBest _,
+    "dedup_rate_report" -> dedupRateReport _)
 
   val oracleSql: Map[String, String] = Map(
     "dedup_bloom_gate" -> bloomGateSql,
@@ -1225,5 +1266,6 @@ object Dedup {
     "dedup_contamination" -> contaminationSql,
     "dedup_passages" -> passageDedupSql,
     "dedup_incremental" -> minhashIncrementalSql,
-    "dedup_keep_best" -> keepBestSql)
+    "dedup_keep_best" -> keepBestSql,
+    "dedup_rate_report" -> dedupRateReportSql)
 }
