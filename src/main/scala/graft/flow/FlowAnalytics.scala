@@ -182,6 +182,23 @@ object FlowAnalytics {
       .limit(10)
   }
 
+  /** B1d: top conversations (`flow_top_conversations`) — nfdump's
+    * `-s record` view: volume per ENDPOINT PAIR regardless of
+    * direction, the panel that surfaces a single heavy transfer where
+    * per-host top talkers smear it across both ends. The pair key is
+    * canonicalized with least/greatest so request and reply rows land
+    * in the same group; one combine-heavy groupBy, global top-10 via
+    * TakeOrderedAndProject.
+    */
+  def topConversations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .groupBy(least($"sa", $"da").as("ep1"), greatest($"sa", $"da").as("ep2"))
+      .agg(dsum($"ibyt", 0).as("bytes"), count(lit(1)).as("n_flows"))
+      .orderBy($"bytes".desc, $"ep1", $"ep2")
+      .limit(10)
+  }
+
   /** B2: per-protocol traffic breakdown. */
   def protoBreakdown(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -885,6 +902,7 @@ object FlowAnalytics {
     "flow_by_source" -> bySource _,
     "flow_daily_volume" -> flowDailyVolume _,
     "flow_top_talkers" -> topTalkers _,
+    "flow_top_conversations" -> topConversations _,
     "flow_proto_breakdown" -> protoBreakdown _,
     "flow_time_series" -> timeSeries _,
     "flow_time_series_sliding" -> timeSeriesSliding _,
@@ -1273,6 +1291,11 @@ object FlowAnalytics {
     "flow_top_talkers" -> (flowsCte +
       """SELECT sa, CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
         |FROM flows GROUP BY sa ORDER BY bytes DESC, sa LIMIT 10""".stripMargin),
+    "flow_top_conversations" -> (flowsCte +
+      """SELECT least(sa, da) AS ep1, greatest(sa, da) AS ep2,
+        |  CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
+        |FROM flows GROUP BY 1, 2
+        |ORDER BY bytes DESC, ep1, ep2 LIMIT 10""".stripMargin),
     "flow_proto_breakdown" -> (flowsCte +
       """SELECT pr, count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes,
         |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value,
