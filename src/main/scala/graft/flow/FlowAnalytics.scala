@@ -199,6 +199,26 @@ object FlowAnalytics {
       .limit(10)
   }
 
+  /** B1e: bidirectional host totals (`flow_host_totals`) — nfdump's
+    * `-s ip` statistic: per host, bytes SENT (as src) and RECEIVED
+    * (as dst) plus the flow count touching it, top-10 by combined
+    * volume. Map-side union of the two endpoint projections feeds one
+    * combine-heavy groupBy — the corpus is read once, not once per
+    * direction.
+    */
+  def hostTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = asFlows(spark, dir)
+    f.select($"sa".as("host"), $"ibyt".as("out_b"), lit(0L).as("in_b"))
+      .unionAll(f.select($"da".as("host"), lit(0L).as("out_b"), $"ibyt".as("in_b")))
+      .groupBy($"host")
+      .agg(dsum($"out_b", 0).as("bytes_out"), dsum($"in_b", 0).as("bytes_in"),
+        count(lit(1)).as("n_flows"))
+      .withColumn("bytes_total", $"bytes_out" + $"bytes_in")
+      .orderBy($"bytes_total".desc, $"host")
+      .limit(10)
+  }
+
   /** B2: per-protocol traffic breakdown. */
   def protoBreakdown(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -903,6 +923,7 @@ object FlowAnalytics {
     "flow_daily_volume" -> flowDailyVolume _,
     "flow_top_talkers" -> topTalkers _,
     "flow_top_conversations" -> topConversations _,
+    "flow_host_totals" -> hostTotals _,
     "flow_proto_breakdown" -> protoBreakdown _,
     "flow_time_series" -> timeSeries _,
     "flow_time_series_sliding" -> timeSeriesSliding _,
@@ -1296,6 +1317,14 @@ object FlowAnalytics {
         |  CAST(sum(ibyt) AS DOUBLE) AS bytes, count(*) AS n_flows
         |FROM flows GROUP BY 1, 2
         |ORDER BY bytes DESC, ep1, ep2 LIMIT 10""".stripMargin),
+    "flow_host_totals" -> (flowsCte +
+      """SELECT host, CAST(sum(out_b) AS DOUBLE) AS bytes_out,
+        |  CAST(sum(in_b) AS DOUBLE) AS bytes_in, count(*) AS n_flows,
+        |  CAST(sum(out_b) AS DOUBLE) + CAST(sum(in_b) AS DOUBLE) AS bytes_total
+        |FROM (
+        |  SELECT sa AS host, ibyt AS out_b, 0 AS in_b FROM flows
+        |  UNION ALL SELECT da, 0, ibyt FROM flows)
+        |GROUP BY host ORDER BY bytes_total DESC, host LIMIT 10""".stripMargin),
     "flow_proto_breakdown" -> (flowsCte +
       """SELECT pr, count(*) AS n_flows, CAST(sum(ibyt) AS DOUBLE) AS bytes,
         |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value,
