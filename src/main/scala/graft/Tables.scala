@@ -22,16 +22,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries INT64 TIMESTAMP(NANOS) which Spark 4's parquet
-    * reader rejects outright. Read nanos as long and rebuild a µs
-    * TIMESTAMP_NTZ (the testdata has no sub-µs components; DuckDB
-    * reads the same file as µs TIMESTAMP, so both engines agree).
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4's parquet
+    * reader surfaces only as long via `nanosAsLong`) and plain µs
+    * TIMESTAMP. Normalize BOTH to µs TIMESTAMP_NTZ by inspecting the
+    * read schema, so every downstream query and its DuckDB oracle
+    * (which reads either file as µs TIMESTAMP) agree bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = load(spark, dir, "events")
+    val tsConv = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case _ => expr("cast(ts as timestamp_ntz)")
+    }
+    raw.withColumn("ts", tsConv)
   }
 
   /** Exact decimal sum of a (≤ `scale`-decimal) column, output as double. */

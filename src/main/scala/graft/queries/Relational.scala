@@ -313,8 +313,13 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
-  /** C14: HLL cardinality sketch next to its exact twin (exact twin is
-    * what the oracle checks; HLL itself is engine-specific).
+  /** C14: HLL cardinality sketch checked against its exact twin.
+    * The sketch value itself is engine-specific (HLL++ register
+    * layout), so the graded output carries the EXACT count plus a
+    * Spark-side `within_bound` verdict — |approx−exact|/exact < 10%
+    * (rsd 1%, so 10× headroom) — which the oracle replays as
+    * literal TRUE next to its own exact count. The sketch is thereby
+    * hash-gradeable without the oracle having to reproduce HLL++.
     */
   def approxHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -323,12 +328,18 @@ object Relational {
       .agg(
         approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
         countDistinct($"l_orderkey").as("exact_orders"))
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx_orders" - $"exact_orders").cast("double") /
+          $"exact_orders" < 0.1).as("within_bound"))
       .orderBy($"l_returnflag")
   }
 
-  /** C14b: approx percentile sketch next to its exact twin (same
-    * rows-only pattern as C14 — the sketch is engine-specific; the
-    * spec bounds its error against the exact value).
+  /** C14b: approx percentile sketch checked against its exact twin,
+    * same pattern as C14 — graded output = exact percentiles (which
+    * DuckDB's `quantile_cont` reproduces bit-for-bit) + a Spark-side
+    * `within_bound` verdict for the engine-opaque KLL-style sketch
+    * (accuracy 10⁴ → rank error ≤ n/10⁴; 5% relative value bound has
+    * wide headroom on this distribution).
     */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -339,6 +350,10 @@ object Relational {
         percentile($"l_extendedprice", lit(0.5)).as("exact_p50"),
         percentile_approx($"l_extendedprice", lit(0.99), lit(10000)).as("approx_p99"),
         percentile($"l_extendedprice", lit(0.99)).as("exact_p99"))
+      .select($"l_returnflag", $"exact_p50", $"exact_p99",
+        (abs($"approx_p50" - $"exact_p50") / $"exact_p50" < 0.05 &&
+         abs($"approx_p99" - $"exact_p99") / $"exact_p99" < 0.05)
+          .as("within_bound"))
       .orderBy($"l_returnflag")
   }
 
@@ -661,5 +676,15 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sample_stratified" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin)
+        |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+    "approx_hll" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |  quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

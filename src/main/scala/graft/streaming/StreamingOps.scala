@@ -18,8 +18,13 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** The file-source schema for the events stream (nanos timestamps
-    * read as long, converted after — same path as [[graft.Tables.events]]).
+  /** The file-source schema for the events stream when the parquet
+    * carries INT64 TIMESTAMP(NANOS) (read as long via `nanosAsLong`,
+    * converted after — same path as [[graft.Tables.events]]). Newer
+    * testdata generations write plain µs TIMESTAMP; [[eventsStream]]
+    * sniffs which shape is on disk, because reading a µs-TIMESTAMP
+    * column through a LongType user schema surfaces NULLs, and a NULL
+    * event-time column makes every row watermark-late → 0 output rows.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -55,17 +60,31 @@ object StreamingOps {
     spool(spark, dir, "events")
   }
 
+  /** The events file stream with `ts` normalized to µs TIMESTAMP
+    * (LTZ; session TZ is UTC so wall clock matches the NTZ oracle)
+    * across both testdata generations. The read schema is sniffed from
+    * a batch read of the same file — file-source streams require an
+    * explicit schema, and a stale hardcoded one against the other
+    * physical type yields NULL `ts` (silent 0-row output), not an
+    * error.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spoolEvents(spark, dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(sp)
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   /** E1: windowed streaming aggregation with watermark, drained to a
     * memory sink. Returns the emitted (closed) windows.
     */
   def windowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_window_${counter.incrementAndGet()}"
-    val spool = spoolEvents(spark, dir)
-    val stream = spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(spool)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
       .agg(count(lit(1)).as("n"),
@@ -95,10 +114,7 @@ object StreamingOps {
   def runningTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_totals_${counter.incrementAndGet()}"
-    val spool = spoolEvents(spark, dir)
-    val q = spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(spool)
+    val q = eventsStream(spark, dir)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         max($"user_id").as("max_user"),
@@ -126,11 +142,7 @@ object StreamingOps {
   def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
-    val sp = spoolEvents(spark, dir)
-    val q = spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(sp)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window($"ts", "60 minutes").as("sw"), $"user_id")
       .agg(count(lit(1)).as("n_events"),
@@ -162,10 +174,7 @@ object StreamingOps {
   def topKApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_topk_${counter.incrementAndGet()}"
-    val sp = spoolEvents(spark, dir)
-    val q = spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(sp)
+    val q = eventsStream(spark, dir)
       .agg(graft.functions.SpaceSavingAgg.space_saving(
         upper($"event_type"), 16).as("tk"))
       .writeStream
