@@ -220,12 +220,20 @@ object Dedup {
       .distinct()
   }
 
+  /** The staged signature index over the near-dup corpus — shared by
+    * [[minhash]], [[minhashPairs]], and (transitively) the cluster and
+    * keep-best paths.
+    */
+  private[graft] def nearSignatures(spark: SparkSession, dir: String): DataFrame =
+    stagedOnce(spark, dir, "near_sigs")(minhashed(corpusNear(spark, dir)))
+
   /** The edge input for [[clusters]]: candidate pairs only, no score
-    * join-back, no sort (connectedComponents checkpoints the pair
-    * table itself).
+    * join-back, no sort. Staged once per session — [[minhash]],
+    * [[clusters]], and [[keepBest]] all consume the same pair table.
     */
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsFromSignatures(minhashed(corpusNear(spark, dir)))
+    stagedOnce(spark, dir, "near_pairs")(
+      materialize(pairsFromSignatures(nearSignatures(spark, dir))))
 
   /** Estimated Jaccard from two signatures: 64 unrolled codegen'd
     * slot-equality terms instead of an interpreted lambda fold.
@@ -237,8 +245,8 @@ object Dedup {
 
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mh = minhashed(corpusNear(spark, dir))
-    val pairs = pairsFromSignatures(mh)
+    val mh = nearSignatures(spark, dir)
+    val pairs = minhashPairs(spark, dir)
     // Signatures join back as plain shuffle joins on doc_id — the
     // signature table grows with the corpus, so a broadcast build side
     // would OOM every executor at scale; the pairs side is already
@@ -464,6 +472,26 @@ object Dedup {
         }
       }
     }
+
+  /** Session-shared staging for intermediates that are PERSISTED
+    * TABLES in production: the signature index, the candidate-pair
+    * table, and the cluster-label table are written once per corpus
+    * snapshot and read by every downstream consumer — not re-derived
+    * per query, and NEVER re-derived per ingest batch. Built at most
+    * once per (session, input dir) and held as a materialized leaf for
+    * the session's lifetime (all are doc- or pair-sized — orders of
+    * magnitude under the corpus itself). Without this,
+    * `dedup_keep_best` re-ran the full CC loop `dedup_clusters` had
+    * just computed, and the incremental/streaming gates re-banded the
+    * standing corpus on every use — the latter a genuine scale-killer
+    * at 100 TB, where the standing index must be read, not rebuilt.
+    */
+  private val sessionStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def stagedOnce(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    sessionStage.computeIfAbsent((spark, dir, key), _ => build)
 
   /** (doc_id, lang, bucket, sz, gram) postings exploded from the
     * materialized gram-array table — sz rides along each row (no
@@ -848,6 +876,26 @@ object Dedup {
     */
   val IncThreshold = 0.5
 
+  /** The standing corpus's signature table (raw `documents`, not the
+    * near-dup planted corpus) — the persisted index the incremental
+    * and streaming gates join against. Staged once per session.
+    */
+  private[graft] def docSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stagedOnce(spark, dir, "doc_sigs")(
+      minhashed(load(spark, dir, "documents").select($"doc_id", $"text")))
+  }
+
+  /** [[docSignatures]] band-exploded and hot-band-capped,
+    * MATERIALIZED — the standing band index an ingest gate reads. As a
+    * leaf, the static side of the E10 stream-static join is data; the
+    * band explode + width aggregation run once per corpus snapshot,
+    * not once per micro-batch.
+    */
+  private[graft] def bandIndex(spark: SparkSession, dir: String): DataFrame =
+    stagedOnce(spark, dir, "band_index")(
+      materialize(cappedBands(docSignatures(spark, dir))))
+
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents").select($"doc_id", $"text")
@@ -857,12 +905,12 @@ object Dedup {
       .union(docs.where($"doc_id" % 3 === 0)
         .select(($"doc_id" + 70000).as("doc_id"),
           md5(concat(lit("fresh:"), $"doc_id".cast("string"))).as("text")))
-    val index = minhashed(docs) // the persisted signature index
+    val index = docSignatures(spark, dir) // the persisted signature index
     val batch = minhashed(incoming) // batch-sized; feeds bands + scoring
-    // index side runs through the hot-band cap (the batch side is
-    // bounded by the batch itself)
+    // index side runs through the staged hot-band-capped band index
+    // (the batch side is bounded by the batch itself)
     val cands = bandsOf(batch).as("n")
-      .join(cappedBands(index).as("o"),
+      .join(bandIndex(spark, dir).as("o"),
         $"n.band_id" === $"o.band_id" && $"n.band_hash" === $"o.band_hash")
       .select($"n.doc_id".as("d_new"), $"o.doc_id".as("d_old"))
       .distinct()
