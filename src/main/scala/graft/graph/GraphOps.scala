@@ -58,14 +58,18 @@ object GraphOps {
   private def qsum(c: Column) = graft.Tables.qsum(c)
 
   private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    graft.Staging.preservePartitioning(df.sparkSession) {
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    }
 
   /** Round-state staging for the iterative queries. Both checkpoint
     * flavors cut lineage through [[org.apache.spark.sql.execution.LogicalRDD]],
     * which ADVERTISES the staged plan's outputPartitioning — so a
     * frame staged as hash(k) feeds every later join/aggregate on k
-    * with ZERO additional exchange. The iterative queries stage
+    * with ZERO additional exchange. Under AQE the adaptive root hides
+    * that partitioning (`UnknownPartitioning`), so the checkpoint
+    * action runs through [[graft.Staging.preservePartitioning]]. The iterative queries stage
     * their edge tables pre-partitioned on the round's join key once,
     * so each round's only shuffle is the contribution re-keying (the
     * GraphX/MLlib iterative pattern). Rounds stay EAGER: a lazy

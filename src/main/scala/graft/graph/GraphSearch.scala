@@ -18,9 +18,14 @@ import graft.flow.FlowAnalytics
   */
 object GraphSearch {
 
+  // Checkpoint with AQE off so the staged leaf keeps its hash
+  // partitioning (see Staging.preservePartitioning) — the peel /
+  // frontier loops re-join staged state on its own key every round.
   private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    graft.Staging.preservePartitioning(df.sparkSession) {
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    }
 
   private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.optimizedPlan.collectFirst {

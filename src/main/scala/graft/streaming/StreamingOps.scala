@@ -388,10 +388,15 @@ object StreamingOps {
     val docsSpool = spool(spark, dir, "documents")
     val existing = graft.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text")
-    // static side: the persisted signature index, band-exploded and
-    // hot-band-capped (same D23b guard: an over-wide bucket is
-    // exact-dup territory and would blow up the stream-side join)
-    val index = Dedup.cappedBands(Dedup.minhashed(existing))
+    // static side: the SAME staged band index D23b reads — a
+    // materialized leaf, so the static half of the stream-static join
+    // is data. A stream-static join re-evaluates its static side every
+    // micro-batch; with the index derived inline that meant re-signing
+    // and re-banding the standing corpus per trigger — the genuine
+    // 100 TB scale-killer the staged index exists to prevent. (Same
+    // hot-band cap as D23b: an over-wide bucket is exact-dup territory
+    // and would blow up the stream-side join.)
+    val index = Dedup.bandIndex(spark, dir)
       .select($"doc_id".as("d_old"), $"minhashes".as("s_old"),
         $"band_id", $"band_hash")
     val incoming = spark.readStream
