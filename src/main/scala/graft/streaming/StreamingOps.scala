@@ -36,6 +36,30 @@ object StreamingOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Last completed micro-batch physical plan per graded streaming
+    * query — captured at stream termination. A streaming Dataset has
+    * no batch plan to `explain`; the executed micro-batch plan IS the
+    * planner artifact worth pinning (state store placement, the
+    * stream-static join's static-leaf shape, sink mode), so
+    * PlanSnapshotSpec can cover the streaming surface like the batch
+    * one.
+    */
+  private[graft] val lastBatchPlans =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def awaitAndRecord(q: org.apache.spark.sql.streaming.StreamingQuery,
+      key: String): Unit = {
+    q.awaitTermination()
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution).foreach { le =>
+          lastBatchPlans(key) = le.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        }
+      case _ => ()
+    }
+  }
+
   /** Stage a single-file table behind a symlink spool dir (the shape
     * the reference's watcher consumes). Re-links unconditionally:
     * Files.exists follows symlinks, so a dangling link from a prior
@@ -100,7 +124,7 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "stream_window_agg")
     spark.table(name).orderBy($"win_start", $"event_type")
   }
 
@@ -125,7 +149,7 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "stream_running_totals")
     spark.table(name).orderBy($"event_type")
   }
 
@@ -157,7 +181,7 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "stream_sessions_agg")
     spark.table(name).orderBy($"user_id", $"session_start")
   }
 
@@ -183,7 +207,7 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "stream_topk")
     spark.table(name)
       .select(posexplode($"tk").as(Seq("pos", "e")))
       .select(($"pos" + 1).cast("long").as("rnk"),
@@ -319,7 +343,7 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "stream_decontaminate")
     spark.table(name).orderBy($"doc_id", $"bench_id", $"p")
   }
 
@@ -362,7 +386,7 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "stream_bloom_gate")
     spark.table(name).orderBy($"doc_id")
   }
 
@@ -424,7 +448,7 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "stream_minhash_gate")
     // batch-side presentation: every staged doc id, flagged or clean
     val ids = existing.where($"doc_id" % 5 === 0)
       .select(($"doc_id" + 50000).as("doc_id"))

@@ -16,9 +16,13 @@ import scala.jdk.CollectionConverters._
   * `GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanSnapshotSpec"`
   * then review the snapshot diff like source.
   *
-  * Streaming queries are excluded: their construction executes a full
-  * micro-batch run (covered by StreamingSpec) and their plans embed
-  * per-run checkpoint state.
+  * Streaming queries are pinned from the LAST MICRO-BATCH's executed
+  * plan ([[graft.streaming.StreamingOps.lastBatchPlans]], captured at
+  * stream termination) — a streaming Dataset has no batch plan to
+  * explain, and the micro-batch plan is where the planner artifacts
+  * live (state store placement, the static side of stream-static
+  * joins, sink mode). Running the query IS the capture; these
+  * snapshots execute a full drain each, same as StreamingSpec.
   */
 class PlanSnapshotSpec extends SparkSpecBase {
 
@@ -27,14 +31,14 @@ class PlanSnapshotSpec extends SparkSpecBase {
   // orders its Expand projections by exprId allocation, which depends
   // on how many expressions the SESSION allocated before — a
   // permutation, not a plan-shape change, and not stable across suite
-  // orderings. Their shapes are still covered by oracle rows +
-  // PlanAuditSpec.
+  // orderings. Only their operator-tree header is pinned (treeOnly),
+  // covering shape without the session-dependent permutation.
   private val multiDistinct =
     Set("flow_retention", "flow_by_source", "agg_distinct")
-  private val skip =
+  private val streaming =
     Set("stream_window_agg", "stream_running_totals",
       "stream_decontaminate", "stream_sessions_agg",
-      "stream_topk", "stream_bloom_gate", "stream_minhash_gate") ++ multiDistinct
+      "stream_topk", "stream_bloom_gate", "stream_minhash_gate")
   private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
 
   /** Strip run-varying tokens: expression ids, rdd ids, file paths,
@@ -59,25 +63,59 @@ class PlanSnapshotSpec extends SparkSpecBase {
     .replaceAll("InMemoryFileIndex\\[[^\\]]*\\]", "InMemoryFileIndex[PATH]")
     .replaceAll("(?m)\\s+$", "")
 
+  /** Run-varying tokens specific to micro-batch plans: query run ids,
+    * state-store checkpoint uuids, the memory-sink's counter-suffixed
+    * table name, per-run batch/epoch numbers.
+    */
+  private def normalizeStreaming(p: String): String = normalize(p)
+    .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "UUID")
+    .replaceAll("graft_stream_[a-z]+_\\d+", "graft_stream_X")
+    .replaceAll("(?i)(batchId|currentBatchId|epoch)[ =:]+\\d+", "$1=N")
+    .replaceAll("MemoryStream\\[[^\\]]*\\]", "MemoryStream[...]")
+    .replaceAll("@[0-9a-f]+\\b", "@N")
+
+  /** For the multi-distinct queries only the operator-tree header of
+    * the formatted explain is pinned: the rewrite permutes gid
+    * assignments and every downstream column list with exprId
+    * allocation order (session-history-dependent), but the operator
+    * TREE — which is what a lost broadcast or a new exchange would
+    * change — is stable.
+    */
+  private def treeOnly(p: String): String =
+    p.linesIterator.takeWhile(l => !l.matches("^\\(\\d+\\) .*"))
+      .mkString("\n").stripTrailing()
+
+  private def check(name: String, plan: String): Option[String] = {
+    val f = snapDir.resolve(s"$name.txt")
+    if (regen) {
+      Files.writeString(f, plan)
+      None
+    } else if (!Files.exists(f)) {
+      Some(s"$name: missing snapshot — regenerate with GRAFT_REGEN_PLANS=1")
+    } else if (Files.readString(f) != plan) {
+      // leave the observed plan next to the golden one for diffing
+      val got = Paths.get("target", "plan-drift", s"$name.txt")
+      Files.createDirectories(got.getParent)
+      Files.writeString(got, plan)
+      Some(s"$name: plan drift (observed plan written to $got)")
+    } else None
+  }
+
   test("every graded query's physical plan matches its golden snapshot") {
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     if (regen) Files.createDirectories(snapDir)
     val problems = qs.flatMap { case (name, fn) =>
-      val plan = normalize(fn(spark, sf0001).queryExecution
-        .explainString(ExplainMode.fromString("formatted")))
-      val f = snapDir.resolve(s"$name.txt")
-      if (regen) {
-        Files.writeString(f, plan)
-        None
-      } else if (!Files.exists(f)) {
-        Some(s"$name: missing snapshot — regenerate with GRAFT_REGEN_PLANS=1")
-      } else if (Files.readString(f) != plan) {
-        // leave the observed plan next to the golden one for diffing
-        val got = Paths.get("target", "plan-drift", s"$name.txt")
-        Files.createDirectories(got.getParent)
-        Files.writeString(got, plan)
-        Some(s"$name: plan drift (observed plan written to $got)")
-      } else None
+      if (streaming(name)) {
+        fn(spark, sf0001) // executes the drain; captures the batch plan
+        graft.streaming.StreamingOps.lastBatchPlans.get(name) match {
+          case Some(raw) => check(name, normalizeStreaming(raw))
+          case None => Some(s"$name: no micro-batch plan captured")
+        }
+      } else {
+        val raw = normalize(fn(spark, sf0001).queryExecution
+          .explainString(ExplainMode.fromString("formatted")))
+        check(name, if (multiDistinct(name)) treeOnly(raw) else raw)
+      }
     }
     assert(problems.isEmpty,
       s"${problems.size} plan snapshot failure(s):\n" + problems.mkString("\n"))
