@@ -692,15 +692,23 @@ object Dedup {
     */
   val ContamPhraseTokens = 8
 
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
-    val phrases = docs.where($"doc_id" % 50 === 0)
+  /** The deterministic benchmark phrase set (8-token middle slice of
+    * every 50th doc) — shared by D21, D21b, and their oracles.
+    */
+  private def benchPhrases(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.where($"doc_id" % 50 === 0)
       .select($"doc_id".as("bench_id"), split($"text", " ").as("toks"))
       .where(size($"toks") >= ContamPhraseTokens + 4)
       .select($"bench_id", concat_ws(" ",
         expr(s"slice(toks, CAST(size(toks) / 2 AS INT) - ${ContamPhraseTokens / 2}, $ContamPhraseTokens)"))
         .as("phrase"))
+  }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val phrases = benchPhrases(docs)
     // corpus side: explode each doc into its token-8-gram phrases and
     // equi-join — the scalable containment test (token-aligned);
     // a sub-k-token doc can never contain a k-token phrase, so the
@@ -730,6 +738,98 @@ object Dedup {
        |FROM documents d JOIN phrases p
        |  ON position((' ' || p.phrase || ' ') IN (' ' || d.text || ' ')) > 0
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** D21b: overlap-RATIO decontamination (`dedup_contamination_ratio`)
+    * — D21 answers "is this doc contaminated?"; curation policy needs
+    * "how MUCH": the fraction of a document's tokens covered by
+    * benchmark text decides drop-doc vs excise-span (the Lee et al. /
+    * GPT-3 appendix-C overlap-fraction shape). Per (doc, benchmark):
+    * the union of the token intervals [p, p+k−1] over all matching
+    * anchor positions, as a fraction of the doc's token count.
+    *
+    * Same scalable skeleton as D21 — positional token-8-grams
+    * equi-joined against the broadcast phrase set; then pure position
+    * arithmetic: anchors on one (doc, bench) sort into gaps-and-
+    * islands (break when the gap exceeds k, i.e. coverage would be
+    * discontiguous), each island covering max(p)−min(p)+k tokens.
+    * The window partitions by (doc, bench) — bounded by doc length,
+    * never corpus-sized. The matched set is tiny, so the token-count
+    * join-back broadcasts the AGGREGATED side against the corpus
+    * scan, map-only.
+    */
+  def contaminationRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = ContamPhraseTokens
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val anchors = tokenGrams(docs, k)
+      .join(broadcast(benchPhrases(docs)), $"gram" === $"phrase")
+      .select($"doc_id", $"bench_id", $"p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id", $"bench_id").orderBy($"p")
+    val cov = anchors
+      .withColumn("brk",
+        when($"p" - lag($"p", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("isl", sum($"brk").over(w))
+      .groupBy($"doc_id", $"bench_id", $"isl")
+      .agg((max($"p") - min($"p") + k).as("cov_isl"),
+        count(lit(1)).as("anch_isl"))
+      .groupBy($"doc_id", $"bench_id")
+      .agg(sum($"anch_isl").as("n_anchors"), sum($"cov_isl").as("cov_tokens"))
+    val lens = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    lens.join(broadcast(cov), "doc_id")
+      .select($"doc_id", $"bench_id", $"n_anchors", $"cov_tokens", $"n_tokens",
+        round($"cov_tokens".cast("double") / $"n_tokens", 6).as("contam_ratio"))
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  val contaminationRatioSql: String = {
+    val k = ContamPhraseTokens
+    s"""WITH pt AS (
+       |  SELECT doc_id AS bench_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |phrases AS (
+       |  SELECT bench_id, array_to_string(
+       |    toks[(n // 2 - ${k / 2}) : (n // 2 + ${k / 2 - 1})], ' ') AS phrase
+       |  FROM pt WHERE n >= ${k + 4}),
+       |tg AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    array_to_string(toks[p : p + ${k - 1}], ' ') AS gram
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, n - ${k - 2})) AS p
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+       |            len(string_split(text, ' ')) AS n FROM documents)
+       |    WHERE n >= $k)),
+       |m AS (
+       |  SELECT t.doc_id, ph.bench_id, t.p
+       |  FROM tg t JOIN phrases ph ON t.gram = ph.phrase),
+       |isl AS (
+       |  SELECT doc_id, bench_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id, bench_id ORDER BY p)
+       |      > $k THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |grp AS (
+       |  SELECT doc_id, bench_id, p,
+       |    sum(brk) OVER (PARTITION BY doc_id, bench_id ORDER BY p) AS isl
+       |  FROM isl),
+       |cov0 AS (
+       |  SELECT doc_id, bench_id, isl,
+       |    max(p) - min(p) + $k AS cov_isl, count(*) AS anch_isl
+       |  FROM grp GROUP BY doc_id, bench_id, isl),
+       |cov AS (
+       |  SELECT doc_id, bench_id,
+       |    CAST(sum(anch_isl) AS BIGINT) AS n_anchors,
+       |    CAST(sum(cov_isl) AS BIGINT) AS cov_tokens
+       |  FROM cov0 GROUP BY doc_id, bench_id),
+       |lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT c.doc_id, c.bench_id, c.n_anchors, c.cov_tokens, l.n_tokens,
+       |  round(CAST(c.cov_tokens AS DOUBLE) / l.n_tokens, 6) AS contam_ratio
+       |FROM cov c JOIN lens l USING (doc_id)
+       |ORDER BY c.doc_id, c.bench_id""".stripMargin
+  }
 
   /** D22: passage-level exact dedup — the distributed complement of
     * whole-doc md5 (D1) and phrase containment (D21): find maximal
@@ -1359,6 +1459,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_edit_distance" -> editDistance _,
     "dedup_contamination" -> contamination _,
+    "dedup_contamination_ratio" -> contaminationRatio _,
     "dedup_passages" -> passageDedup _,
     "dedup_bloom_gate" -> bloomGate _,
     "dedup_incremental" -> minhashIncremental _,
@@ -1378,6 +1479,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_edit_distance" -> editDistanceSql,
     "dedup_contamination" -> contaminationSql,
+    "dedup_contamination_ratio" -> contaminationRatioSql,
     "dedup_passages" -> passageDedupSql,
     "dedup_incremental" -> minhashIncrementalSql,
     "dedup_keep_best" -> keepBestSql,

@@ -18,22 +18,6 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** The file-source schema for the events stream when the parquet
-    * carries INT64 TIMESTAMP(NANOS) (read as long via `nanosAsLong`,
-    * converted after — same path as [[graft.Tables.events]]). Newer
-    * testdata generations write plain µs TIMESTAMP; [[eventsStream]]
-    * sniffs which shape is on disk, because reading a µs-TIMESTAMP
-    * column through a LongType user schema surfaces NULLs, and a NULL
-    * event-time column makes every row watermark-late → 0 output rows.
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Last completed micro-batch physical plan per graded streaming

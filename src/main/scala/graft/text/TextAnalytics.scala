@@ -137,6 +137,103 @@ object TextAnalytics {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** D9h: hashed-feature linear quality classifier
+    * (`text_quality_clf`) — the fastText-style shape (Joulin et al.
+    * 2016, "Bag of Tricks for Efficient Text Classification") of the
+    * D9 heuristic: unigram+bigram features hashed into
+    * [[ClfBuckets]] buckets (md5-derandomized so any engine replays
+    * the featurizer bit-for-bit), one naive-Bayes log-count-ratio
+    * weight per bucket learned against the D9 `keep` rule as weak
+    * supervision (the distill-the-heuristic bootstrap used when no
+    * human labels exist), and scoring as a pure dot product.
+    *
+    * Scale shape: the label rides the SAME projection the features
+    * explode from (no doc-level join anywhere); training is one
+    * partially-aggregated shuffle onto 128 bucket keys; the weight
+    * table (≤128 rows) broadcasts back and scoring is a map + one
+    * per-doc aggregation. At 100 TB: two map passes over the corpus
+    * and a 128-row broadcast — nothing corpus-sized shuffles.
+    *
+    * Parity: weights are differences of 9-dp-rounded `ln` terms
+    * (identical doubles in both engines), per-doc sums use the
+    * quantized order-free accumulator, the final mean is rounded
+    * 6 dp — the D9e/D9f guard stack.
+    */
+  private val ClfBuckets = 128
+
+  def qualityClf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = qualityCols(load(spark, dir, "documents"))
+      .select($"doc_id", $"keep".as("label"), split($"text", " ").as("toks"))
+    val feats = labeled.select($"doc_id", $"label",
+        explode(concat($"toks",
+          expr("""transform(slice(toks, 1, size(toks) - 1),
+                 |  (t, i) -> concat(t, ' ', element_at(toks, i + 2)))""".stripMargin)))
+          .as("f"))
+      .select($"doc_id", $"label",
+        expr(s"CAST(conv(substring(md5(cast(concat('qclf:', f) as binary)), 1, 7), 16, 10) AS BIGINT) % $ClfBuckets")
+          .as("b"))
+    val counts = feats.groupBy($"b").agg(
+      count(when($"label", 1)).as("n_pos"),
+      count(when(!$"label", 1)).as("n_neg"))
+    val tots = counts.agg(sum($"n_pos").as("pos_tot"), sum($"n_neg").as("neg_tot"))
+    val weights = counts.crossJoin(broadcast(tots))
+      .select($"b",
+        (round(log(($"n_pos" + 1).cast("double") / ($"pos_tot" + ClfBuckets)), 9) -
+         round(log(($"n_neg" + 1).cast("double") / ($"neg_tot" + ClfBuckets)), 9)).as("w"))
+    feats.join(broadcast(weights), "b")
+      .groupBy($"doc_id", $"label")
+      .agg(count(lit(1)).as("n_feat"), graft.Tables.qsum($"w").as("s"))
+      .select($"doc_id", $"label", $"n_feat",
+        round($"s" / $"n_feat", 6).as("score_r"))
+      .withColumn("pred_keep", $"score_r" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val qualityClfSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    length(text) AS n_chars_m,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, toks,
+       |    ((CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens) * 0.2
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
+       |      + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) > 1.5
+       |      AND n_tokens >= 10 AS label
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, label, unnest(toks) AS f FROM l
+       |  UNION ALL
+       |  SELECT doc_id, label, toks[i] || ' ' || toks[i + 1] AS f
+       |  FROM (SELECT doc_id, label, toks, unnest(range(1, len(toks))) AS i FROM l)),
+       |hb AS (
+       |  SELECT doc_id, label,
+       |    ('0x' || substr(md5('qclf:' || f), 1, 7))::BIGINT % $ClfBuckets AS b
+       |  FROM f),
+       |c AS (
+       |  SELECT b,
+       |    count(*) FILTER (WHERE label) AS n_pos,
+       |    count(*) FILTER (WHERE NOT label) AS n_neg
+       |  FROM hb GROUP BY b),
+       |tot AS (SELECT sum(n_pos) AS pos_tot, sum(n_neg) AS neg_tot FROM c),
+       |w AS (
+       |  SELECT b,
+       |    round(ln(CAST(n_pos + 1 AS DOUBLE) / (pos_tot + $ClfBuckets)), 9)
+       |      - round(ln(CAST(n_neg + 1 AS DOUBLE) / (neg_tot + $ClfBuckets)), 9) AS w
+       |  FROM c, tot),
+       |s AS (
+       |  SELECT doc_id, label, count(*) AS n_feat,
+       |    ${graft.Tables.qsumSql("w.w")} AS s
+       |  FROM hb JOIN w USING (b) GROUP BY doc_id, label)
+       |SELECT doc_id, label, n_feat,
+       |  round(s / n_feat, 6) AS score_r,
+       |  round(s / n_feat, 6) > 0 AS pred_keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** D29: deterministic global corpus shuffle + sharding — the
     * pre-training permutation every LLM data pipeline ends with.
     * Each doc gets a seed-stable pseudo-random sort key (md5 over a
@@ -1204,6 +1301,7 @@ object TextAnalytics {
     "text_wordcount" -> wordcount _,
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
+    "text_quality_clf" -> qualityClf _,
     "text_gopher_filter" -> gopherFilter _,
     "corpus_shuffle" -> corpusShuffle _,
     "text_token_count" -> tokenCount _,
@@ -1308,6 +1406,7 @@ object TextAnalytics {
          |  s_en, s_de, s_es, s_fr, s_zh
          |FROM scored ORDER BY doc_id""".stripMargin,
     "text_gopher_filter" -> gopherFilterSql,
+    "text_quality_clf" -> qualityClfSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "text_quality" ->
       """WITH t AS (

@@ -193,4 +193,22 @@ class DedupAlgoSpec extends SparkSpecBase {
     assert(leaked.isEmpty,
       s"fresh docs flagged: ${leaked.map(_.getLong(0)).toSeq.sorted}")
   }
+  test("contamination ratio: interval union over repeated and adjacent anchors") {
+    import spark.implicits._
+    val dir = tmpDir("graft_contam_ratio")
+    val ph = (1 to 8).map(i => s"p$i").mkString(" ")
+    val bench = "b1 b2 b3 " + ph + " b12 b13 b14 b15 b16"        // phrase at 4..11, n=16
+    val twice = "x1 " + ph + " " + (1 to 9).map(i => s"y$i").mkString(" ") +
+      " " + ph + " z1"                                            // anchors p=2, p=19; n=27
+    val tiled = ph + " " + ph                                     // anchors p=1, p=9; n=16
+    Seq((0L, bench), (1L, twice), (2L, tiled)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.contaminationRatio(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L, 8L, 16L, 0.5),          // the benchmark source itself
+      (1L, 0L, 2L, 16L, 27L, 0.592593),    // two DISJOINT islands: 8 + 8
+      (2L, 0L, 2L, 16L, 16L, 1.0)))        // adjacent anchors merge: 9-1+8
+  }
 }

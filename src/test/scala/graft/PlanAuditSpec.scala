@@ -272,6 +272,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("zorder2"), s"native interleave missing:\n$p")
   }
 
+  test("anomaly z-score's global window runs over the HOURLY table, not raw flows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    val df = FlowAnalytics.anomalyZscore(spark, sf0001)
+    val win = df.queryExecution.optimizedPlan
+      .collectFirst { case w: LWindow => w }
+    assert(win.isDefined, "no window node in the plan")
+    // The unpartitioned RANGE window is bounded BY CONSTRUCTION: its
+    // input is the per-hour aggregate (≤ hours cardinality — calendar-
+    // bounded: ~9k rows/year no matter the corpus size), never the
+    // corpus-sized flow table.
+    val below = win.get.child
+    val agg = below.collectFirst { case a: Aggregate => a }
+    assert(agg.isDefined, "window input is not an aggregate")
+    // PullOutGroupingExpressions aliases the truncation below the
+    // Aggregate — search the aggregate's subtree, not the key list
+    assert(agg.get.treeString.toLowerCase.contains("date_trunc"),
+      s"window input not grouped by hour:\n${agg.get.treeString}")
+    assert(below.collectFirst { case j: Join => j }.isEmpty,
+      "unexpected join between the window and the hourly aggregate")
+  }
+
+  test("iterative graph round state advertises its hash partitioning") {
+    // Staged LogicalRDD leaves must carry hashpartitioning — an
+    // UnknownPartitioning leaf costs one avoidable node-table Exchange
+    // per round (the reason staging checkpoints run with AQE off; see
+    // Staging.preservePartitioning).
+    for ((name, df) <- Seq(
+        "flow_pagerank" -> graft.graph.GraphOps.flowPagerank(spark, sf0001),
+        "flow_hits" -> graft.graph.GraphOps.flowHits(spark, sf0001))) {
+      val p = plan(df)
+      assert(!p.contains("UnknownPartitioning"),
+        s"$name staged leaf lost its partitioning:\n$p")
+    }
+  }
+
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
