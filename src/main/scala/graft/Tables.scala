@@ -34,10 +34,48 @@ object Tables {
     val raw = load(spark, dir, "events")
     val tsConv = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // LongType can mean TIMESTAMP(NANOS)-under-nanosAsLong OR a
+        // plain unannotated INT64 — dividing the latter by 1000 would
+        // be silently 1000× off, so check the parquet footer's
+        // logical-type annotation and fail loudly when it isn't nanos.
+        require(eventsTsIsNanos(spark, dir),
+          s"$dir/events.parquet: ts is INT64 but not TIMESTAMP(NANOS) — " +
+            "cannot infer its unit; convert the column explicitly")
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
       case _ => expr("cast(ts as timestamp_ntz)")
     }
     raw.withColumn("ts", tsConv)
+  }
+
+  /** True iff `events.ts` is parquet-annotated TIMESTAMP(NANOS) — read
+    * from one footer (O(1), no data scan). Shared with the streaming
+    * events source, which faces the same LongType ambiguity.
+    */
+  private[graft] def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part files under $root"))
+      else root
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val msg = reader.getFileMetaData.getSchema
+      msg.getType(msg.getFieldIndex("ts")) match {
+        case p: org.apache.parquet.schema.PrimitiveType =>
+          p.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }
+        case _ => false
+      }
+    } finally reader.close()
   }
 
   /** Exact decimal sum of a (≤ `scale`-decimal) column, output as double. */

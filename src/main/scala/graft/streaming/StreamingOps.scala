@@ -81,7 +81,12 @@ object StreamingOps {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(sp)
     schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType =>
+        // same footer check as Tables.events: LongType must actually
+        // be TIMESTAMP(NANOS), not an unannotated INT64
+        require(graft.Tables.eventsTsIsNanos(spark, dir),
+          s"$dir/events.parquet: ts is INT64 but not TIMESTAMP(NANOS)")
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

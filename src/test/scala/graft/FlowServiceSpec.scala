@@ -78,4 +78,38 @@ class FlowServiceSpec extends SparkSpecBase {
     assert(JdbcStub.rowsBound.get() === 2)
     assert(JdbcStub.sqls.peek().startsWith("INSERT INTO nflows (ts, te, td, sa, da"))
   }
+  test("streaming JDBC load lands micro-batches in a real database (Derby)") {
+    val watch = tmpDir("djwatch"); val ckpt = tmpDir("djckpt")
+    flowFile(watch, "nfcapd.1.csv", "2024-05-01 10:00:00", "192.168.0.1")
+    flowFile(watch, "nfcapd.2.csv", "2024-05-01 11:00:00", "192.168.0.2")
+    System.setProperty("derby.system.home", tmpDir("derby_home_stream"))
+    val url = s"jdbc:derby:${tmpDir("graft_derby_stream")}/db;create=true"
+    val schema = graft.flow.FlowSchema.nflowsSchema
+    val ddlCols = schema.fields.map { f =>
+      val t = f.dataType match {
+        case org.apache.spark.sql.types.LongType      => "BIGINT"
+        case org.apache.spark.sql.types.IntegerType   => "INT"
+        case org.apache.spark.sql.types.DoubleType    => "DOUBLE"
+        case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+        case _                                        => "VARCHAR(255)"
+      }
+      s"${f.name} $t"
+    }.mkString(", ")
+    val ddl = java.sql.DriverManager.getConnection(url)
+    ddl.createStatement().executeUpdate(s"CREATE TABLE nflows ($ddlCols)")
+    ddl.close()
+    val q = FlowPipeline.startJdbc(spark, watch, ckpt, "site-derby",
+      "nflows", () => java.sql.DriverManager.getConnection(url),
+      batchSize = 100, availableNowCatchup = true)
+    q.awaitTermination()
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT COUNT(*), MIN(sa), MAX(flowsrc) FROM nflows")
+      rs.next()
+      assert(rs.getLong(1) === 2)
+      assert(rs.getString(2) === "192.168.0.1")
+      assert(rs.getString(3) === "site-derby")
+    } finally c.close()
+  }
 }

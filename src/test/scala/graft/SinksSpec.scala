@@ -109,6 +109,44 @@ class SinksSpec extends SparkSpecBase {
     assert(JdbcStub.batchesExecuted.get() === 1) // succeeded exactly once
   }
 
+  test("jdbc sink round-trips into a real embedded database (Derby)") {
+    import spark.implicits._
+    // Derby ships on the Spark classpath — a real file-backed DB, so
+    // this closes the gap between "ClickHouse-shaped" and "tested
+    // against a database": DDL, typed binds incl. NULLs and
+    // timestamps, concurrent partition writers, and a SQL read-back.
+    System.setProperty("derby.system.home", tmpDir("derby_home"))
+    val url = s"jdbc:derby:${tmpDir("graft_derby")}/db;create=true"
+    val ddl = java.sql.DriverManager.getConnection(url)
+    ddl.createStatement().executeUpdate(
+      "CREATE TABLE flows (id BIGINT, name VARCHAR(64), score DOUBLE, ok BOOLEAN, ts TIMESTAMP)")
+    ddl.close()
+    val df = spark.range(500).select(
+      $"id",
+      when($"id" % 7 === 0, lit(null)).otherwise(concat(lit("n_"), $"id")).as("name"),
+      ($"id" * 0.25).as("score"),
+      ($"id" % 2 === 0).as("ok"),
+      timestamp_seconds(lit(1709290000L) + $"id").as("ts"))
+    JdbcBatchSink.write(df.repartition(3), "flows",
+      () => java.sql.DriverManager.getConnection(url), batchSize = 128)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT COUNT(*), SUM(id), SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) FROM flows")
+      rs.next()
+      assert(rs.getLong(1) === 500)
+      assert(rs.getLong(2) === 124750L)
+      assert(rs.getLong(3) === 72) // ids 0, 7, ..., 497
+      val row = c.createStatement().executeQuery(
+        "SELECT name, score, ok, ts FROM flows WHERE id = 3")
+      row.next()
+      assert(row.getString(1) === "n_3")
+      assert(row.getDouble(2) === 0.75)
+      assert(row.getBoolean(3) === false)
+      assert(row.getTimestamp(4).getTime === (1709290000L + 3) * 1000L)
+    } finally c.close()
+  }
+
   test("z-ordered write bounds per-file spans on BOTH dimensions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
