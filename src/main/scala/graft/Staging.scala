@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Shared round-staging cadence for the iterative operators
   * (PageRank/PPR rounds, Lloyd's k-means rounds, PCA power steps).
   *
@@ -50,5 +52,116 @@ object Staging {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")
     try f finally spark.conf.set(key, prev)
+  }
+
+  private[graft] def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Free a materialized intermediate — cached blocks AND, for
+    * reliable checkpoints, the files on durable storage (Spark's
+    * cleaner only removes those with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
+    * default — leaving them would leak a full table copy per run on
+    * the cluster path).
+    */
+  private[graft] def release(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      backingRdd(df).foreach { rdd =>
+        // blocking: concurrent block removal contends with the next
+        // query's materialization writes (measured as multi-second
+        // stalls migrating between the dedup pipelines)
+        rdd.unpersist(blocking = true)
+        rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      }
+    }
+
+  /** Session-shared staging for intermediates that are PERSISTED
+    * TABLES in production — signature/band indexes, trained
+    * centroids/codebooks, cluster-label tables: written once per
+    * corpus snapshot and read by every downstream consumer, never
+    * re-derived per query or per ingest batch. Entries are built at
+    * most once per (session, input dir, key) and held as materialized
+    * leaves for the session's lifetime (all are orders of magnitude
+    * under the corpus itself).
+    *
+    * Lifecycle: the cache key is the PATH, not a content snapshot —
+    * callers that rewrite a corpus dir mid-session must [[invalidate]]
+    * or be served the stale artifact. A session-end listener evicts a
+    * stopping session's entries so the map never pins stopped
+    * `SparkSession`s or their checkpoint files for the JVM's lifetime.
+    */
+  private[graft] final class SessionCache {
+    private val entries =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    private val cleanupInstalled =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+    /** Build-at-most-once. NOT `computeIfAbsent`: a build thunk may
+      * itself stage a dependency (band_index → doc_sigs), and the JDK
+      * forbids map mutation from inside a mapping function
+      * (hash-bin-dependent "Recursive update" IllegalStateException);
+      * a materializing build is also a full Spark job, far too long to
+      * run under a bin lock. Double-checked get → build outside any
+      * lock → `putIfAbsent`: a concurrent first caller may rarely
+      * build twice, and the loser's copy is released — a bounded
+      * duplicate job instead of an unbounded lock hold or a flaky
+      * crash.
+      */
+    def getOrBuild(spark: SparkSession, dir: String, key: String)(
+        build: => DataFrame): DataFrame = {
+      val k = (spark, dir, key)
+      val cached = entries.get(k)
+      if (cached != null) cached
+      else {
+        installCleanup(spark)
+        val built = build
+        val prev = entries.putIfAbsent(k, built)
+        if (prev != null) { release(built); prev } else built
+      }
+    }
+
+    /** Drop every entry for `(spark, dir)` and free its blocks /
+      * checkpoint files.
+      */
+    def invalidate(spark: SparkSession, dir: String): Unit = {
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == spark && e.getKey._2 == dir) {
+          it.remove()
+          release(e.getValue)
+        }
+      }
+    }
+
+    /** Block release at session end is best-effort — executors are
+      * going away with the app; reliable-checkpoint FILES are what
+      * must not leak, and deleting those is a driver-side FS call.
+      */
+    private def installCleanup(spark: SparkSession): Unit =
+      if (cleanupInstalled.add(spark)) {
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              cleanupInstalled.remove(spark)
+              val it = entries.entrySet().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                if (e.getKey._1 == spark) {
+                  it.remove()
+                  try release(e.getValue)
+                  catch { case _: Exception => () } // context already down
+                }
+              }
+            }
+          })
+      }
   }
 }

@@ -446,32 +446,7 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
-  private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.optimizedPlan.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
-
-  /** Free a materialized intermediate — cached blocks AND, for
-    * reliable checkpoints, the files on durable storage (Spark's
-    * cleaner only removes those with
-    * `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
-    * default — leaving them would leak a full table copy per run on
-    * the cluster path).
-    */
-  private def release(dfs: DataFrame*): Unit =
-    dfs.foreach { df =>
-      backingRdd(df).foreach { rdd =>
-        // blocking: concurrent block removal contends with the next
-        // query's materialization writes (measured as multi-second
-        // stalls migrating between the dedup pipelines)
-        rdd.unpersist(blocking = true)
-        rdd.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(p, true)
-        }
-      }
-    }
+  private def release(dfs: DataFrame*): Unit = graft.Staging.release(dfs: _*)
 
   /** Session-shared staging for intermediates that are PERSISTED
     * TABLES in production: the signature index, the candidate-pair
@@ -486,78 +461,19 @@ object Dedup {
     * standing corpus on every use — the latter a genuine scale-killer
     * at 100 TB, where the standing index must be read, not rebuilt.
     */
-  private val sessionStage =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val sessionStage = new graft.Staging.SessionCache()
 
-  private val stageCleanupInstalled =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-
-  /** Build-at-most-once staging. NOT `computeIfAbsent`: a build thunk
-    * may itself stage a dependency (`near_pairs` → `near_sigs`,
-    * `band_index` → `doc_sigs`), and the JDK forbids map mutation
-    * from inside a mapping function (hash-bin-dependent
-    * "Recursive update" IllegalStateException); a `materialize` build
-    * is also a full Spark job, far too long to run under a bin lock.
-    * Double-checked get → build outside any lock → `putIfAbsent`: a
-    * concurrent first caller may rarely build twice, and the loser's
-    * copy is released — a bounded duplicate job instead of an
-    * unbounded lock hold or a flaky crash.
-    */
   private def stagedOnce(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
-    val k = (spark, dir, key)
-    val cached = sessionStage.get(k)
-    if (cached != null) cached
-    else {
-      installStageCleanup(spark)
-      val built = build
-      val prev = sessionStage.putIfAbsent(k, built)
-      if (prev != null) { release(built); prev } else built
-    }
-  }
+      build: => DataFrame): DataFrame =
+    sessionStage.getOrBuild(spark, dir, key)(build)
 
   /** Drop every staged entry for `(spark, dir)` and free its blocks /
     * checkpoint files. The cache key is the PATH, not a content
     * snapshot — callers that rewrite a corpus dir mid-session must
     * invalidate or the gates silently serve the stale index.
     */
-  def invalidate(spark: SparkSession, dir: String): Unit = {
-    val it = sessionStage.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 == spark && e.getKey._2 == dir) {
-        it.remove()
-        release(e.getValue)
-      }
-    }
-  }
-
-  /** Evict a stopping session's staged frames so the map never pins
-    * stopped `SparkSession`s (or their checkpoint files) for the
-    * JVM's lifetime — test runners and multi-session servers cycle
-    * sessions. Block release is best-effort: executors are going away
-    * with the app anyway; reliable-checkpoint FILES are what must not
-    * leak, and deleting those is a driver-side FS call.
-    */
-  private def installStageCleanup(spark: SparkSession): Unit =
-    if (stageCleanupInstalled.add(spark)) {
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            stageCleanupInstalled.remove(spark)
-            val it = sessionStage.entrySet().iterator()
-            while (it.hasNext) {
-              val e = it.next()
-              if (e.getKey._1 == spark) {
-                it.remove()
-                try release(e.getValue)
-                catch { case _: Exception => () } // context already down
-              }
-            }
-          }
-        })
-    }
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    sessionStage.invalidate(spark, dir)
 
   /** (doc_id, lang, bucket, sz, gram) postings exploded from the
     * materialized gram-array table — sz rides along each row (no

@@ -278,16 +278,225 @@ object Multimodal {
       |  doc_id != min(doc_id) OVER (PARTITION BY phash) AS is_dup
       |FROM ph ORDER BY doc_id, phash""".stripMargin
 
+  /** Post-decode pixel-feature row for the REAL codec path. Failed
+    * decodes carry nulls — a production pipeline must count and route
+    * them, not crash the stage.
+    */
+  case class ImageStats(doc_id: Long, ok: Boolean, w_px: Option[Long],
+      h_px: Option[Long], sum_r: Option[Long], sum_g: Option[Long],
+      sum_b: Option[Long], n_bright: Option[Long])
+
+  /** Deterministic RGB formula shared by the raster generator and the
+    * DuckDB oracle — PNG is lossless, so decoded pixels equal
+    * generated pixels and the oracle can score the REAL codec path.
+    */
+  @inline private def fr(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  @inline private def fg(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 5) % 256).toInt
+  @inline private def fb(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 3 + y * 19) % 256).toInt
+
+  /** Each doc's deterministic raster, run through the REAL PNG
+    * encoder (`javax.imageio.ImageIO`). Every 97th payload is
+    * truncated after encode — a genuinely corrupt file for the decode
+    * error path.
+    */
+  private def pngPayloads(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("n_chars") % 64 + 16).cast("int").as("w"),
+        (col("n_chars") % 48 + 12).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, w, h) =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  (fr(id, x, y) << 16) | (fg(id, x, y) << 8) | fb(id, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val bytes = bos.toByteArray
+            (id, if (id % 97 == 0) bytes.take(24) else bytes)
+          }
+        }
+      }
+      .toDF("doc_id", "png")
+  }
+
+  /** D12d: REAL image decode (`mm_image_decode`) — the declared
+    * replacement for the byte-stats stand-in: actual PNG bytes
+    * through the JVM's `ImageIO` codec in a batched partition-local
+    * decode stage, corrupt files surfacing as `ok = false` rows
+    * instead of task failures. Gradable against DuckDB because the
+    * rasters are generated from a shared deterministic formula and
+    * PNG round-trips losslessly — the oracle scores the pixels the
+    * codec must reproduce, so a decoder that didn't really parse the
+    * file cannot pass. Map-only at 100 TB (encode+decode ride the
+    * scan; no shuffle before the final per-doc row).
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngPayloads(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, png) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+              catch { case _: Exception => null }
+            if (img == null) ImageStats(id, ok = false, None, None, None, None, None, None)
+            else {
+              var (sr, sg, sb, nb) = (0L, 0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+                  sr += r; sg += g; sb += b
+                  if (r + g + b > 384) nb += 1
+                  x += 1
+                }
+                y += 1
+              }
+              ImageStats(id, ok = true, Some(img.getWidth.toLong),
+                Some(img.getHeight.toLong), Some(sr), Some(sg), Some(sb), Some(nb))
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val imageDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars % 64 + 16 AS w, n_chars % 48 + 12 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |c AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+      |    (doc_id * 17 + x * 11 + y * 5) % 256 AS g,
+      |    (doc_id * 23 + x * 3 + y * 19) % 256 AS b
+      |  FROM px),
+      |s AS (
+      |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+      |    sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+      |    count(*) FILTER (WHERE r + g + b > 384) AS n_bright
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, (doc_id % 97 != 0) AS ok,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(w AS BIGINT) END AS w_px,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(h AS BIGINT) END AS h_px,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(sum_r AS BIGINT) END AS sum_r,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(sum_g AS BIGINT) END AS sum_g,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(sum_b AS BIGINT) END AS sum_b,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(n_bright AS BIGINT) END AS n_bright
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** D12e: REAL pixel resize (`mm_image_resize`) — 2×2 area-average
+    * downsample computed on the DECODED raster (integer floor mean
+    * per channel, blocks fully inside the frame), the exact-arithmetic
+    * core of a thumbnail/patch-extract stage. Same real-codec grading
+    * trick as D12d; corrupt files pass through as `ok = false`.
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngPayloads(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, png) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+              catch { case _: Exception => null }
+            if (img == null) (id, false, None: Option[Long], None: Option[Long], None: Option[Long])
+            else {
+              val w2 = img.getWidth / 2; val h2 = img.getHeight / 2
+              var s = 0L
+              var by = 0
+              while (by < h2) {
+                var bx = 0
+                while (bx < w2) {
+                  var (sr, sg, sb) = (0, 0, 0)
+                  var dy = 0
+                  while (dy < 2) {
+                    var dx = 0
+                    while (dx < 2) {
+                      val p = img.getRGB(bx * 2 + dx, by * 2 + dy)
+                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  s += (sr / 4) + (sg / 4) + (sb / 4)
+                  bx += 1
+                }
+                by += 1
+              }
+              (id, true, Some(w2.toLong), Some(h2.toLong), Some(s))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "out_w", "out_h", "pooled_sum")
+      .orderBy($"doc_id")
+  }
+
+  val imageResizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars % 64 + 16 AS w, n_chars % 48 + 12 AS h
+      |  FROM documents),
+      |bxs AS (SELECT doc_id, w, h, unnest(range(0, w // 2)) AS bx FROM d),
+      |blk AS (SELECT doc_id, w, h, bx, unnest(range(0, h // 2)) AS by FROM bxs),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |    (((doc_id*31 + (bx*2)*7   + (by*2)*13)   % 256)
+      |     + ((doc_id*31 + (bx*2+1)*7 + (by*2)*13)   % 256)
+      |     + ((doc_id*31 + (bx*2)*7   + (by*2+1)*13) % 256)
+      |     + ((doc_id*31 + (bx*2+1)*7 + (by*2+1)*13) % 256)) // 4 AS ar,
+      |    (((doc_id*17 + (bx*2)*11   + (by*2)*5)   % 256)
+      |     + ((doc_id*17 + (bx*2+1)*11 + (by*2)*5)   % 256)
+      |     + ((doc_id*17 + (bx*2)*11   + (by*2+1)*5) % 256)
+      |     + ((doc_id*17 + (bx*2+1)*11 + (by*2+1)*5) % 256)) // 4 AS ag,
+      |    (((doc_id*23 + (bx*2)*3   + (by*2)*19)   % 256)
+      |     + ((doc_id*23 + (bx*2+1)*3 + (by*2)*19)   % 256)
+      |     + ((doc_id*23 + (bx*2)*3   + (by*2+1)*19) % 256)
+      |     + ((doc_id*23 + (bx*2+1)*3 + (by*2+1)*19) % 256)) // 4 AS ab
+      |  FROM blk),
+      |s AS (
+      |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+      |    sum(ar + ag + ab) AS pooled
+      |  FROM p GROUP BY doc_id)
+      |SELECT doc_id, (doc_id % 97 != 0) AS ok,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(w // 2 AS BIGINT) END AS out_w,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(h // 2 AS BIGINT) END AS out_h,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(pooled AS BIGINT) END AS pooled_sum
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_dedup" -> phashDedup _,
     "mm_decode_stats" -> decodeStats _,
     "mm_resize" -> resizeStats _,
+    "mm_image_decode" -> imageDecode _,
+    "mm_image_resize" -> imageResize _,
     "mm_frame_sample" -> frameSample _,
     "mm_binary_dedup" -> binaryDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "mm_phash_dedup" -> phashDedupSql,
     "mm_binary_dedup" -> binaryDedupSql,
+    "mm_image_decode" -> imageDecodeSql,
+    "mm_image_resize" -> imageResizeSql,
     "mm_resize" ->
       """SELECT doc_id,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,

