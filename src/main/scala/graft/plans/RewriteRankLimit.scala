@@ -1,10 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
-import graft.functions.{RankRowsAgg, TopKRowsAgg}
+import graft.functions.{PrefixRowsAgg, RankRowsAgg, TopKRowsAgg}
 
 /** Automatic `row_number() OVER (...) <= k` → bounded-heap rewrite.
   *
@@ -106,6 +108,72 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
             }
           }
         }
+
+      // percent_rank() <= p / ntile(t) <= q prefixes: the cutoff is a
+      // FRACTION of the group, so the bound depends on the group's
+      // total count — no single-pass heap can evict safely (a future
+      // merge only ever raises the threshold). Sound two-aggregation
+      // shape: per-group count(1) joined back, then a variable-k heap
+      // (PrefixRowsAgg) reading its per-group bound from the joined
+      // column; the original predicate is RE-APPLIED on the exactly
+      // reconstructed window value, so the heap bound only needs to
+      // over-approximate.
+      case f @ Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(fn,
+            WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _))
+          if order.nonEmpty && prefixKind(fn).isDefined &&
+            (part ++ order.map(_.child)).forall(_.deterministic) =>
+        val wattr = alias.toAttribute
+        val conjuncts = splitConjunctivePredicates(cond)
+        val (wConjs, rest) = conjuncts.partition(_.references.contains(wattr))
+        if (wConjs.isEmpty) f
+        else prefixKind(fn).get match {
+          case PctKind =>
+            val ps = wConjs.map(pctBound(_, wattr))
+            if (ps.contains(None)) f
+            else {
+              val p = ps.flatten.min
+              if (p <= 0.0 || p >= 1.0) f // empty / whole-group: not a prefix
+              else rewritePrefix(wchild, part, order, wattr, wConjs, rest,
+                rankSem = true,
+                kOf = n => Add(Cast(Floor(Multiply(Literal(p),
+                  Cast(Subtract(n, Literal(1L)), DoubleType))), LongType), Literal(2L)),
+                valueOf = (rnk, n) =>
+                  // mirror Spark's PercentRank.evaluateExpression
+                  If(GreaterThan(n, Literal(1L)),
+                    Divide(Cast(Subtract(rnk, Literal(1L)), DoubleType),
+                      Cast(Subtract(n, Literal(1L)), DoubleType)),
+                    Literal(0.0d)))
+            }
+          case NtileKind(t) =>
+            val qs = wConjs.map(ntileBound(_, wattr))
+            if (qs.contains(None)) f
+            else {
+              val q = qs.flatten.min
+              if (q < 1 || q >= t) f
+              else {
+                val tL = Literal(t.toLong); val qL = Literal(q.toLong)
+                rewritePrefix(wchild, part, order, wattr, wConjs, rest,
+                  rankSem = false,
+                  // first (n % t) buckets hold (n div t)+1 rows:
+                  // rows in buckets 1..q = q*(n div t) + min(q, n % t)
+                  kOf = n => Add(Multiply(qL, IntegralDivide(n, tL)),
+                    Least(Seq(qL, Remainder(n, tL)))),
+                  valueOf = (rnk, n) => {
+                    val s = IntegralDivide(n, tL)
+                    val r = Remainder(n, tL)
+                    val padded = Multiply(Add(s, Literal(1L)), r)
+                    Cast(If(LessThanOrEqual(rnk, padded),
+                      // ceil(rnk / (s+1))
+                      IntegralDivide(Add(rnk, s), Add(s, Literal(1L))),
+                      // r + ceil((rnk − (s+1)·r) / s)
+                      Add(r, IntegralDivide(
+                        Add(Subtract(rnk, padded), Subtract(s, Literal(1L))), s))),
+                      IntegerType)
+                  })
+              }
+            }
+        }
     }
 
   private sealed trait Kind
@@ -118,6 +186,84 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
     case _: Rank => Some(RankKind)
     case _: DenseRank => Some(DenseKind)
     case _ => None
+  }
+
+  private sealed trait PrefixKind
+  private case object PctKind extends PrefixKind
+  private case class NtileKind(t: Int) extends PrefixKind
+
+  private def prefixKind(fn: Expression): Option[PrefixKind] = fn match {
+    case _: PercentRank => Some(PctKind)
+    case NTile(IntegerLiteral(t)) if t > 0 => Some(NtileKind(t))
+    case _ => None
+  }
+
+  /** conjunct → Some(p) if it bounds the percent_rank column above by
+    * a double literal (`pr <= p` / `pr < p` and mirrors). `<` is safe
+    * under the same over-approximate bound: the predicate is
+    * re-applied exactly after reconstruction.
+    */
+  private def pctBound(e: Expression, a: Attribute): Option[Double] = e match {
+    case LessThanOrEqual(x: Attribute, Literal(p: Double, DoubleType)) if x.semanticEquals(a) => Some(p)
+    case LessThan(x: Attribute, Literal(p: Double, DoubleType)) if x.semanticEquals(a) => Some(p)
+    case GreaterThanOrEqual(Literal(p: Double, DoubleType), x: Attribute) if x.semanticEquals(a) => Some(p)
+    case GreaterThan(Literal(p: Double, DoubleType), x: Attribute) if x.semanticEquals(a) => Some(p)
+    case _ => None
+  }
+
+  /** conjunct → Some(q) if it bounds the ntile column to buckets ≤ q. */
+  private def ntileBound(e: Expression, a: Attribute): Option[Int] = e match {
+    case LessThanOrEqual(x: Attribute, IntegerLiteral(q)) if x.semanticEquals(a) => Some(q)
+    case LessThan(x: Attribute, IntegerLiteral(q)) if x.semanticEquals(a) => Some(q - 1)
+    case GreaterThanOrEqual(IntegerLiteral(q), x: Attribute) if x.semanticEquals(a) => Some(q)
+    case GreaterThan(IntegerLiteral(q), x: Attribute) if x.semanticEquals(a) => Some(q - 1)
+    case EqualTo(x: Attribute, IntegerLiteral(1)) if x.semanticEquals(a) => Some(1)
+    case EqualTo(IntegerLiteral(1), x: Attribute) if x.semanticEquals(a) => Some(1)
+    case _ => None
+  }
+
+  /** Count-join-heap shape shared by the percent_rank and ntile
+    * prefixes: per-group `count(1)` (group-cardinality-sized) joined
+    * back null-safely on the partition keys, [[PrefixRowsAgg]] bounded
+    * by `kOf(n)`, then the payload + the window value reconstructed
+    * from (rnk, n) by `valueOf` under the original exprIds, and the
+    * ORIGINAL window-column conjuncts re-applied — the heap bound
+    * over-approximates; the re-filter makes the selection exact.
+    */
+  private def rewritePrefix(child: LogicalPlan, part: Seq[Expression],
+      order: Seq[SortOrder], wattr: Attribute,
+      wConjs: Seq[Expression], rest: Seq[Expression], rankSem: Boolean,
+      kOf: Expression => Expression,
+      valueOf: (Expression, Expression) => Expression): LogicalPlan = {
+    val gAliases = part.zipWithIndex.map { case (e, i) => Alias(e, s"__gk$i")() }
+    val nAlias = Alias(Count(Literal(1)).toAggregateExpression(), "__grp_n")()
+    val counts = Aggregate(part, gAliases :+ nAlias, child)
+    val joinCond = part.zip(gAliases).map { case (e, ga) =>
+      EqualNullSafe(e, ga.toAttribute): Expression }.reduceOption(And)
+    val joined = Join(child, counts, Inner, joinCond, JoinHint.NONE)
+    val nAttr = nAlias.toAttribute
+    val payload = CreateStruct(child.output :+ nAttr)
+    val aggFn = PrefixRowsAgg(rankSem, order.map(_.child),
+      order.map(_.direction == Ascending),
+      order.map(_.nullOrdering == NullsFirst),
+      kOf(nAttr), payload, maxRows = maxTieRows)
+    val arr = Alias(aggFn.toAggregateExpression(), "prefix_rows")()
+    val agg = Aggregate(part, Seq(arr), joined)
+    val elemType = aggFn.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType
+    val item = AttributeReference("item", elemType, nullable = false)()
+    val gen = Generate(Explode(arr.toAttribute), unrequiredChildIndex = Seq(0),
+      outer = false, qualifier = None, generatorOutput = Seq(item), agg)
+    val rowField = GetStructField(item, 1, Some("row"))
+    val cols = child.output.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(rowField, i, Some(a.name)), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val rnkExpr = GetStructField(item, 0, Some("rnk"))
+    val nExpr = GetStructField(rowField, child.output.length, Some("__grp_n"))
+    val wCol = Alias(valueOf(rnkExpr, nExpr), wattr.name)(exprId = wattr.exprId)
+    val proj = Project(cols :+ wCol, gen)
+    Filter((wConjs ++ rest).reduce(And), proj)
   }
 
   private def rewrite(child: LogicalPlan, part: Seq[Expression],

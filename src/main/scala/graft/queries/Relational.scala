@@ -442,7 +442,50 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** C26: percent_rank prefix selection (`window_pct_prefix`) — "the
+    * top 10% of orders by price per priority class", the
+    * fraction-of-group twin of C6's top-k. The filter-over-window
+    * idiom is auto-rewritten by [[graft.plans.RewriteRankLimit]] into
+    * the count-join + variable-k heap ([[graft.functions.PrefixRowsAgg]])
+    * — per-group `count(1)` joined back, heap state bounded by each
+    * group's own 10% cutoff — instead of full-sorting every group at
+    * one reducer. Total order (price, orderkey) so both engines pick
+    * identical rows.
+    */
+  def windowPctPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+    load(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        percent_rank().over(w).as("pr"))
+      .where($"pr" <= 0.1)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        round($"pr", 6).as("pr_r"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  /** C26b: first-ntile-bucket selection (`window_ntile_prefix`) — "the
+    * first quintile per order status"; same auto-rewrite, row_number
+    * semantics (ntile splits by position, not rank), exact uneven
+    * bucket fill (first n mod t buckets carry the extra row).
+    */
+  def windowNtilePrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    load(spark, dir, "orders")
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+        ntile(5).over(w).as("nt"))
+      .where($"nt" <= 1)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+        $"nt".cast("long").as("nt"))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_pct_prefix" -> windowPctPrefix _,
+    "window_ntile_prefix" -> windowNtilePrefix _,
     "window_ntile" -> windowNtile _,
     "grouping_sets_agg" -> groupingSetsAgg _,
     "window_range_frame" -> windowRangeFrame _,
@@ -471,6 +514,26 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "window_pct_prefix" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  round(pr, 6) AS pr_r
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    percent_rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS pr
+        |  FROM orders)
+        |WHERE pr <= 0.1
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "window_ntile_prefix" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(nt AS BIGINT) AS nt
+        |FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    ntile(5) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS nt
+        |  FROM orders)
+        |WHERE nt <= 1
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "window_ntile" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

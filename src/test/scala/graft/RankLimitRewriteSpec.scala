@@ -246,4 +246,83 @@ class RankLimitRewriteSpec extends SparkSpecBase {
     assert(rewritten(q), s"expected heap rewrite, got:\n${planOf(q)}")
     assertSameRows(q)
   }
+  private def prefixRewritten(df: DataFrame): Boolean = {
+    val p = planOf(df)
+    p.contains("prefix_rows") && !p.contains("Window")
+  }
+
+  test("percent_rank <= p rewrites to count-join + variable-k heap, matches window") {
+    import spark.implicits._
+    def q = events
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+      .where($"pr" <= 0.1)
+    assert(prefixRewritten(q), s"expected prefix rewrite, got:\n${planOf(q)}")
+    assertSameRows(q)
+  }
+
+  test("percent_rank boundary ties keep the whole tie group (rank semantics)") {
+    import spark.implicits._
+    // 10 rows, 4 of them tied at the second value: percent_rank of the
+    // tie group is 1/9 <= 0.2 -> all four kept
+    val df = Seq((1, 1.0), (2, 5.0), (3, 5.0), (4, 5.0), (5, 5.0),
+      (6, 7.0), (7, 8.0), (8, 9.0), (9, 10.0), (10, 11.0))
+      .toDF("id", "v")
+    def q = df
+      .withColumn("pr", percent_rank().over(Window.orderBy($"v")))
+      .where($"pr" <= 0.2)
+    assert(prefixRewritten(q), s"expected prefix rewrite, got:\n${planOf(q)}")
+    assertSameRows(q)
+    assert(q.count() === 5) // rank-1 row + the whole 4-way tie at rank 2
+  }
+
+  test("single-row groups: percent_rank is 0.0 and the row is kept") {
+    import spark.implicits._
+    val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)).toDF("id", "g", "v")
+    def q = df
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy($"g").orderBy($"v")))
+      .where($"pr" <= 0.5)
+    assert(prefixRewritten(q), s"expected prefix rewrite, got:\n${planOf(q)}")
+    assertSameRows(q)
+    assert(q.where($"g" === "a").count() === 1)
+  }
+
+  test("ntile(t) <= q rewrites to the row_number-semantics prefix heap") {
+    import spark.implicits._
+    def q = events
+      .withColumn("nt", ntile(5).over(
+        Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+      .where($"nt" <= 2)
+    assert(prefixRewritten(q), s"expected prefix rewrite, got:\n${planOf(q)}")
+    assertSameRows(q)
+  }
+
+  test("ntile = 1 (first-bucket idiom) rewrites; uneven buckets match Spark's fill") {
+    import spark.implicits._
+    // 7 rows, 3 buckets -> sizes 3,2,2: bucket 1 holds exactly 3
+    val df = (1 to 7).map(i => (i, i.toDouble)).toDF("id", "v")
+    def q = df
+      .withColumn("nt", ntile(3).over(Window.orderBy($"v")))
+      .where($"nt" === 1)
+    assert(prefixRewritten(q), s"expected prefix rewrite, got:\n${planOf(q)}")
+    assertSameRows(q)
+    assert(q.count() === 3)
+  }
+
+  test("non-prefix forms keep their Window plan") {
+    import spark.implicits._
+    // p >= 1 keeps the whole group; ntile upper bound >= t likewise;
+    // a lower bound is not a prefix at all
+    def q1 = events
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy($"event_type").orderBy($"value")))
+      .where($"pr" <= 1.0)
+    def q2 = events
+      .withColumn("nt", ntile(4).over(
+        Window.partitionBy($"event_type").orderBy($"value")))
+      .where($"nt" >= 2)
+    assert(planOf(q1).contains("Window"), "pr <= 1.0 must not rewrite")
+    assert(planOf(q2).contains("Window"), "nt >= 2 must not rewrite")
+  }
 }
