@@ -68,9 +68,13 @@ case class PrefixRowsAgg(
   override def children: Seq[Expression] = (orderKeys :+ kExpr) :+ payload
   override def nullable: Boolean = false
   private def payloadType: StructType = payload.dataType.asInstanceOf[StructType]
+  // rnk: rank()/row_number() value; pend: the row's tie-group END
+  // position (== rnk under row_number semantics) — cume_dist's
+  // numerator, free to emit from the same fold
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("rnk", LongType, nullable = false),
+      StructField("pend", LongType, nullable = false),
       StructField("row", payloadType, nullable = false))),
     containsNull = false)
 
@@ -184,8 +188,9 @@ case class PrefixRowsAgg(
         // row_number(): arrival position. Eviction may retain one
         // boundary group past k (rank mode) — trimmed here.
         val rnk = if (rankSemantics) cum + 1 else cum + i + 1
+        val pend = if (rankSemantics) cum + rows.size else cum + i + 1
         if (rnk <= buf.k) {
-          out += InternalRow(rnk,
+          out += InternalRow(rnk, pend,
             rows.get(i).getStruct(numKeys + 1, payloadType.length).copy())
         }
         i += 1

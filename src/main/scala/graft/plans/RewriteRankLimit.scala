@@ -138,12 +138,28 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
                 rankSem = true,
                 kOf = n => Add(Cast(Floor(Multiply(Literal(p),
                   Cast(Subtract(n, Literal(1L)), DoubleType))), LongType), Literal(2L)),
-                valueOf = (rnk, n) =>
+                valueOf = (rnk, _, n) =>
                   // mirror Spark's PercentRank.evaluateExpression
                   If(GreaterThan(n, Literal(1L)),
                     Divide(Cast(Subtract(rnk, Literal(1L)), DoubleType),
                       Cast(Subtract(n, Literal(1L)), DoubleType)),
                     Literal(0.0d)))
+            }
+          case CumeKind =>
+            val ps = wConjs.map(pctBound(_, wattr))
+            if (ps.contains(None)) f
+            else {
+              val p = ps.flatten.min
+              if (p <= 0.0 || p >= 1.0) f
+              else rewritePrefix(wchild, part, order, wattr, wConjs, rest,
+                rankSem = true,
+                // cume_dist <= p keeps rows whose tie-group END ≤ p·n
+                kOf = n => Add(Cast(Floor(Multiply(Literal(p),
+                  Cast(n, DoubleType))), LongType), Literal(2L)),
+                valueOf = (_, pend, n) =>
+                  // mirror Spark's CumeDist.evaluateExpression:
+                  // rows ≤ current (through the tie group) over n
+                  Divide(Cast(pend, DoubleType), Cast(n, DoubleType)))
             }
           case NtileKind(t) =>
             val qs = wConjs.map(ntileBound(_, wattr))
@@ -159,7 +175,7 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
                   // rows in buckets 1..q = q*(n div t) + min(q, n % t)
                   kOf = n => Add(Multiply(qL, IntegralDivide(n, tL)),
                     Least(Seq(qL, Remainder(n, tL)))),
-                  valueOf = (rnk, n) => {
+                  valueOf = (rnk, _, n) => {
                     val s = IntegralDivide(n, tL)
                     val r = Remainder(n, tL)
                     val padded = Multiply(Add(s, Literal(1L)), r)
@@ -190,10 +206,12 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
 
   private sealed trait PrefixKind
   private case object PctKind extends PrefixKind
+  private case object CumeKind extends PrefixKind
   private case class NtileKind(t: Int) extends PrefixKind
 
   private def prefixKind(fn: Expression): Option[PrefixKind] = fn match {
     case _: PercentRank => Some(PctKind)
+    case _: CumeDist => Some(CumeKind)
     case NTile(IntegerLiteral(t)) if t > 0 => Some(NtileKind(t))
     case _ => None
   }
@@ -234,7 +252,7 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
       order: Seq[SortOrder], wattr: Attribute,
       wConjs: Seq[Expression], rest: Seq[Expression], rankSem: Boolean,
       kOf: Expression => Expression,
-      valueOf: (Expression, Expression) => Expression): LogicalPlan = {
+      valueOf: (Expression, Expression, Expression) => Expression): LogicalPlan = {
     val gAliases = part.zipWithIndex.map { case (e, i) => Alias(e, s"__gk$i")() }
     val nAlias = Alias(Count(Literal(1)).toAggregateExpression(), "__grp_n")()
     val counts = Aggregate(part, gAliases :+ nAlias, child)
@@ -254,14 +272,15 @@ object RewriteRankLimit extends Rule[LogicalPlan] with PredicateHelper {
     val item = AttributeReference("item", elemType, nullable = false)()
     val gen = Generate(Explode(arr.toAttribute), unrequiredChildIndex = Seq(0),
       outer = false, qualifier = None, generatorOutput = Seq(item), agg)
-    val rowField = GetStructField(item, 1, Some("row"))
+    val rowField = GetStructField(item, 2, Some("row"))
     val cols = child.output.zipWithIndex.map { case (a, i) =>
       Alias(GetStructField(rowField, i, Some(a.name)), a.name)(
         exprId = a.exprId, qualifier = a.qualifier)
     }
     val rnkExpr = GetStructField(item, 0, Some("rnk"))
+    val endExpr = GetStructField(item, 1, Some("pend"))
     val nExpr = GetStructField(rowField, child.output.length, Some("__grp_n"))
-    val wCol = Alias(valueOf(rnkExpr, nExpr), wattr.name)(exprId = wattr.exprId)
+    val wCol = Alias(valueOf(rnkExpr, endExpr, nExpr), wattr.name)(exprId = wattr.exprId)
     val proj = Project(cols :+ wCol, gen)
     Filter((wConjs ++ rest).reduce(And), proj)
   }

@@ -483,9 +483,28 @@ object Relational {
       .orderBy($"o_orderstatus", $"o_orderkey")
   }
 
+  /** C26c: cume_dist prefix selection (`window_cume_prefix`) — "the
+    * cheapest 25% of the distribution per priority": same
+    * count-join + variable-k heap, with the numerator being the
+    * tie-group END position the heap emits alongside the rank.
+    */
+  def windowCumePrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    load(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        cume_dist().over(w).as("cd"))
+      .where($"cd" <= 0.25)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        round($"cd", 6).as("cd_r"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_pct_prefix" -> windowPctPrefix _,
     "window_ntile_prefix" -> windowNtilePrefix _,
+    "window_cume_prefix" -> windowCumePrefix _,
     "window_ntile" -> windowNtile _,
     "grouping_sets_agg" -> groupingSetsAgg _,
     "window_range_frame" -> windowRangeFrame _,
@@ -523,6 +542,16 @@ object Relational {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS pr
         |  FROM orders)
         |WHERE pr <= 0.1
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "window_cume_prefix" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  round(cd, 6) AS cd_r
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS cd
+        |  FROM orders)
+        |WHERE cd <= 0.25
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "window_ntile_prefix" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,

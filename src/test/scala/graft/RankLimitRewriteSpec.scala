@@ -325,4 +325,23 @@ class RankLimitRewriteSpec extends SparkSpecBase {
     assert(planOf(q1).contains("Window"), "pr <= 1.0 must not rewrite")
     assert(planOf(q2).contains("Window"), "nt >= 2 must not rewrite")
   }
+  test("cume_dist <= p rewrites; ties share the tie-group-end numerator") {
+    import spark.implicits._
+    def q = events
+      .withColumn("cd", cume_dist().over(
+        Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+      .where($"cd" <= 0.25)
+    assert(prefixRewritten(q), s"expected prefix rewrite, got:\n${planOf(q)}")
+    assertSameRows(q)
+    // tie semantics: a 3-way tie spanning the boundary is excluded
+    // whole (its shared cume value counts the full tie group)
+    val df = Seq((1, 1.0), (2, 2.0), (3, 2.0), (4, 2.0), (5, 3.0),
+      (6, 4.0), (7, 5.0), (8, 6.0)).toDF("id", "v")
+    def q2 = df
+      .withColumn("cd", cume_dist().over(Window.orderBy($"v")))
+      .where($"cd" <= 0.25)
+    assert(prefixRewritten(q2))
+    assertSameRows(q2)
+    assert(q2.collect().map(_.getInt(0)).toSeq == Seq(1)) // 4/8 > 0.25 for the tie
+  }
 }
