@@ -449,7 +449,50 @@ object StreamingOps {
       .orderBy($"doc_id")
   }
 
+  /** E11: streaming quality-classifier gate (`stream_quality_gate`) —
+    * the trained D9h model applied to arriving documents. The staged
+    * 128-weight table collapses to a LITERAL array of quantized
+    * longs, so scoring is a STATELESS per-row fold over the hashed
+    * features: no state store, no watermark, no shuffle — the gate a
+    * crawl-ingest pipeline actually runs at 100 TB/day (model
+    * broadcast, stream mapped). Same quantized arithmetic as the
+    * batch scorer, so the DuckDB oracle replays train + score
+    * end-to-end.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.TextAnalytics
+    val name = s"graft_stream_qg_${counter.incrementAndGet()}"
+    val docsSpool = spool(spark, dir, "documents")
+    // trained BEFORE the stream starts (staged; a batch job on first
+    // use) — the stream never re-trains
+    val wq = TextAnalytics.clfWeightsQuantized(spark, dir)
+    val wlit = array(wq.map(lit(_)): _*)
+    val incoming = spark.readStream
+      .schema(documentsSchema)
+      .parquet(docsSpool)
+    val scored = incoming
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", TextAnalytics.clfFeatureArray($"toks").as("fs"))
+      .select($"doc_id", size($"fs").cast("long").as("n_feat"),
+        aggregate($"fs", lit(0L),
+          (acc, f) => acc + element_at(wlit,
+            (TextAnalytics.clfBucket(f) + 1).cast("int"))).as("sq"))
+      .select($"doc_id", $"n_feat",
+        round(($"sq".cast("double") / lit(1.0e9)) / $"n_feat", 6).as("score_r"))
+      .withColumn("pred_keep", $"score_r" > 0)
+    val q = scored.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_quality_gate")
+    spark.table(name).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quality_gate" -> qualityGate _,
     "stream_bloom_gate" -> bloomGate _,
     "stream_minhash_gate" -> minhashGate _,
     "stream_window_agg" -> windowAgg _,
@@ -463,6 +506,7 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    "stream_quality_gate" -> graft.text.TextAnalytics.qualityGateSql,
     "stream_bloom_gate" -> {
       val m = graft.dedup.Dedup.BloomBits
       val k = graft.dedup.Dedup.BloomHashes

@@ -212,7 +212,36 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
-  val qualityClfSql: String =
+  /** The trained weights as a dense bucket-indexed array of quantized
+    * longs (`floor(w·1e9 + 0.5)`) — the broadcast-literal form the
+    * streaming gate inlines so stream scoring is STATELESS map-only;
+    * buckets unseen in training weigh 0 (unreachable on the same
+    * corpus, safe on any other).
+    */
+  private[graft] def clfWeightsQuantized(spark: SparkSession, dir: String): Array[Long] = {
+    val arr = new Array[Long](ClfBuckets)
+    clfWeights(spark, dir).collect().foreach { r =>
+      arr(r.getLong(0).toInt) = math.floor(r.getDouble(1) * 1e9 + 0.5).toLong
+    }
+    arr
+  }
+
+  /** Feature-array column (unigrams + bigrams) for any `toks` array
+    * column — the streaming gate's per-row form of [[clfFeatures]].
+    */
+  private[graft] def clfFeatureArray(toks: Column): Column =
+    concat(toks, expr(
+      """transform(slice(toks, 1, size(toks) - 1),
+        |  (t, i) -> concat(t, ' ', element_at(toks, i + 2)))""".stripMargin))
+
+  /** md5 feature bucket (must mirror [[clfFeatures]] and the oracle). */
+  private[graft] def clfBucket(f: Column): Column =
+    conv(substring(md5(concat(lit("qclf:"), f).cast("binary")), 1, 7), 16, 10)
+      .cast("long") % ClfBuckets
+
+  private[graft] val ClfBucketCount: Int = ClfBuckets
+
+  private val qualityClfCtes: String =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
        |    len(string_split(text, ' ')) AS n_tokens,
@@ -250,11 +279,22 @@ object TextAnalytics {
        |s AS (
        |  SELECT doc_id, label, count(*) AS n_feat,
        |    ${graft.Tables.qsumSql("w.w")} AS s
-       |  FROM hb JOIN w USING (b) GROUP BY doc_id, label)
-       |SELECT doc_id, label, n_feat,
-       |  round(s / n_feat, 6) AS score_r,
-       |  round(s / n_feat, 6) > 0 AS pred_keep
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  FROM hb JOIN w USING (b) GROUP BY doc_id, label)""".stripMargin
+
+  val qualityClfSql: String = qualityClfCtes +
+    """
+      |SELECT doc_id, label, n_feat,
+      |  round(s / n_feat, 6) AS score_r,
+      |  round(s / n_feat, 6) > 0 AS pred_keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** E11 oracle: the same trained scores, gate projection. */
+  private[graft] val qualityGateSql: String = qualityClfCtes +
+    """
+      |SELECT doc_id, n_feat,
+      |  round(s / n_feat, 6) AS score_r,
+      |  round(s / n_feat, 6) > 0 AS pred_keep
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** D29: deterministic global corpus shuffle + sharding — the
     * pre-training permutation every LLM data pipeline ends with.
