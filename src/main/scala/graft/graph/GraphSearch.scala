@@ -204,7 +204,7 @@ object GraphSearch {
 
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    kcoreOf(GraphOps.coOrderEdges(spark, dir))
+    kcoreOf(GraphOps.coOrderEdgesStaged(spark, dir))
       .orderBy($"deg".desc, $"node").limit(KcoreTopN)
   }
 
@@ -261,7 +261,7 @@ object GraphSearch {
 
   def linkJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = materialize(GraphOps.coOrderEdges(spark, dir))
+    val edges = GraphOps.coOrderEdgesStaged(spark, dir)
     val adj = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
     val deg = adj.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
     val common = adj.select($"u".as("s"), $"v".as("y"))
