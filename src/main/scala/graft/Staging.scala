@@ -95,6 +95,14 @@ object Staging {
     * or be served the stale artifact. A session-end listener evicts a
     * stopping session's entries so the map never pins stopped
     * `SparkSession`s or their checkpoint files for the JVM's lifetime.
+    *
+    * Durability: on the localCheckpoint path (no checkpoint dir set) a
+    * staged entry's lineage is truncated and its blocks live only in
+    * executor memory — a later executor loss makes that entry
+    * unrecoverable for the rest of the session. Production sessions
+    * holding session-lifetime artifacts should set a reliable
+    * checkpoint dir (`graft.Graft.session(ckptDir, ...)`), which
+    * every materialize in this codebase switches to automatically.
     */
   private[graft] final class SessionCache {
     private val entries =

@@ -78,4 +78,30 @@ class DedupStagingSpec extends SparkSpecBase {
     assert(Dedup.docSignatures(spark, dirB) eq b, "invalidate(A) evicted B")
     assert(!(Dedup.docSignatures(spark, dirA) eq a))
   }
+  test("SessionCache: concurrent nested getOrBuild neither deadlocks nor crashes") {
+    import spark.implicits._
+    // the computeIfAbsent shape this replaced threw a hash-bin-dependent
+    // IllegalStateException("Recursive update") when a build thunk
+    // staged its own dependency; the rebuilt cache must serve N racing
+    // threads one shared instance per key, dependencies included
+    val cache = new graft.Staging.SessionCache()
+    val dir = tmpDir("graft_cache_race")
+    def inner = cache.getOrBuild(spark, dir, "inner")(
+      spark.range(100).toDF("v").localCheckpoint())
+    def outer = cache.getOrBuild(spark, dir, "outer") {
+      inner.select((col("v") * 2).as("v")).localCheckpoint()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 16).map(_ => pool.submit(
+        new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+          def call() = outer
+        }))
+      val results = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      // every caller converges on ONE staged instance
+      assert(results.forall(_ eq results.head))
+      assert(cache.getOrBuild(spark, dir, "inner")(fail("must be cached")) eq inner)
+      assert(results.head.agg(sum(col("v"))).head.getLong(0) === 9900)
+    } finally pool.shutdownNow()
+  }
 }
