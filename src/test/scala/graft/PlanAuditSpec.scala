@@ -307,6 +307,34 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("ranking-prefix rewrites: no Window, broadcast count side, partial-agg heap") {
+    for ((name, df) <- Seq(
+        "window_pct_prefix" -> Relational.windowPctPrefix(spark, sf0001),
+        "window_ntile_prefix" -> Relational.windowNtilePrefix(spark, sf0001),
+        "window_cume_prefix" -> Relational.windowCumePrefix(spark, sf0001))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"$name kept its Window plan:\n$p")
+      assert(p.contains("prefix_rows"), s"$name missing the variable-k heap:\n$p")
+      // the per-group count table is group-cardinality-sized → broadcast
+      assert(p.contains("BroadcastHashJoin"), s"$name count side not broadcast:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$name heap not partially aggregated:\n$p")
+    }
+  }
+
+  test("real image decode/resize are map-only: no shuffle before the output sort") {
+    for ((name, df) <- Seq(
+        "mm_image_decode" -> graft.multimodal.Multimodal.imageDecode(spark, sf0001),
+        "mm_image_resize" -> graft.multimodal.Multimodal.imageResize(spark, sf0001))) {
+      val p = plan(df)
+      assert(p.contains("MapPartitions"), s"$name lost its batched decode stage:\n$p")
+      // encode+decode ride the scan; the only exchange is the
+      // presentation orderBy's range partitioning
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name shuffles before the per-doc row:\n$p")
+    }
+  }
+
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
