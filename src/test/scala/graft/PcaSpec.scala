@@ -9,7 +9,12 @@ import graft.ann.Pca
   */
 class PcaSpec extends SparkSpecBase {
 
-  private lazy val result = Pca.embPca(spark, sf0001).cache()
+  // localCheckpoint, NOT cache(): the cache manager substitutes
+  // InMemoryRelation into ANY later query with a matching plan
+  // fragment — with the PCA artifacts session-staged, the graded
+  // query's plan would match and PlanSnapshotSpec would pin a
+  // cached-scan plan instead of the real one
+  private lazy val result = Pca.embPca(spark, sf0001).localCheckpoint()
 
   test("leading PC is unit-norm and explains a plausible share") {
     val row = result.agg(
