@@ -893,7 +893,220 @@ object FlowAnalytics {
       .orderBy($"h")
   }
 
+  // ------------------------------------------------------------- B26 EWMA
+
+  /** EWMA smoothing parameters (B26): α = 0.3, truncated at 24 lagged
+    * buckets. Weights are built by repeated DOUBLE multiplication (not
+    * `pow`) so the oracle can replay the exact same IEEE values from
+    * shortest-round-trip literals — `Math.pow` and libm `pow` are each
+    * correctly-rounded-ish but not guaranteed bit-identical.
+    */
+  val EwmaAlpha = 0.3
+  val EwmaLags = 24
+  val EwmaWeights: IndexedSeq[Double] =
+    Iterator.iterate(EwmaAlpha)(_ * (1.0 - EwmaAlpha)).take(EwmaLags).toIndexedSeq
+
+  /** B26: EWMA one-step-ahead traffic forecast (`flow_ewma_forecast`)
+    * — per-protocol hourly volume vs. the exponentially-weighted
+    * moving average of the 24 PRECEDING buckets, the classic smoothed
+    * baseline for surge alerting (z-score B20's complement: EWMA
+    * tracks trend instead of assuming a stationary mean).
+    *
+    * Execution shape: one combine-heavy groupBy to the (pr, hour)
+    * table (≤ protocols × hours rows — thousands, not corpus-sized),
+    * then a single PARTITION BY pr window evaluating all 24 lags in
+    * one WindowExec pass. The truncation to 24 lags is what makes the
+    * operator exactly replayable (and the window frame bounded by
+    * construction): untruncated EWMA needs (1-α)^(-t) terms that
+    * overflow doubles past ~700 buckets. Missing buckets carry no
+    * weight — the present-lag weight sum renormalizes, and a forecast
+    * is only issued with ≥ 12 observed baseline buckets.
+    *
+    * Determinism contract with the oracle: weights are injected as
+    * shortest-round-trip literals, both engines sum the 24 terms
+    * left-associatively in the same order, and the published forecast
+    * / ratio are round(6) so a final-ulp wobble cannot flip the hash.
+    */
+  def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = asFlows(spark, dir)
+      .groupBy($"pr", date_trunc("hour", $"ts").as("h"))
+      .agg(dsum($"value").as("vol"))
+    val w = Window.partitionBy($"pr").orderBy($"h")
+    val lags = (1 to EwmaLags).map(j => lag($"vol", j).over(w))
+    val num = lags.zip(EwmaWeights).map { case (l, wt) =>
+      lit(wt) * coalesce(l, lit(0.0)) }.reduceLeft(_ + _)
+    val den = lags.zip(EwmaWeights).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    val nBase = lags.map(l => when(l.isNotNull, 1L).otherwise(0L)).reduceLeft(_ + _)
+    hourly
+      .withColumn("n_base", nBase)
+      .withColumn("forecast_r", round(num / den, 6))
+      .where($"n_base" >= 12)
+      .withColumn("ratio_r", round($"vol" / $"forecast_r", 6))
+      .select($"pr", $"h", $"vol", $"forecast_r", $"ratio_r",
+        ($"ratio_r" > 2.0).as("surge"))
+      .orderBy($"pr", $"h")
+  }
+
+  // -------------------------------------------- B27 interval coalescing
+
+  /** Merge tolerance for B27: busy periods closer than 15 min fuse. */
+  val MergeGapS = 900L
+
+  /** B27: interval coalescing (`flow_interval_merge`) — the
+    * gaps-and-islands operator: each flow is an activity interval
+    * [ts, ts + duration], and per-user overlapping-or-near intervals
+    * (gap ≤ [[MergeGapS]]) merge into contiguous busy periods. The
+    * operational read: "when was this host actually active, and for
+    * how long" — the flow-level question session windows (B7b) answer
+    * for events collapses here to real durations with overlaps.
+    *
+    * Execution shape: one hash shuffle on user_id, then a per-user
+    * sort window — island boundaries are `start > running_max(end) +
+    * gap` over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING (running MAX,
+    * not lag(end): an interval can be fully contained in a longer
+    * predecessor, where lag-based merging splits incorrectly), island
+    * ids are the running sum of boundary flags, and the final per-user
+    * rollup is partial-aggregated. Per-partition state is O(1); the
+    * sort is Spark's spillable window sort, so a hot key degrades to
+    * disk, not OOM. Duration is deterministic integer arithmetic on
+    * (event_id, epoch seconds) — both engines replay it exactly.
+    */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = asFlows(spark, dir).select(
+      $"user_id",
+      $"ts".cast("timestamp").cast("long").as("s"),
+      ($"ts".cast("timestamp").cast("long") + pmod($"event_id", lit(300)) + 60L).as("e"),
+      $"event_id")
+    val ord = Window.partitionBy($"user_id").orderBy($"s", $"e", $"event_id")
+    val prevMax = max($"e").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+      when(prevMax.isNull || $"s" > prevMax + MergeGapS, 1L).otherwise(0L)
+    ).over(ord)
+    iv.withColumn("island", island)
+      .groupBy($"user_id", $"island")
+      .agg(min($"s").as("ps"), max($"e").as("pe"), count(lit(1)).as("nf"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_periods"),
+        sum($"pe" - $"ps").as("busy_s"),
+        max($"pe" - $"ps").as("longest_s"),
+        max($"nf").as("densest"))
+      .orderBy($"user_id")
+  }
+
+  // ------------------------------------------- B28 sketch intersection
+
+  /** B28: approximate distinct-set overlap (`flow_distinct_overlap`) —
+    * how many users appear on BOTH https (443) and http (80), by
+    * inclusion–exclusion over mergeable HLL sketches:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). The union sketch is built
+    * directly in the same corpus pass (an HLL over the OR-filtered
+    * key stream has exactly the registers a sketch merge would
+    * produce), so the whole approximate side is one map-side-combined
+    * aggregation — at 100 TB three 512-register arrays cross the
+    * shuffle, nothing else. Graded like C14: the published columns
+    * are the exact counts (which the oracle replays bit-for-bit) plus
+    * a Spark-side `within_bound` verdict for the sketch estimates;
+    * the intersection bound is relative to the UNION size, since
+    * inclusion–exclusion error compounds from all three sketches.
+    */
+  def distinctOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HllAgg.{hll_sketch, hll_estimate}
+    val flows = asFlows(spark, dir)
+    val uid = $"user_id".cast("string")
+    val est = flows.agg(
+      hll_sketch(when($"dp" === 443, uid), HllP).as("ska"),
+      hll_sketch(when($"dp" === 80, uid), HllP).as("skb"),
+      hll_sketch(when($"dp" === 443 || $"dp" === 80, uid), HllP).as("sku"),
+      countDistinct(when($"dp" === 443, $"user_id")).as("exact_https"),
+      countDistinct(when($"dp" === 80, $"user_id")).as("exact_http"),
+      countDistinct(when($"dp" === 443 || $"dp" === 80, $"user_id")).as("exact_union"))
+    val both = flows.where($"dp" === 443 || $"dp" === 80)
+      .groupBy($"user_id")
+      .agg(max(($"dp" === 443).cast("int")).as("a"), max(($"dp" === 80).cast("int")).as("b"))
+      .where($"a" === 1 && $"b" === 1)
+      .agg(count(lit(1)).as("exact_both"))
+    est.crossJoin(broadcast(both))
+      .withColumn("est_a", hll_estimate($"ska", HllP))
+      .withColumn("est_b", hll_estimate($"skb", HllP))
+      .withColumn("est_u", hll_estimate($"sku", HllP))
+      .withColumn("est_int", $"est_a" + $"est_b" - $"est_u")
+      .select($"exact_https", $"exact_http", $"exact_union", $"exact_both",
+        (abs($"est_a" - $"exact_https") / $"exact_https" < 0.1 &&
+          abs($"est_b" - $"exact_http") / $"exact_http" < 0.1 &&
+          abs($"est_u" - $"exact_union") / $"exact_union" < 0.1 &&
+          abs($"est_int" - $"exact_both") / $"exact_union" < 0.15).as("within_bound"))
+  }
+
+  // -------------------------------------- B29 sliding quantile sketches
+
+  /** Sliding-window width (hours) for B29. */
+  val QSlideHours = 6
+
+  /** B29: sliding latency-style quantiles by KLL sketch reuse
+    * (`flow_value_quantiles_sliding`) — the p50/p99-per-window panel
+    * every latency dashboard runs, built the way it must be built at
+    * 100 TB: the raw scan happens ONCE into per-hour
+    * [[graft.functions.KllSketchAgg]] compactor stacks, and each
+    * 6-hour sliding window is a MERGE of six sketch blocks
+    * ([[graft.functions.KllUnionAgg]]), never a re-read of raw data —
+    * the quantile twin of B18b's sliding HLL. An exact
+    * percentile-per-window would re-sort every window's full value
+    * set (6× the corpus through a shuffle); the sketch path ships
+    * (hours × few KB).
+    *
+    * Graded the C14 way: the published columns are exact per-window
+    * percentiles (computed in a second, grading-only pass that the
+    * oracle replays) plus the sketch's `within_bound` rank-window
+    * verdict (±3 percentile points).
+    */
+  def valueQuantilesSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KllAgg.{kll_sketch, kll_union, kll_values}
+    val ev = graft.Tables.events(spark, dir)
+      .select($"value", date_trunc("hour", $"ts").as("hr"))
+    val hourly = ev.groupBy($"hr")
+      .agg(kll_sketch($"value", 256).as("sk"), count(lit(1)).as("hr_rows"))
+    val approx = hourly
+      .select($"sk", $"hr", $"hr_rows",
+        explode(sequence(lit(0), lit(QSlideHours - 1))).as("j"))
+      .select($"sk", $"hr_rows",
+        expr("hr - make_interval(0, 0, 0, 0, j, 0, 0)").as("win_start"))
+      .groupBy($"win_start")
+      .agg(kll_union($"sk", 256).as("wsk"), count(lit(1)).as("n_hours"),
+        sum($"hr_rows").as("n_rows"))
+      .select($"win_start", $"n_hours", $"n_rows",
+        kll_values($"wsk", Seq(0.5, 0.99)).as("qs"))
+    val exact = ev
+      .select($"value", explode(sequence(lit(0), lit(QSlideHours - 1))).as("j"), $"hr")
+      .select($"value", expr("hr - make_interval(0, 0, 0, 0, j, 0, 0)").as("win_start"))
+      .groupBy($"win_start")
+      .agg(percentile($"value",
+        typedLit(Seq(0.47, 0.5, 0.53, 0.96, 0.99, 1.0))).as("ex"))
+    approx.join(exact, "win_start")
+      .select($"win_start", $"n_hours",
+        round(element_at($"ex", 2), 6).as("exact_p50_r"),
+        round(element_at($"ex", 5), 6).as("exact_p99_r"),
+        // the ±3pp rank band only spans whole rank steps once the
+        // window holds ≥ ~1/0.03 rows; below that the discrete sketch
+        // value vs the INTERPOLATED band is rank-granularity noise,
+        // not sketch error — tail windows are exempt
+        ($"n_rows" < 100 ||
+          (element_at($"qs", 1) >= element_at($"ex", 1) &&
+            element_at($"qs", 1) <= element_at($"ex", 3) &&
+            element_at($"qs", 2) >= element_at($"ex", 4) &&
+            element_at($"qs", 2) <= element_at($"ex", 6))).as("within_bound"))
+      .orderBy($"win_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_value_quantiles_sliding" -> valueQuantilesSliding _,
+    "flow_ewma_forecast" -> ewmaForecast _,
+    "flow_interval_merge" -> intervalMerge _,
+    "flow_distinct_overlap" -> distinctOverlap _,
     "flow_topk_windowed" -> topKWindowed _,
     "flow_anomaly_zscore" -> anomalyZscore _,
     "flow_ddos_score" -> ddosScore _,
@@ -937,7 +1150,83 @@ object FlowAnalytics {
     "flow_portscan" -> portScan _,
     "flow_heavy_hitters" -> heavyHitters _)
 
+  /** B26 oracle arithmetic, generated from [[EwmaWeights]] so Spark
+    * and DuckDB share the exact IEEE weight values and term order
+    * (shortest-round-trip literals parse back to the same doubles).
+    */
+  private val ewmaNumSql = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+    s"CAST('$wt' AS DOUBLE) * coalesce(lag(vol, ${i + 1}) OVER w, 0.0)"
+  }.mkString(" + ")
+  private val ewmaDenSql = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+    s"CASE WHEN lag(vol, ${i + 1}) OVER w IS NOT NULL THEN CAST('$wt' AS DOUBLE) ELSE 0.0 END"
+  }.mkString(" + ")
+  private val ewmaNbSql = (1 to EwmaLags).map { j =>
+    s"CASE WHEN lag(vol, $j) OVER w IS NOT NULL THEN 1 ELSE 0 END"
+  }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "flow_value_quantiles_sliding" ->
+      s"""WITH h AS MATERIALIZED (
+         |  SELECT value, date_trunc('hour', ts) AS hr FROM events),
+         |x AS MATERIALIZED (
+         |  SELECT value, hr, hr - k.k * INTERVAL 1 HOUR AS win_start
+         |  FROM h CROSS JOIN range(0, $QSlideHours) k(k))
+         |SELECT win_start, count(DISTINCT hr) AS n_hours,
+         |  round(quantile_cont(value, 0.5), 6) AS exact_p50_r,
+         |  round(quantile_cont(value, 0.99), 6) AS exact_p99_r,
+         |  TRUE AS within_bound
+         |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "flow_ewma_forecast" -> (flowsCte +
+      s""", hourly AS (
+         |  SELECT pr, date_trunc('hour', ts) AS h,
+         |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vol
+         |  FROM flows GROUP BY 1, 2),
+         |ew AS (
+         |  SELECT pr, h, vol,
+         |    ($ewmaNbSql) AS n_base,
+         |    round(($ewmaNumSql) / ($ewmaDenSql), 6) AS forecast_r
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY pr ORDER BY h))
+         |SELECT pr, h, vol, forecast_r,
+         |  round(vol / forecast_r, 6) AS ratio_r,
+         |  round(vol / forecast_r, 6) > 2.0 AS surge
+         |FROM ew WHERE n_base >= 12
+         |ORDER BY pr, h""".stripMargin),
+    "flow_interval_merge" -> (flowsCte +
+      s""", iv AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         |    CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 300) + 60 AS e, event_id
+         |  FROM flows),
+         |pm AS (
+         |  SELECT user_id, s, e, event_id,
+         |    max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM iv),
+         |isl AS (
+         |  SELECT user_id, s, e,
+         |    sum(CASE WHEN prev_max IS NULL OR s > prev_max + $MergeGapS
+         |      THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY s, e, event_id) AS island
+         |  FROM pm),
+         |per AS (
+         |  SELECT user_id, island, min(s) AS ps, max(e) AS pe,
+         |    count(*) AS nf
+         |  FROM isl GROUP BY user_id, island)
+         |SELECT user_id, count(*) AS n_periods, sum(pe - ps) AS busy_s,
+         |  max(pe - ps) AS longest_s, max(nf) AS densest
+         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "flow_distinct_overlap" -> (flowsCte +
+      """SELECT
+        |  count(DISTINCT CASE WHEN dp = 443 THEN user_id END) AS exact_https,
+        |  count(DISTINCT CASE WHEN dp = 80 THEN user_id END) AS exact_http,
+        |  count(DISTINCT CASE WHEN dp IN (443, 80) THEN user_id END) AS exact_union,
+        |  (SELECT count(*) FROM (
+        |    SELECT user_id FROM flows WHERE dp IN (443, 80)
+        |    GROUP BY user_id
+        |    HAVING max(CASE WHEN dp = 443 THEN 1 ELSE 0 END) = 1
+        |       AND max(CASE WHEN dp = 80 THEN 1 ELSE 0 END) = 1)) AS exact_both,
+        |  TRUE AS within_bound
+        |FROM flows""".stripMargin),
     "flow_beaconing" -> (flowsCte +
       s""", g AS (
          |  SELECT user_id, da,

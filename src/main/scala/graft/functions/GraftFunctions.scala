@@ -25,6 +25,21 @@ object GraftFunctions {
       s"$fn expects a foldable integer k, got $other")
   }
 
+  private def doubleArg(e: Expression, fn: String): Double = e match {
+    case other if other.foldable => other.eval() match {
+      case v: Double => v
+      case v: Float => v.toDouble
+      case v: Int => v.toDouble
+      case v: Long => v.toDouble
+      case v: java.math.BigDecimal => v.doubleValue()
+      case v: org.apache.spark.sql.types.Decimal => v.toDouble
+      case v => throw new IllegalArgumentException(
+        s"$fn expects a numeric quantile, got $v")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a foldable quantile, got $other")
+  }
+
   private def arity(fn: String, e: Seq[Expression], n: Int): Unit =
     if (e.length != n) throw new IllegalArgumentException(
       s"$fn takes $n argument(s), got ${e.length}")
@@ -67,7 +82,21 @@ object GraftFunctions {
     "hll_estimate" -> (e => { arity("hll_estimate", e, 2)
       HllEstimate(e(0), intArg(e(1), "hll_estimate")) }),
     "hll_union" -> (e => { arity("hll_union", e, 2)
-      HllUnionAgg(e(0), intArg(e(1), "hll_union")).toAggregateExpression() }))
+      HllUnionAgg(e(0), intArg(e(1), "hll_union")).toAggregateExpression() }),
+    // kll_quantiles(value, k, p1[, p2, ...]) — variadic quantile list
+    "kll_quantiles" -> (e => {
+      if (e.length < 3) throw new IllegalArgumentException(
+        s"kll_quantiles takes (value, k, p...), got ${e.length} args")
+      KllAgg(e(0), intArg(e(1), "kll_quantiles"),
+        e.drop(2).map(doubleArg(_, "kll_quantiles"))).toAggregateExpression() }),
+    "kll_sketch" -> (e => { arity("kll_sketch", e, 2)
+      KllSketchAgg(e(0), intArg(e(1), "kll_sketch")).toAggregateExpression() }),
+    "kll_union" -> (e => { arity("kll_union", e, 2)
+      KllUnionAgg(e(0), intArg(e(1), "kll_union")).toAggregateExpression() }),
+    "kll_values" -> (e => {
+      if (e.length < 2) throw new IllegalArgumentException(
+        s"kll_values takes (sketch, p...), got ${e.length} args")
+      KllValues(e(0), e.drop(1).map(doubleArg(_, "kll_values"))) }))
 
   /** Session-scoped registration (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -307,13 +307,130 @@ object GraphSearch {
        |JOIN deg dz ON dz.node = c.z
        |ORDER BY jaccard DESC, u, v LIMIT $LjTopN""".stripMargin
 
+  // -------------------------------------------------------------- B26g SSSP
+
+  /** Seeds / round backstop for [[sssp]]. The cap counts the
+    * confirming (no-improvement) round too, and the oracle unrolls
+    * exactly [[SsspRoundCap]] min-plus rounds, so Spark and the
+    * replay agree by construction on any graph Spark doesn't throw
+    * on (extra oracle rounds past the fixpoint are no-ops).
+    */
+  val SsspSeeds = 3
+  val SsspRoundCap = 16
+
+  /** B26g: weighted multi-source shortest paths (`graph_sssp`) —
+    * min-plus distance from the [[SsspSeeds]] highest-degree service
+    * hubs over the same user↔service contact graph as B23, with a
+    * deterministic md5-derived edge weight in 1..4 (both engines
+    * derive it from the same hex prefix, so the weighting needs no
+    * side table). The triage read: weighted blast radius — hop count
+    * alone treats a rare contact like a daily one; the weight stands
+    * in for the link cost a real deployment would carry on the edge.
+    *
+    * Execution shape: DELTA-relaxation Bellman-Ford, the weighted
+    * generalization of B23's frontier iteration — each round joins
+    * ONLY the nodes whose distance improved last round against the
+    * staged hash(src) edge table, takes the min-plus candidate per
+    * dst (partial-aggregated map-side), and left-joins the running
+    * distance table to keep strict improvements. Work per round is
+    * O(edges out of the improved set); rounds ≤ weighted diameter,
+    * not V−1, because only genuine improvements re-enter the
+    * frontier. AQE broadcasts the (small) frontier into the edge
+    * join, so the edge table never re-shuffles; per-layer leaves are
+    * materialized and superseded state is released, same lifecycle
+    * as BFS/k-core.
+    */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.StrFuncs.md5_prefix
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val ue = flows.select(concat(lit("u:"), $"user_id").as("src"), $"da".as("dst"))
+    val wEdges = materialize(
+      ue.union(ue.select($"dst".as("src"), $"src".as("dst"))).distinct()
+        .withColumn("w",
+          md5_prefix(concat($"src", lit(">"), $"dst"), 7) % 4 + 1)
+        .repartition($"src"))
+    val deg = materialize(
+      wEdges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")))
+    val seeds = deg.orderBy($"deg".desc, $"node").limit(SsspSeeds)
+    var dist = materialize(seeds.select($"node", lit(0L).as("dist")))
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      if (round > SsspRoundCap)
+        throw new IllegalStateException(
+          s"sssp still improving after $SsspRoundCap rounds — raise the cap " +
+            "(the oracle's unrolled round count must move with it)")
+      val cand = wEdges
+        .join(frontier.select($"node".as("src"), $"dist".as("fd")), "src")
+        .groupBy($"dst".as("node")).agg(min($"fd" + $"w").as("nd"))
+      val improved = materialize(
+        cand.join(dist.select($"node", $"dist".as("od")), Seq("node"), "left")
+          .where($"od".isNull || $"nd" < $"od")
+          .select($"node", $"nd".as("dist")))
+      if (improved.count() == 0L) { release(improved); done = true }
+      else {
+        val next = materialize(
+          dist.join(improved.select($"node"), Seq("node"), "left_anti")
+            .unionByName(improved))
+        if (frontier ne dist) release(frontier)
+        release(dist)
+        dist = next
+        frontier = improved
+      }
+    }
+    deg.join(dist, Seq("node"), "left")
+      .select(coalesce($"dist", lit(-1L)).as("dist"))
+      .groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"dist")
+  }
+
+  /** B26g oracle: [[SsspRoundCap]] UNROLLED min-plus rounds (the
+    * k-core pattern — each CTE is node-sized, so the replay is K
+    * cheap joins, not a recursive path enumeration whose row count
+    * would grow with the number of distinct (dist, hop) pairs).
+    */
+  val ssspSql: String = {
+    val base = FlowAnalytics.flowsCte +
+      s""", ue AS MATERIALIZED (
+         |  SELECT DISTINCT 'u:' || user_id AS src, da AS dst FROM flows),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    1 + (('0x' || substr(md5(src || '>' || dst), 1, 7))::BIGINT % 4) AS w
+         |  FROM (SELECT src, dst FROM ue UNION SELECT dst, src FROM ue)),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS MATERIALIZED (
+         |  SELECT node FROM deg ORDER BY deg DESC, node LIMIT $SsspSeeds),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)""".stripMargin
+    val rounds = (1 to SsspRoundCap).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + e.w FROM d${i - 1} d
+         |    JOIN edges e ON e.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT coalesce(d.dist, -1) AS dist, count(*) AS n_nodes
+         |FROM deg g LEFT JOIN d$SsspRoundCap d ON d.node = g.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_hops" -> bfsHops _,
     "graph_kcore" -> kcore _,
+    "graph_sssp" -> sssp _,
     "graph_link_jaccard" -> linkJaccard _)
 
   val oracleSql: Map[String, String] = Map(
     "graph_bfs_hops" -> bfsHopsSql,
     "graph_kcore" -> kcoreSql,
+    "graph_sssp" -> ssspSql,
     "graph_link_jaccard" -> linkJaccardSql)
 }

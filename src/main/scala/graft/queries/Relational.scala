@@ -501,7 +501,80 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** C27: graft's OWN mergeable quantile sketch next to its exact
+    * twin (`approx_kll`) — the [[graft.functions.KllAgg]] KLL-style
+    * compactor stack, the quantile member of the sketch family
+    * (HLL distinct / CMS frequency / SpaceSaving top-K / Bloom
+    * membership). Graded the C14 way: published columns are exact
+    * percentiles (DuckDB `quantile_cont` replays them bit-for-bit)
+    * plus a Spark-side `within_bound` verdict checking the sketch
+    * value sits within a ±3-percentile RANK window (the sketch's
+    * actual guarantee — a relative VALUE bound would be distribution-
+    * dependent). One map-side-combined aggregation; the shuffle
+    * carries one ~few-KB compactor stack per partition per group at
+    * any corpus size, where exact percentile sorts the group.
+    */
+  def approxKll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val ps = Seq(0.5, 0.9, 0.99)
+    val rank = 0.03
+    val lows = ps.map(p => math.max(0.001, p - rank))
+    val highs = ps.map(p => math.min(1.0, p + rank))
+    ev.groupBy($"event_type")
+      .agg(
+        graft.functions.KllAgg.kll_quantiles($"value", 256, ps).as("sk"),
+        percentile($"value", typedLit(ps)).as("exact"),
+        percentile($"value", typedLit(lows)).as("lo"),
+        percentile($"value", typedLit(highs)).as("hi"))
+      .select($"event_type",
+        round(element_at($"exact", 1), 6).as("exact_p50_r"),
+        round(element_at($"exact", 2), 6).as("exact_p90_r"),
+        round(element_at($"exact", 3), 6).as("exact_p99_r"),
+        (0 until 3).map(i =>
+          element_at($"sk", i + 1) >= element_at($"lo", i + 1) &&
+            element_at($"sk", i + 1) <= element_at($"hi", i + 1))
+          .reduceLeft(_ && _).as("within_bound"))
+      .orderBy($"event_type")
+  }
+
+  /** C26: CDC latest-wins state compaction (`cdc_latest_upsert`) —
+    * the MERGE/upsert batch primitive every warehouse ingestion needs:
+    * replay a change stream (here `events` keyed by (user_id, props.k),
+    * `error` rows acting as deletes) down to current state, keeping
+    * only each key's latest change and dropping keys whose final
+    * change is a delete. Latest = max (ts, event_id) — the event_id
+    * tiebreak makes the winner total-ordered, so both engines agree
+    * even on same-timestamp changes.
+    *
+    * Execution shape: ONE hash shuffle on the key, and the
+    * row_number-≤-1 window plans through [[graft.plans.RewriteRankLimit]]
+    * as a bounded-heap aggregate (k=1 ⇒ a max_by: the shuffle carries
+    * one candidate row per key per map partition, not the key's whole
+    * history — exactly the compaction a 100 TB changelog needs). The
+    * key-shard filter pushes to the parquet scan. Deletes must
+    * survive INTO the window and be dropped after — filtering them
+    * first would resurrect the previous upsert.
+    */
+  def cdcLatestUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .where(pmod($"user_id", lit(10)) === 0)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"ts", $"event_id", $"value",
+        ($"event_type" === "error").as("is_delete"))
+    val w = Window.partitionBy($"user_id", $"k")
+      .orderBy($"ts".desc, $"event_id".desc)
+    ev.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1 && !$"is_delete")
+      .select($"user_id", $"k", $"event_id", $"value")
+      .orderBy($"user_id", $"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_kll" -> approxKll _,
+    "cdc_latest_upsert" -> cdcLatestUpsert _,
     "window_pct_prefix" -> windowPctPrefix _,
     "window_ntile_prefix" -> windowNtilePrefix _,
     "window_cume_prefix" -> windowCumePrefix _,
@@ -533,6 +606,26 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "approx_kll" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS exact_p50_r,
+        |  round(quantile_cont(value, 0.9), 6) AS exact_p90_r,
+        |  round(quantile_cont(value, 0.99), 6) AS exact_p99_r,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc_latest_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(props->>'k' AS BIGINT) AS k, ts, event_id,
+        |    value, event_type = 'error' AS is_delete
+        |  FROM events WHERE user_id % 10 = 0),
+        |ranked AS (
+        |  SELECT user_id, k, event_id, value, is_delete,
+        |    row_number() OVER (PARTITION BY user_id, k
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, k, event_id, value
+        |FROM ranked WHERE rn = 1 AND NOT is_delete
+        |ORDER BY user_id, k""".stripMargin,
     "window_pct_prefix" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  round(pr, 6) AS pr_r

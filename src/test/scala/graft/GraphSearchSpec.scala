@@ -124,4 +124,41 @@ class GraphSearchSpec extends SparkSpecBase {
       all.map { case (u, v, _) => (u, v) },
       "top slice is not the global maximum set")
   }
+
+  test("SSSP: distance histogram matches a driver-side Dijkstra at sf0.001") {
+    import spark.implicits._
+    def md5w(src: String, dst: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$src>$dst".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 4 + 1
+    }
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val pairs = flows
+      .select(concat(lit("u:"), $"user_id").as("u"), $"da").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      .map { case (s, d) => (s, d, md5w(s, d)) }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val seeds = adj.toSeq
+      .sortBy { case (n, out) => (-out.size, n) }
+      .take(GraphSearch.SsspSeeds).map(_._1)
+    // driver-side Dijkstra from the multi-source super-node
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue(
+      seeds.map(s => (0L, s)): _*)(Ordering.by(x => -x._1))
+    while (pq.nonEmpty) {
+      val (d0, n) = pq.dequeue()
+      if (dist(n) == d0)
+        for ((m, w) <- adj.getOrElse(n, Array.empty[(String, Long)]))
+          if (!dist.contains(m) || d0 + w < dist(m)) {
+            dist(m) = d0 + w; pq.enqueue((d0 + w, m))
+          }
+    }
+    val expected = adj.keys.toSeq.map(n => dist.getOrElse(n, -1L))
+      .groupBy(identity).map { case (d, xs) => (d, xs.size.toLong) }
+    val got = GraphSearch.sssp(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
 }

@@ -322,6 +322,27 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("CDC latest-wins compacts through the k=1 heap, not a Window sort") {
+    val p = plan(Relational.cdcLatestUpsert(spark, sf0001))
+    assert(!p.contains("Window"), s"cdc_latest_upsert kept its Window plan:\n$p")
+    // k=1 row_number ≤ a bounded heap: one candidate per key per map
+    // partition crosses the shuffle (max_by-shaped compaction)
+    assert(p.contains("topk_rows"), s"cdc_latest_upsert missing the heap:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"cdc_latest_upsert heap not partially aggregated:\n$p")
+    // the key-shard filter reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)]") ||
+      p.contains("pmod"), s"cdc_latest_upsert shard filter not near the scan:\n$p")
+  }
+
+  test("EWMA window is partitioned by protocol — no single-reducer global window") {
+    val p = plan(graft.flow.FlowAnalytics.ewmaForecast(spark, sf0001))
+    assert(!p.contains("SinglePartition") ||
+      !p.substring(p.indexOf("Window")).contains("SinglePartition"),
+      s"flow_ewma_forecast windows on a single partition:\n$p")
+    assert(p.contains("Window"), s"flow_ewma_forecast lost its window stage:\n$p")
+  }
+
   test("real image decode/resize are map-only: no shuffle before the output sort") {
     for ((name, df) <- Seq(
         "mm_image_decode" -> graft.multimodal.Multimodal.imageDecode(spark, sf0001),

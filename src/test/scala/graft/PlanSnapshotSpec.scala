@@ -34,7 +34,8 @@ class PlanSnapshotSpec extends SparkSpecBase {
   // orderings. Only their operator-tree header is pinned (treeOnly),
   // covering shape without the session-dependent permutation.
   private val multiDistinct =
-    Set("flow_retention", "flow_by_source", "agg_distinct")
+    Set("flow_retention", "flow_by_source", "agg_distinct",
+      "flow_distinct_overlap")
   private val streaming =
     Set("stream_window_agg", "stream_running_totals",
       "stream_decontaminate", "stream_sessions_agg",
