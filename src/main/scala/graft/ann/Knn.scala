@@ -1383,6 +1383,60 @@ object Knn {
        |    (a, v) -> a + v) / $Dim), 6) AS rmse_r
        |FROM s ORDER BY vec_id""".stripMargin
 
+  /** D20b: brute-force ANN over the SQ8-quantized corpus
+    * (`ann_topk_sq8`) — D20's int8 vectors actually SERVING search,
+    * the memory-bandwidth half of the compression story (PQ is the
+    * other): score = cos(q, probe), exact because cosine is
+    * scale-invariant (the reconstruction q·scale/127 differs from q
+    * by a positive per-vector scalar, which cancels in the cosine),
+    * so the max-abs scale never even ships to the scorer. At 100 TB
+    * the quantized corpus is what stays resident — 4× less memory
+    * traffic per scan than float32 — while scoring runs through the
+    * same codegen'd single-pass [[graft.functions.VecFuncs]] kernel
+    * and the bounded-heap ranking as D6. Deterministic quantization →
+    * the oracle replays the whole pipeline hash-exact (no recall
+    * bound needed, unlike the trained-index family).
+    */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    // same scale derivation as D20 (explode → codegen'd max agg)
+    val scales = e.select($"vec_id", explode($"embedding").as("x"))
+      .groupBy($"vec_id").agg(max(abs($"x".cast("double"))).as("scale"))
+    val qcorpus = e.join(scales, "vec_id")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS DOUBLE))"
+      ).as("qvec"))
+    val probes = e.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val scored = qcorpus.crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score", vcos($"probe_emb", $"qvec"))
+    rankTopK(scored, 5, Seq.empty)
+  }
+
+  val sq8TopKSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+       |  FROM embeddings),
+       |qc AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS DOUBLE)) AS qvec
+       |  FROM s),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.probe_id, c.vec_id,
+       |    ${cosSql("p.probe_emb", "c.qvec")} AS score
+       |  FROM qc c, probes p WHERE c.vec_id != p.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS neighbor_id, rank, score
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   /** D13: per-label embedding norm statistics (list-column math). */
   def embNorms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1410,6 +1464,7 @@ object Knn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> bruteTopK _,
+    "ann_topk_sq8" -> sq8TopK _,
     "ann_topk_lsh" -> lshTopK _,
     "ann_topk_ivf" -> ivfTopK _,
     "ann_topk_ivf_mp" -> ivfTopKMulti _,
@@ -1425,6 +1480,7 @@ object Knn {
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> bruteTopKSql,
+    "ann_topk_sq8" -> sq8TopKSql,
     "ann_topk_lsh" -> lshTopKSql,
     "ann_topk_ivf" -> ivfTopKSql,
     "ann_topk_ivf_mp" -> ivfTopKMultiSql,

@@ -581,6 +581,84 @@ object Dedup {
       load(spark, dir, "documents").select("doc_id", "lang", "text"),
       JaccardTau)
 
+  /** D4c containment threshold: C(A→B) = |grams(A)∩grams(B)|/|grams(A)|. */
+  val ContainTau = 0.6
+
+  /** Phase-1 DIRECTED candidates for containment: C(A→B) ≥ τ ⇒
+    * |A∩B| ≥ ⌈τ|A|⌉, so A's (sz − ⌈τ·sz⌉ + 1)-gram global-rarity
+    * prefix must share a gram with B (pigeonhole on A ALONE — that's
+    * what makes the asymmetric measure prefix-filterable: the
+    * container B carries no prefix obligation). No length-bucket
+    * blocking — containment is exactly the measure that must cross
+    * length buckets (a paragraph inside a book) — but B must carry
+    * ≥ ⌈τ|A|⌉ grams at all, which prunes the big×tiny direction.
+    */
+  private[graft] def containmentCandidates(postings: DataFrame,
+      tau: Double): DataFrame = {
+    import postings.sparkSession.implicits._
+    val gramDf = postings.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val pre = postings.join(gramDf, "gram")
+      .groupBy($"doc_id", $"lang")
+      .agg(max($"sz").as("sz"),
+        graft.functions.PrefixMinAgg.prefix_min(
+          $"df", $"gram",
+          ($"sz" - ceil(lit(tau) * $"sz") + 1).cast("int")).as("pgrams"))
+      .select($"doc_id", $"lang", $"sz", explode($"pgrams").as("gram"))
+    val p = pre.as("p"); val f = postings.as("f")
+    p.join(f,
+        $"p.lang" === $"f.lang" && $"p.gram" === $"f.gram" &&
+        $"p.doc_id" =!= $"f.doc_id" &&
+        $"f.sz" >= ceil(lit(tau) * $"p.sz"))
+      .select($"p.doc_id".as("d1"), $"f.doc_id".as("d2"))
+      .distinct()
+  }
+
+  /** D4c: n-gram containment (`dedup_ngram_containment`) — the
+    * ASYMMETRIC near-dup measure: d1's gram set is τ-contained in
+    * d2's (quote / excerpt / superset detection — the case Jaccard
+    * structurally misses, since a paragraph inside a book has tiny
+    * Jaccard but containment ≈ 1). Same two-phase shape as D4: the
+    * directed prefix-filtered candidate join above, then per-pair
+    * scoring with the codegen'd [[graft.functions.OverlapSorted]]
+    * merge-scan over the materialized gram arrays. Output is
+    * DIRECTED (d1 contained-in d2).
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = materialize(gramTable(
+      load(spark, dir, "documents").select("doc_id", "lang", "text")))
+    val postings = postingsOf(g)
+    val cand = containmentCandidates(postings, ContainTau)
+    val result = cand
+      .join(g.select($"doc_id".as("d1"), $"grams".as("g1"),
+        size($"grams").as("sz1")), "d1")
+      .join(g.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
+      .withColumn("containment", round(
+        graft.functions.StrFuncs.overlap_sorted($"g1", $"g2").cast("double") /
+          $"sz1", 6))
+      .where($"containment" >= ContainTau)
+      .select($"d1", $"d2", $"containment")
+    val out = materialize(result)
+    release(g, postings)
+    out.orderBy($"d1", $"d2")
+  }
+
+  val ngramContainmentSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+       |      i -> substring(text, i, 5))) AS grams
+       |  FROM documents)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |    len(a.grams), 6) AS containment
+       |FROM g a JOIN g b
+       |  ON a.lang = b.lang AND a.doc_id != b.doc_id
+       |  AND len(b.grams) >= ceil($ContainTau * len(a.grams))
+       |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |    len(a.grams), 6) >= $ContainTau
+       |ORDER BY d1, d2""".stripMargin
+
   val ngramJaccardSql: String =
     """WITH g AS (
       |  SELECT doc_id, lang, length(text) // 8 AS bucket,
@@ -1373,6 +1451,7 @@ object Dedup {
     "dedup_minhash" -> minhash _,
     "dedup_simhash" -> simhash _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_ngram_containment" -> ngramContainment _,
     "dedup_edit_distance" -> editDistance _,
     "dedup_contamination" -> contamination _,
     "dedup_contamination_ratio" -> contaminationRatio _,
@@ -1393,6 +1472,7 @@ object Dedup {
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_ngram_containment" -> ngramContainmentSql,
     "dedup_edit_distance" -> editDistanceSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_contamination_ratio" -> contaminationRatioSql,

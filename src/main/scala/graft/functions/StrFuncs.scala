@@ -72,6 +72,22 @@ object GramUtil {
     }
     inter.toDouble / (na + nb - inter).toDouble
   }
+
+  /** |a ∩ b| of two sorted distinct string arrays — same merge scan
+    * as [[jaccardSorted]], returning the raw overlap count (the
+    * numerator asymmetric measures like containment need).
+    */
+  def overlapSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
 }
 
 /** `char_grams(s, n)` — distinct character n-grams as
@@ -125,6 +141,34 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
     copy(left = l, right = r)
   override def prettyName: String = "jaccard_sorted"
+}
+
+/** `overlap_sorted(a, b)` — |a ∩ b| of two sorted distinct string
+  * arrays as BIGINT (one merge scan; the containment numerator).
+  */
+case class OverlapSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[ArrayType] ||
+        left.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"overlap_sorted expects ARRAY<STRING>, got ${left.dataType.sql}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+        right.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"overlap_sorted expects ARRAY<STRING>, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GramUtil.overlapSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GramUtil.overlapSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): OverlapSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "overlap_sorted"
 }
 
 /** Runtime kernel for [[MinhashSig]]. */
@@ -398,6 +442,10 @@ object StrFuncs {
 
   def jaccard_sorted(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSorted(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def overlap_sorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(OverlapSorted(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def lev_banded(l: Column, r: Column, k: Int): Column =

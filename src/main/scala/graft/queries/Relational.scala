@@ -538,6 +538,73 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** C29: SCD Type-2 dimension build (`cdc_scd2_history`) — C26's
+    * changelog replayed into a slowly-changing-dimension HISTORY
+    * table instead of current state: every change becomes a row with
+    * a [valid_from, valid_to) validity interval (valid_to = the next
+    * change's timestamp, NULL while open) and an is_current flag.
+    * Delete rows participate in the interval chain (they CLOSE the
+    * predecessor's interval via lead) and then drop out — filtering
+    * them first would leave the prior version open forever.
+    * Execution: one hash shuffle on the key + one window pass; at
+    * 100 TB this is the standard warehouse dimension rebuild, and
+    * the per-key window state is O(1) (lead(1)).
+    */
+  def cdcScd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .where(pmod($"user_id", lit(10)) === 0)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"ts", $"event_id", $"value",
+        ($"event_type" === "error").as("is_delete"))
+    val w = Window.partitionBy($"user_id", $"k").orderBy($"ts", $"event_id")
+    ev.withColumn("valid_to", lead($"ts", 1).over(w))
+      .where(!$"is_delete")
+      .select($"user_id", $"k", $"event_id", $"value",
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"k", $"valid_from", $"event_id")
+  }
+
+  /** C28: declarative data-quality audit (`table_audit`) — the
+    * dbt-test / Deequ-style constraint sweep every warehouse load
+    * runs before publishing a partition: null rates, key uniqueness,
+    * referential integrity, and domain-range checks, computed as ONE
+    * aggregation pass over the fact table plus one broadcast anti-join
+    * for orphans. At 100 TB this shape matters: each check is a
+    * conditional count riding the same scan (no per-check pass), the
+    * uniqueness check is count vs count(distinct) (no self-join), and
+    * the FK orphan check broadcasts the DIMENSION key set (customer),
+    * never shuffling the fact side. Output is one row of check
+    * results — the shape a CI gate consumes.
+    */
+  def tableAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+    val custKeys = load(spark, dir, "customer").select($"c_custkey")
+    val checks = ord.agg(
+      count(lit(1)).as("n_rows"),
+      count(when($"o_orderkey".isNull, 1)).as("null_orderkey"),
+      count(when($"o_custkey".isNull, 1)).as("null_custkey"),
+      count(when($"o_totalprice".isNull, 1)).as("null_totalprice"),
+      countDistinct($"o_orderkey").as("distinct_orderkey"),
+      count(when($"o_totalprice" <= 0.0, 1)).as("nonpositive_price"),
+      count(when(!$"o_orderstatus".isin("F", "O", "P"), 1)).as("bad_status"))
+    val orphans = ord.join(broadcast(custKeys),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("orphan_custkey"))
+    checks.crossJoin(broadcast(orphans))
+      .select($"n_rows",
+        $"null_orderkey", $"null_custkey", $"null_totalprice",
+        ($"distinct_orderkey" === $"n_rows").as("orderkey_unique"),
+        $"nonpositive_price", $"bad_status", $"orphan_custkey",
+        ($"null_orderkey" === 0 && $"null_custkey" === 0 &&
+          $"null_totalprice" === 0 && $"distinct_orderkey" === $"n_rows" &&
+          $"nonpositive_price" === 0 && $"bad_status" === 0 &&
+          $"orphan_custkey" === 0).as("all_checks_pass"))
+  }
+
   /** C26: CDC latest-wins state compaction (`cdc_latest_upsert`) —
     * the MERGE/upsert batch primitive every warehouse ingestion needs:
     * replay a change stream (here `events` keyed by (user_id, props.k),
@@ -574,7 +641,9 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_kll" -> approxKll _,
+    "table_audit" -> tableAudit _,
     "cdc_latest_upsert" -> cdcLatestUpsert _,
+    "cdc_scd2_history" -> cdcScd2History _,
     "window_pct_prefix" -> windowPctPrefix _,
     "window_ntile_prefix" -> windowNtilePrefix _,
     "window_cume_prefix" -> windowCumePrefix _,
@@ -606,6 +675,41 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(props->>'k' AS BIGINT) AS k, ts, event_id,
+        |    value, event_type = 'error' AS is_delete
+        |  FROM events WHERE user_id % 10 = 0),
+        |v AS (
+        |  SELECT user_id, k, event_id, value, is_delete, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id, k
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM ev)
+        |SELECT user_id, k, event_id, value, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v WHERE NOT is_delete
+        |ORDER BY user_id, k, valid_from, event_id""".stripMargin,
+    "table_audit" ->
+      """WITH checks AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS null_orderkey,
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+        |    count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_totalprice,
+        |    count(DISTINCT o_orderkey) AS distinct_orderkey,
+        |    count(CASE WHEN o_totalprice <= 0.0 THEN 1 END) AS nonpositive_price,
+        |    count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS bad_status
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS orphan_custkey FROM orders o
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT n_rows, null_orderkey, null_custkey, null_totalprice,
+        |  distinct_orderkey = n_rows AS orderkey_unique,
+        |  nonpositive_price, bad_status, orphan_custkey,
+        |  (null_orderkey = 0 AND null_custkey = 0 AND null_totalprice = 0
+        |    AND distinct_orderkey = n_rows AND nonpositive_price = 0
+        |    AND bad_status = 0 AND orphan_custkey = 0) AS all_checks_pass
+        |FROM checks, orph""".stripMargin,
     "approx_kll" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS exact_p50_r,

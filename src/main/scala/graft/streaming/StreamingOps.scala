@@ -491,7 +491,52 @@ object StreamingOps {
     spark.table(name).orderBy($"doc_id")
   }
 
+  /** E12: streaming quantile monitor (`stream_value_quantiles`) —
+    * running p50/p99 per event type with the
+    * [[graft.functions.KllAgg]] compactor stack as the STREAMING
+    * aggregation state: complete-mode groupBy whose state store
+    * holds one serialized ~KB sketch per group, re-emitted whole
+    * every trigger (the live latency-dashboard shape). This is the
+    * sketch contract under streaming semantics: per-micro-batch
+    * partials merge into the stored stack exactly like map-side
+    * partials merge in batch, so state stays O(k·log(n/k)) per group
+    * forever while a percentile-exact operator would need unbounded
+    * state. Graded the C14 way: exact per-group percentiles from the
+    * batch twin (oracle-replayed) + a ±3-percentile rank-window
+    * verdict on the drained sketch.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_kll_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.KllAgg.kll_quantiles($"value", 256, Seq(0.5, 0.99))
+        .as("qs"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_value_quantiles")
+    val sk = spark.table(name)
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(percentile($"value",
+        typedLit(Seq(0.47, 0.5, 0.53, 0.96, 0.99, 1.0))).as("ex"))
+    sk.join(exact, "event_type")
+      .select($"event_type",
+        round(element_at($"ex", 2), 6).as("exact_p50_r"),
+        round(element_at($"ex", 5), 6).as("exact_p99_r"),
+        (element_at($"qs", 1) >= element_at($"ex", 1) &&
+          element_at($"qs", 1) <= element_at($"ex", 3) &&
+          element_at($"qs", 2) >= element_at($"ex", 4) &&
+          element_at($"qs", 2) <= element_at($"ex", 6)).as("within_bound"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_value_quantiles" -> valueQuantiles _,
     "stream_quality_gate" -> qualityGate _,
     "stream_bloom_gate" -> bloomGate _,
     "stream_minhash_gate" -> minhashGate _,
@@ -506,6 +551,12 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    "stream_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS exact_p50_r,
+        |  round(quantile_cont(value, 0.99), 6) AS exact_p99_r,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_quality_gate" -> graft.text.TextAnalytics.qualityGateSql,
     "stream_bloom_gate" -> {
       val m = graft.dedup.Dedup.BloomBits

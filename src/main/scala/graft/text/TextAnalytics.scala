@@ -737,6 +737,34 @@ object TextAnalytics {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** D10c: per-language vocabulary statistics (`text_vocab_stats`) —
+    * the corpus-linguistics profile a tokenizer/mixture decision
+    * reads: token volume, vocabulary size, hapax-legomena count
+    * (types seen exactly once — the Heaps'-law tail that dominates
+    * vocab growth and OOV risk), and type-token ratio. One explode →
+    * (lang, token) combine-heavy aggregation (the shuffle carries
+    * distinct types per partition, not token instances), then a
+    * lang-sized rollup; doc counts ride a separate lang-sized agg and
+    * broadcast-join in. All exact — replayed by the oracle.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val typeCounts = docs
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+    val perLang = typeCounts.groupBy($"lang").agg(
+      sum($"cnt").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      count(when($"cnt" === 1, 1)).as("hapax"))
+    val nDocs = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    perLang.join(broadcast(nDocs), "lang")
+      .select($"lang", $"n_docs", $"n_tokens", $"vocab", $"hapax",
+        round($"vocab".cast("double") / $"n_tokens", 6).as("ttr_r"),
+        round($"hapax".cast("double") / $"vocab", 6).as("hapax_ratio_r"))
+      .orderBy($"lang")
+  }
+
   /** D10b: corpus token frequencies — the canonical explode →
     * combine-heavy agg → top-N pipeline (vocabulary building step).
     */
@@ -1361,6 +1389,7 @@ object TextAnalytics {
     "corpus_curate" -> corpusCurate _,
     "text_entropy" -> entropy _,
     "text_wordcount" -> wordcount _,
+    "text_vocab_stats" -> vocabStats _,
     "text_lang_id" -> langId _,
     "text_quality" -> quality _,
     "text_quality_clf" -> qualityClf _,
@@ -1456,6 +1485,21 @@ object TextAnalytics {
          |  CAST(length(redacted) AS BIGINT) AS redacted_len,
          |  md5(redacted) AS redacted_md5
          |FROM r ORDER BY doc_id""".stripMargin,
+    "text_vocab_stats" ->
+      """WITH tc AS (
+        |  SELECT lang, tok, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY lang, tok),
+        |pl AS (
+        |  SELECT lang, sum(cnt) AS n_tokens, count(*) AS vocab,
+        |    count(CASE WHEN cnt = 1 THEN 1 END) AS hapax
+        |  FROM tc GROUP BY lang),
+        |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT pl.lang, n_docs, n_tokens, vocab, hapax,
+        |  round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr_r,
+        |  round(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio_r
+        |FROM pl JOIN nd ON nd.lang = pl.lang
+        |ORDER BY pl.lang""".stripMargin,
     "text_wordcount" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

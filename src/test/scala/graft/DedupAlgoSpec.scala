@@ -211,4 +211,44 @@ class DedupAlgoSpec extends SparkSpecBase {
       (1L, 0L, 2L, 16L, 27L, 0.592593),    // two DISJOINT islands: 8 + 8
       (2L, 0L, 2L, 16L, 16L, 1.0)))        // adjacent anchors merge: 9-1+8
   }
+
+  test("overlap_sorted kernel: merge-scan intersection counts") {
+    import spark.implicits._
+    import graft.functions.StrFuncs.{char_grams, overlap_sorted}
+    val df = Seq(("abcdefgh", "abcdefgh"), ("abcdefgh", "zzzzzzzz"),
+      ("abcdefgh", "cdefghij")).toDF("a", "b")
+      .select(overlap_sorted(char_grams($"a", 5, sorted = true),
+        char_grams($"b", 5, sorted = true)).as("ov"))
+    // "abcdefgh" has 4 distinct 5-grams; identical → 4, disjoint → 0,
+    // 2-char shift shares the 2 grams cdefg, defgh
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(4L, 0L, 2L))
+  }
+
+  test("containment: planted excerpt-in-book found, symmetric Jaccard misses it") {
+    import spark.implicits._
+    val dir = tmpDir("graft_containment")
+    val para = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val book = (1 to 400).map(i => s"w$i").mkString(" ") + " " + para
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    Seq((0L, "en", para), (1L, "en", book), (2L, "en", other))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.ngramContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the paragraph is verbatim inside the book: containment(0→1) ≈ 1
+    // (boundary grams at the splice differ slightly); nothing else
+    // qualifies, and in particular the REVERSE direction (book→para)
+    // must not appear — that's the asymmetry
+    assert(got.exists { case (d1, d2, c) => d1 == 0L && d2 == 1L && c > 0.9 },
+      s"excerpt not found: ${got.toSeq}")
+    assert(!got.exists { case (d1, d2, _) => d1 == 1L && d2 == 0L },
+      "reverse containment leaked")
+    assert(!got.exists { case (d1, d2, _) => d1 == 2L || d2 == 2L },
+      "unrelated doc flagged")
+    // the same pair's Jaccard is far below the D4 threshold — the
+    // case the asymmetric measure exists for
+    val j = Dedup.ngramJaccard(spark, dir).collect()
+    assert(!j.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "jaccard unexpectedly caught the excerpt pair")
+  }
 }

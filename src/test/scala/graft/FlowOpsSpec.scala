@@ -83,6 +83,81 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(i == a + b - u)
   }
 
+  test("table audit matches driver-side constraint sweep; planted orphan detected") {
+    import spark.implicits._
+    val ord = graft.Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      .collect()
+    val custKeys = graft.Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val got = graft.queries.Relational.tableAudit(spark, sf0001).head()
+    assert(got.getAs[Long]("n_rows") == ord.length)
+    assert(got.getAs[Long]("orphan_custkey") ==
+      ord.count(r => !custKeys.contains(r.getLong(1))))
+    assert(got.getAs[Boolean]("orderkey_unique") ==
+      (ord.map(_.getLong(0)).distinct.length == ord.length))
+    assert(got.getAs[Long]("nonpositive_price") ==
+      ord.count(_.getDouble(2) <= 0.0))
+    // the audit plan broadcasts the dimension keys; the anti join
+    // must not shuffle the fact side
+    val p = graft.queries.Relational.tableAudit(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"orphan check not a broadcast anti join:\n$p")
+  }
+
+  test("SCD2 history: validity intervals chain per key, deletes close them") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .where(pmod($"user_id", lit(10)) === 0)
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("k"),
+        $"ts".cast("timestamp").cast("long").as("tsl"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val expected = ev.toSeq.groupBy(e => (e._1, e._2)).flatMap { case (key, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._4))
+      sorted.zipWithIndex.collect {
+        case (e, i) if e._5 != "error" =>
+          val vt = if (i + 1 < sorted.length) Some(sorted(i + 1)._3) else None
+          (key._1, key._2, e._4) -> ((e._3, vt, vt.isEmpty))
+      }
+    }.toMap
+    val got = graft.queries.Relational.cdcScd2History(spark, sf0001)
+      .select($"user_id", $"k", $"event_id",
+        $"valid_from".cast("timestamp").cast("long"),
+        $"valid_to".cast("timestamp").cast("long"), $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5))))
+      .toMap
+    assert(got == expected)
+    // every key has at most one open (is_current) version
+    val openPerKey = got.toSeq.groupBy { case ((u, k, _), _) => (u, k) }
+      .map { case (_, vs) => vs.count(_._2._3) }
+    assert(openPerKey.forall(_ <= 1))
+  }
+
+  test("vocab stats match a driver-side recount at sf0.001") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, xs) =>
+      val toks = xs.flatMap(_._2.split(" ", -1))
+      val counts = toks.groupBy(identity).map { case (_, g) => g.size }
+      lang -> ((xs.length.toLong, toks.length.toLong, counts.size.toLong,
+        counts.count(_ == 1).toLong))
+    }
+    val got = graft.text.TextAnalytics.vocabStats(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
   test("CDC latest-wins compaction replays to a driver-side state map at sf0.001") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001)
