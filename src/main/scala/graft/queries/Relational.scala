@@ -639,7 +639,95 @@ object Relational {
       .orderBy($"user_id", $"k")
   }
 
+  /** C30: wide→long UNPIVOT / melt (`unpivot_melt`) — the reshaping
+    * primitive feature-store exports and metric normalization need:
+    * four lineitem measure columns melt into (metric, val) rows via
+    * `Dataset.unpivot`, which Catalyst plans as a single Expand (one
+    * scan, rows×4 emitted map-side — NOT four self-unions, which
+    * would scan the fact table four times), then a combine-heavy
+    * rollup per (flag, metric). At 100 TB the Expand shape is the
+    * whole point: the melt never materializes and the partial agg
+    * collapses it to a groups-sized table before the only shuffle.
+    * Sums ride DECIMAL ([[graft.Tables.dsum]]) so both engines are
+    * order-independent-exact.
+    */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+    li.unpivot(
+        Array($"l_returnflag"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "val")
+      .groupBy($"l_returnflag", $"metric")
+      .agg(count(lit(1)).as("n"),
+        dsum($"val", 4).as("sum_val"),
+        davg($"val", 4).as("avg_val"),
+        min($"val").as("min_val"),
+        max($"val").as("max_val"))
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  /** C31: exact median + deterministic mode (`median_mode`) — the two
+    * order statistics dashboards ask for that Spark spells
+    * differently than most warehouses. Median/quartiles use exact
+    * interpolated `percentile` (the C14b/C27 sketches are the 100 TB
+    * path; this is their exact twin, costing a per-group sort by
+    * construction). Mode is NOT Spark's `mode()` or DuckDB's `mode()`
+    * — both leave ties engine-defined — but the definitional
+    * count-then-argmax with a total tiebreak (highest count, then
+    * smallest value), which [[graft.plans.RewriteRankLimit]] plans as
+    * a bounded-heap k=1 aggregate: the value-counts table, not the
+    * corpus, crosses the second shuffle, and both engines agree on
+    * every tie.
+    */
+  def medianMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+    val med = li.groupBy($"l_returnflag").agg(
+      round(percentile($"l_quantity", lit(0.5)), 6).as("median_qty_r"),
+      round(percentile($"l_extendedprice", lit(0.25)), 6).as("p25_price_r"),
+      round(percentile($"l_extendedprice", lit(0.75)), 6).as("p75_price_r"))
+    val mode = li.groupBy($"l_returnflag", $"l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"l_returnflag")
+          .orderBy($"cnt".desc, $"l_linenumber")))
+      .where($"rn" === 1)
+      .select($"l_returnflag", $"l_linenumber".as("mode_linenumber"),
+        $"cnt".as("mode_n"))
+    med.join(broadcast(mode), "l_returnflag").orderBy($"l_returnflag")
+  }
+
+  /** C32: GROUPS window frame by rewrite (`window_groups_frame`) —
+    * SQL:2011 GROUPS framing ("this peer group and the 2 preceding
+    * peer groups"), which neither Spark nor DuckDB implements
+    * natively. GROUPS is DEFINED on the dense ranking of the ordering
+    * key, so the definitional rewrite — dense_rank() then a RANGE
+    * frame over the rank — is exact, and both engines replay it
+    * independently. Execution: the two window passes share one
+    * partitioning+sort (single Exchange, single Sort, two WindowExec
+    * ops — pinned in the plan snapshot); frame sums ride DECIMAL so
+    * the sliding-frame accumulation order can't wobble the hash.
+    */
+  def windowGroupsFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders").select(
+      $"o_orderpriority", $"o_orderkey",
+      date_trunc("day", $"o_orderdate").as("d"), $"o_totalprice")
+    val peers = Window.partitionBy($"o_orderpriority").orderBy($"d")
+    val frame = Window.partitionBy($"o_orderpriority").orderBy($"dr")
+      .rangeBetween(-2, 0)
+    ord.withColumn("dr", dense_rank().over(peers))
+      .withColumn("grp_sum",
+        sum(dec($"o_totalprice")).over(frame).cast("double"))
+      .select($"o_orderpriority", $"o_orderkey", $"d", $"grp_sum")
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unpivot_melt" -> unpivotMelt _,
+    "median_mode" -> medianMode _,
+    "window_groups_frame" -> windowGroupsFrame _,
     "approx_kll" -> approxKll _,
     "table_audit" -> tableAudit _,
     "cdc_latest_upsert" -> cdcLatestUpsert _,
@@ -675,6 +763,53 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "unpivot_melt" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric, count(*) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(28,4))) AS DOUBLE) AS sum_val,
+        |  CAST(sum(CAST(val AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_val,
+        |  min(val) AS min_val, max(val) AS max_val
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_quantity, 0.5), 6) AS median_qty_r,
+        |    round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price_r,
+        |    round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price_r
+        |  FROM lineitem GROUP BY 1),
+        |vc AS (
+        |  SELECT l_returnflag, l_linenumber, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_linenumber AS mode_linenumber, cnt AS mode_n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_linenumber) AS rn
+        |  FROM vc)
+        |SELECT med.l_returnflag, median_qty_r, p25_price_r, p75_price_r,
+        |  mode_linenumber, mode_n
+        |FROM med JOIN m USING (l_returnflag)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "window_groups_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d, o_totalprice
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, d, o_totalprice,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY d) AS dr
+        |  FROM o)
+        |SELECT o_orderpriority, o_orderkey, d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY dr
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+        |FROM r ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "cdc_scd2_history" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(props->>'k' AS BIGINT) AS k, ts, event_id,

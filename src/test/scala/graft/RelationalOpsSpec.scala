@@ -1,0 +1,93 @@
+package graft
+
+import graft.queries.Relational
+
+/** C30–C32 invariants the oracle replay can't see: the melt really
+  * conserves every per-column aggregate, the deterministic mode is
+  * the true count-argmax under the declared tiebreak, and the GROUPS
+  * frame rewrite matches a driver-side peer-group sweep.
+  */
+class RelationalOpsSpec extends SparkSpecBase {
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("unpivot_melt conserves the direct per-column aggregates at sf0.001") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    val direct = li.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      graft.Tables.dsum($"l_quantity", 4).as("sum_qty"),
+      min($"l_discount").as("min_disc"),
+      max($"l_tax").as("max_tax"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val melted = Relational.unpivotMelt(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6)))).toMap
+    for ((flag, (n, sq, mind, maxt)) <- direct) {
+      assert(melted((flag, "l_quantity"))._1 === n)
+      assert(melted((flag, "l_quantity"))._2 === sq)
+      assert(melted((flag, "l_discount"))._3 === mind)
+      assert(melted((flag, "l_tax"))._4 === maxt)
+    }
+    // the melt emits exactly 4 metric rows per flag — no dropped or
+    // duplicated measures
+    assert(melted.keys.groupBy(_._1).forall(_._2.size == 4))
+  }
+
+  test("median_mode: mode is the count-argmax under (count desc, value asc)") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .select("l_returnflag", "l_linenumber").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val expected = li.groupBy(_._1).map { case (flag, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (v, n) = counts.toSeq.sortBy { case (value, cnt) => (-cnt, value) }.head
+      flag -> ((v, n))
+    }
+    val got = Relational.medianMode(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getInt(4), r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("median_mode: median matches a driver-side interpolated quantile") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = li.groupBy(_._1).map { case (flag, xs) =>
+      val v = xs.map(_._2).sorted
+      val pos = 0.5 * (v.length - 1)
+      val (lo, hi) = (v(pos.toInt), v(math.ceil(pos).toInt))
+      flag -> r6(lo + (pos - pos.toInt) * (hi - lo))
+    }
+    val got = Relational.medianMode(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
+  test("window_groups_frame matches a driver-side peer-group sweep at sf0.001") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = graft.Tables.load(spark, sf0001, "orders")
+      .select($"o_orderpriority", $"o_orderkey",
+        date_trunc("day", $"o_orderdate").as("d"), $"o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (pri, xs) =>
+      val days = xs.map(_._3).distinct.sortBy(_.getTime)
+      val rank = days.zipWithIndex.toMap
+      // exact DECIMAL-cent accumulation, like the engine
+      val byRank = xs.groupBy(x => rank(x._3)).view
+        .mapValues(_.map(x => math.round(x._4 * 100)).sum).toMap
+      xs.toSeq.map { case (_, key, d, _) =>
+        val dr = rank(d)
+        val cents = (math.max(0, dr - 2) to dr).map(byRank.getOrElse(_, 0L)).sum
+        (pri, key) -> (cents.toDouble / 100)
+      }
+    }
+    val got = Relational.windowGroupsFrame(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got === expected)
+  }
+}
