@@ -1462,7 +1462,87 @@ object Knn {
        |  round(sum(norm), 6) AS sum_norm_r
        |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** D36 outlier flag threshold (σ units on distance-to-centroid). */
+  val OutlierZ = 2.5
+
+  /** D36: embedding-space outlier detection (`emb_outliers`) — the
+    * data-cleaning pass that catches mislabeled / corrupted vectors
+    * before they poison a training mix: distance of each vector to
+    * its LABEL's centroid, z-scored within the label, |z| > 2.5
+    * flagged. The SemDeDup complement — D25 removes near-duplicate
+    * points, this removes points far from everything in their class.
+    *
+    * Execution at 100 TB: centroids come from one posexplode →
+    * (label, dim) combine-heavy aggregation (the shuffle carries
+    * labels × dims partial sums, never vectors), assembled into
+    * per-label arrays and BROADCAST; the distance pass is then
+    * map-only through the codegen'd [[graft.functions.VecFuncs]]
+    * kernel, and the z-stats are a labels-sized second aggregate of
+    * quantized moments. The corpus is never shuffled.
+    *
+    * Determinism: per-dim means are nano-quantized sums / counts;
+    * the distance fold is the fixed left-to-right vnorm∘vsub order
+    * the oracle replays with list_reduce; z assembles from quantized
+    * moment sums — every float op deterministic IEEE in both engines.
+    */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"label", $"p")
+      .agg((graft.Tables.qsum($"v".cast("double")) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
+        s => s("c")).as("centroid"))
+    val dists = emb.join(broadcast(cent), "label")
+      .withColumn("dist", vnorm(vsub($"embedding", $"centroid")))
+    val stats = dists.groupBy($"label").agg(
+        count(lit(1)).as("n"),
+        graft.Tables.qsum($"dist").as("s1"),
+        graft.Tables.qsum($"dist" * $"dist").as("s2"))
+      .select($"label", ($"s1" / $"n").as("mean"),
+        sqrt(($"s2" - ($"s1" * $"s1") / $"n") / ($"n" - 1)).as("sd"))
+    dists.join(broadcast(stats), "label")
+      .select($"vec_id", $"label",
+        round($"dist", 6).as("dist_r"),
+        round(($"dist" - $"mean") / $"sd", 6).as("z_r"),
+        (abs(($"dist" - $"mean") / $"sd") > OutlierZ).as("outlier"))
+      .orderBy($"vec_id")
+  }
+
+  val embOutliersSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, i - 1 AS p, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
+       |cd AS (
+       |  SELECT label, p, ${graft.Tables.qsumSql("v")} / count(*) AS c
+       |  FROM ex GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY p) AS centroid FROM cd GROUP BY label),
+       |d AS (
+       |  SELECT vec_id, e.label,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> (CAST(embedding[i] AS DOUBLE) - centroid[i])
+       |           * (CAST(embedding[i] AS DOUBLE) - centroid[i]))),
+       |      (acc, v) -> acc + v)) AS dist
+       |  FROM embeddings e JOIN cent ON cent.label = e.label),
+       |st AS (
+       |  SELECT label, count(*) AS n,
+       |    ${graft.Tables.qsumSql("dist")} AS s1,
+       |    ${graft.Tables.qsumSql("dist * dist")} AS s2
+       |  FROM d GROUP BY label),
+       |z AS (
+       |  SELECT vec_id, d.label, dist,
+       |    (dist - s1 / n) / sqrt((s2 - (s1 * s1) / n) / (n - 1)) AS zz
+       |  FROM d JOIN st ON st.label = d.label)
+       |SELECT vec_id, label, round(dist, 6) AS dist_r, round(zz, 6) AS z_r,
+       |  abs(zz) > $OutlierZ AS outlier
+       |FROM z ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> embOutliers _,
     "ann_topk_brute" -> bruteTopK _,
     "ann_topk_sq8" -> sq8TopK _,
     "ann_topk_lsh" -> lshTopK _,
@@ -1479,6 +1559,7 @@ object Knn {
     "emb_quantize" -> embQuantize _)
 
   val oracleSql: Map[String, String] = Map(
+    "emb_outliers" -> embOutliersSql,
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_sq8" -> sq8TopKSql,
     "ann_topk_lsh" -> lshTopKSql,

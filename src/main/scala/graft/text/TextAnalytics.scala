@@ -1379,7 +1379,59 @@ object TextAnalytics {
        |ORDER BY freq DESC, token LIMIT $BpeTokenTopN""".stripMargin
   }
 
+  // -------------------------------------------------- D35 Zipf profile
+
+  /** Vocabulary prefix the D35 fit runs over (top-N by frequency). */
+  val ZipfTopN = 500
+
+  /** D35: Zipf-law slope fit (`text_zipf_slope`) — the corpus-health
+    * scalar next to D10c's vocabulary profile: natural text follows
+    * freq ∝ rank^s with s ≈ −1; template/machine-generated corpora
+    * bend the log-log line (|s| far from 1, or a poor fit). Computed
+    * per language as the least-squares slope of ln(freq) on ln(rank)
+    * over the top-[[ZipfTopN]] vocabulary.
+    *
+    * Execution: one explode → (lang, token) combine-heavy count, then
+    * the per-lang rank prefix plans through
+    * [[graft.plans.RewriteRankLimit]] as a bounded k=500 heap (the
+    * vocabulary table, not the corpus, crosses that shuffle), then a
+    * lang-sized closed-form regression from quantized moment sums.
+    * Cross-engine ln() parity uses the D9e/D9f contract: each ln is
+    * rounded 9 dp BEFORE the moment products, and the sums are
+    * nano-quantized ([[graft.Tables.qsum]]) so accumulation order
+    * can't move the hash; the slope/intercept assembly is one
+    * deterministic scalar expression, rounded 6 dp.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = load(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"cnt".desc, $"tok")))
+      .where($"rank" <= ZipfTopN)
+    val xy = ranked.select($"lang",
+      round(log($"rank".cast("double")), 9).as("x"),
+      round(log($"cnt".cast("double")), 9).as("y"))
+    xy.groupBy($"lang").agg(
+        count(lit(1)).as("n_terms"),
+        graft.Tables.qsum($"x").as("sx"),
+        graft.Tables.qsum($"y").as("sy"),
+        graft.Tables.qsum($"x" * $"x").as("sxx"),
+        graft.Tables.qsum($"x" * $"y").as("sxy"))
+      .select($"lang", $"n_terms",
+        round(($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx"), 6).as("slope_r"),
+        round(($"sy" - ($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n_terms", 6)
+          .as("intercept_r"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_slope" -> zipfSlope _,
     "text_bpe_merges" -> bpeMerges _,
     "text_bpe_tokenize" -> bpeTokenize _,
     "corpus_dsir" -> corpusDsir _,
@@ -1423,6 +1475,33 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_zipf_slope" ->
+      s"""WITH tc AS (
+         |  SELECT lang, tok, count(*) AS cnt
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT lang, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+         |  FROM tc),
+         |xy AS (
+         |  SELECT lang, round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+         |    round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+         |  FROM rk WHERE rank <= $ZipfTopN),
+         |m AS (
+         |  SELECT lang, count(*) AS n_terms,
+         |    ${graft.Tables.qsumSql("x")} AS sx,
+         |    ${graft.Tables.qsumSql("y")} AS sy,
+         |    ${graft.Tables.qsumSql("x * x")} AS sxx,
+         |    ${graft.Tables.qsumSql("x * y")} AS sxy
+         |  FROM xy GROUP BY lang)
+         |SELECT lang, n_terms,
+         |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+         |    AS slope_r,
+         |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+         |    / n_terms, 6) AS intercept_r
+         |FROM m ORDER BY lang""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_tokenize" -> bpeTokenizeSql,
     "corpus_dsir" -> corpusDsirSql,

@@ -214,4 +214,41 @@ class KnnSpec extends SparkSpecBase {
     assert(kept >= out.size - planted.size - out.size / 10,
       s"dropped far more than the planted duplicates: kept $kept of ${out.size}")
   }
+
+  test("emb_outliers matches a driver-side centroid/z recompute at sf0.001") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def q(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = vecs.groupBy(_._2).flatMap { case (label, xs) =>
+      val dim = xs.head._3.length
+      val cent = (0 until dim).map { p =>
+        xs.map(v => q(v._3(p))).sum.toDouble / 1e9 / xs.length
+      }
+      val dists = xs.map { case (id, _, v) =>
+        var acc = 0.0
+        for (p <- 0 until dim) { val d = v(p) - cent(p); acc += d * d }
+        id -> math.sqrt(acc)
+      }
+      val n = dists.length
+      val s1 = dists.map(d => q(d._2)).sum.toDouble / 1e9
+      val s2 = dists.map(d => q(d._2 * d._2)).sum.toDouble / 1e9
+      val sd = math.sqrt((s2 - (s1 * s1) / n) / (n - 1))
+      dists.toSeq.map { case (id, dist) =>
+        val z = (dist - s1 / n) / sd
+        id -> ((r6(dist), r6(z), math.abs(z) > graft.ann.Knn.OutlierZ))
+      }
+    }
+    val got = graft.ann.Knn.embOutliers(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got == expected)
+    // the flag fires somewhere and not everywhere: the z-score is
+    // doing real separation work on the synthetic clusters
+    assert(got.values.exists(_._3) || got.size < 50)
+    assert(!got.values.forall(_._3))
+  }
 }

@@ -69,6 +69,40 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("text_zipf_slope matches a driver-side least-squares fit at sf0.001") {
+    import spark.implicits._
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val texts = graft.Tables.load(spark, sf0001, "documents")
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = texts.groupBy(_._1).map { case (lang, xs) =>
+      val counts = xs.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (w, g) => (w, g.length) }
+      val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+        .take(graft.text.TextAnalytics.ZipfTopN).zipWithIndex
+      val xy = ranked.map { case ((_, c), i) =>
+        (r9(math.log((i + 1).toDouble)), r9(math.log(c.toDouble)))
+      }
+      val n = xy.length
+      val sx = xy.map(p => q(p._1)).sum.toDouble / 1e9
+      val sy = xy.map(p => q(p._2)).sum.toDouble / 1e9
+      val sxx = xy.map(p => q(p._1 * p._1)).sum.toDouble / 1e9
+      val sxy = xy.map(p => q(p._1 * p._2)).sum.toDouble / 1e9
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      lang -> ((n.toLong, r6(slope), r6((sy - slope * sx) / n)))
+    }
+    val got = graft.text.TextAnalytics.zipfSlope(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // natural-ish word-soup still ranks: slope is negative everywhere
+    assert(got.values.forall(_._2 < 0))
+  }
+
   test("text_tfidf matches a driver-side tf-idf ranking at sf0.001") {
     import spark.implicits._
     val texts = graft.Tables.load(spark, sf0001, "documents")
