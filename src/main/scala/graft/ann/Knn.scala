@@ -1541,7 +1541,58 @@ object Knn {
        |  abs(zz) > $OutlierZ AS outlier
        |FROM z ORDER BY vec_id""".stripMargin
 
+  /** D37: k-NN graph construction (`knn_join`) — the all-pairs form
+    * of the ANN family: EVERY vector finds its top-3 cosine
+    * neighbors, the precursor artifact for graph clustering,
+    * SemDeDup-style pruning, and label propagation over embeddings.
+    * A brute-force k-NN self-join is O(n²) and dead at corpus scale;
+    * this is the IVF-bucketed form: vectors route to their trained
+    * cell (map-only argmax against broadcast centroids, the staged
+    * D7b index), candidates are same-cell pairs only (Σ|cell|², the
+    * SemDeDup bound), and the per-vector top-3 rides the
+    * [[graft.functions.TopKByAgg]] bounded heap — k rows per vector
+    * per map partition cross the one shuffle. Same recall story as
+    * D7: boundary neighbors one cell over are the price, multi-probe
+    * the lever. Oracle replays training, routing, and ranking.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = stagedModel(spark, dir, s"cents_$KMeansIters")(
+      trainedCentroids(vecs, KMeansIters))
+    val assigned = assign(vecs, cents)
+    val nbrs = assigned.select($"cid",
+      $"vec_id".as("nbr_id"), $"embedding".as("nbr_emb"))
+    val scored = assigned.join(nbrs, Seq("cid"))
+      .where($"vec_id" =!= $"nbr_id")
+      .select($"vec_id".as("probe_id"), $"nbr_id".as("vec_id"),
+        vcos($"embedding", $"nbr_emb").as("score"))
+    rankTopK(scored, 3, Seq.empty)
+      .select($"probe_id".as("src_id"), $"neighbor_id", $"rank", $"score")
+  }
+
+  val knnJoinSql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")},
+       |ranked AS (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS score,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+       |  FROM assigned a JOIN assigned b USING (cid)
+       |  WHERE a.vec_id != b.vec_id)
+       |SELECT src_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_join" -> knnJoin _,
     "emb_outliers" -> embOutliers _,
     "ann_topk_brute" -> bruteTopK _,
     "ann_topk_sq8" -> sq8TopK _,
@@ -1559,6 +1610,7 @@ object Knn {
     "emb_quantize" -> embQuantize _)
 
   val oracleSql: Map[String, String] = Map(
+    "knn_join" -> knnJoinSql,
     "emb_outliers" -> embOutliersSql,
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_sq8" -> sq8TopKSql,

@@ -535,7 +535,47 @@ object StreamingOps {
       .orderBy($"event_type")
   }
 
+  /** E13: streaming CDC latest-wins compaction (`stream_cdc_upsert`)
+    * — the live twin of batch C26: the change stream replays through
+    * a keyed streaming aggregation whose state store holds each
+    * key's CURRENT latest change (one `max(struct(ts, event_id,
+    * ...))` row per key — O(1) state, merged per micro-batch exactly
+    * like batch map-side partials, so the result is batch-split
+    * invariant and oracle-checkable). Deletes stay IN state — a
+    * delete must be able to shadow an earlier upsert arriving in a
+    * LATER micro-batch — and drop only at read-out, same rule as
+    * C26. At 100 TB/day this state store IS the CDC current-state
+    * table; complete-mode memory sink is the graded, deterministic
+    * stand-in for the production update-mode keyed sink. Shares
+    * C26's oracle verbatim.
+    */
+  def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_cdc_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .where(pmod($"user_id", lit(10)) === 0)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"ts", $"event_id", $"value",
+        ($"event_type" === "error").as("is_delete"))
+      .groupBy($"user_id", $"k")
+      .agg(max(struct($"ts", $"event_id", $"value", $"is_delete")).as("last"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_cdc_upsert")
+    spark.table(name)
+      .where(!$"last.is_delete")
+      .select($"user_id", $"k",
+        $"last.event_id".as("event_id"), $"last.value".as("value"))
+      .orderBy($"user_id", $"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_upsert" -> cdcUpsert _,
     "stream_value_quantiles" -> valueQuantiles _,
     "stream_quality_gate" -> qualityGate _,
     "stream_bloom_gate" -> bloomGate _,
@@ -551,6 +591,10 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // the streaming compaction must land on exactly the batch C26
+    // state — share its oracle so any divergence hash-fails
+    "stream_cdc_upsert" ->
+      graft.queries.Relational.oracleSql("cdc_latest_upsert"),
     "stream_value_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS exact_p50_r,

@@ -215,6 +215,32 @@ class KnnSpec extends SparkSpecBase {
       s"dropped far more than the planted duplicates: kept $kept of ${out.size}")
   }
 
+  test("knn_join: every vector gets its exact same-cell top-3 by cosine") {
+    val cells = graft.ann.Knn.cellsOf(
+      graft.Tables.load(spark, sf0001, "embeddings")
+        .select("vec_id", "embedding"), graft.ann.Knn.KMeansIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.keys.toSeq.sorted.flatMap { src =>
+      val cell = cells(src)
+      vecs.keys.filter(v => v != src && cells(v) == cell).toSeq
+        .map(v => (v, cos(vecs(src), vecs(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(3)
+        .zipWithIndex.map { case ((v, _), i) => (src, i + 1L, v) }
+    }.toSet
+    val got = graft.ann.Knn.knnJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("emb_outliers matches a driver-side centroid/z recompute at sf0.001") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
       .select("vec_id", "label", "embedding").collect()

@@ -40,7 +40,8 @@ class PlanSnapshotSpec extends SparkSpecBase {
     Set("stream_window_agg", "stream_running_totals",
       "stream_decontaminate", "stream_sessions_agg",
       "stream_topk", "stream_bloom_gate", "stream_minhash_gate",
-      "stream_quality_gate", "stream_value_quantiles")
+      "stream_quality_gate", "stream_value_quantiles",
+      "stream_cdc_upsert")
   private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
 
   /** Strip run-varying tokens: expression ids, rdd ids, file paths,

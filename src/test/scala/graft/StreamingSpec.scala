@@ -172,6 +172,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1L, 3L), (3L, 1L), (4L, 2L), (4L, 12L)))
   }
 
+  test("streaming CDC state survives micro-batch splits: shadow, resurrect, stale") {
+    import spark.implicits._
+    // one change per file, one file per trigger — state must carry the
+    // latest-wins decision ACROSS batches: a later-batch delete shadows
+    // an earlier upsert, a later upsert resurrects a deleted key, and a
+    // LATE-ARRIVING stale change (older ts in a newer batch) must lose
+    val src = tmpDir("cdcsrc") + "/chg"
+    val changes = Seq(
+      // (key, ts, event_id, value, is_delete)
+      Seq((1L, 10L, 100L, 1.0, false), (2L, 10L, 101L, 5.0, false)),
+      Seq((1L, 20L, 102L, 0.0, true), (2L, 30L, 103L, 6.0, false),
+        (4L, 10L, 104L, 9.0, false)),
+      Seq((1L, 30L, 105L, 3.0, false), // resurrect after delete
+        (2L, 5L, 106L, 99.0, false),   // stale: older ts arrives late
+        (4L, 40L, 107L, 0.0, true)))   // final change is a delete
+    changes.zipWithIndex.foreach { case (batch, i) =>
+      batch.toDF("k", "ts", "event_id", "value", "is_delete")
+        .repartition(1).write.parquet(s"$src/part$i")
+    }
+    val q = spark.readStream
+      .schema("k LONG, ts LONG, event_id LONG, value DOUBLE, is_delete BOOLEAN")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/part*")
+      .groupBy($"k")
+      .agg(max(struct($"ts", $"event_id", $"value", $"is_delete")).as("last"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cdc_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdc_out")
+      .where(!$"last.is_delete")
+      .select($"k", $"last.value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === Map(1L -> 3.0, 2L -> 6.0)) // 4 deleted, stale 99.0 lost
+  }
+
   test("streaming session windows merge sessions ACROSS micro-batches") {
     import spark.implicits._
     // one user's events 20 min apart (one session), split so the
