@@ -1359,6 +1359,33 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D15c: cluster-size distribution (`dedup_cluster_sizes`) — the
+    * dedup-health report read before acting on D15's labels: how many
+    * singletons (unique docs), how many pairs, how large is the
+    * biggest near-dup family. A heavy tail here means a boilerplate
+    * template is eating the corpus (and that D15b's representative
+    * choice matters); all-singletons means the MinHash threshold is
+    * too tight. Reuses the SESSION-STAGED pair table and the D15
+    * closure — on top of them this is two tiny aggregations
+    * (clusters-sized, then sizes-sized); nothing corpus-scale moves.
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusters(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .select($"sz".as("cluster_size"), $"n_clusters")
+      .orderBy($"cluster_size")
+  }
+
+  /** Wraps the full D15 oracle as a derived table and histograms it
+    * (lazy: [[clustersSql]] initializes later in this object).
+    */
+  lazy val clusterSizesSql: String =
+    "SELECT sz AS cluster_size, count(*) AS n_clusters FROM (" +
+      "SELECT cluster_id, count(*) AS sz FROM (\n" + clustersSql +
+      "\n) GROUP BY cluster_id) GROUP BY sz ORDER BY cluster_size"
+
   val clustersSql: String =
     minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
     """, edges AS (
@@ -1447,6 +1474,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> clusters _,
+    "dedup_cluster_sizes" -> clusterSizes _,
     "dedup_exact" -> exact _,
     "dedup_minhash" -> minhash _,
     "dedup_simhash" -> simhash _,
@@ -1464,6 +1492,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dedup_bloom_gate" -> bloomGateSql,
     "dedup_clusters" -> clustersSql,
+    "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_exact" -> (corpusExactSql +
       """SELECT doc_id, md5(text) AS h,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,

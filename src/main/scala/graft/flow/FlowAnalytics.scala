@@ -1262,7 +1262,44 @@ object FlowAnalytics {
       .orderBy($"bucket")
   }
 
+  // ---------------------------------------------- B36 rare-pair surprise
+
+  /** Minimum fan-out for a source to qualify for B36 rarity scoring. */
+  val RareMinFanout = 5
+
+  /** B36: rare-communication-pair detection (`flow_rare_pairs`) — the
+    * lateral-movement / exfil triage view: for sources that talk
+    * WIDELY (fan-out ≥ [[RareMinFanout]] distinct peers), surface the
+    * peers they contacted exactly once, scored by self-information
+    * −log₂ p(da | sa). A single flow to a never-before-seen peer from
+    * a chatty host is the classic beacon-start signature that volume
+    * rankings (B1) and fan-in views (B4) both miss. Sources aggregate
+    * at the /16 SITE prefix: the synthetic sa's low octets carry
+    * per-flow entropy (like ephemeral ports in real telemetry), so
+    * pair rarity is only meaningful at the network grain. Two
+    * combine-heavy aggregations — (site, da) pair counts, then
+    * per-site totals re-aggregated FROM THE PAIR TABLE (B34's rollup
+    * rule; the raw corpus shuffles once) — a broadcast-size join
+    * back, and a global top-50 via TakeOrderedAndProject
+    * (per-partition heap, no total sort).
+    */
+  def rarePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairCnt = asFlows(spark, dir)
+      .select(concat(lit("10."), pmod($"user_id", lit(64))).as("sa"), $"da")
+      .groupBy($"sa", $"da").agg(count(lit(1)).as("n_pair"))
+    val srcCnt = pairCnt.groupBy($"sa")
+      .agg(sum($"n_pair").as("n_src"), count(lit(1)).as("fanout"))
+    pairCnt.join(srcCnt, "sa")
+      .where($"n_pair" === 1 && $"fanout" >= RareMinFanout)
+      .select($"sa", $"da", $"n_src", $"fanout",
+        round(-log2(lit(1.0) / $"n_src"), 6).as("surprise_r"))
+      .orderBy($"surprise_r".desc, $"sa", $"da")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_rare_pairs" -> rarePairs _,
     "flow_cusum" -> cusum _,
     "flow_autocorr" -> autocorr _,
     "flow_rollup_reagg" -> rollupReagg _,
@@ -1357,6 +1394,16 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_rare_pairs" -> (flowsCte +
+      s""", f16 AS (SELECT '10.' || (user_id % 64) AS sa, da FROM flows),
+         |pc AS (SELECT sa, da, count(*) AS n_pair FROM f16 GROUP BY 1, 2),
+         |sc AS (SELECT sa, sum(n_pair) AS n_src, count(*) AS fanout
+         |       FROM pc GROUP BY sa)
+         |SELECT sa, da, n_src, fanout,
+         |  round(-log2(1.0 / n_src), 6) AS surprise_r
+         |FROM pc JOIN sc USING (sa)
+         |WHERE n_pair = 1 AND fanout >= $RareMinFanout
+         |ORDER BY surprise_r DESC, sa, da LIMIT 50""".stripMargin),
     "flow_cusum" -> (flowsCte + hourlyCteSql +
       s""", st AS (
          |  SELECT pr,

@@ -724,7 +724,34 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** C33: correlated-subquery aggregation, TPC-H Q17 shape
+    * (`q17_small_qty`) — "lineitems below 20% of their part's average
+    * quantity": the canonical correlated scalar subquery every
+    * warehouse decorrelates. Expressed here in its DECORRELATED form
+    * — per-part thresholds as one combine-heavy aggregate, joined
+    * back to the fact — which is exactly the plan a correlated
+    * `WHERE l_quantity < (SELECT 0.2*avg ... WHERE same part)` must
+    * lower to; the oracle runs the CORRELATED original through
+    * DuckDB's decorrelator, so hash-equality proves the rewrite.
+    * Scale shape: both join sides shuffle on l_partkey and the
+    * aggregate side's exchange is canonically identical to the fact
+    * side's — AQE's ReuseExchange serves the threshold table from
+    * the same scan at runtime.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+    val th = li.groupBy($"l_partkey")
+      .agg((davg($"l_quantity") * 0.2).as("qty_th"))
+    li.join(th, "l_partkey")
+      .where($"l_quantity" < $"qty_th")
+      .agg(dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("n_small"))
+      .select(round($"sum_price" / 7.0, 6).as("avg_yearly_r"), $"n_small")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty" -> q17SmallQty _,
     "unpivot_melt" -> unpivotMelt _,
     "median_mode" -> medianMode _,
     "window_groups_frame" -> windowGroupsFrame _,
@@ -763,6 +790,16 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "q17_small_qty" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    / 7.0, 6) AS avg_yearly_r,
+        |  count(*) AS n_small
+        |FROM lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT (CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        |    / count(*)) * 0.2
+        |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "unpivot_melt" ->
       """WITH m AS (
         |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem

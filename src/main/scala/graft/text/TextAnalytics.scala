@@ -968,7 +968,10 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
-  val unigramLogprobSql: String =
+  /** D9e oracle CTE chain through the per-doc rounded score (shared
+    * with the D38 bucketing oracle).
+    */
+  val unigramScoredCteSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
@@ -976,10 +979,16 @@ object TextAnalytics {
       |per AS (
       |  SELECT t.doc_id, count(*) AS n_tokens,
       |    sum(CAST(round(ln(v.cnt), 9) AS DECIMAL(28, 9))) AS s
-      |  FROM tok t JOIN vocab v USING (w) GROUP BY t.doc_id)
-      |SELECT doc_id, n_tokens,
-      |  round(ln((SELECT nn FROM tot)) - (CAST(s AS DOUBLE) / n_tokens), 6) AS nll_r
-      |FROM per ORDER BY doc_id""".stripMargin
+      |  FROM tok t JOIN vocab v USING (w) GROUP BY t.doc_id),
+      |sc AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(ln((SELECT nn FROM tot)) - (CAST(s AS DOUBLE) / n_tokens), 6)
+      |      AS nll_r
+      |  FROM per)
+      |""".stripMargin
+
+  val unigramLogprobSql: String = unigramScoredCteSql +
+    "SELECT doc_id, n_tokens, nll_r FROM sc ORDER BY doc_id"
 
   /** D9f: bigram LM negative log likelihood (`text_bigram_nll`) — the
     * word-order-aware notch above [[unigramLogprob]]'s surprisal and
@@ -1430,7 +1439,56 @@ object TextAnalytics {
       .orderBy($"lang")
   }
 
+  // --------------------------------------------- D38 perplexity buckets
+
+  /** D38: CCNet-style perplexity bucketing (`corpus_ppl_buckets`) —
+    * the head/middle/tail split CCNet (Wenzek et al. 2020) uses to
+    * stratify CommonCrawl by LM score: per LANGUAGE, documents are
+    * cut at the ⅓ and ⅔ quantiles of the D9e unigram surprisal, and
+    * downstream mixtures sample the buckets at different rates.
+    * Reuses [[unigramLogprob]]'s scoring pass verbatim (shared code,
+    * shared oracle CTEs); the thresholds are a lang-sized exact
+    * quantile aggregate BROADCAST back — at 100 TB the cut costs one
+    * corpus scoring pass plus a per-lang percentile over doc-level
+    * scores (docs-sized, not token-sized). Boundary rule is
+    * `score ≤ t` on the 6-dp-rounded score both engines share, so
+    * bucket assignment can't straddle an ulp.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = unigramLogprob(spark, dir)
+      .join(load(spark, dir, "documents").select($"doc_id", $"lang"), "doc_id")
+    val th = scored.groupBy($"lang")
+      .agg(percentile($"nll_r", typedLit(Seq(1.0 / 3, 2.0 * (1.0 / 3)))).as("t"))
+    scored.join(broadcast(th), "lang")
+      .select($"doc_id", $"lang", $"n_tokens", $"nll_r",
+        when($"nll_r" <= element_at($"t", 1), "head")
+          .when($"nll_r" <= element_at($"t", 2), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val pplBucketsSql: String = {
+    // reuse the D9e oracle chain up to per-doc nll_r
+    val base = unigramScoredCteSql.stripSuffix("\n") + ","
+    s"""$base
+       |wl AS (
+       |  SELECT s.doc_id, d.lang, s.n_tokens, s.nll_r
+       |  FROM sc s JOIN documents d USING (doc_id)),
+       |th AS (
+       |  SELECT lang,
+       |    quantile_cont(nll_r, CAST(1 AS DOUBLE) / 3) AS t1,
+       |    quantile_cont(nll_r, 2 * (CAST(1 AS DOUBLE) / 3)) AS t2
+       |  FROM wl GROUP BY lang)
+       |SELECT doc_id, lang, n_tokens, nll_r,
+       |  CASE WHEN nll_r <= t1 THEN 'head'
+       |       WHEN nll_r <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM wl JOIN th USING (lang) ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ppl_buckets" -> pplBuckets _,
     "text_zipf_slope" -> zipfSlope _,
     "text_bpe_merges" -> bpeMerges _,
     "text_bpe_tokenize" -> bpeTokenize _,
@@ -1475,6 +1533,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_ppl_buckets" -> pplBucketsSql,
     "text_zipf_slope" ->
       s"""WITH tc AS (
          |  SELECT lang, tok, count(*) AS cnt

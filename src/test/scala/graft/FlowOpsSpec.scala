@@ -178,6 +178,23 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("rare pairs: every hit is a genuine once-seen pair from a wide talker") {
+    import spark.implicits._
+    val pairs = FlowAnalytics.asFlows(spark, sf0001)
+      .select(concat(lit("10."), pmod($"user_id", lit(64))).as("sa"), $"da")
+      .groupBy($"sa", $"da").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bySrc = pairs.toSeq.groupBy(_._1._1)
+    val got = FlowAnalytics.rarePairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (sa, da, nSrc, fanout) =>
+      assert(pairs((sa, da)) == 1L, s"($sa,$da) seen ${pairs((sa, da))} times")
+      assert(fanout == bySrc(sa).size && fanout >= FlowAnalytics.RareMinFanout)
+      assert(nSrc == bySrc(sa).map(_._2).sum)
+    }
+  }
+
   test("CUSUM closed form equals the max(0, S+z-k) recurrence at sf0.001") {
     import spark.implicits._
     val hourly = FlowAnalytics.asFlows(spark, sf0001)

@@ -66,6 +66,20 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("q17_small_qty matches a driver-side correlated evaluation at sf0.001") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val th = li.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.map(x => math.round(x._2 * 100)).sum.toDouble / 100 / xs.length) * 0.2
+    }
+    val small = li.filter { case (p, q, _) => q < th(p) }
+    val sum = small.map(x => math.round(x._3 * 100)).sum.toDouble / 100
+    val got = graft.queries.Relational.q17SmallQty(spark, sf0001).collect().head
+    assert(got.getLong(1) === small.length.toLong)
+    assert(got.getDouble(0) === r6(sum / 7.0))
+  }
+
   test("window_groups_frame matches a driver-side peer-group sweep at sf0.001") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
