@@ -558,12 +558,23 @@ object Dedup {
     val g = materialize(gramTable(docs))
     val postings = postingsOf(g)
     val cand = candidatesFromPostings(postings, tau)
+    // Pair verification on 64-bit gram hashes (same contract as D4c:
+    // primitive merge scan ~25× the UTF8String one; set sizes are
+    // identical modulo a ~1e-9 same-pair collision, spec-pinned):
+    // J = |∩| / (|x| + |y| − |∩|) needs only the overlap count and
+    // the two sizes, so the string arrays never reach the pair join.
+    val gh = g.select($"doc_id",
+      array_sort(transform($"grams", x => xxhash64(x))).as("gh"),
+      size($"grams").as("szs"))
     val result = cand
-      .join(g.select($"doc_id".as("d1"), $"grams".as("g1")), "d1")
-      .join(g.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
-      // gram arrays are UTF8-sorted at build; one merge scan per pair
-      // replaces the two per-pair hash sets of array_intersect+union
-      .withColumn("jaccard", graft.functions.StrFuncs.jaccard_sorted($"g1", $"g2"))
+      .join(gh.select($"doc_id".as("d1"), $"gh".as("g1"),
+        $"szs".as("sz1")), "d1")
+      .join(gh.select($"doc_id".as("d2"), $"gh".as("g2"),
+        $"szs".as("sz2")), "d2")
+      .withColumn("inter",
+        graft.functions.StrFuncs.overlap_sorted_long($"g1", $"g2"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"sz1" + $"sz2" - $"inter"))
       .where($"jaccard" >= tau)
       .select($"d1", $"d2", $"jaccard")
     // materialize the (small) UNSORTED result, then free the big gram/
@@ -597,18 +608,29 @@ object Dedup {
       tau: Double): DataFrame = {
     import postings.sparkSession.implicits._
     val gramDf = postings.groupBy($"gram").agg(count(lit(1)).as("df"))
-    val pre = postings.join(gramDf, "gram")
-      .groupBy($"doc_id", $"lang")
-      .agg(max($"sz").as("sz"),
-        graft.functions.PrefixMinAgg.prefix_min(
-          $"df", $"gram",
-          ($"sz" - ceil(lit(tau) * $"sz") + 1).cast("int")).as("pgrams"))
-      .select($"doc_id", $"lang", $"sz", explode($"pgrams").as("gram"))
-    val p = pre.as("p"); val f = postings.as("f")
+    // df-ordered position of every gram within its doc (PPJoin's
+    // ordering): pos 0 = the doc's globally rarest gram. One per-doc
+    // window sort over ~|grams| rows — at any corpus size this is a
+    // per-doc O(g log g), and it buys the POSITIONAL filter below.
+    val ordered = postings.join(gramDf, "gram")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"df", $"gram")) - 1)
+    val pre = ordered
+      .where($"pos" < $"sz" - ceil(lit(tau) * $"sz") + 1)
+    val p = pre.as("p"); val f = ordered.as("f")
+    // Positional upper bound (Xiao et al., PPJoin): a match of the
+    // SAME gram at (pos i in x, pos j in y) caps the overlap at
+    // min(|x|−i, |y|−j); for a τ-contained pair the FIRST common
+    // gram sits in x's prefix (pigeonhole) and passes, so the filter
+    // is lossless — but it prunes the boilerplate-gram pair storm
+    // where a mid-prefix match can't possibly reach ⌈τ|x|⌉ anymore.
     p.join(f,
         $"p.lang" === $"f.lang" && $"p.gram" === $"f.gram" &&
         $"p.doc_id" =!= $"f.doc_id" &&
-        $"f.sz" >= ceil(lit(tau) * $"p.sz"))
+        $"f.sz" >= ceil(lit(tau) * $"p.sz") &&
+        least($"p.sz" - $"p.pos", $"f.sz" - $"f.pos") >=
+          ceil(lit(tau) * $"p.sz"))
       .select($"p.doc_id".as("d1"), $"f.doc_id".as("d2"))
       .distinct()
   }
@@ -629,13 +651,27 @@ object Dedup {
       load(spark, dir, "documents").select("doc_id", "lang", "text")))
     val postings = postingsOf(g)
     val cand = containmentCandidates(postings, ContainTau)
+    // Pair verification runs on 64-bit gram HASHES, not the string
+    // arrays: τ=0.6's wide prefix admits ~2M candidates at sf0.1 and
+    // the UTF8String merge scan was 95% of the query's task time
+    // (measured 208 s core-time → ~8 s with primitive compares).
+    // The hash arrays are built once per doc on the (doc-count-sized)
+    // gram table, and the pair join ships 8-byte longs instead of
+    // 13-byte grams. |x| still comes from the exact string set; a
+    // same-pair 64-bit collision (P ≈ |pairs|·|grams|²/2⁶⁴ < 1e-9)
+    // is the only way hash overlap could differ from string overlap —
+    // spec-pinned equal at sf0.001, oracle unchanged (string
+    // intersect).
+    val gh = g.select($"doc_id",
+      array_sort(transform($"grams", x => xxhash64(x))).as("gh"),
+      size($"grams").as("szs"))
     val result = cand
-      .join(g.select($"doc_id".as("d1"), $"grams".as("g1"),
-        size($"grams").as("sz1")), "d1")
-      .join(g.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
+      .join(gh.select($"doc_id".as("d1"), $"gh".as("g1"),
+        $"szs".as("sz1")), "d1")
+      .join(gh.select($"doc_id".as("d2"), $"gh".as("g2")), "d2")
       .withColumn("containment", round(
-        graft.functions.StrFuncs.overlap_sorted($"g1", $"g2").cast("double") /
-          $"sz1", 6))
+        graft.functions.StrFuncs.overlap_sorted_long($"g1", $"g2")
+          .cast("double") / $"sz1", 6))
       .where($"containment" >= ContainTau)
       .select($"d1", $"d2", $"containment")
     val out = materialize(result)

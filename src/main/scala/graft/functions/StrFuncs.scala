@@ -88,6 +88,25 @@ object GramUtil {
     }
     inter
   }
+
+  /** |a ∩ b| of two sorted distinct LONG arrays — the primitive-
+    * compare twin of [[overlapSorted]] for hash-encoded gram sets: a
+    * UTF8String compare costs ~25× a long compare and the per-pair
+    * merge scan is the entire verification cost of the AllPairs
+    * family, so pair scoring runs on 64-bit gram hashes and only the
+    * set SIZES come from the string arrays.
+    */
+  def overlapSortedLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
 }
 
 /** `char_grams(s, n)` — distinct character n-grams as
@@ -169,6 +188,34 @@ case class OverlapSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): OverlapSorted =
     copy(left = l, right = r)
   override def prettyName: String = "overlap_sorted"
+}
+
+/** `overlap_sorted_long(a, b)` — |a ∩ b| of two sorted distinct
+  * `array<bigint>` by primitive merge scan (hash-encoded gram sets).
+  */
+case class OverlapSortedLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ok(left.dataType) || !ok(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"overlap_sorted_long expects ARRAY<BIGINT>, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GramUtil.overlapSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GramUtil.overlapSortedLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): OverlapSortedLong =
+    copy(left = l, right = r)
+  override def prettyName: String = "overlap_sorted_long"
 }
 
 /** Runtime kernel for [[MinhashSig]]. */
@@ -446,6 +493,10 @@ object StrFuncs {
 
   def overlap_sorted(a: Column, b: Column): Column =
     ExpressionUtils.column(OverlapSorted(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def overlap_sorted_long(a: Column, b: Column): Column =
+    ExpressionUtils.column(OverlapSortedLong(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def lev_banded(l: Column, r: Column, k: Int): Column =

@@ -251,4 +251,26 @@ class DedupAlgoSpec extends SparkSpecBase {
     assert(!j.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
       "jaccard unexpectedly caught the excerpt pair")
   }
+
+  test("hash-encoded overlap equals string overlap on every sf0.001 doc pair") {
+    // the D4/D4c scorers run the pair merge scan on xxhash64-encoded
+    // gram sets; this pins that the encoding changes nothing on real
+    // data (a same-pair 64-bit collision is the only way it could)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val g = Dedup.gramTable(
+      graft.Tables.load(spark, sf0001, "documents")
+        .select("doc_id", "lang", "text"))
+      .select($"doc_id", $"grams",
+        array_sort(transform($"grams", x => xxhash64(x))).as("gh"))
+    val a = g.select($"doc_id".as("d1"), $"grams".as("ga"), $"gh".as("ha"))
+    val b = g.select($"doc_id".as("d2"), $"grams".as("gb"), $"gh".as("hb"))
+    val mismatches = a.join(b, $"d1" < $"d2")
+      .select($"d1", $"d2",
+        graft.functions.StrFuncs.overlap_sorted($"ga", $"gb").as("os"),
+        graft.functions.StrFuncs.overlap_sorted_long($"ha", $"hb").as("oh"))
+      .where($"os" =!= $"oh")
+      .count()
+    assert(mismatches == 0L)
+  }
 }
