@@ -1298,7 +1298,59 @@ object FlowAnalytics {
       .limit(50)
   }
 
+  // ------------------------------------- B37 hierarchical heavy hitters
+
+  /** HHH share threshold (fraction of total bytes). */
+  val HhhTheta = 0.01
+
+  /** B37: hierarchical heavy hitters (`flow_hhh`) — B8 generalized to
+    * the IP prefix lattice (Cormode et al.'s discounted HHH): a /16
+    * is only interesting for the traffic NOT already explained by its
+    * heavy /24s, so each level reports its byte mass MINUS heavy
+    * descendants before applying the θ=1% threshold — the aggregation
+    * structure every DDoS/capacity triage wants ("which site is hot,
+    * beyond its known-hot subnets"). Execution: ONE corpus pass to
+    * the /24 table; every coarser level re-aggregates from it (B34's
+    * rollup rule), heavy sets are prefix-table-sized joins, and the
+    * threshold compares exact long byte sums against the broadcast
+    * scalar total.
+    */
+  def hhh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b24 = asFlows(spark, dir)
+      .select(pmod($"user_id", lit(64)).as("o2"),
+        pmod(expr("event_id div 256"), lit(256)).as("o3"), $"ibyt")
+      .groupBy($"o2", $"o3").agg(sum($"ibyt").as("bytes"))
+    val tot = b24.agg(sum($"bytes").as("total"))
+    val h24 = b24.crossJoin(broadcast(tot))
+      .where($"bytes".cast("double") / $"total" >= HhhTheta)
+    val b16 = b24.groupBy($"o2").agg(sum($"bytes").as("bytes"))
+    val h24by16 = h24.groupBy($"o2").agg(sum($"bytes").as("hb"))
+    val h16 = b16.join(h24by16, Seq("o2"), "left")
+      .withColumn("disc", $"bytes" - coalesce($"hb", lit(0L)))
+      .crossJoin(broadcast(tot))
+      .where($"disc".cast("double") / $"total" >= HhhTheta)
+    val rootDisc = tot
+      .crossJoin(broadcast(h24.agg(coalesce(sum($"bytes"), lit(0L)).as("s24"))))
+      .crossJoin(broadcast(h16.agg(coalesce(sum($"disc"), lit(0L)).as("s16"))))
+      .select(lit(0).as("level"), lit("10.0.0.0/8").as("prefix"),
+        $"total".as("bytes"), ($"total" - $"s24" - $"s16").as("disc"),
+        $"total")
+    val out24 = h24.select(lit(24).as("level"),
+      concat(lit("10."), $"o2", lit("."), $"o3", lit(".0/24")).as("prefix"),
+      $"bytes", $"bytes".as("disc"), $"total")
+    val out16 = h16.select(lit(16).as("level"),
+      concat(lit("10."), $"o2", lit(".0.0/16")).as("prefix"),
+      $"bytes", $"disc", $"total")
+    out24.unionAll(out16).unionAll(
+        rootDisc.where($"disc".cast("double") / $"total" >= HhhTheta))
+      .select($"level", $"prefix", $"bytes", $"disc",
+        round($"disc".cast("double") / $"total", 6).as("share_r"))
+      .orderBy($"level", $"prefix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_hhh" -> hhh _,
     "flow_rare_pairs" -> rarePairs _,
     "flow_cusum" -> cusum _,
     "flow_autocorr" -> autocorr _,
@@ -1394,6 +1446,43 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_hhh" -> (flowsCte +
+      s""", b24 AS (
+         |  SELECT user_id % 64 AS o2, (event_id // 256) % 256 AS o3,
+         |    sum(ibyt) AS bytes
+         |  FROM flows GROUP BY 1, 2),
+         |tot AS (SELECT sum(bytes) AS total FROM b24),
+         |h24 AS (
+         |  SELECT o2, o3, bytes FROM b24, tot
+         |  WHERE CAST(bytes AS DOUBLE) / total >= $HhhTheta),
+         |b16 AS (SELECT o2, sum(bytes) AS bytes FROM b24 GROUP BY o2),
+         |h24by16 AS (SELECT o2, sum(bytes) AS hb FROM h24 GROUP BY o2),
+         |h16 AS (
+         |  SELECT b16.o2, b16.bytes, b16.bytes - coalesce(hb, 0) AS disc
+         |  FROM b16 LEFT JOIN h24by16 USING (o2), tot
+         |  WHERE CAST(b16.bytes - coalesce(hb, 0) AS DOUBLE) / total
+         |    >= $HhhTheta),
+         |root AS (
+         |  SELECT 0 AS level, '10.0.0.0/8' AS prefix, total AS bytes,
+         |    total - coalesce((SELECT sum(bytes) FROM h24), 0)
+         |          - coalesce((SELECT sum(disc) FROM h16), 0) AS disc,
+         |    total
+         |  FROM tot),
+         |uni AS (
+         |  SELECT 24 AS level,
+         |    '10.' || o2 || '.' || o3 || '.0/24' AS prefix,
+         |    bytes, bytes AS disc, (SELECT total FROM tot) AS total
+         |  FROM h24
+         |  UNION ALL
+         |  SELECT 16, '10.' || o2 || '.0.0/16', bytes, disc,
+         |    (SELECT total FROM tot)
+         |  FROM h16
+         |  UNION ALL
+         |  SELECT level, prefix, bytes, disc, total FROM root
+         |  WHERE CAST(disc AS DOUBLE) / total >= $HhhTheta)
+         |SELECT level, prefix, bytes, disc,
+         |  round(CAST(disc AS DOUBLE) / total, 6) AS share_r
+         |FROM uni ORDER BY level, prefix""".stripMargin),
     "flow_rare_pairs" -> (flowsCte +
       s""", f16 AS (SELECT '10.' || (user_id % 64) AS sa, da FROM flows),
          |pc AS (SELECT sa, da, count(*) AS n_pair FROM f16 GROUP BY 1, 2),

@@ -641,7 +641,72 @@ object GraphOps {
        |FROM deg d LEFT JOIN pn USING (node)
        |ORDER BY triangles DESC, node LIMIT $TriTopN""".stripMargin
 
+  /** B38: degree assortativity (`graph_assortativity`) — the Newman
+    * (2002) degree-degree Pearson correlation over the DIRECTED edge
+    * set: do high-fan-out sources talk to high-fan-in services
+    * (r > 0) or do hubs serve leaves (r < 0, the typical
+    * client-server signature)? One scalar that characterizes the
+    * whole topology — read next to B35's degree histogram when
+    * sizing graph passes. Execution: distinct edges, two degree
+    * aggregates joined back (each keyed on an edge endpoint — the
+    * same hash partitionings the join needs), then ONE moment
+    * aggregate. All sums are exact INTEGER arithmetic (degrees are
+    * counts; products stay < 2⁵³) — the Pearson assembly is a single
+    * deterministic double expression both engines replay, no
+    * order-sensitive corr() anywhere. Both endpoints aggregate at
+    * their NETWORK grain — source /16 site, destination /24 service
+    * subnet (B36's rule: the synthetic low octets encode per-flow /
+    * per-user identity, which would pin one side's degree to exactly
+    * 1 and leave the correlation undefined).
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, dir)
+    val e = flows.select(
+        concat(lit("10."), pmod($"user_id", lit(64))).as("src"),
+        concat(lit("192.168."), pmod($"k", lit(256))).as("dst"))
+      .distinct()
+    val outd = e.groupBy($"src").agg(count(lit(1)).as("xd"))
+    val ind = e.groupBy($"dst").agg(count(lit(1)).as("yd"))
+    e.join(outd, "src").join(ind, "dst")
+      .agg(count(lit(1)).as("m"),
+        sum($"xd").as("sx"), sum($"yd").as("sy"),
+        sum($"xd" * $"xd").as("sxx"), sum($"yd" * $"yd").as("syy"),
+        sum($"xd" * $"yd").as("sxy"))
+      .select($"m",
+        round(($"m".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+          sqrt(($"m".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")) *
+            ($"m".cast("double") * $"syy".cast("double") -
+              $"sy".cast("double") * $"sy".cast("double"))), 6)
+          .as("assortativity_r"))
+  }
+
+  val assortativitySql: String =
+    graft.flow.FlowAnalytics.flowsCte +
+      """, e AS (SELECT DISTINCT '10.' || (user_id % 64) AS src,
+        |         '192.168.' || (k % 256) AS dst
+        |       FROM flows),
+        |od AS (SELECT src, count(*) AS xd FROM e GROUP BY src),
+        |id AS (SELECT dst, count(*) AS yd FROM e GROUP BY dst),
+        |m AS (
+        |  SELECT count(*) AS m,
+        |    sum(xd) AS sx, sum(yd) AS sy, sum(xd * xd) AS sxx,
+        |    sum(yd * yd) AS syy, sum(xd * yd) AS sxy
+        |  FROM e JOIN od USING (src) JOIN id USING (dst))
+        |SELECT m,
+        |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS assortativity_r
+        |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> assortativity _,
     "flow_pagerank" -> flowPagerank _,
     "flow_pagerank_pers" -> flowPagerankPers _,
     "flow_hits" -> flowHits _,
@@ -649,6 +714,7 @@ object GraphOps {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "flow_pagerank" -> flowPagerankSql,
     "flow_pagerank_pers" -> flowPagerankPersSql,
     "flow_hits" -> flowHitsSql,

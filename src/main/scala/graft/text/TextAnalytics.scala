@@ -1487,7 +1487,64 @@ object TextAnalytics {
        |FROM wl JOIN th USING (lang) ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- D39 n-gram novelty
+
+  /** Token width of the D39 novelty shingles. */
+  val NoveltyGramTokens = 8
+
+  /** D39: n-gram novelty curve (`text_ngram_novelty`) — per document,
+    * the fraction of its token-8-gram instances whose FIRST corpus
+    * occurrence (by doc_id order) is this document. The
+    * marginal-information report behind data-ordering and dedup
+    * policy: novelty ≈ 1 is fresh text, novelty ≈ 0 is boilerplate
+    * assembled from seen fragments (Lee et al.'s repeated-substring
+    * lens, aggregated to a per-doc scalar). Execution: one positional
+    * explode → combine-heavy min(doc_id) per gram TYPE (the shuffle
+    * carries distinct grams, not instances), hash-join back, one
+    * per-doc count — the D21 postings skeleton pointed at the corpus
+    * itself.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = NoveltyGramTokens
+    val grams = load(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .where(size($"toks") >= k)
+      .select($"doc_id",
+        explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("i"), $"toks")
+      .select($"doc_id", concat_ws(" ", expr(s"slice(toks, i, $k)")).as("gram"))
+    val first = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+      .withColumn("novelty_r",
+        round($"n_novel".cast("double") / $"n_grams", 6))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String = {
+    val k = NoveltyGramTokens
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ix AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+       |  FROM tk WHERE len(toks) >= $k),
+       |gr AS (
+       |  SELECT doc_id, array_to_string(toks[i : i + ${k - 1}], ' ') AS gram
+       |  FROM ix),
+       |fi AS (SELECT gram, min(doc_id) AS first_doc FROM gr GROUP BY gram)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel,
+       |  round(CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+       |    AS DOUBLE) / count(*), 6) AS novelty_r
+       |FROM gr g JOIN fi f USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> ngramNovelty _,
     "corpus_ppl_buckets" -> pplBuckets _,
     "text_zipf_slope" -> zipfSlope _,
     "text_bpe_merges" -> bpeMerges _,
@@ -1533,6 +1590,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_ngram_novelty" -> ngramNoveltySql,
     "corpus_ppl_buckets" -> pplBucketsSql,
     "text_zipf_slope" ->
       s"""WITH tc AS (

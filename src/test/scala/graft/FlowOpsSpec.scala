@@ -178,6 +178,32 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("HHH: discounted masses match a driver-side lattice sweep at sf0.001") {
+    import spark.implicits._
+    val b24 = FlowAnalytics.asFlows(spark, sf0001)
+      .select(pmod($"user_id", lit(64)).as("o2"),
+        pmod(expr("event_id div 256"), lit(256)).as("o3"), $"ibyt")
+      .groupBy($"o2", $"o3").agg(sum($"ibyt").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = b24.values.sum
+    val th = FlowAnalytics.HhhTheta
+    val h24 = b24.filter { case (_, b) => b.toDouble / total >= th }
+    val b16 = b24.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val h16 = b16.map { case (o2, b) =>
+      val hb = h24.collect { case ((`o2`, _), v) => v }.sum
+      o2 -> ((b, b - hb))
+    }.filter { case (_, (_, d)) => d.toDouble / total >= th }
+    val rootDisc = total - h24.values.sum - h16.values.map(_._2).sum
+    val expected =
+      h24.map { case ((o2, o3), b) => (s"10.$o2.$o3.0/24", b, b) }.toSet ++
+      h16.map { case (o2, (b, d)) => (s"10.$o2.0.0/16", b, d) }.toSet ++
+      (if (rootDisc.toDouble / total >= th)
+        Set(("10.0.0.0/8", total, rootDisc)) else Set.empty)
+    val got = FlowAnalytics.hhh(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("rare pairs: every hit is a genuine once-seen pair from a wide talker") {
     import spark.implicits._
     val pairs = FlowAnalytics.asFlows(spark, sf0001)

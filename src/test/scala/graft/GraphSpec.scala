@@ -190,4 +190,29 @@ class GraphSpec extends SparkSpecBase {
     assert(daShare > 0.8,
       s"expected dst-side hubs to dominate the top ranks, got $daShare")
   }
+
+  test("assortativity matches a driver-side Pearson recompute at sf0.001") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+      .select(concat(lit("10."), pmod($"user_id", lit(64))).as("src"),
+        concat(lit("192.168."), pmod($"k", lit(256))).as("dst"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val xd = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val yd = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val xy = edges.map { case (s, d) => (xd(s), yd(d)) }
+    val m = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum.toDouble, xy.map(_._2).sum.toDouble)
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val syy = xy.map(p => p._2 * p._2).sum.toDouble
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val r = (m * sxy - sx * sy) /
+      math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    val row = GraphOps.assortativity(spark, sf0001).collect().head
+    assert(row.getLong(0) == xy.length.toLong)
+    assert(math.abs(row.getDouble(1) - r) < 1e-6)
+    // the bipartite site->service graph is a meaningful topology:
+    // the coefficient is a real number in [-1, 1]
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
 }

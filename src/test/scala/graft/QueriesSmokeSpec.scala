@@ -69,6 +69,29 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("text_ngram_novelty matches a driver-side first-seen sweep at sf0.001") {
+    import spark.implicits._
+    val k = graft.text.TextAnalytics.NoveltyGramTokens
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= k)
+    val grams = docs.flatMap { case (id, toks) =>
+      toks.sliding(k).map(g => (id, g.mkString(" "))).toSeq
+    }
+    val first = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expected = grams.groupBy(_._1).map { case (id, xs) =>
+      val novel = xs.count { case (_, g) => first(g) == id }
+      id -> ((xs.length.toLong, novel.toLong))
+    }
+    val got = graft.text.TextAnalytics.ngramNovelty(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // both extremes exist in the synthetic corpus: some fully novel
+    // docs and at least one doc dominated by already-seen fragments
+    assert(got.values.exists { case (n, nov) => nov == n })
+  }
+
   test("text_zipf_slope matches a driver-side least-squares fit at sf0.001") {
     import spark.implicits._
     def r9(x: Double) =
