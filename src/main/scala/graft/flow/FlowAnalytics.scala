@@ -1349,7 +1349,44 @@ object FlowAnalytics {
       .orderBy($"level", $"prefix")
   }
 
+  // ---------------------------------------- B39 sketch-merged CUBE
+
+  /** B39: distinct-users CUBE by sketch merge (`flow_distinct_cube`)
+    * — every (protocol × port) grouping level's distinct-user count
+    * from ONE corpus pass: the per-(pr, dp) HLL cell table is built
+    * once, and all coarser CUBE cells MERGE cell sketches
+    * ([[graft.functions.HllAgg.HllUnionAgg]]) instead of re-scanning
+    * raw data — the B18b/B34 re-aggregation rule applied to the
+    * grouping lattice, and exactly how a 100 TB OLAP cube serves
+    * COUNT(DISTINCT): distinct doesn't re-aggregate, mergeable
+    * sketches do. Graded the C14 way: exact per-cell counts from a
+    * grading-only pass the oracle replays, plus a Spark-side
+    * within_bound verdict on every cube cell's estimate.
+    */
+  def distinctCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HllAgg.{hll_sketch, hll_union, hll_estimate}
+    val flows = asFlows(spark, dir)
+    val cells = flows.groupBy($"pr", $"dp")
+      .agg(hll_sketch($"user_id".cast("string"), HllP).as("sk"))
+    val approx = cells.cube($"pr", $"dp")
+      .agg(hll_union($"sk", HllP).as("csk"))
+      .select(coalesce($"pr", lit("ALL")).as("pr_g"),
+        coalesce($"dp", lit(-1)).as("dp_g"),
+        hll_estimate($"csk", HllP).as("est"))
+    val exact = flows.cube($"pr", $"dp")
+      .agg(countDistinct($"user_id").as("exact_users"))
+      .select(coalesce($"pr", lit("ALL")).as("pr_g"),
+        coalesce($"dp", lit(-1)).as("dp_g"), $"exact_users")
+    exact.join(approx, Seq("pr_g", "dp_g"))
+      .select($"pr_g", $"dp_g", $"exact_users",
+        (abs($"est" - $"exact_users") / $"exact_users" < 0.15)
+          .as("within_bound"))
+      .orderBy($"pr_g", $"dp_g")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_distinct_cube" -> distinctCube _,
     "flow_hhh" -> hhh _,
     "flow_rare_pairs" -> rarePairs _,
     "flow_cusum" -> cusum _,
@@ -1446,6 +1483,12 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_distinct_cube" -> (flowsCte +
+      """SELECT coalesce(pr, 'ALL') AS pr_g, coalesce(dp, -1) AS dp_g,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM flows GROUP BY CUBE (pr, dp)
+        |ORDER BY pr_g, dp_g""".stripMargin),
     "flow_hhh" -> (flowsCte +
       s""", b24 AS (
          |  SELECT user_id % 64 AS o2, (event_id // 256) % 256 AS o3,

@@ -750,7 +750,59 @@ object Relational {
       .select(round($"sum_price" / 7.0, 6).as("avg_yearly_r"), $"n_small")
   }
 
+  /** C34: table statistics profile (`table_stats_profile`) — the
+    * ANALYZE-TABLE / catalog-stats sweep a cost-based optimizer and
+    * every data catalog ingests: per column, null count, exact NDV,
+    * and numeric min/max, computed in ONE corpus pass (each metric a
+    * conditional/distinct aggregate riding the same scan — the
+    * multi-distinct Expand plan, not one scan per column, which is
+    * the difference between ANALYZE costing one pass and six at
+    * 100 TB). The wide one-row aggregate then explodes to the
+    * catalog's long form (column, stats). Complements C28: the audit
+    * CHECKS constraints, this MEASURES the distributions those
+    * checks and the optimizer's selectivity estimates come from.
+    */
+  def tableStatsProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+    val dNull = lit(null).cast("double")
+    ord.agg(
+        count(lit(1)).as("n"),
+        count(when($"o_orderkey".isNull, 1)).as("nk"),
+        countDistinct($"o_orderkey").as("dk"),
+        min($"o_orderkey").cast("double").as("mink"),
+        max($"o_orderkey").cast("double").as("maxk"),
+        count(when($"o_custkey".isNull, 1)).as("nc"),
+        countDistinct($"o_custkey").as("dc"),
+        min($"o_custkey").cast("double").as("minc"),
+        max($"o_custkey").cast("double").as("maxc"),
+        count(when($"o_totalprice".isNull, 1)).as("np"),
+        countDistinct($"o_totalprice").as("dp"),
+        min($"o_totalprice").as("minp"),
+        max($"o_totalprice").as("maxp"),
+        count(when($"o_orderstatus".isNull, 1)).as("ns"),
+        countDistinct($"o_orderstatus").as("ds"),
+        count(when($"o_orderpriority".isNull, 1)).as("no"),
+        countDistinct($"o_orderpriority").as("do_"))
+      .select($"n", explode(array(
+        struct(lit("o_orderkey").as("col_name"), $"nk".as("n_nulls"),
+          $"dk".as("n_distinct"), $"mink".as("min_v"), $"maxk".as("max_v")),
+        struct(lit("o_custkey").as("col_name"), $"nc".as("n_nulls"),
+          $"dc".as("n_distinct"), $"minc".as("min_v"), $"maxc".as("max_v")),
+        struct(lit("o_totalprice").as("col_name"), $"np".as("n_nulls"),
+          $"dp".as("n_distinct"), $"minp".as("min_v"), $"maxp".as("max_v")),
+        struct(lit("o_orderstatus").as("col_name"), $"ns".as("n_nulls"),
+          $"ds".as("n_distinct"), dNull.as("min_v"), dNull.as("max_v")),
+        struct(lit("o_orderpriority").as("col_name"), $"no".as("n_nulls"),
+          $"do_".as("n_distinct"), dNull.as("min_v"), dNull.as("max_v"))
+      )).as("s"))
+      .select($"s.col_name", $"n".as("n_rows"), $"s.n_nulls",
+        $"s.n_distinct", $"s.min_v", $"s.max_v")
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_stats_profile" -> tableStatsProfile _,
     "q17_small_qty" -> q17SmallQty _,
     "unpivot_melt" -> unpivotMelt _,
     "median_mode" -> medianMode _,
@@ -790,6 +842,38 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "table_stats_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |  count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+        |  count(DISTINCT o_totalprice),
+        |  min(o_totalprice), max(o_totalprice)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
     "q17_small_qty" ->
       """SELECT
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)

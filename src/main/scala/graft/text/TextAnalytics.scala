@@ -1543,7 +1543,67 @@ object TextAnalytics {
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ D40 epoch planning
+
+  /** Token budget for the D40 repetition plan. */
+  val EpochBudgetTokens = 400000L
+
+  /** Over-repetition threshold (epochs) after which data loses value
+    * (Muennighoff et al. 2023: ~4 epochs ≈ fresh data, then decay).
+    */
+  val EpochCap = 4.0
+
+  /** D40: mixture epoch planning (`corpus_epoch_plan`) — the
+    * data-budget arithmetic run before every training mix: given a
+    * global token budget and temperature-weighted source shares
+    * (α = 0.5 on char mass, D30b's rule), how many EPOCHS of each
+    * source does the plan imply, and which sources would be repeated
+    * past the point of diminishing returns? Pure source-sized
+    * arithmetic on one combine-heavy aggregate of the corpus — the
+    * decision table (Muennighoff et al.'s repeat-vs-expand question)
+    * that decides whether a source needs more crawling or a cap.
+    * Deterministic: masses are exact decimal sums, √ is
+    * correctly-rounded IEEE, the share total is nano-quantized, and
+    * every published ratio rounds 6 dp.
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mass = load(spark, dir, "documents").groupBy($"source")
+      .agg(graft.Tables.dsum($"n_chars", 0).as("w"),
+        count(lit(1)).as("n_docs"))
+    val sq = mass.select($"source", $"n_docs", $"w", sqrt($"w").as("s"))
+    val tot = sq.agg(graft.Tables.qsum($"s").as("st"))
+    sq.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"w".as("n_tokens"),
+        round($"s" / $"st", 6).as("weight_r"),
+        floor(lit(EpochBudgetTokens.toDouble) * $"s" / $"st").as("target_tokens"),
+        round(floor(lit(EpochBudgetTokens.toDouble) * $"s" / $"st") / $"w", 6)
+          .as("epochs_r"),
+        (floor(lit(EpochBudgetTokens.toDouble) * $"s" / $"st") / $"w" >
+          EpochCap).as("over_repeated"))
+      .orderBy($"source")
+  }
+
+  val epochPlanSql: String =
+    s"""WITH mass AS (
+       |  SELECT source,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(28, 0))) AS DOUBLE) AS w,
+       |    count(*) AS n_docs
+       |  FROM documents GROUP BY source),
+       |sq AS (SELECT source, n_docs, w, sqrt(w) AS s FROM mass),
+       |tot AS (SELECT ${graft.Tables.qsumSql("s")} AS st FROM sq)
+       |SELECT source, n_docs, w AS n_tokens,
+       |  round(s / st, 6) AS weight_r,
+       |  CAST(floor(CAST($EpochBudgetTokens AS DOUBLE) * s / st) AS BIGINT)
+       |    AS target_tokens,
+       |  round(floor(CAST($EpochBudgetTokens AS DOUBLE) * s / st) / w, 6)
+       |    AS epochs_r,
+       |  floor(CAST($EpochBudgetTokens AS DOUBLE) * s / st) / w > $EpochCap
+       |    AS over_repeated
+       |FROM sq, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_epoch_plan" -> epochPlan _,
     "text_ngram_novelty" -> ngramNovelty _,
     "corpus_ppl_buckets" -> pplBuckets _,
     "text_zipf_slope" -> zipfSlope _,
@@ -1590,6 +1650,7 @@ object TextAnalytics {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_epoch_plan" -> epochPlanSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "corpus_ppl_buckets" -> pplBucketsSql,
     "text_zipf_slope" ->

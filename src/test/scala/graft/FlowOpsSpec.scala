@@ -178,6 +178,41 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("distinct cube: every cell's sketch merge lands within bound, lattice sums check") {
+    import spark.implicits._
+    val rows = FlowAnalytics.distinctCube(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.forall(_._4),
+      s"cube cells out of sketch bound: ${rows.filterNot(_._4).toSeq}")
+    // lattice consistency of the exact counts: the ALL/ALL cell
+    // equals the corpus-wide distinct, and every (pr, ALL) cell is
+    // >= any (pr, dp) refinement
+    val all = rows.find(r => r._1 == "ALL" && r._2 == -1).get._3
+    val direct = FlowAnalytics.asFlows(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(all == direct)
+    val byPr = rows.filter(r => r._1 != "ALL" && r._2 == -1)
+      .map(r => r._1 -> r._3).toMap
+    rows.filter(r => r._1 != "ALL" && r._2 != -1).foreach { case (pr, _, c, _) =>
+      assert(c <= byPr(pr))
+    }
+  }
+
+  test("epoch plan: shares sum to ~1 and targets honour the budget at sf0.001") {
+    val rows = graft.text.TextAnalytics.epochPlan(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_._4).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"weights sum to $shareSum")
+    val targetSum = rows.map(_._5).sum
+    assert(targetSum <= graft.text.TextAnalytics.EpochBudgetTokens)
+    rows.foreach { case (_, _, w, _, target, epochs, over) =>
+      assert(math.abs(epochs - target / w) < 1e-5)
+      assert(over == (target / w > graft.text.TextAnalytics.EpochCap))
+    }
+  }
+
   test("HHH: discounted masses match a driver-side lattice sweep at sf0.001") {
     import spark.implicits._
     val b24 = FlowAnalytics.asFlows(spark, sf0001)

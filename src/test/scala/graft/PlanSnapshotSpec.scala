@@ -35,7 +35,7 @@ class PlanSnapshotSpec extends SparkSpecBase {
   // covering shape without the session-dependent permutation.
   private val multiDistinct =
     Set("flow_retention", "flow_by_source", "agg_distinct",
-      "flow_distinct_overlap")
+      "flow_distinct_overlap", "table_stats_profile", "flow_distinct_cube")
   private val streaming =
     Set("stream_window_agg", "stream_running_totals",
       "stream_decontaminate", "stream_sessions_agg",

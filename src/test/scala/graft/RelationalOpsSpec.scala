@@ -66,6 +66,33 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("table_stats_profile matches driver-side column stats at sf0.001") {
+    val ord = graft.Tables.load(spark, sf0001, "orders").collect()
+    val n = ord.length.toLong
+    def stat[T: scala.reflect.ClassTag](f: org.apache.spark.sql.Row => T) =
+      ord.map(f)
+    val expected = Map(
+      "o_orderkey" -> ((stat(_.getLong(0)).distinct.length.toLong,
+        Some(stat(_.getLong(0)).min.toDouble), Some(stat(_.getLong(0)).max.toDouble))),
+      "o_custkey" -> ((stat(_.getLong(1)).distinct.length.toLong,
+        Some(stat(_.getLong(1)).min.toDouble), Some(stat(_.getLong(1)).max.toDouble))),
+      "o_orderstatus" -> ((stat(_.getString(2)).distinct.length.toLong,
+        None, None)),
+      "o_totalprice" -> ((stat(_.getDouble(3)).distinct.length.toLong,
+        Some(stat(_.getDouble(3)).min), Some(stat(_.getDouble(3)).max))),
+      "o_orderpriority" -> ((stat(_.getString(5)).distinct.length.toLong,
+        None, None)))
+    val got = graft.queries.Relational.tableStatsProfile(spark, sf0001)
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      }.toMap
+    assert(got == expected)
+    assert(graft.queries.Relational.tableStatsProfile(spark, sf0001)
+      .collect().forall(r => r.getLong(1) == n && r.getLong(2) == 0L))
+  }
+
   test("q17_small_qty matches a driver-side correlated evaluation at sf0.001") {
     val li = graft.Tables.load(spark, sf0001, "lineitem")
       .select("l_partkey", "l_quantity", "l_extendedprice").collect()
