@@ -257,6 +257,25 @@ object Pca {
     * by the shared covariance pass; both chains run on the
     * materialized D×D frame with 64-row iterates.
     */
+  /** Second component staged per (session, dir), like [[stagedV1]] —
+    * the D27c orthogonal-iteration chain, shared by `emb_pca2` and
+    * the whitening transform.
+    */
+  private def stagedV2(spark: SparkSession, dir: String): DataFrame =
+    sessionStage.getOrBuild(spark, dir, "pc2") {
+      import spark.implicits._
+      val cov = stagedCov(spark, dir)
+      val v1 = stagedV1(spark, dir)
+      var v2 = spark.range(1, Dim + 1).toDF("k")
+        .select($"k", lit(Seed).as("vk"))
+      for (r <- 1 to Iters) {
+        val next = stepOrth(cov, v2, v1)
+        v2 = if (graft.Staging.stagePoint(r, Iters, stageFinal = true))
+          materialize(next) else next
+      }
+      v2
+    }
+
   def embPca2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
@@ -264,13 +283,7 @@ object Pca {
     val cov = stagedCov(spark, dir)
     val v1 = stagedV1(spark, dir)
     val lam1 = rayleigh(cov, v1)
-    var v2 = spark.range(1, Dim + 1).toDF("k")
-      .select($"k", lit(Seed).as("vk"))
-    for (r <- 1 to Iters) {
-      val next = stepOrth(cov, v2, v1)
-      v2 = if (graft.Staging.stagePoint(r, Iters, stageFinal = true))
-        materialize(next) else next
-    }
+    val v2 = stagedV2(spark, dir)
     val lam2 = rayleigh(cov, v2)
     v1.select($"k", $"vk".as("l1"))
       .join(v2.select($"k", $"vk".as("l2")), "k")
@@ -394,13 +407,78 @@ object Pca {
        |FROM centered c JOIN v$Iters v ON v.k = c.i
        |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
 
+  /** D27d: PCA whitening (`emb_whitening`) — the 2-component
+    * whitened-coordinate transform retrieval and SemDeDup-style
+    * pipelines standardize on: project each centered vector on the
+    * staged (v₁, v₂) basis and scale each coordinate to unit variance
+    * by 1/√(λᵢ/n). The corpus-sized work is ONE map-side pass —
+    * broadcast 64-row loadings, two per-vector quantized dot folds —
+    * everything spectral (covariance, both component chains, both
+    * Rayleigh quotients) is the staged D×D machinery shared with
+    * D27/D27c. Output corpus-sized by design; nothing shuffles more
+    * than the input.
+    */
+  def embWhitening(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val nframe = vecs.agg(count(lit(1)).as("n"))
+    val cov = stagedCov(spark, dir)
+    val v1 = stagedV1(spark, dir)
+    val v2 = stagedV2(spark, dir)
+    val lam1 = rayleigh(cov, v1).select($"lambda".as("lambda1"))
+    val lam2 = rayleigh(cov, v2).select($"lambda".as("lambda2"))
+    centered(vecs)
+      .join(broadcast(v1.select($"k".as("i"), $"vk".as("v1k"))), "i")
+      .join(broadcast(v2.select($"k".as("i"), $"vk".as("v2k"))), "i")
+      .groupBy($"vec_id")
+      .agg(qsum($"x" * $"v1k").as("p1"), qsum($"x" * $"v2k").as("p2"))
+      .crossJoin(broadcast(lam1)).crossJoin(broadcast(lam2))
+      .crossJoin(broadcast(nframe))
+      .select($"vec_id",
+        round($"p1" / sqrt($"lambda1" / $"n"), 6).as("w1_r"),
+        round($"p2" / sqrt($"lambda2" / $"n"), 6).as("w2_r"))
+      .orderBy($"vec_id")
+  }
+
+  val embWhiteningSql: String = {
+    val steps2 = (1 to Iters).map(stepOrthCte).mkString(",\n")
+    s"""$cteChain,
+       |lam1 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(vi.vk * c.c * vj.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS lambda
+       |  FROM cov c
+       |  JOIN v$Iters vj ON vj.k = c.j
+       |  JOIN v$Iters vi ON vi.k = c.i),
+       |$steps2,
+       |lam2 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(vi.vk * c.c * vj.vk, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS lambda
+       |  FROM cov c
+       |  JOIN bv$Iters vj ON vj.k = c.j
+       |  JOIN bv$Iters vi ON vi.k = c.i),
+       |pr AS MATERIALIZED (
+       |  SELECT c.vec_id,
+       |    ${qsumSql("c.x * va.vk")} AS p1,
+       |    ${qsumSql("c.x * vb.vk")} AS p2
+       |  FROM centered c
+       |  JOIN v$Iters va ON va.k = c.i
+       |  JOIN bv$Iters vb ON vb.k = c.i
+       |  GROUP BY c.vec_id)
+       |SELECT vec_id,
+       |  round(p1 / sqrt((SELECT lambda FROM lam1) / (SELECT n FROM nn)), 6)
+       |    AS w1_r,
+       |  round(p2 / sqrt((SELECT lambda FROM lam2) / (SELECT n FROM nn)), 6)
+       |    AS w2_r
+       |FROM pr ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> embPca _,
     "emb_pca2" -> embPca2 _,
-    "emb_pca_scores" -> embPcaScores _)
+    "emb_pca_scores" -> embPcaScores _,
+    "emb_whitening" -> embWhitening _)
 
   val oracleSql: Map[String, String] = Map(
     "emb_pca" -> embPcaSql,
     "emb_pca2" -> embPca2Sql,
-    "emb_pca_scores" -> embPcaScoresSql)
+    "emb_pca_scores" -> embPcaScoresSql,
+    "emb_whitening" -> embWhiteningSql)
 }

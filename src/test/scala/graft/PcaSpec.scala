@@ -99,4 +99,24 @@ class PcaSpec extends SparkSpecBase {
         dist.zip(v).zipWithIndex.filter { case ((a, b), _) => a != b }.take(3)
           .mkString(", "))
   }
+
+  test("whitened coordinates are centered, ~unit-variance, ~uncorrelated") {
+    val w = Pca.embWhitening(spark, sf0001).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = w.length
+    val (m1, m2) = (w.map(_._1).sum / n, w.map(_._2).sum / n)
+    val v1 = w.map(p => (p._1 - m1) * (p._1 - m1)).sum / n
+    val v2 = w.map(p => (p._2 - m2) * (p._2 - m2)).sum / n
+    val c12 = w.map(p => (p._1 - m1) * (p._2 - m2)).sum / n
+    info(f"mean=($m1%.4f,$m2%.4f) var=($v1%.4f,$v2%.4f) cov=$c12%.4f")
+    // centering is exact (means subtracted up front); the variance
+    // and cross-covariance depend on how converged the iterated
+    // basis is — the near-degenerate spectrum (lambda2/lambda1 ~ 0.98)
+    // bounds correlation loosely, but unit variance must hold tightly
+    // along each estimated direction
+    assert(math.abs(m1) < 1e-3 && math.abs(m2) < 1e-3)
+    assert(math.abs(v1 - 1.0) < 0.05, s"w1 variance $v1")
+    assert(math.abs(v2 - 1.0) < 0.05, s"w2 variance $v2")
+    assert(math.abs(c12) < 0.2, s"whitened coords correlated: $c12")
+  }
 }
