@@ -1385,7 +1385,43 @@ object FlowAnalytics {
       .orderBy($"pr_g", $"dp_g")
   }
 
+  // ---------------------------------------- B40 traffic entropy profile
+
+  /** B40: hourly port-entropy profile (`flow_entropy_profile`) — the
+    * classic entropy-shift detector (Lakhina et al.): Shannon entropy
+    * of the destination-port distribution per hour. A port scan
+    * RAISES dst-port entropy (traffic spreads over many ports), a
+    * volumetric flood COLLAPSES it toward one port — so the hourly
+    * entropy series separates anomaly classes that volume series
+    * (B3) can't distinguish. One combine-heavy (hour, dp) count, one
+    * hours-sized rollup; the Σ p·log₂p fold is nano-quantized per
+    * TERM ([[graft.Tables.qsum]]) so accumulation order is exact in
+    * both engines, and each term's p = n/total is one IEEE division
+    * of exact longs. Normalized entropy (÷ log₂ distinct ports that
+    * hour) makes hours comparable as the port mix varies.
+    */
+  def entropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hp = asFlows(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"dp")
+      .agg(count(lit(1)).as("n"))
+    val tot = hp.groupBy($"h")
+      .agg(sum($"n").as("tot"), count(lit(1)).as("n_ports"))
+    val p = $"n".cast("double") / $"tot"
+    hp.join(broadcast(tot), "h")
+      .groupBy($"h")
+      .agg(first($"tot").as("tot"), first($"n_ports").as("n_ports"),
+        graft.Tables.qsum(p * log(2.0, p)).as("negH"))
+      .select($"h", $"tot", $"n_ports",
+        round(-$"negH", 6).as("entropy_r"),
+        when($"n_ports" === 1, 0.0)
+          .otherwise(round(-$"negH" / log(2.0, $"n_ports".cast("double")), 6))
+          .as("norm_entropy_r"))
+      .orderBy($"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_entropy_profile" -> entropyProfile _,
     "flow_distinct_cube" -> distinctCube _,
     "flow_hhh" -> hhh _,
     "flow_rare_pairs" -> rarePairs _,
@@ -1483,6 +1519,26 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_entropy_profile" -> (flowsCte +
+      s""", hp AS (
+         |  SELECT date_trunc('hour', ts) AS h, dp, count(*) AS n
+         |  FROM flows GROUP BY 1, 2),
+         |tt AS (
+         |  SELECT h, sum(n) AS tot, count(*) AS n_ports FROM hp GROUP BY h),
+         |e AS (
+         |  SELECT hp.h, tt.tot, tt.n_ports,
+         |    ${graft.Tables.qsumSql(
+               "(CAST(n AS DOUBLE) / tot) * " +
+               "(ln(CAST(n AS DOUBLE) / tot) / ln(CAST(2 AS DOUBLE)))")}
+         |      AS negH
+         |  FROM hp JOIN tt USING (h) GROUP BY hp.h, tt.tot, tt.n_ports)
+         |SELECT h, tot, n_ports,
+         |  round(-negH, 6) AS entropy_r,
+         |  CASE WHEN n_ports = 1 THEN 0.0
+         |       ELSE round(-negH /
+         |         (ln(CAST(n_ports AS DOUBLE)) / ln(CAST(2 AS DOUBLE))), 6)
+         |  END AS norm_entropy_r
+         |FROM e ORDER BY h""".stripMargin),
     "flow_distinct_cube" -> (flowsCte +
       """SELECT coalesce(pr, 'ALL') AS pr_g, coalesce(dp, -1) AS dp_g,
         |  count(DISTINCT user_id) AS exact_users,

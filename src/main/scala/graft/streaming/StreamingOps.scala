@@ -226,6 +226,34 @@ object StreamingOps {
           else { state.update(true); it.take(1) })
   }
 
+  /** E14: per-key streaming rate limiter — a token bucket in keyed
+    * state: each micro-batch the key's bucket refills by
+    * `refillPerBatch` up to `capacity`, and at most that many events
+    * pass (in event_id order within the batch — the iterator order
+    * contract the caller establishes upstream); the rest drop. The
+    * ingest-protection primitive in front of a 100 TB/day pipeline —
+    * a runaway producer can at most drain its own bucket, state is
+    * one long per key, and the admit decision never shuffles (state
+    * is co-partitioned with the key by the state store). Arrival-
+    * order dependent across batches → spec-level, like E2/E5.
+    */
+  def rateLimit(events: org.apache.spark.sql.Dataset[Evt],
+      capacity: Int, refillPerBatch: Int):
+      org.apache.spark.sql.Dataset[Evt] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[Evt], state: GroupState[Long]) => {
+          val tokens = math.min(capacity.toLong,
+            state.getOption.getOrElse(capacity.toLong) + refillPerBatch)
+          val admitted = it.toSeq.sortBy(_.event_id).take(tokens.toInt)
+          state.update(tokens - admitted.size)
+          admitted.iterator
+        })
+  }
+
   /** E3: stream-static join — streaming facts against a broadcast
     * static dimension (the enrichment shape: no stream-side shuffle).
     */

@@ -178,6 +178,33 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("entropy profile matches a driver-side Shannon recompute at sf0.001") {
+    import spark.implicits._
+    val counts = FlowAnalytics.asFlows(spark, sf0001)
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"dp").count().collect()
+      .map(r => (r.getAs[Any](0).toString, r.getInt(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).map { case (h, xs) =>
+      val tot = xs.map(_._3).sum
+      val q = xs.map { case (_, _, n) =>
+        val p = n.toDouble / tot
+        math.floor(p * (math.log(p) / math.log(2.0)) * 1e9 + 0.5).toLong
+      }.sum
+      val negH = q.toDouble / 1e9
+      val nPorts = xs.length
+      val norm = if (nPorts == 1) 0.0
+        else r6(-negH / (math.log(nPorts.toDouble) / math.log(2.0)))
+      h -> ((tot, nPorts.toLong, r6(-negH), norm))
+    }
+    val got = FlowAnalytics.entropyProfile(spark, sf0001).collect()
+      .map(r => r.getAs[Any](0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+    // entropy lives in [0, log2(n_ports)]; normalized in [0, 1]
+    assert(got.values.forall { case (_, np, e, en) =>
+      e >= -1e-9 && en >= -1e-9 && en <= 1.0 + 1e-9 &&
+        e <= math.log(np.toDouble) / math.log(2.0) + 1e-6 })
+  }
+
   test("distinct cube: every cell's sketch merge lands within bound, lattice sums check") {
     import spark.implicits._
     val rows = FlowAnalytics.distinctCube(spark, sf0001).collect()

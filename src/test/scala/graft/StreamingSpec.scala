@@ -172,6 +172,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1L, 3L), (3L, 1L), (4L, 2L), (4L, 12L)))
   }
 
+  test("rate limiter: buckets drain, refill per batch, and cap accumulation") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.Evt
+    // capacity 3, refill 2. Key 1 floods every batch; key 2 is quiet
+    // until batch 3 — its bucket must refill only up to capacity.
+    val src = tmpDir("ratesrc") + "/evts"
+    val batches = Seq(
+      (1 to 5).map(i => Evt(i.toLong, 1L, "x")),
+      (6 to 10).map(i => Evt(i.toLong, 1L, "x")),
+      (11 to 15).map(i => Evt(i.toLong, 1L, "x")) ++
+        (21 to 25).map(i => Evt(i.toLong, 2L, "x")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF().repartition(1).write.parquet(s"$src/part$i")
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/part*").as[Evt]
+    val q = graft.streaming.StreamingOps.rateLimit(stream, 3, 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("rate_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // key 1: batch1 admits 3 (bucket starts full), then 2 per batch
+    assert(got(1L) == Seq(1L, 2L, 3L, 6L, 7L, 11L, 12L), s"got ${got(1L)}")
+    // key 2: two idle batches may NOT overfill the bucket past capacity
+    assert(got(2L) == Seq(21L, 22L, 23L), s"got ${got(2L)}")
+  }
+
   test("streaming CDC state survives micro-batch splits: shadow, resurrect, stale") {
     import spark.implicits._
     // one change per file, one file per trigger — state must carry the
