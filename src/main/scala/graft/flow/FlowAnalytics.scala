@@ -1420,7 +1420,43 @@ object FlowAnalytics {
       .orderBy($"h")
   }
 
+  // --------------------------------------- B41 conversion latency
+
+  /** B41: conversion-latency distribution (`flow_conversion_latency`)
+    * — B9's funnel answers "who converted"; operations needs "how
+    * LONG it took": seconds from each user's FIRST signup to every
+    * subsequent purchase, as count + exact percentiles. One
+    * combine-heavy first-signup aggregate (users-sized, broadcast),
+    * one filtered map-side join, one percentile aggregate over the
+    * conversions (the exact twin; the KLL path C27 is the sketch
+    * serve at 100 TB). Latencies are exact integer epoch-second
+    * differences, so interpolated percentiles replay bit-for-bit.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val su = ev.where($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(min($"ts".cast("timestamp").cast("long")).as("su_s"))
+    val lat = ev.where($"event_type" === "purchase")
+      .join(broadcast(su), "user_id")
+      .select($"user_id",
+        ($"ts".cast("timestamp").cast("long") - $"su_s").as("lat_s"))
+      .where($"lat_s" >= 0)
+    lat.agg(count(lit(1)).as("n_conversions"),
+        countDistinct($"user_id").as("n_users"),
+        percentile($"lat_s".cast("double"),
+          typedLit(Seq(0.5, 0.9, 0.99))).as("ps"),
+        max($"lat_s").as("max_s"))
+      .select($"n_conversions", $"n_users",
+        round(element_at($"ps", 1), 6).as("p50_s_r"),
+        round(element_at($"ps", 2), 6).as("p90_s_r"),
+        round(element_at($"ps", 3), 6).as("p99_s_r"),
+        $"max_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_conversion_latency" -> conversionLatency _,
     "flow_entropy_profile" -> entropyProfile _,
     "flow_distinct_cube" -> distinctCube _,
     "flow_hhh" -> hhh _,
@@ -1519,6 +1555,23 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_conversion_latency" ->
+      """WITH su AS (
+        |  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS su_s
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |lat AS (
+        |  SELECT e.user_id,
+        |    CAST(floor(epoch(e.ts)) AS BIGINT) - su.su_s AS lat_s
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) - su.su_s >= 0)
+        |SELECT count(*) AS n_conversions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(quantile_cont(CAST(lat_s AS DOUBLE), 0.5), 6) AS p50_s_r,
+        |  round(quantile_cont(CAST(lat_s AS DOUBLE), 0.9), 6) AS p90_s_r,
+        |  round(quantile_cont(CAST(lat_s AS DOUBLE), 0.99), 6) AS p99_s_r,
+        |  max(lat_s) AS max_s
+        |FROM lat""".stripMargin,
     "flow_entropy_profile" -> (flowsCte +
       s""", hp AS (
          |  SELECT date_trunc('hour', ts) AS h, dp, count(*) AS n

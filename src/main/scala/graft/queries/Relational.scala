@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{davg, dec, dsum, load}
@@ -801,7 +801,89 @@ object Relational {
       .orderBy($"col_name")
   }
 
+  /** C35: RFM customer segmentation (`cust_rfm`) — the classic
+    * recency/frequency/monetary scoring every CRM warehouse runs:
+    * per customer, days since last order, order count, exact decimal
+    * spend, each scored 1–5 against the corpus-wide quintile
+    * boundaries. The boundaries come from ONE exact-percentile
+    * aggregate BROADCAST back — never a global ntile window, which
+    * would drag every customer through a single partition at 100 TB;
+    * bucketing is then a map-side comparison chain. Scores compare
+    * against interpolated boundaries both engines compute from the
+    * same doubles, so segment assignment is hash-exact.
+    */
+  def custRfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+    val maxD = ord.agg(max($"o_orderdate").as("maxd"))
+    val rfm = ord.groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last"), count(lit(1)).as("freq"),
+        dsum($"o_totalprice").as("mon"))
+      .crossJoin(broadcast(maxD))
+      .select($"o_custkey",
+        datediff($"maxd", $"last").cast("double").as("rec"),
+        $"freq".cast("double").as("frq"), $"mon")
+    val qs = typedLit(Seq(0.2, 0.4, 0.6, 0.8))
+    val bounds = rfm.agg(
+      percentile($"rec", qs).as("br"),
+      percentile($"frq", qs).as("bf"),
+      percentile($"mon", qs).as("bm"))
+    def score(v: Column, b: Column, asc: Boolean): Column = {
+      val above = (1 to 4).map(i => when(v > element_at(b, i), 1).otherwise(0))
+        .reduceLeft(_ + _)
+      if (asc) lit(1) + above else lit(5) - above
+    }
+    rfm.crossJoin(broadcast(bounds))
+      .select($"o_custkey", $"rec".cast("int").as("recency_d"),
+        $"frq".cast("long").as("frequency"), $"mon".as("monetary"),
+        score($"rec", $"br", asc = false).as("r_score"),
+        score($"frq", $"bf", asc = true).as("f_score"),
+        score($"mon", $"bm", asc = true).as("m_score"))
+      .withColumn("segment",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+          .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk_loyal")
+          .when($"r_score" >= 4 && $"f_score" <= 2, "new_or_promising")
+          .when($"r_score" <= 2 && $"f_score" <= 2, "hibernating")
+          .otherwise("core"))
+      .orderBy($"o_custkey")
+  }
+
+  /** C36: market-basket association rules (`basket_lift`) — the
+    * support/lift co-occurrence mining every retail warehouse runs:
+    * part pairs ordered together, scored by lift = P(ab)/(P(a)P(b)).
+    * The pair join is per-ORDER (self-join on l_orderkey: candidate
+    * work is Σ basket², never catalog²), item frequencies join back
+    * on the pair's parts, and the top-50 by lift goes through
+    * TakeOrderedAndProject. Lift/support assemble from exact integer
+    * counts in one deterministic double expression, rounded 6 dp.
+    */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = items.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = items.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("p2")), "l_orderkey")
+      .where($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
+      .where($"n_ab" >= 3)
+    val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+    pairs
+      .join(freq.select($"l_partkey".as("p1"), $"n".as("n_a")), "p1")
+      .join(freq.select($"l_partkey".as("p2"), $"n".as("n_b")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select($"p1", $"p2", $"n_ab", $"n_a", $"n_b",
+        round($"n_ab".cast("double") / $"n_orders", 6).as("support_r"),
+        round(($"n_ab".cast("double") * $"n_orders") / ($"n_a" * $"n_b"), 6)
+          .as("lift_r"))
+      .orderBy($"lift_r".desc, $"p1", $"p2")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cust_rfm" -> custRfm _,
+    "basket_lift" -> basketLift _,
     "table_stats_profile" -> tableStatsProfile _,
     "q17_small_qty" -> q17SmallQty _,
     "unpivot_melt" -> unpivotMelt _,
@@ -842,6 +924,59 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "cust_rfm" ->
+      """WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(last AS DATE),
+        |      CAST((SELECT maxd FROM maxd) AS DATE)) AS DOUBLE) AS rec,
+        |    CAST(freq AS DOUBLE) AS frq, mon
+        |  FROM (
+        |    SELECT o_custkey, max(o_orderdate) AS last, count(*) AS freq,
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS mon
+        |    FROM orders GROUP BY 1)),
+        |b AS (
+        |  SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,
+        |    quantile_cont(frq, [0.2, 0.4, 0.6, 0.8]) AS bf,
+        |    quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS bm
+        |  FROM rfm),
+        |sc AS (
+        |  SELECT o_custkey, CAST(rec AS INT) AS recency_d,
+        |    CAST(frq AS BIGINT) AS frequency, mon AS monetary,
+        |    5 - (CAST(rec > br[1] AS INT) + CAST(rec > br[2] AS INT)
+        |       + CAST(rec > br[3] AS INT) + CAST(rec > br[4] AS INT)) AS r_score,
+        |    1 + (CAST(frq > bf[1] AS INT) + CAST(frq > bf[2] AS INT)
+        |       + CAST(frq > bf[3] AS INT) + CAST(frq > bf[4] AS INT)) AS f_score,
+        |    1 + (CAST(mon > bm[1] AS INT) + CAST(mon > bm[2] AS INT)
+        |       + CAST(mon > bm[3] AS INT) + CAST(mon > bm[4] AS INT)) AS m_score
+        |  FROM rfm, b)
+        |SELECT o_custkey, recency_d, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |         THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_promising'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |       ELSE 'core' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    "basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+        |  FROM items a JOIN items b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |freq AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY 1)
+        |SELECT p1, p2, n_ab, fa.n AS n_a, fb.n AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / (SELECT n_orders FROM no), 6)
+        |    AS support_r,
+        |  round((CAST(n_ab AS DOUBLE) * (SELECT n_orders FROM no))
+        |    / (fa.n * fb.n), 6) AS lift_r
+        |FROM pairs
+        |JOIN freq fa ON fa.l_partkey = p1
+        |JOIN freq fb ON fb.l_partkey = p2
+        |ORDER BY lift_r DESC, p1, p2 LIMIT 50""".stripMargin,
     "table_stats_profile" ->
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
         |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,

@@ -178,6 +178,31 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("conversion latency matches a driver-side replay at sf0.001") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        $"ts".cast("timestamp").cast("long").as("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val su = ev.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val lats = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, s) => su.get(u).map(t => (u, s - t)) }
+      .filter(_._2 >= 0)
+    val row = FlowAnalytics.conversionLatency(spark, sf0001).collect().head
+    assert(row.getLong(0) == lats.length.toLong)
+    assert(row.getLong(1) == lats.map(_._1).distinct.length.toLong)
+    assert(row.getLong(5) == lats.map(_._2).max)
+    val sorted = lats.map(_._2.toDouble).sorted
+    def interp(p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.toInt), sorted(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    assert(row.getDouble(2) == r6(interp(0.5)))
+    assert(row.getDouble(3) == r6(interp(0.9)))
+  }
+
   test("entropy profile matches a driver-side Shannon recompute at sf0.001") {
     import spark.implicits._
     val counts = FlowAnalytics.asFlows(spark, sf0001)

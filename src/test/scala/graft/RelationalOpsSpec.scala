@@ -66,6 +66,60 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("cust_rfm: scores bucket against true quintiles, segments follow the lattice") {
+    val rows = graft.queries.Relational.custRfm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    // scores in 1..5 and each quintile bucket holds ~20% of customers
+    assert(rows.forall(r => r._5 >= 1 && r._5 <= 5 &&
+      r._6 >= 1 && r._6 <= 5 && r._7 >= 1 && r._7 <= 5))
+    val mShare = rows.count(_._7 == 5).toDouble / rows.length
+    assert(mShare > 0.1 && mShare < 0.3, s"m_score=5 share $mShare")
+    // monetary score is monotone in monetary value
+    val byScore = rows.groupBy(_._7).view
+      .mapValues(xs => xs.map(_._4).sum / xs.length).toMap
+    val means = (1 to 5).flatMap(byScore.get)
+    assert(means == means.sorted, s"m-score means not monotone: $means")
+    // segment labels follow the declared lattice rules
+    rows.foreach { case (_, _, _, _, r, f, m, seg) =>
+      val want =
+        if (r >= 4 && f >= 4 && m >= 4) "champion"
+        else if (r <= 2 && f >= 4) "at_risk_loyal"
+        else if (r >= 4 && f <= 2) "new_or_promising"
+        else if (r <= 2 && f <= 2) "hibernating"
+        else "core"
+      assert(seg == want)
+    }
+  }
+
+  test("basket_lift matches a driver-side co-occurrence recount at sf0.001") {
+    val items = graft.Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length
+    val freq = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3).toMap
+    val got = graft.queries.Relational.basketLift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(6)))
+    got.foreach { case (p1, p2, nab, lift) =>
+      assert(pairCounts((p1, p2)) == nab, s"pair ($p1,$p2)")
+      assert(lift === r6(nab.toDouble * nOrders / (freq(p1) * freq(p2))))
+    }
+    // top-50 really is the lift maximum over all qualifying pairs
+    if (pairCounts.nonEmpty && got.nonEmpty) {
+      val bestLift = pairCounts.map { case ((a, b), n) =>
+        n.toDouble * nOrders / (freq(a) * freq(b))
+      }.max
+      assert(got.head._4 === r6(bestLift))
+    }
+  }
+
   test("table_stats_profile matches driver-side column stats at sf0.001") {
     val ord = graft.Tables.load(spark, sf0001, "orders").collect()
     val n = ord.length.toLong
