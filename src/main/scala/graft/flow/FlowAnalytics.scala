@@ -1455,7 +1455,46 @@ object FlowAnalytics {
         $"max_s")
   }
 
+  // --------------------------------------- B42 service similarity
+
+  /** Minimum shared users for a B42 pair to score. */
+  val SvcSimMinBoth = 5
+
+  /** B42: service user-overlap similarity (`flow_service_similarity`)
+    * — item-item collaborative filtering over the traffic matrix:
+    * which service subnets share user POPULATIONS (exact Jaccard on
+    * user sets), the "users of X also hit Y" panel behind dependency
+    * mapping and anomaly whitelisting. The pair join is per-USER
+    * (each user's distinct service list self-pairs: Σ per-user
+    * services² — bounded by user fan-out, never services²), pair
+    * intersections partial-aggregate map-side, set sizes join back
+    * broadcast, and the top-50 rides TakeOrderedAndProject.
+    * J = n_both/(n1+n2−n_both) from exact longs, rounded 6 dp.
+    */
+  def serviceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val us = asFlows(spark, dir)
+      .select($"user_id",
+        concat(lit("192.168."), pmod($"k", lit(256))).as("svc"))
+      .distinct()
+    val sizes = us.groupBy($"svc").agg(count(lit(1)).as("n"))
+    val pairs = us.select($"user_id", $"svc".as("s1"))
+      .join(us.select($"user_id", $"svc".as("s2")), "user_id")
+      .where($"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_both"))
+      .where($"n_both" >= SvcSimMinBoth)
+    pairs
+      .join(broadcast(sizes.select($"svc".as("s1"), $"n".as("n1"))), "s1")
+      .join(broadcast(sizes.select($"svc".as("s2"), $"n".as("n2"))), "s2")
+      .select($"s1", $"s2", $"n_both", $"n1", $"n2",
+        round($"n_both".cast("double") / ($"n1" + $"n2" - $"n_both"), 6)
+          .as("jaccard_r"))
+      .orderBy($"jaccard_r".desc, $"s1", $"s2")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_service_similarity" -> serviceSimilarity _,
     "flow_conversion_latency" -> conversionLatency _,
     "flow_entropy_profile" -> entropyProfile _,
     "flow_distinct_cube" -> distinctCube _,
@@ -1555,6 +1594,21 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_service_similarity" -> (flowsCte +
+      s""", us AS (
+         |  SELECT DISTINCT user_id, '192.168.' || (k % 256) AS svc
+         |  FROM flows),
+         |sz AS (SELECT svc, count(*) AS n FROM us GROUP BY svc),
+         |pr AS (
+         |  SELECT a.svc AS s1, b.svc AS s2, count(*) AS n_both
+         |  FROM us a JOIN us b USING (user_id)
+         |  WHERE a.svc < b.svc
+         |  GROUP BY 1, 2 HAVING count(*) >= $SvcSimMinBoth)
+         |SELECT s1, s2, n_both, za.n AS n1, zb.n AS n2,
+         |  round(CAST(n_both AS DOUBLE) / (za.n + zb.n - n_both), 6)
+         |    AS jaccard_r
+         |FROM pr JOIN sz za ON za.svc = s1 JOIN sz zb ON zb.svc = s2
+         |ORDER BY jaccard_r DESC, s1, s2 LIMIT 50""".stripMargin),
     "flow_conversion_latency" ->
       """WITH su AS (
         |  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS su_s

@@ -881,7 +881,38 @@ object Relational {
       .limit(50)
   }
 
+  /** Salt fan-out for C37 (replication factor of the dim side). */
+  val SaltR = 8
+
+  /** C37: salted skew-join (`join_salted_skew`) — the hot-key
+    * mitigation for a shuffle join AQE's skew split can't always
+    * save (a single key too hot for any partition split): the FACT
+    * side salts its key into [[SaltR]] shards, the DIM side
+    * replicates ×[[SaltR]] (explode over the salt range), and the
+    * join runs on (key, salt) — every hot key now spreads over
+    * [[SaltR]] reducers. Forced to a shuffle hash join (hint) so the
+    * pattern is exercised rather than broadcast away at test scale;
+    * at 100 TB the dim side is exactly what's too big to broadcast
+    * but small enough to replicate 8×. The oracle is the PLAIN join
+    * — hash-equality proves salting is semantics-free.
+    */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+      .withColumn("salt", pmod(hash($"o_custkey"), lit(SaltR)))
+    val dim = load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        explode(sequence(lit(0), lit(SaltR - 1))).as("salt"))
+    ord.join(dim.hint("shuffle_hash"),
+        $"o_custkey" === $"c_custkey" && ord("salt") === dim("salt"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted_skew" -> joinSaltedSkew _,
     "cust_rfm" -> custRfm _,
     "basket_lift" -> basketLift _,
     "table_stats_profile" -> tableStatsProfile _,
@@ -924,6 +955,13 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    // the PLAIN join: hash-equality proves the salt fan-out is
+    // semantics-free
+    "join_salted_skew" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cust_rfm" ->
       """WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
         |rfm AS (

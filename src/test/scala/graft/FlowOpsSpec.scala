@@ -178,6 +178,25 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("service similarity matches a driver-side set-Jaccard recount at sf0.001") {
+    import spark.implicits._
+    val us = FlowAnalytics.asFlows(spark, sf0001)
+      .select($"user_id", concat(lit("192.168."), pmod($"k", lit(256))).as("svc"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = us.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = FlowAnalytics.serviceSimilarity(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (s1, s2, nBoth, j) =>
+      val inter = (sets(s1) intersect sets(s2)).size
+      assert(inter.toLong == nBoth)
+      assert(j === r6(inter.toDouble / (sets(s1).size + sets(s2).size - inter)))
+    }
+    // descending similarity order with deterministic tiebreak
+    val js = got.map(x => (-x._4, x._1, x._2)).toSeq
+    assert(js == js.sorted)
+  }
+
   test("conversion latency matches a driver-side replay at sf0.001") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001)

@@ -356,6 +356,19 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("salted skew join: no broadcast, join keys carry the salt") {
+    val df = Relational.joinSaltedSkew(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"salted join was broadcast away — the pattern isn't exercised:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle hash join:\n$p")
+    // the equi-join keys must include the salt column on both sides
+    val keys = "(?m)^(Left|Right) keys \\[\\d+\\]: \\[.*salt.*\\]$".r
+    assert(keys.findAllIn(p).length >= 2,
+      s"salt not part of the join keys:\n$p")
+  }
+
   test("cusum re-reads the hourly table via runtime exchange reuse, not a rescan") {
     // the stats side (mean/σ) re-derives the hourly aggregation; the
     // static plan shows two parquet scans, but the hourly partial-agg
