@@ -1508,7 +1508,96 @@ object Dedup {
       |FROM lq d JOIN keeps k USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** D41: contaminated-span excision (`dedup_span_excise`) — the
+    * third act of the decontamination story: D21 detects, D21b
+    * measures, this REPAIRS — drop exactly the token positions
+    * covered by any benchmark 8-gram match and emit the cleaned
+    * document (the GPT-3/PaLM appendix policy of excising spans
+    * instead of dropping whole documents). The covered-position set
+    * explodes from the SAME anchor join D21 runs (broadcast phrase
+    * set, postings equi-join — never a per-(doc, phrase) scan); the
+    * rebuild is one per-doc ordered fold. Output is
+    * contaminated-docs-sized; cleaned text ships as its md5 so the
+    * hash compare pins the exact reconstruction without megabyte
+    * rows.
+    */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = ContamPhraseTokens
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val anchors = tokenGrams(docs, k)
+      .join(broadcast(benchPhrases(docs)), $"gram" === $"phrase")
+      .select($"doc_id", $"p")
+    val covered = anchors
+      .select($"doc_id", explode(sequence($"p", $"p" + (k - 1))).as("pos"))
+      .distinct()
+    val nCov = covered.groupBy($"doc_id").agg(count(lit(1)).as("n_excised"))
+    val toks = docs
+      .join(nCov.select($"doc_id"), "doc_id") // contaminated docs only
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"tok")
+    val cleaned = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct($"pos", $"tok"))),
+          s => s.getField("tok"))).as("cleaned"))
+    val lens = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    nCov.join(broadcast(lens), "doc_id")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_excised",
+        ($"n_tokens" - $"n_excised").as("n_remaining"),
+        md5(coalesce($"cleaned", lit("")).cast("binary")).as("cleaned_h"))
+      .orderBy($"doc_id")
+  }
+
+  val spanExciseSql: String = {
+    val k = ContamPhraseTokens
+    s"""WITH pt AS (
+       |  SELECT doc_id AS bench_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |phrases AS (
+       |  SELECT bench_id, array_to_string(
+       |    toks[(n // 2 - ${k / 2}) : (n // 2 + ${k / 2 - 1})], ' ') AS phrase
+       |  FROM pt WHERE n >= ${k + 4}),
+       |tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |tg AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    array_to_string(toks[p : p + ${k - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, toks, unnest(range(1, n - ${k - 2})) AS p
+       |        FROM tk WHERE n >= $k)),
+       |anch AS (
+       |  SELECT DISTINCT t.doc_id, t.p
+       |  FROM tg t JOIN phrases ph ON ph.phrase = t.gram),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, unnest(range(p, p + $k)) AS pos FROM anch)),
+       |nc AS (SELECT doc_id, count(*) AS n_excised FROM cov GROUP BY doc_id),
+       |tok AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+       |  FROM (SELECT tk.doc_id, toks,
+       |          unnest(generate_series(1, CAST(n AS INT))) AS i
+       |        FROM tk JOIN nc USING (doc_id))),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+       |cl AS (
+       |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+       |  FROM kept GROUP BY doc_id)
+       |SELECT nc.doc_id, tk.n AS n_tokens, nc.n_excised,
+       |  tk.n - nc.n_excised AS n_remaining,
+       |  md5(coalesce(cl.cleaned, '')) AS cleaned_h
+       |FROM nc JOIN tk USING (doc_id) LEFT JOIN cl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_excise" -> spanExcise _,
     "dedup_clusters" -> clusters _,
     "dedup_cluster_sizes" -> clusterSizes _,
     "dedup_exact" -> exact _,
@@ -1526,6 +1615,7 @@ object Dedup {
     "dedup_rate_report" -> dedupRateReport _)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_span_excise" -> spanExciseSql,
     "dedup_bloom_gate" -> bloomGateSql,
     "dedup_clusters" -> clustersSql,
     "dedup_cluster_sizes" -> clusterSizesSql,

@@ -1493,7 +1493,47 @@ object FlowAnalytics {
       .limit(50)
   }
 
+  // --------------------------------------------- B43 burstiness
+
+  /** Minimum inter-arrival count for a B43 user to score. */
+  val BurstMinGaps = 20
+
+  /** B43: inter-arrival burstiness (`flow_burstiness`) — the
+    * Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of each
+    * user's inter-arrival gaps: B→1 bursty (heavy-tailed sessions),
+    * B≈0 Poisson-like, B→−1 metronome-periodic. The per-key
+    * CHARACTERIZATION complement to B16b's beaconing DETECTOR (which
+    * thresholds regularity; this places every key on the
+    * bursty↔periodic spectrum). One window pass for gaps (the
+    * per-user sort B7 already pays), one combine-heavy moment
+    * aggregate; σ and μ assemble from EXACT integer gap sums (gaps
+    * are epoch-second longs), so the published coefficient is one
+    * deterministic double expression, rounded 6 dp.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    val gaps = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        $"ts".cast("timestamp").cast("long").as("s"))
+      .withColumn("prev", lag($"s", 1).over(w))
+      .where($"prev".isNotNull)
+      .select($"user_id", ($"s" - $"prev").as("d"))
+    val m = gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"d").as("s1"), sum($"d" * $"d").as("s2"))
+      .where($"n" >= BurstMinGaps)
+    val mean = $"s1".cast("double") / $"n"
+    val sd = sqrt(($"s2".cast("double") - ($"s1".cast("double") *
+      $"s1".cast("double")) / $"n") / ($"n" - 1))
+    m.select($"user_id", $"n".as("n_gaps"),
+        round(mean, 6).as("mean_gap_s_r"),
+        when(sd + mean === 0.0, 0.0)
+          .otherwise(round((sd - mean) / (sd + mean), 6)).as("burstiness_r"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_burstiness" -> burstiness _,
     "flow_service_similarity" -> serviceSimilarity _,
     "flow_conversion_latency" -> conversionLatency _,
     "flow_entropy_profile" -> entropyProfile _,
@@ -1594,6 +1634,31 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_burstiness" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id,
+         |    s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS d
+         |  FROM ev),
+         |m AS (
+         |  SELECT user_id, count(*) AS n, sum(d) AS s1, sum(d * d) AS s2
+         |  FROM g WHERE d IS NOT NULL GROUP BY user_id
+         |  HAVING count(*) >= $BurstMinGaps)
+         |SELECT user_id, n AS n_gaps,
+         |  round(CAST(s1 AS DOUBLE) / n, 6) AS mean_gap_s_r,
+         |  CASE WHEN sqrt((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE)
+         |           * CAST(s1 AS DOUBLE)) / n) / (n - 1))
+         |         + CAST(s1 AS DOUBLE) / n = 0.0 THEN 0.0
+         |       ELSE round((sqrt((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE)
+         |           * CAST(s1 AS DOUBLE)) / n) / (n - 1))
+         |           - CAST(s1 AS DOUBLE) / n)
+         |         / (sqrt((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE)
+         |           * CAST(s1 AS DOUBLE)) / n) / (n - 1))
+         |           + CAST(s1 AS DOUBLE) / n), 6)
+         |  END AS burstiness_r
+         |FROM m ORDER BY user_id""".stripMargin,
     "flow_service_similarity" -> (flowsCte +
       s""", us AS (
          |  SELECT DISTINCT user_id, '192.168.' || (k % 256) AS svc

@@ -252,6 +252,45 @@ class DedupAlgoSpec extends SparkSpecBase {
       "jaccard unexpectedly caught the excerpt pair")
   }
 
+  test("span excision removes every benchmark phrase and nothing else survives covered") {
+    import spark.implicits._
+    val k = 8
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val phrases = docs.filter(_._1 % 50 == 0).flatMap { case (_, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length >= k + 4)
+        Some(toks.slice(toks.length / 2 - k / 2 - 1,
+          toks.length / 2 - k / 2 - 1 + k).mkString(" "))
+      else None
+    }.toSet
+    val got = graft.dedup.Dedup.spanExcise(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.nonEmpty, "no contaminated docs at sf0.001")
+    val byId = docs.toMap
+    got.foreach { case (id, nTok, nExc, nRem, h) =>
+      val toks = byId(id).split(" ", -1)
+      assert(nTok == toks.length.toLong && nRem == nTok - nExc)
+      // driver-side replay: covered = union of [p, p+k-1] for every
+      // anchor position whose 8-gram is a benchmark phrase
+      val covered = toks.sliding(k).zipWithIndex.collect {
+        case (g, i) if phrases(g.mkString(" ")) => (i + 1) to (i + k)
+      }.flatten.toSet
+      assert(covered.size.toLong == nExc, s"doc $id covered ${covered.size}")
+      val cleaned = toks.zipWithIndex
+        .collect { case (t, i) if !covered(i + 1) => t }.mkString(" ")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5 == h, s"doc $id cleaned-text hash mismatch")
+      // the point of the operator: no benchmark phrase survives
+      val cleanedToks = cleaned.split(" ", -1)
+      assert(!cleanedToks.sliding(k).exists(g => phrases(g.mkString(" "))),
+        s"doc $id still contains a benchmark phrase after excision")
+    }
+  }
+
   test("hash-encoded overlap equals string overlap on every sf0.001 doc pair") {
     // the D4/D4c scorers run the pair merge scan on xxhash64-encoded
     // gram sets; this pins that the encoding changes nothing on real

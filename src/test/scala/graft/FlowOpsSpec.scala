@@ -178,6 +178,33 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("burstiness matches a driver-side moment recompute at sf0.001") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id",
+        $"ts".cast("timestamp").cast("long").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      val ss = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      val d = ss.zip(ss.drop(1)).map { case (a, b) => b - a }
+      if (d.length < FlowAnalytics.BurstMinGaps) None
+      else {
+        val n = d.length
+        val s1 = d.sum; val s2 = d.map(x => x * x).sum
+        val mean = s1.toDouble / n
+        val sd = math.sqrt((s2.toDouble - (s1.toDouble * s1.toDouble) / n) / (n - 1))
+        val b = if (sd + mean == 0.0) 0.0 else r6((sd - mean) / (sd + mean))
+        Some(u -> ((n.toLong, r6(mean), b)))
+      }
+    }
+    val got = FlowAnalytics.burstiness(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected)
+    // the coefficient is bounded in (-1, 1)
+    assert(got.values.forall { case (_, _, b) => b > -1.0 && b < 1.0 })
+  }
+
   test("service similarity matches a driver-side set-Jaccard recount at sf0.001") {
     import spark.implicits._
     val us = FlowAnalytics.asFlows(spark, sf0001)
