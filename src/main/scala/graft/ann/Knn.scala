@@ -1591,7 +1591,51 @@ object Knn {
        |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
   }
 
+  /** D7i: ANN recall evaluation (`ann_recall_eval`) — the index
+    * scorecard: per probe, recall@3 of the IVF search against the
+    * exact brute-force top-3 (previously only spec-pinned in
+    * aggregate; this publishes the per-probe table an index tuner
+    * reads — which probes lose their neighbors to cell boundaries
+    * and need multi-probe). Composes the two existing pipelines and
+    * joins their rankings; the oracle replays BOTH (training,
+    * routing, ranking) and the same join, so the recall numbers are
+    * hash-exact, not approximated.
+    */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b3 = bruteTopK(spark, dir).where($"rank" <= 3)
+      .select($"probe_id", $"neighbor_id")
+    val i3 = ivfTopK(spark, dir).select($"probe_id", $"neighbor_id")
+    val hits = i3.join(b3, Seq("probe_id", "neighbor_id"))
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_hit"))
+    b3.select($"probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select($"probe_id", coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / 3.0, 6)
+          .as("recall_r"))
+      .orderBy($"probe_id")
+  }
+
+  val annRecallEvalSql: String =
+    s"""WITH b AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |$bruteTopKSql
+       |  ) WHERE rank <= 3),
+       |i AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |$ivfTopKSql
+       |  )),
+       |h AS (
+       |  SELECT probe_id, count(*) AS n_hit
+       |  FROM i JOIN b USING (probe_id, neighbor_id) GROUP BY probe_id)
+       |SELECT p.probe_id, coalesce(h.n_hit, 0) AS n_hit,
+       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0, 6) AS recall_r
+       |FROM (SELECT DISTINCT probe_id FROM b) p
+       |LEFT JOIN h USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_eval" -> annRecallEval _,
     "knn_join" -> knnJoin _,
     "emb_outliers" -> embOutliers _,
     "ann_topk_brute" -> bruteTopK _,
@@ -1610,6 +1654,7 @@ object Knn {
     "emb_quantize" -> embQuantize _)
 
   val oracleSql: Map[String, String] = Map(
+    "ann_recall_eval" -> annRecallEvalSql,
     "knn_join" -> knnJoinSql,
     "emb_outliers" -> embOutliersSql,
     "ann_topk_brute" -> bruteTopKSql,

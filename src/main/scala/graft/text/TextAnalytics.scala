@@ -1602,7 +1602,125 @@ object TextAnalytics {
        |    AS over_repeated
        |FROM sq, tot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------- D8c/D9i evaluation
+
+  /** D8c: language-ID evaluation (`text_langid_eval`) — the
+    * ground-truth scorecard for D8: the `lang` column is the truth
+    * label, so per-language one-vs-rest precision/recall/F1 are
+    * exactly computable — the evaluation leg every classifier-gated
+    * pipeline needs next to its scorer (score → gate → MEASURE).
+    * The confusion matrix is a langs²-bounded aggregate of the
+    * corpus-sized prediction pass; metric assembly is scalar
+    * arithmetic on exact counts both engines replay.
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = langId(spark, dir).select($"lang", $"lang_pred")
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+    val act = conf.groupBy($"lang").agg(sum($"n").as("n_act"))
+    val prd = conf.groupBy($"lang_pred").agg(sum($"n").as("n_pred"))
+    val tp = conf.where($"lang" === $"lang_pred")
+      .select($"lang", $"n".as("tp"))
+    val p = $"tp".cast("double") / $"n_pred"
+    val r = $"tp".cast("double") / $"n_act"
+    act.join(broadcast(tp), Seq("lang"), "left")
+      .join(broadcast(prd.withColumnRenamed("lang_pred", "lang")),
+        Seq("lang"), "left")
+      .select($"lang", $"n_act",
+        coalesce($"n_pred", lit(0L)).as("n_pred"),
+        coalesce($"tp", lit(0L)).as("tp"))
+      .select($"lang", $"n_act", $"n_pred", $"tp",
+        when($"n_pred" === 0, 0.0).otherwise(round(p, 6)).as("precision_r"),
+        round(r, 6).as("recall_r"),
+        when($"tp" === 0, 0.0)
+          .otherwise(round(lit(2.0) * p * r / (p + r), 6)).as("f1_r"))
+      .orderBy($"lang")
+  }
+
+  /** D9i: quality-classifier evaluation (`text_clf_eval`) — D9h's
+    * scorecard against its own training labels (the D9 rule): the
+    * full binary-classification table (tp/fp/fn/tn, accuracy,
+    * precision, recall, F1) in ONE aggregation over the scored
+    * corpus. Training-set metrics — the sanity floor a gate must
+    * clear before it filters a corpus, and the drift alarm when
+    * re-run on new data.
+    */
+  def clfEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = qualityClf(spark, dir).select($"label", $"pred_keep")
+    val c = scored.agg(
+      count(lit(1)).as("n"),
+      count(when($"label" && $"pred_keep", 1)).as("tp"),
+      count(when(!$"label" && $"pred_keep", 1)).as("fp"),
+      count(when($"label" && !$"pred_keep", 1)).as("fn"),
+      count(when(!$"label" && !$"pred_keep", 1)).as("tn"))
+    val p = $"tp".cast("double") / ($"tp" + $"fp")
+    val r = $"tp".cast("double") / ($"tp" + $"fn")
+    c.select($"n", $"tp", $"fp", $"fn", $"tn",
+      round(($"tp" + $"tn").cast("double") / $"n", 6).as("accuracy_r"),
+      when($"tp" + $"fp" === 0, 0.0).otherwise(round(p, 6)).as("precision_r"),
+      when($"tp" + $"fn" === 0, 0.0).otherwise(round(r, 6)).as("recall_r"),
+      when($"tp" === 0, 0.0)
+        .otherwise(round(lit(2.0) * p * r / (p + r), 6)).as("f1_r"))
+  }
+
+  /** Lazy: [[langIdSql]] initializes later in this object. */
+  lazy val langIdEvalSql: String =
+    s"""WITH li AS (
+       |  SELECT lang, lang_pred FROM (
+       |$langIdSql
+       |  )),
+       |conf AS (SELECT lang, lang_pred, count(*) AS n FROM li GROUP BY 1, 2),
+       |act AS (SELECT lang, sum(n) AS n_act FROM conf GROUP BY lang),
+       |prd AS (SELECT lang_pred AS lang, sum(n) AS n_pred FROM conf
+       |        GROUP BY lang_pred),
+       |tp AS (SELECT lang, n AS tp FROM conf WHERE lang = lang_pred)
+       |SELECT a.lang, a.n_act,
+       |  coalesce(p.n_pred, 0) AS n_pred, coalesce(t.tp, 0) AS tp,
+       |  CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+       |       ELSE round(CAST(coalesce(t.tp, 0) AS DOUBLE)
+       |         / coalesce(p.n_pred, 0), 6) END AS precision_r,
+       |  round(CAST(coalesce(t.tp, 0) AS DOUBLE) / a.n_act, 6) AS recall_r,
+       |  CASE WHEN coalesce(t.tp, 0) = 0 THEN 0.0
+       |       ELSE round(2.0 * (CAST(coalesce(t.tp, 0) AS DOUBLE)
+       |           / coalesce(p.n_pred, 0))
+       |         * (CAST(coalesce(t.tp, 0) AS DOUBLE) / a.n_act)
+       |         / ((CAST(coalesce(t.tp, 0) AS DOUBLE) / coalesce(p.n_pred, 0))
+       |           + (CAST(coalesce(t.tp, 0) AS DOUBLE) / a.n_act)), 6)
+       |  END AS f1_r
+       |FROM act a
+       |LEFT JOIN tp t USING (lang)
+       |LEFT JOIN prd p USING (lang)
+       |ORDER BY a.lang""".stripMargin
+
+  val clfEvalSql: String = qualityClfCtes +
+    """,
+      |pv AS (
+      |  SELECT label, round(s / n_feat, 6) > 0 AS pred_keep FROM s),
+      |cnts AS (
+      |  SELECT count(*) AS n,
+      |    count(CASE WHEN label AND pred_keep THEN 1 END) AS tp,
+      |    count(CASE WHEN NOT label AND pred_keep THEN 1 END) AS fp,
+      |    count(CASE WHEN label AND NOT pred_keep THEN 1 END) AS fn,
+      |    count(CASE WHEN NOT label AND NOT pred_keep THEN 1 END) AS tn
+      |  FROM pv)
+      |SELECT n, tp, fp, fn, tn,
+      |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy_r,
+      |  CASE WHEN tp + fp = 0 THEN 0.0
+      |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_r,
+      |  CASE WHEN tp + fn = 0 THEN 0.0
+      |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_r,
+      |  CASE WHEN tp = 0 THEN 0.0
+      |       ELSE round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+      |         * (CAST(tp AS DOUBLE) / (tp + fn))
+      |         / ((CAST(tp AS DOUBLE) / (tp + fp))
+      |           + (CAST(tp AS DOUBLE) / (tp + fn))), 6)
+      |  END AS f1_r
+      |FROM cnts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_eval" -> langIdEval _,
+    "text_clf_eval" -> clfEval _,
     "corpus_epoch_plan" -> epochPlan _,
     "text_ngram_novelty" -> ngramNovelty _,
     "corpus_ppl_buckets" -> pplBuckets _,
@@ -1649,7 +1767,18 @@ object TextAnalytics {
     s"len(list_filter(string_split(text, ' '), w -> list_contains([$set], w))) AS s_$l"
   }.mkString(",\n  ")
 
+  /** D8 oracle (shared with the D8c evaluation oracle). */
+  val langIdSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $profileSelects
+       |  FROM documents)
+       |SELECT doc_id, lang, $profileCase AS lang_pred,
+       |  s_en, s_de, s_es, s_fr, s_zh
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_langid_eval" -> langIdEvalSql,
+    "text_clf_eval" -> clfEvalSql,
     "corpus_epoch_plan" -> epochPlanSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "corpus_ppl_buckets" -> pplBucketsSql,
@@ -1761,13 +1890,7 @@ object TextAnalytics {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
-    "text_lang_id" ->
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang, $profileSelects
-         |  FROM documents)
-         |SELECT doc_id, lang, $profileCase AS lang_pred,
-         |  s_en, s_de, s_es, s_fr, s_zh
-         |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> langIdSql,
     "text_gopher_filter" -> gopherFilterSql,
     "text_quality_clf" -> qualityClfSql,
     "corpus_shuffle" -> corpusShuffleSql,

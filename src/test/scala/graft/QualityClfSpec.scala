@@ -1,3 +1,4 @@
+// (eval additions at the end of this suite)
 package graft
 
 import org.apache.spark.sql.functions._
@@ -47,5 +48,36 @@ class QualityClfSpec extends SparkSpecBase {
     // and with the weak labels the weights were trained against
     assert(out.forall(r => r.getBoolean(1) == r.getBoolean(4)),
       "prediction diverges from training label on a separable corpus")
+  }
+
+  test("clf eval metrics reconcile with a driver-side confusion recount") {
+    val preds = graft.text.TextAnalytics.qualityClf(spark, sf0001).collect()
+      .map(r => (r.getBoolean(1), r.getBoolean(4)))
+    val tp = preds.count(p => p._1 && p._2).toLong
+    val fp = preds.count(p => !p._1 && p._2).toLong
+    val fn = preds.count(p => p._1 && !p._2).toLong
+    val tn = preds.count(p => !p._1 && !p._2).toLong
+    val row = graft.text.TextAnalytics.clfEval(spark, sf0001).collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((tp, fp, fn, tn)))
+    assert(row.getLong(0) == preds.length.toLong)
+    // metrics internally consistent: F1 is the harmonic mean of P and R
+    val (p, r, f1) = (row.getDouble(6), row.getDouble(7), row.getDouble(8))
+    if (p + r > 0) assert(math.abs(f1 - 2 * p * r / (p + r)) < 1e-5)
+  }
+
+  test("langid eval: per-language counts reconcile and F1 is bounded by P, R") {
+    val li = graft.text.TextAnalytics.langId(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val rows = graft.text.TextAnalytics.langIdEval(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._2).sum == li.length.toLong)
+    rows.foreach { case (lang, nAct, nPred, tp, p, r, f1) =>
+      assert(nAct == li.count(_._1 == lang).toLong)
+      assert(nPred == li.count(_._2 == lang).toLong)
+      assert(tp == li.count(x => x._1 == lang && x._2 == lang).toLong)
+      assert(f1 <= math.max(p, r) + 1e-9 && f1 >= 0.0)
+    }
   }
 }
