@@ -1532,7 +1532,45 @@ object FlowAnalytics {
       .orderBy($"user_id")
   }
 
+  // -------------------------------------------- B44 decayed top-K
+
+  /** B44 half-life (hours) for the exponential decay. */
+  val DecayHalfLifeH = 24.0
+
+  /** Decay rate −ln2/halflife_s as ONE double constant shared with
+    * the oracle via its shortest round-trip literal (the B26 rule).
+    */
+  val DecayRate: Double = -math.log(2.0) / (DecayHalfLifeH * 3600.0)
+
+  /** B44: time-decayed top talkers (`flow_topk_decayed`) — B1 with a
+    * recency prior: each flow's bytes weigh in at 2^(−age/24h), so a
+    * site that was loud yesterday ranks below one that is loud NOW —
+    * the ranking an on-call dashboard actually wants, and the batch
+    * twin of a streaming decayed counter (state = one decayed sum
+    * per key; adding new mass and re-decaying commute, which is what
+    * makes the counter mergeable). Map-only weighting against the
+    * broadcast t_max scalar, per-term 9-dp round (exp() parity, the
+    * D9e ln rule), nano-quantized order-free site sums, top-10 via
+    * TakeOrderedAndProject.
+    */
+  def topkDecayed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = asFlows(spark, dir).select(
+      concat(lit("10."), pmod($"user_id", lit(64))).as("site"),
+      $"ts".cast("timestamp").cast("long").as("s"), $"ibyt")
+    val tmax = f.agg(max($"s").as("tmax"))
+    f.crossJoin(broadcast(tmax))
+      .withColumn("wt", round(exp(lit(DecayRate) * ($"tmax" - $"s")), 9))
+      .groupBy($"site")
+      .agg(count(lit(1)).as("n_flows"),
+        sum($"ibyt").as("raw_bytes"),
+        round(graft.Tables.qsum($"wt" * $"ibyt"), 6).as("decayed_bytes_r"))
+      .orderBy($"decayed_bytes_r".desc, $"site")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_topk_decayed" -> topkDecayed _,
     "flow_burstiness" -> burstiness _,
     "flow_service_similarity" -> serviceSimilarity _,
     "flow_conversion_latency" -> conversionLatency _,
@@ -1634,6 +1672,18 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_topk_decayed" -> (flowsCte +
+      s""", f AS (
+         |  SELECT '10.' || (user_id % 64) AS site,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS s, ibyt
+         |  FROM flows),
+         |tm AS (SELECT max(s) AS tmax FROM f)
+         |SELECT site, count(*) AS n_flows, sum(ibyt) AS raw_bytes,
+         |  round(${graft.Tables.qsumSql(
+               s"round(exp(CAST('$DecayRate' AS DOUBLE) * (tmax - s)), 9) * ibyt")}, 6)
+         |    AS decayed_bytes_r
+         |FROM f, tm GROUP BY site
+         |ORDER BY decayed_bytes_r DESC, site LIMIT 10""".stripMargin),
     "flow_burstiness" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s

@@ -1718,7 +1718,44 @@ object TextAnalytics {
       |  END AS f1_r
       |FROM cnts""".stripMargin
 
+  /** D30c: tokenizer fertility (`text_bpe_fertility`) — BPE tokens
+    * per whitespace word, per language: THE tokenizer-QA metric (a
+    * language with fertility ≫ others is under-served by the learned
+    * merges and pays more sequence length per content). Reuses the
+    * D30 trained vocabulary verbatim (word → folded symbol count is
+    * vocabulary-sized); the corpus-sized side is one (lang, word)
+    * combine-heavy count hash-joined to it — exact integer sums end
+    * to end.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, words) = bpeTrain(spark, dir)
+    val wl = load(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
+    wl.join(words.select($"w", size($"syms").cast("long").as("n_sym")), "w")
+      .groupBy($"lang")
+      .agg(sum($"n").as("n_words"), sum($"n" * $"n_sym").as("n_tokens"))
+      .select($"lang", $"n_words", $"n_tokens",
+        round($"n_tokens".cast("double") / $"n_words", 6).as("fertility_r"))
+      .orderBy($"lang")
+  }
+
+  lazy val bpeFertilitySql: String =
+    s"""${bpeCteChain(foldLast = true)},
+       |wl AS (
+       |  SELECT lang, w, count(*) AS n
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) t
+       |  WHERE w <> '' GROUP BY 1, 2)
+       |SELECT lang, sum(n) AS n_words, sum(n * len(syms)) AS n_tokens,
+       |  round(CAST(sum(n * len(syms)) AS DOUBLE) / sum(n), 6) AS fertility_r
+       |FROM wl JOIN w$BpeRounds USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_fertility" -> bpeFertility _,
     "text_langid_eval" -> langIdEval _,
     "text_clf_eval" -> clfEval _,
     "corpus_epoch_plan" -> epochPlan _,
@@ -1777,6 +1814,7 @@ object TextAnalytics {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_fertility" -> bpeFertilitySql,
     "text_langid_eval" -> langIdEvalSql,
     "text_clf_eval" -> clfEvalSql,
     "corpus_epoch_plan" -> epochPlanSql,

@@ -178,6 +178,31 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("decayed top-K: weights decay correctly and ranking beats raw volume recency-blind") {
+    import spark.implicits._
+    val rows = FlowAnalytics.topkDecayed(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    // decayed mass can never exceed raw mass, and ordering is by the
+    // decayed column desc with the site tiebreak
+    rows.foreach { case (_, _, raw, dec) => assert(dec <= raw.toDouble + 1e-6) }
+    val keys = rows.map(r => (-r._4, r._1)).toSeq
+    assert(keys == keys.sorted)
+    // driver-side replay of one site's decayed sum
+    val f = FlowAnalytics.asFlows(spark, sf0001)
+      .select(concat(lit("10."), pmod($"user_id", lit(64))).as("site"),
+        $"ts".cast("timestamp").cast("long").as("s"), $"ibyt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tmax = f.map(_._2).max
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val site = rows.head._1
+    val q = f.filter(_._1 == site).map { case (_, s, b) =>
+      math.floor(r9(math.exp(FlowAnalytics.DecayRate * (tmax - s))) * b * 1e9 + 0.5).toLong
+    }.sum
+    assert(rows.head._4 == r6(q.toDouble / 1e9))
+  }
+
   test("burstiness matches a driver-side moment recompute at sf0.001") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001)
