@@ -911,7 +911,55 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** C38: incremental materialized-view refresh
+    * (`mv_incremental_refresh`) — the warehouse MV maintenance loop:
+    * a day-partitioned rollup is built once over the settled days,
+    * and when the newest day's data lands only THAT partition is
+    * recomputed and dynamically overwritten — never the table. At
+    * 100 TB this is the difference between an MV that costs one
+    * partition per refresh and one that costs the corpus. The graded
+    * output is the refreshed MV read back; the ORACLE aggregates the
+    * raw events directly, so hash-equality is the PROOF the
+    * incremental path converges to the full recompute (the algebraic
+    * re-aggregation guarantee B34 establishes, applied to
+    * partition-level maintenance). Spec additionally pins that
+    * settled-day files are byte-untouched by the refresh.
+    */
+  def mvIncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_mv_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    val ev = graft.Tables.events(spark, dir).select(
+      date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+      $"event_type", $"value")
+    val lastDay = ev.agg(max($"day")).head().getString(0)
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_v"))
+    // initial build: the settled days — ONLY if the MV doesn't exist
+    // yet (a later refresh must not re-touch settled partitions; the
+    // path is keyed by corpus dir, same staleness contract as every
+    // session-staged artifact)
+    if (!new java.io.File(mvPath, "_SUCCESS").exists())
+      rollup(ev.where($"day" < lastDay))
+        .write.mode("overwrite").partitionBy("day").parquet(mvPath)
+    // refresh: ONLY the newest day's partition, dynamic overwrite
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rollup(ev.where($"day" === lastDay))
+      .write.mode("overwrite").partitionBy("day").parquet(mvPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(mvPath)
+      .select($"day".cast("string").as("day"), $"event_type", $"n", $"sum_v")
+      .orderBy($"day", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_incremental_refresh" -> mvIncrementalRefresh _,
     "join_salted_skew" -> joinSaltedSkew _,
     "cust_rfm" -> custRfm _,
     "basket_lift" -> basketLift _,
@@ -955,6 +1003,13 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    // the DIRECT full aggregation: hash-equality proves the
+    // incremental partition refresh converges to the full recompute
+    "mv_incremental_refresh" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // the PLAIN join: hash-equality proves the salt fan-out is
     // semantics-free
     "join_salted_skew" ->
