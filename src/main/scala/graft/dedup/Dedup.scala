@@ -304,6 +304,57 @@ object Dedup {
   val minhashSql: String = minhashCtes +
     "\nSELECT d1, d2, est_jaccard FROM pairs ORDER BY d1, d2"
 
+  /** D2b: MinHash estimator accuracy (`dedup_minhash_accuracy`) —
+    * the sketch-calibration scorecard for D2: per candidate pair,
+    * the signature estimate NEXT TO the exact shingle Jaccard, with
+    * a 3σ binomial-bound verdict (σ = √(J(1−J)/64) — each signature
+    * slot is a Bernoulli(J) trial — plus one 1/64 discreteness
+    * step). The eval-family answer to "can I trust τ": a sketch
+    * whose error leaves the band means more hashes, not a lower
+    * threshold. Exact scores ride the hash-encoded merge kernel
+    * (D4's rule) over the SAME shingle sets the signatures hash —
+    * candidate-pairs-sized work, never all-pairs.
+    */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val est = minhash(spark, dir)
+    val gh = corpusNear(spark, dir).select($"doc_id",
+        graft.functions.StrFuncs.char_grams($"text", ShingleLen, sorted = true)
+          .as("grams"))
+      .select($"doc_id",
+        array_sort(transform($"grams", x => xxhash64(x))).as("gh"),
+        size($"grams").cast("long").as("sz"))
+    val j = est
+      .join(gh.select($"doc_id".as("d1"), $"gh".as("g1"), $"sz".as("sz1")), "d1")
+      .join(gh.select($"doc_id".as("d2"), $"gh".as("g2"), $"sz".as("sz2")), "d2")
+      .withColumn("inter",
+        graft.functions.StrFuncs.overlap_sorted_long($"g1", $"g2"))
+      .withColumn("exact_j",
+        $"inter".cast("double") / ($"sz1" + $"sz2" - $"inter"))
+    j.select($"d1", $"d2",
+        round($"est_jaccard", 6).as("est_r"),
+        round($"exact_j", 6).as("exact_r"),
+        (abs($"est_jaccard" - $"exact_j") <=
+          lit(3.0) * sqrt($"exact_j" * (lit(1.0) - $"exact_j") / NumHashes) +
+          lit(1.0) / NumHashes).as("within_bound"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val minhashAccuracySql: String = minhashCtes +
+    s""", ex AS (
+       |  SELECT p.d1, p.d2, p.est_jaccard,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |      len(list_distinct(list_cat(a.shingles, b.shingles))) AS exact_j
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.d1
+       |  JOIN sh b ON b.doc_id = p.d2)
+       |SELECT d1, d2,
+       |  round(est_jaccard, 6) AS est_r, round(exact_j, 6) AS exact_r,
+       |  abs(est_jaccard - exact_j) <=
+       |    3.0 * sqrt(exact_j * (1.0 - exact_j) / $NumHashes)
+       |    + 1.0 / $NumHashes AS within_bound
+       |FROM ex ORDER BY d1, d2""".stripMargin
+
   // ---- SimHash --------------------------------------------------------
   val SimBits = 48
   val SegBits = 12 // 4 segments → pigeonhole blocking for hamming ≤ 3
@@ -1602,6 +1653,7 @@ object Dedup {
     "dedup_cluster_sizes" -> clusterSizes _,
     "dedup_exact" -> exact _,
     "dedup_minhash" -> minhash _,
+    "dedup_minhash_accuracy" -> minhashAccuracy _,
     "dedup_simhash" -> simhash _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_ngram_containment" -> ngramContainment _,
@@ -1625,6 +1677,7 @@ object Dedup {
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM corpus ORDER BY doc_id""".stripMargin),
     "dedup_minhash" -> minhashSql,
+    "dedup_minhash_accuracy" -> minhashAccuracySql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_containment" -> ngramContainmentSql,

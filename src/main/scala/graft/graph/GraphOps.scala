@@ -428,7 +428,12 @@ object GraphOps {
       .select($"tgt".as("node"), $"lbl")
   }
 
-  def flowCommunities(spark: SparkSession, dir: String): DataFrame = {
+  /** The B21 LPA machinery, shared by the community report and the
+    * B45 modularity scorecard: returns (unode-keyed edge table,
+    * final user labels [lazy], final service labels [staged]).
+    */
+  private def lpaLabelFrames(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val flows = FlowAnalytics.asFlows(spark, dir)
     val ue = flows
@@ -455,6 +460,12 @@ object GraphOps {
         ueD.join(svc, $"da" === $"node").select($"unode".as("tgt"), $"lbl"))
       usr = if (i < LpaIters) stage(usrNext) else usrNext
     }
+    (ueU, usr, svc)
+  }
+
+  def flowCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, usr, svc) = lpaLabelFrames(spark, dir)
     usr.unionAll(svc)
       .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
       .orderBy($"n_nodes".desc, $"lbl")
@@ -462,7 +473,50 @@ object GraphOps {
       .select($"lbl".as("community"), $"n_nodes")
   }
 
-  val flowCommunitiesSql: String = {
+  /** B45: community modularity (`graph_modularity`) — Newman's Q for
+    * the B21 labeling: Q = Σ_c (e_c/m − (d_c/2m)²), the "are these
+    * communities REAL" scorecard (Q ≈ 0 ⇒ the partition explains
+    * nothing beyond the configuration-model chance term (d_c/2m)²).
+    * The evaluation leg next to the community report — same contract
+    * as D8c/D7i. Everything derives from the staged bipartite edge
+    * table: internal-edge counts and degrees are edge-sized
+    * aggregates, communities community-sized, and Q a nano-quantized
+    * order-free sum of per-community scalars. Publishes the top-20
+    * communities' contributions with the global Q alongside.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ueU, usr, svc) = lpaLabelFrames(spark, dir)
+    // labels feed three joins here (vs one downstream use in the
+    // community report) — stage the union once
+    val lab = stage(usr.unionAll(svc))
+    val mframe = ueU.agg(count(lit(1)).as("m"))
+    val ec = ueU
+      .join(lab.select($"node".as("unode"), $"lbl".as("lu")), "unode")
+      .join(lab.select($"node".as("da"), $"lbl".as("ld")), "da")
+      .where($"lu" === $"ld")
+      .groupBy($"lu".as("c")).agg(count(lit(1)).as("e_c"))
+    val deg = ueU.select(explode(array($"unode", $"da")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val dc = lab.join(deg, "node")
+      .groupBy($"lbl".as("c")).agg(sum($"deg").as("d_c"))
+    val t = $"d_c".cast("double") / (lit(2.0) * $"m")
+    val contrib = $"e_c".cast("double") / $"m" - t * t
+    val co = dc.join(ec, Seq("c"), "left")
+      .select($"c", coalesce($"e_c", lit(0L)).as("e_c"), $"d_c")
+      .crossJoin(broadcast(mframe))
+    val q = co.agg(graft.Tables.qsum(contrib).as("q"))
+    co.crossJoin(broadcast(q))
+      .select($"c".as("community"), $"e_c", $"d_c", $"m",
+        round(contrib, 6).as("contrib_r"), round($"q", 6).as("q_r"))
+      .orderBy($"d_c".desc, $"community")
+      .limit(20)
+  }
+
+  /** Shared B21 oracle CTE chain through the final label tables
+    * ul/sl$LpaIters (community report + B45 modularity).
+    */
+  private val lpaCtesSql: String = {
     def voteCte(pfx: String, i: Int, joinCol: String, tgtCol: String,
         prev: String): String =
       s"""${pfx}c$i AS MATERIALIZED (
@@ -484,11 +538,48 @@ object GraphOps {
          |  SELECT DISTINCT 'u:' || user_id AS unode, da FROM flows),
          |u0 AS MATERIALIZED (
          |  SELECT DISTINCT unode AS node, unode AS lbl FROM ue),
-         |$rounds
+         |$rounds""".stripMargin
+  }
+
+  val flowCommunitiesSql: String =
+    lpaCtesSql +
+      s"""
          |SELECT lbl AS community, count(*) AS n_nodes
          |FROM (SELECT * FROM ul$LpaIters UNION ALL SELECT * FROM sl$LpaIters)
          |GROUP BY lbl ORDER BY n_nodes DESC, lbl LIMIT $LpaTopN""".stripMargin
-  }
+
+  val modularitySql: String =
+    lpaCtesSql +
+      s""",
+         |lab AS MATERIALIZED (
+         |  SELECT * FROM ul$LpaIters UNION ALL SELECT * FROM sl$LpaIters),
+         |mm AS (SELECT count(*) AS m FROM ue),
+         |ec AS (
+         |  SELECT lu.lbl AS c, count(*) AS e_c
+         |  FROM ue e
+         |  JOIN lab lu ON lu.node = e.unode
+         |  JOIN lab ld ON ld.node = e.da
+         |  WHERE lu.lbl = ld.lbl GROUP BY 1),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT unode AS node FROM ue UNION ALL SELECT da FROM ue)
+         |  GROUP BY node),
+         |dc AS (
+         |  SELECT l.lbl AS c, sum(d.deg) AS d_c
+         |  FROM lab l JOIN deg d USING (node) GROUP BY 1),
+         |co AS (
+         |  SELECT dc.c, coalesce(ec.e_c, 0) AS e_c, dc.d_c, mm.m
+         |  FROM dc LEFT JOIN ec USING (c), mm),
+         |qq AS (
+         |  SELECT ${graft.Tables.qsumSql(
+             "CAST(e_c AS DOUBLE) / m - (CAST(d_c AS DOUBLE) / (2.0 * m))" +
+             " * (CAST(d_c AS DOUBLE) / (2.0 * m))")} AS q
+         |  FROM co)
+         |SELECT c AS community, e_c, d_c, m,
+         |  round(CAST(e_c AS DOUBLE) / m - (CAST(d_c AS DOUBLE) / (2.0 * m))
+         |    * (CAST(d_c AS DOUBLE) / (2.0 * m)), 6) AS contrib_r,
+         |  round((SELECT q FROM qq), 6) AS q_r
+         |FROM co ORDER BY d_c DESC, community LIMIT 20""".stripMargin
 
   /** B22: triangle counting + local clustering coefficient
     * (`graph_triangles`) — the flow graph is bipartite (sa/da
@@ -706,6 +797,7 @@ object GraphOps {
         |FROM m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> modularity _,
     "graph_assortativity" -> assortativity _,
     "flow_pagerank" -> flowPagerank _,
     "flow_pagerank_pers" -> flowPagerankPers _,
@@ -714,6 +806,7 @@ object GraphOps {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "flow_pagerank" -> flowPagerankSql,
     "flow_pagerank_pers" -> flowPagerankPersSql,

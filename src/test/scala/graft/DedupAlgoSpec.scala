@@ -252,6 +252,21 @@ class DedupAlgoSpec extends SparkSpecBase {
       "jaccard unexpectedly caught the excerpt pair")
   }
 
+  test("minhash accuracy: estimates are 1/64-quantized and overwhelmingly in the 3-sigma band") {
+    val rows = graft.dedup.Dedup.minhashAccuracy(spark, sf0001).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty, "no minhash candidate pairs at sf0.001")
+    rows.foreach { case (est, exact, _) =>
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      val slots = est * graft.dedup.Dedup.NumHashes
+      assert(math.abs(slots - math.round(slots)) < 1e-6,
+        s"estimate $est is not a 1/64 multiple")
+    }
+    val inBand = rows.count(_._3).toDouble / rows.length
+    info(f"within 3-sigma: ${inBand * 100}%.1f%% of ${rows.length} pairs")
+    assert(inBand >= 0.9, s"sketch error outside band too often: $inBand")
+  }
+
   test("span excision removes every benchmark phrase and nothing else survives covered") {
     import spark.implicits._
     val k = 8

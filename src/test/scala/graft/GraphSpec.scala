@@ -191,6 +191,26 @@ class GraphSpec extends SparkSpecBase {
       s"expected dst-side hubs to dominate the top ranks, got $daShare")
   }
 
+  test("modularity: contributions reconcile from published counts and Q is strongly positive") {
+    val rows = GraphOps.modularity(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (_, ec, dc, m, contrib, _) =>
+      val t = dc.toDouble / (2.0 * m)
+      assert(contrib == r6(ec.toDouble / m - t * t))
+      assert(ec <= dc, "internal edges exceed community degree mass")
+    }
+    // LPA on the bipartite user–service stars finds real structure:
+    // Q well above the random-null 0
+    val q = rows.head._6
+    info(f"modularity Q = $q%.4f")
+    assert(rows.forall(_._6 == q))
+    assert(q > 0.2 && q <= 1.0, s"implausible modularity $q")
+  }
+
   test("assortativity matches a driver-side Pearson recompute at sf0.001") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
