@@ -31,6 +31,37 @@ object NfdumpCsv {
       .where(org.apache.spark.sql.functions.col("ts").isNotNull &&
              org.apache.spark.sql.functions.col("te").isNotNull)
 
+  /** A13: quarantine read — the production posture when silent row
+    * drops are NOT acceptable: PERMISSIVE parse with the raw line
+    * captured for rows that fail the typed schema, split into
+    * (good, quarantined) frames. The quarantine side keeps the
+    * ORIGINAL line so a fixed parser can replay it later — the
+    * dead-letter-queue contract, vs [[read]]'s DROPMALFORMED (which
+    * is right for nfdump's KNOWN summary-footer noise but wrong for
+    * an untrusted feed where a parse regression must be visible,
+    * not vanished). Both frames come from ONE parse pass; the split
+    * is a pair of filters on the corrupt-record column.
+    */
+  def readWithQuarantine(spark: SparkSession, path: String):
+      (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
+      .schema(FlowSchema.nfdumpCsvSchema
+        .add("_corrupt", org.apache.spark.sql.types.StringType))
+      .csv(path)
+      // PERMISSIVE leaves _corrupt NULL for clean rows; a row whose
+      // REQUIRED timestamps failed the parse is quarantined even if
+      // other fields survived (partial nulls are how type drift hides)
+      .withColumn("bad",
+        col("_corrupt").isNotNull || col("ts").isNull || col("te").isNull)
+    (raw.where(!col("bad")).drop("_corrupt", "bad"),
+      raw.where(col("bad")).select(col("_corrupt").as("raw_line")))
+  }
+
   /** Streaming variant: same parse over a watched directory
     * (Structured Streaming file source = the watchdog observer).
     */

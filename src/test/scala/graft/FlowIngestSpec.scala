@@ -45,6 +45,27 @@ class FlowIngestSpec extends SparkSpecBase {
       === "2024-05-01T10:00:00.250Z")
   }
 
+  test("quarantine read splits good rows from bad, keeping the raw line") {
+    val dir = tmpDir("nfq")
+    writeFixture(dir, "nfcapd.csv", Seq(flowA, flowB))
+    // append a genuinely corrupt data row (garbage timestamp, right
+    // column count) — the case DROPMALFORMED would silently vanish
+    val badLine = csvRow(flowA + ("ts" -> "not-a-timestamp", "sa" -> "badrow"))
+    val p = Paths.get(dir, "nfcapd.csv")
+    Files.write(p, (new String(Files.readAllBytes(p)) + "\n" + badLine).getBytes)
+    val (good, quarantined) = NfdumpCsv.readWithQuarantine(spark, dir)
+    assert(good.count() === 2)
+    assert(good.columns.toSeq === FlowSchema.nfdumpCsvSchema.fieldNames.toSeq)
+    val q = quarantined.collect().map(_.getString(0))
+    // summary block rows + the corrupt data row, original text intact
+    assert(q.exists(l => l != null && l.contains("not-a-timestamp")),
+      s"corrupt row not quarantined: ${q.toSeq}")
+    assert(q.exists(l => l != null && l.startsWith("Summary")))
+    // nothing lost: every input line is either parsed or quarantined
+    val n = Files.readAllLines(p).size() - 1 // header
+    assert(good.count() + quarantined.count() === n)
+  }
+
   test("toNflows recomputes td, stamps flowsrc, normalizes pr") {
     val dir = tmpDir("nfcsv")
     writeFixture(dir, "nfcapd.csv", Seq(flowA, flowB))
