@@ -356,6 +356,27 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("anomaly z-score's global window consumes the hours-bounded aggregate") {
+    // Window.orderBy with no partition key is a single-partition sort —
+    // acceptable ONLY because its input is the per-hour aggregate
+    // (≤ calendar-hours rows at any corpus size). Pin the shape: in
+    // the operator tree the Window must sit ABOVE the hour
+    // HashAggregate, which sits above the scan — if the aggregate
+    // ever slips above the window, the corpus itself would single-
+    // partition and this query dies at scale.
+    val p = plan(FlowAnalytics.anomalyZscore(spark, sf0001))
+    val treeOps = "([A-Za-z]+)(?: parquet)? +\\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    val iWin = treeOps.indexOf("Window")
+    val iAgg = treeOps.indexWhere(_ == "HashAggregate")
+    val iScan = treeOps.indexOf("Scan")
+    assert(iWin >= 0 && iAgg >= 0 && iScan >= 0, s"ops: $treeOps")
+    assert(iWin < iAgg && iAgg < iScan,
+      s"window does not consume the hourly aggregate: $treeOps")
+    assert(p.contains("SinglePartition"),
+      "expected the bounded single-partition window exchange")
+  }
+
   test("salted skew join: no broadcast, join keys carry the salt") {
     val df = Relational.joinSaltedSkew(spark, sf0001)
     df.collect()
