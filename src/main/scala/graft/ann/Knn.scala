@@ -1634,7 +1634,65 @@ object Knn {
        |LEFT JOIN h USING (probe_id)
        |ORDER BY probe_id""".stripMargin
 
+  /** D7j: cluster purity (`ann_cluster_purity`) — how well the
+    * trained IVF cells recover the embeddings' LABEL structure: per
+    * cell, the majority-label share (purity), plus sizes — the
+    * unsupervised-clustering scorecard next to D7i's recall (recall
+    * measures the index as a SEARCH structure; purity measures it as
+    * a PARTITION of the space). Cells-sized aggregates over the
+    * map-only assignment; the majority vote is the k=1 bounded-heap
+    * argmax with a total (count desc, label asc) tiebreak, so both
+    * engines agree on every tie.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+    val cents = stagedModel(spark, dir, s"cents_$KMeansIters")(
+      trainedCentroids(emb.select($"vec_id", $"embedding"), KMeansIters))
+    val assigned = assign(emb.select($"vec_id", $"embedding"), cents)
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+    val cellLab = assigned.groupBy($"cid", $"label")
+      .agg(count(lit(1)).as("n"))
+    val maj = cellLab
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"cid").orderBy($"n".desc, $"label")))
+      .where($"rn" === 1)
+      .select($"cid", $"label".as("majority_label"), $"n".as("n_majority"))
+    val sizes = cellLab.groupBy($"cid").agg(sum($"n").as("n_vecs"))
+    sizes.join(broadcast(maj), "cid")
+      .select($"cid", $"n_vecs", $"majority_label", $"n_majority",
+        round($"n_majority".cast("double") / $"n_vecs", 6).as("purity_r"))
+      .orderBy($"cid")
+  }
+
+  val clusterPuritySql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")},
+       |cl AS (
+       |  SELECT a.cid, e.label, count(*) AS n
+       |  FROM assigned a JOIN embeddings e USING (vec_id)
+       |  GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT cid, label AS majority_label, n AS n_majority
+       |  FROM (SELECT cid, label, n, row_number() OVER (
+       |          PARTITION BY cid ORDER BY n DESC, label) AS rn FROM cl)
+       |  WHERE rn = 1),
+       |sz AS (SELECT cid, sum(n) AS n_vecs FROM cl GROUP BY cid)
+       |SELECT sz.cid, n_vecs, majority_label, n_majority,
+       |  round(CAST(n_majority AS DOUBLE) / n_vecs, 6) AS purity_r
+       |FROM sz JOIN mj USING (cid)
+       |ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cluster_purity" -> clusterPurity _,
     "ann_recall_eval" -> annRecallEval _,
     "knn_join" -> knnJoin _,
     "emb_outliers" -> embOutliers _,
@@ -1654,6 +1712,7 @@ object Knn {
     "emb_quantize" -> embQuantize _)
 
   val oracleSql: Map[String, String] = Map(
+    "ann_cluster_purity" -> clusterPuritySql,
     "ann_recall_eval" -> annRecallEvalSql,
     "knn_join" -> knnJoinSql,
     "emb_outliers" -> embOutliersSql,

@@ -1569,7 +1569,35 @@ object FlowAnalytics {
       .limit(10)
   }
 
+  // ------------------------------------------- B46 TCP flag profile
+
+  /** B46: per-site TCP flag profile (`flow_flag_profile`) — the
+    * connection-health panel next to B17's port scan: per /16 site,
+    * SYN / RST / FIN shares of its flows. A SYN share far above the
+    * fleet marks half-open scanning or a flood source; an RST spike
+    * marks a service actively refusing — triage classes the volume
+    * views can't separate. One combine-heavy aggregate; the flag
+    * tests are substring predicates on the nfdump flg string, shares
+    * are exact-count ratios rounded 6 dp.
+    */
+  def flagProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asFlows(spark, dir)
+      .select(concat(lit("10."), pmod($"user_id", lit(64))).as("site"), $"flg")
+      .groupBy($"site")
+      .agg(count(lit(1)).as("n_flows"),
+        count(when($"flg".contains("S"), 1)).as("n_syn"),
+        count(when($"flg".contains("R"), 1)).as("n_rst"),
+        count(when($"flg".contains("F"), 1)).as("n_fin"))
+      .select($"site", $"n_flows", $"n_syn", $"n_rst", $"n_fin",
+        round($"n_syn".cast("double") / $"n_flows", 6).as("syn_share_r"),
+        round($"n_rst".cast("double") / $"n_flows", 6).as("rst_share_r"),
+        round($"n_fin".cast("double") / $"n_flows", 6).as("fin_share_r"))
+      .orderBy($"site")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_flag_profile" -> flagProfile _,
     "flow_topk_decayed" -> topkDecayed _,
     "flow_burstiness" -> burstiness _,
     "flow_service_similarity" -> serviceSimilarity _,
@@ -1672,6 +1700,18 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_flag_profile" -> (flowsCte +
+      """SELECT '10.' || (user_id % 64) AS site, count(*) AS n_flows,
+        |  count(CASE WHEN contains(flg, 'S') THEN 1 END) AS n_syn,
+        |  count(CASE WHEN contains(flg, 'R') THEN 1 END) AS n_rst,
+        |  count(CASE WHEN contains(flg, 'F') THEN 1 END) AS n_fin,
+        |  round(CAST(count(CASE WHEN contains(flg, 'S') THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS syn_share_r,
+        |  round(CAST(count(CASE WHEN contains(flg, 'R') THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS rst_share_r,
+        |  round(CAST(count(CASE WHEN contains(flg, 'F') THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS fin_share_r
+        |FROM flows GROUP BY 1 ORDER BY site""".stripMargin),
     "flow_topk_decayed" -> (flowsCte +
       s""", f AS (
          |  SELECT '10.' || (user_id % 64) AS site,

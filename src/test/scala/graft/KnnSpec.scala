@@ -241,6 +241,32 @@ class KnnSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("cluster purity reconciles with a driver-side majority recount") {
+    val cells = graft.ann.Knn.cellsOf(
+      graft.Tables.load(spark, sf0001, "embeddings")
+        .select("vec_id", "embedding"), graft.ann.Knn.KMeansIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = cells.toSeq.groupBy(_._2).map { case (cell, vs) =>
+      val labs = vs.map(v => labels(v._1))
+      val counts = labs.groupBy(identity).view.mapValues(_.size).toMap
+      val (ml, mn) = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      cell -> ((vs.size.toLong, ml, mn.toLong))
+    }
+    val got = graft.ann.Knn.clusterPurity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // purity is a real signal on the labeled clusters: better than
+    // the 1/10 uniform baseline on average
+    val meanPurity = expected.values
+      .map { case (n, _, m) => m.toDouble / n }.sum / expected.size
+    info(f"mean purity = $meanPurity%.3f")
+    assert(meanPurity > 0.15)
+  }
+
   test("ann_recall_eval reconciles with the two rankings it compares") {
     import org.apache.spark.sql.functions._
     val b3 = graft.ann.Knn.bruteTopK(spark, sf0001)
