@@ -602,7 +602,49 @@ object StreamingOps {
       .orderBy($"user_id", $"k")
   }
 
+  /** E15: streaming approximate distinct (`stream_distinct_hll`) —
+    * running distinct-user counts per event type with the
+    * [[graft.functions.HllAgg]] register block as the STREAMING
+    * aggregation state: complete-mode groupBy whose state store
+    * holds one 512-byte register array per group forever, merged
+    * per micro-batch exactly like map-side partials (elementwise
+    * max is what makes HLL a valid streaming accumulator). The
+    * COUNT(DISTINCT) twin of E12's KLL quantile state — exact
+    * distinct in a stream needs unbounded per-key sets; the sketch
+    * holds O(1) state per group at any stream length. Graded the
+    * B18 way: exact counts from the batch twin (oracle-replayed) +
+    * a within_bound verdict on the drained sketch estimate.
+    */
+  def distinctHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_hll_${counter.incrementAndGet()}"
+    val p = graft.flow.FlowAnalytics.HllP
+    val q = eventsStream(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.HllAgg.hll_sketch(
+        $"user_id".cast("string"), p).as("sk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_distinct_hll")
+    val sk = spark.table(name)
+      .select($"event_type",
+        graft.functions.HllAgg.hll_estimate($"sk", p).as("est"))
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    sk.join(exact, "event_type")
+      .select($"event_type", $"exact_users",
+        (abs($"est" - $"exact_users") / $"exact_users" < 0.1)
+          .as("within_bound"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
     "stream_value_quantiles" -> valueQuantiles _,
     "stream_quality_gate" -> qualityGate _,
@@ -619,6 +661,10 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    "stream_distinct_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streaming compaction must land on exactly the batch C26
     // state — share its oracle so any divergence hash-fails
     "stream_cdc_upsert" ->
