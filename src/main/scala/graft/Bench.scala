@@ -56,7 +56,7 @@ object Bench {
     val hs = headline.flatMap(n => byName.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"spark":"${spark.version}","queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment stamp: version drift in the grading engines (HUGEINT
+    // pandas conversion, bin() width, tie orders) is only diagnosable
+    // from the artifacts when the producing versions are recorded.
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      s"""{"spark": ${q(spark.version)}, "scala": ${q(scala.util.Properties.versionNumberString)}, "java": ${q(System.getProperty("java.version"))}}""")
     spark.stop()
   }
 }

@@ -1685,7 +1685,8 @@ object Knn {
        |          PARTITION BY cid ORDER BY n DESC, label) AS rn FROM cl)
        |  WHERE rn = 1),
        |sz AS (SELECT cid, sum(n) AS n_vecs FROM cl GROUP BY cid)
-       |SELECT sz.cid, n_vecs, majority_label, n_majority,
+       |SELECT sz.cid, CAST(n_vecs AS BIGINT) AS n_vecs, majority_label,
+       |  n_majority,
        |  round(CAST(n_majority AS DOUBLE) / n_vecs, 6) AS purity_r
        |FROM sz JOIN mj USING (cid)
        |ORDER BY cid""".stripMargin

@@ -1718,7 +1718,8 @@ object FlowAnalytics {
          |    CAST(floor(epoch(ts)) AS BIGINT) AS s, ibyt
          |  FROM flows),
          |tm AS (SELECT max(s) AS tmax FROM f)
-         |SELECT site, count(*) AS n_flows, sum(ibyt) AS raw_bytes,
+         |SELECT site, count(*) AS n_flows,
+         |  CAST(sum(ibyt) AS BIGINT) AS raw_bytes,
          |  round(${graft.Tables.qsumSql(
                s"round(exp(CAST('$DecayRate' AS DOUBLE) * (tmax - s)), 9) * ibyt")}, 6)
          |    AS decayed_bytes_r
@@ -1794,7 +1795,7 @@ object FlowAnalytics {
                "(ln(CAST(n AS DOUBLE) / tot) / ln(CAST(2 AS DOUBLE)))")}
          |      AS negH
          |  FROM hp JOIN tt USING (h) GROUP BY hp.h, tt.tot, tt.n_ports)
-         |SELECT h, tot, n_ports,
+         |SELECT h, CAST(tot AS BIGINT) AS tot, n_ports,
          |  round(-negH, 6) AS entropy_r,
          |  CASE WHEN n_ports = 1 THEN 0.0
          |       ELSE round(-negH /
@@ -1841,7 +1842,8 @@ object FlowAnalytics {
          |  UNION ALL
          |  SELECT level, prefix, bytes, disc, total FROM root
          |  WHERE CAST(disc AS DOUBLE) / total >= $HhhTheta)
-         |SELECT level, prefix, bytes, disc,
+         |SELECT level, prefix, CAST(bytes AS BIGINT) AS bytes,
+         |  CAST(disc AS BIGINT) AS disc,
          |  round(CAST(disc AS DOUBLE) / total, 6) AS share_r
          |FROM uni ORDER BY level, prefix""".stripMargin),
     "flow_rare_pairs" -> (flowsCte +
@@ -1849,7 +1851,7 @@ object FlowAnalytics {
          |pc AS (SELECT sa, da, count(*) AS n_pair FROM f16 GROUP BY 1, 2),
          |sc AS (SELECT sa, sum(n_pair) AS n_src, count(*) AS fanout
          |       FROM pc GROUP BY sa)
-         |SELECT sa, da, n_src, fanout,
+         |SELECT sa, da, CAST(n_src AS BIGINT) AS n_src, fanout,
          |  round(-log2(1.0 / n_src), 6) AS surprise_r
          |FROM pc JOIN sc USING (sa)
          |WHERE n_pair = 1 AND fanout >= $RareMinFanout
@@ -1899,14 +1901,19 @@ object FlowAnalytics {
         |  round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6)
         |    AS avg_r
         |FROM flows GROUP BY 1, 2 ORDER BY pr, h""".stripMargin),
+    // bucket = ⌊log₂ deg⌋ via a pure integer comparison ladder: bin()'s
+    // minimal-vs-padded width and log2()'s libm are both engine-version
+    // traps this CASE cannot hit (deg ≥ 1 always — it counts ≥1 peers).
     "flow_degree_profile" -> (flowsCte +
-      """, ph AS (
-        |  SELECT sa, count(DISTINCT da) AS deg, count(*) AS n_flows
-        |  FROM flows GROUP BY sa)
-        |SELECT CAST(length(bin(deg)) - 1 AS INT) AS bucket,
-        |  count(*) AS n_hosts, min(deg) AS min_deg, max(deg) AS max_deg,
-        |  sum(n_flows) AS n_flows
-        |FROM ph GROUP BY 1 ORDER BY bucket""".stripMargin),
+      s""", ph AS (
+         |  SELECT sa, count(DISTINCT da) AS deg, count(*) AS n_flows
+         |  FROM flows GROUP BY sa)
+         |SELECT CAST(CASE ${(0 to 61).map(b =>
+               s"WHEN deg < ${BigInt(1) << (b + 1)} THEN $b").mkString(" ")}
+         |    ELSE 62 END AS INT) AS bucket,
+         |  count(*) AS n_hosts, min(deg) AS min_deg, max(deg) AS max_deg,
+         |  CAST(sum(n_flows) AS BIGINT) AS n_flows
+         |FROM ph GROUP BY 1 ORDER BY bucket""".stripMargin),
     "flow_value_quantiles_sliding" ->
       s"""WITH h AS MATERIALIZED (
          |  SELECT value, date_trunc('hour', ts) AS hr FROM events),
@@ -1939,11 +1946,16 @@ object FlowAnalytics {
          |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
          |    CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 300) + 60 AS e, event_id
          |  FROM flows),
-         |pm AS (
+         |cm AS (
          |  SELECT user_id, s, e, event_id,
          |    max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      ROWS UNBOUNDED PRECEDING) AS cummax
          |  FROM iv),
+         |pm AS (
+         |  SELECT user_id, s, e, event_id,
+         |    lag(cummax) OVER (PARTITION BY user_id
+         |      ORDER BY s, e, event_id) AS prev_max
+         |  FROM cm),
          |isl AS (
          |  SELECT user_id, s, e,
          |    sum(CASE WHEN prev_max IS NULL OR s > prev_max + $MergeGapS
@@ -1954,7 +1966,8 @@ object FlowAnalytics {
          |  SELECT user_id, island, min(s) AS ps, max(e) AS pe,
          |    count(*) AS nf
          |  FROM isl GROUP BY user_id, island)
-         |SELECT user_id, count(*) AS n_periods, sum(pe - ps) AS busy_s,
+         |SELECT user_id, count(*) AS n_periods,
+         |  CAST(sum(pe - ps) AS BIGINT) AS busy_s,
          |  max(pe - ps) AS longest_s, max(nf) AS densest
          |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin),
     "flow_distinct_overlap" -> (flowsCte +

@@ -575,7 +575,7 @@ object GraphOps {
              "CAST(e_c AS DOUBLE) / m - (CAST(d_c AS DOUBLE) / (2.0 * m))" +
              " * (CAST(d_c AS DOUBLE) / (2.0 * m))")} AS q
          |  FROM co)
-         |SELECT c AS community, e_c, d_c, m,
+         |SELECT c AS community, e_c, CAST(d_c AS BIGINT) AS d_c, m,
          |  round(CAST(e_c AS DOUBLE) / m - (CAST(d_c AS DOUBLE) / (2.0 * m))
          |    * (CAST(d_c AS DOUBLE) / (2.0 * m)), 6) AS contrib_r,
          |  round((SELECT q FROM qq), 6) AS q_r

@@ -1675,8 +1675,9 @@ object TextAnalytics {
        |prd AS (SELECT lang_pred AS lang, sum(n) AS n_pred FROM conf
        |        GROUP BY lang_pred),
        |tp AS (SELECT lang, n AS tp FROM conf WHERE lang = lang_pred)
-       |SELECT a.lang, a.n_act,
-       |  coalesce(p.n_pred, 0) AS n_pred, coalesce(t.tp, 0) AS tp,
+       |SELECT a.lang, CAST(a.n_act AS BIGINT) AS n_act,
+       |  CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+       |  coalesce(t.tp, 0) AS tp,
        |  CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
        |       ELSE round(CAST(coalesce(t.tp, 0) AS DOUBLE)
        |         / coalesce(p.n_pred, 0), 6) END AS precision_r,
@@ -1749,7 +1750,8 @@ object TextAnalytics {
        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
        |        FROM documents) t
        |  WHERE w <> '' GROUP BY 1, 2)
-       |SELECT lang, sum(n) AS n_words, sum(n * len(syms)) AS n_tokens,
+       |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       |  CAST(sum(n * len(syms)) AS BIGINT) AS n_tokens,
        |  round(CAST(sum(n * len(syms)) AS DOUBLE) / sum(n), 6) AS fertility_r
        |FROM wl JOIN w$BpeRounds USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
@@ -1975,7 +1977,8 @@ object TextAnalytics {
         |    count(CASE WHEN cnt = 1 THEN 1 END) AS hapax
         |  FROM tc GROUP BY lang),
         |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
-        |SELECT pl.lang, n_docs, n_tokens, vocab, hapax,
+        |SELECT pl.lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  vocab, hapax,
         |  round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr_r,
         |  round(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio_r
         |FROM pl JOIN nd ON nd.lang = pl.lang

@@ -30,6 +30,10 @@ def table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 def main(sf_dir, out_dir):
+    # Stamp the oracle environment: cross-version DuckDB drift (HUGEINT
+    # conversion, bin() width, tie orders) is only diagnosable from the
+    # artifact if the version that produced it is recorded.
+    print(f"oracle_env: duckdb={duckdb.__version__}")
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -48,6 +52,18 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS_ONLY({len(srows)})"
             continue
         try:
+            # rel.types exposes DuckDB's logical types, which the DB-API
+            # description collapses (HUGEINT and BIGINT are both NUMBER).
+            # sum(BIGINT) is HUGEINT in DuckDB, and HUGEINT's conversion
+            # to pandas/arrow changed across DuckDB versions — an oracle
+            # output column of that type hash-diverges on any grader
+            # whose DuckDB differs from ours, so flag it as an error.
+            rel = con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0")
+            fragile = [c for c, t in zip(rel.columns, rel.types)
+                       if str(t) in ("HUGEINT", "UHUGEINT")]
+            if fragile:
+                results[name] = f"ORACLE_FRAGILE_TYPE {fragile} (cast to BIGINT)"
+                continue
             odf = con.execute(oracle[name])
             ocols = [c[0] for c in odf.description]
             orows = odf.fetchall()
