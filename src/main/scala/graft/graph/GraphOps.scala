@@ -88,9 +88,10 @@ object GraphOps {
     */
   private val sessionStage = new graft.Staging.SessionCache()
 
-  private def stagedGraph(spark: SparkSession, dir: String, key: String)(
+  private def stagedGraph(spark: SparkSession, dir: String, key: String,
+      partitionCols: Seq[String] = Nil)(
       build: => DataFrame): DataFrame =
-    sessionStage.getOrBuild(spark, dir, key)(build)
+    sessionStage.getOrBuild(spark, dir, key, partitionCols)(build)
 
   /** Drop the staged graph tables for `(spark, dir)`. */
   def invalidate(spark: SparkSession, dir: String): Unit =
@@ -110,16 +111,16 @@ object GraphOps {
     // the staged EDGE-sized table — the previous shape re-scanned
     // flows for each derived table. outdeg aggregates on the staged
     // partitioning key and joins back exchange-free.
-    val e0 = stagedGraph(spark, dir, "und_e0")(stage(
+    val e0 = stagedGraph(spark, dir, "und_e0", Seq("src"))(stage(
       flows.select($"sa".as("src"), $"da".as("dst"))
         .union(flows.select($"da".as("src"), $"sa".as("dst")))
         .distinct().repartition($"src")))
     // (src, dst, outdeg): built once, staged pre-partitioned on src so
     // every round's rank join reads it in place
-    val srcEdges = stagedGraph(spark, dir, "und_src_edges")(stage(
+    val srcEdges = stagedGraph(spark, dir, "und_src_edges", Seq("src"))(stage(
       e0.join(e0.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")))
     // distinct leaves nodes hash(node)-partitioned — the left-join key
-    val nodes = stagedGraph(spark, dir, "und_nodes")(stage(
+    val nodes = stagedGraph(spark, dir, "und_nodes", Seq("node"))(stage(
       e0.select($"src".as("node"))
         .union(e0.select($"dst".as("node"))).distinct()))
     val nframe = nodes.agg(count(lit(1)).as("n"))
@@ -210,11 +211,11 @@ object GraphOps {
     // hash(src) first, outdeg/srcEdges/nodes derive edge-sized (the
     // seed scan is the one extra flow pass — it filters a different
     // predicate than the edge projection)
-    val e0 = stagedGraph(spark, dir, "und_e0")(stage(
+    val e0 = stagedGraph(spark, dir, "und_e0", Seq("src"))(stage(
       flows.select($"sa".as("src"), $"da".as("dst"))
         .union(flows.select($"da".as("src"), $"sa".as("dst")))
         .distinct().repartition($"src")))
-    val srcEdges = stagedGraph(spark, dir, "und_src_edges")(stage(
+    val srcEdges = stagedGraph(spark, dir, "und_src_edges", Seq("src"))(stage(
       e0.join(e0.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")))
     // seeds: services with the most reset-flagged (error) flows
     val seeds = flows.where($"flg" === ".A.R..")
@@ -223,7 +224,7 @@ object GraphOps {
       .select($"node")
     // teleport mass rides the staged node table: (1-d)/|S| on seeds,
     // 0 elsewhere — no per-round seed join
-    val nodes = stagedGraph(spark, dir, "und_nodes_tele")(stage(
+    val nodes = stagedGraph(spark, dir, "und_nodes_tele", Seq("node"))(stage(
       e0.select($"src".as("node"))
         .union(e0.select($"dst".as("node"))).distinct()
         .join(seeds.select($"node", lit(true).as("is_seed")), Seq("node"), "left")
@@ -313,8 +314,8 @@ object GraphOps {
     // neither direction ever re-shuffles it; the second copy derives
     // from the FIRST staged copy (edge-sized re-key), so the flow
     // corpus is scanned exactly once
-    val eSrc = stagedGraph(spark, dir, "dir_esrc")(stage(edges.repartition($"src")))
-    val eDst = stagedGraph(spark, dir, "dir_edst")(stage(eSrc.repartition($"dst")))
+    val eSrc = stagedGraph(spark, dir, "dir_esrc", Seq("src"))(stage(edges.repartition($"src")))
+    val eDst = stagedGraph(spark, dir, "dir_edst", Seq("dst"))(stage(eSrc.repartition($"dst")))
     def normalize(raw: DataFrame, col: String): DataFrame = {
       val nrm = raw.agg(sqrt(rsum($"v" * $"v")).as("nrm"))
       raw.crossJoin(broadcast(nrm))
@@ -441,8 +442,8 @@ object GraphOps {
     // one staged copy per vote direction (joins on unode / on da);
     // the da-keyed copy derives from the staged unode-keyed one —
     // edge-sized re-key, one flow-corpus scan total
-    val ueU = stagedGraph(spark, dir, "bip_ue_u")(stage(ue.repartition($"unode")))
-    val ueD = stagedGraph(spark, dir, "bip_ue_d")(stage(ueU.repartition($"da")))
+    val ueU = stagedGraph(spark, dir, "bip_ue_u", Seq("unode"))(stage(ue.repartition($"unode")))
+    val ueD = stagedGraph(spark, dir, "bip_ue_d", Seq("da"))(stage(ueU.repartition($"da")))
     var usr = ueU.select($"unode".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
     var svc = ueD.select($"da".as("node")).distinct()

@@ -927,8 +927,16 @@ object Relational {
     */
   def mvIncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // MV path keyed by corpus CONTENT fingerprint, not the dir string:
+    // a corpus regenerated at the same path gets a fresh MV instead of
+    // being served stale settled-day partitions, and two distinct
+    // corpus dirs can never collide into one MV (the 32-bit
+    // dir.hashCode risk). Same-corpus sessions share the fingerprint —
+    // and the MV content is deterministic, so a shared path serves
+    // both. Sub-day staleness within ONE snapshot is impossible: any
+    // file change moves the fingerprint.
     val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_mv_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      s"graft_mv_${graft.Staging.corpusFingerprint(spark, dir)}").getAbsolutePath
     val ev = graft.Tables.events(spark, dir).select(
       date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
       $"event_type", $"value")

@@ -227,15 +227,24 @@ object StreamingOps {
   }
 
   /** E14: per-key streaming rate limiter — a token bucket in keyed
-    * state: each micro-batch the key's bucket refills by
-    * `refillPerBatch` up to `capacity`, and at most that many events
-    * pass (in event_id order within the batch — the iterator order
-    * contract the caller establishes upstream); the rest drop. The
-    * ingest-protection primitive in front of a 100 TB/day pipeline —
-    * a runaway producer can at most drain its own bucket, state is
-    * one long per key, and the admit decision never shuffles (state
-    * is co-partitioned with the key by the state store). Arrival-
-    * order dependent across batches → spec-level, like E2/E5.
+    * state. Refill semantics are DATA-DRIVEN: `flatMapGroupsWithState`
+    * with `NoTimeout` only invokes keys that have rows in the batch,
+    * so a bucket refills by `refillPerBatch` per micro-batch IN WHICH
+    * THE KEY HAS DATA — an idle key accrues no credit and resumes
+    * with (saved tokens + one refill), not full capacity. That is the
+    * strict (most protective) reading of a token bucket; callers who
+    * want elapsed-idle credit attach `ProcessingTimeTimeout` and
+    * credit `state.getCurrentProcessingTimeMs` deltas — not done here
+    * because wall-clock credit makes the operator untestable
+    * deterministically. The ingest-protection primitive in front of a
+    * 100 TB/day pipeline: a runaway producer can at most drain its
+    * own bucket, state is one long per key, and the admit decision
+    * never shuffles (state is co-partitioned with the key by the
+    * state store). Admission is a BOUNDED selection — the `tokens`
+    * smallest event_ids via a capacity-sized heap, O(batch·log cap)
+    * time and O(cap) heap — so a flooding key cannot buffer its whole
+    * batch in memory (the operator's own threat model). Arrival-order
+    * dependent across batches → spec-level, like E2/E5.
     */
   def rateLimit(events: org.apache.spark.sql.Dataset[Evt],
       capacity: Int, refillPerBatch: Int):
@@ -247,9 +256,19 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, it: Iterator[Evt], state: GroupState[Long]) => {
           val tokens = math.min(capacity.toLong,
-            state.getOption.getOrElse(capacity.toLong) + refillPerBatch)
-          val admitted = it.toSeq.sortBy(_.event_id).take(tokens.toInt)
-          state.update(tokens - admitted.size)
+            state.getOption.getOrElse(capacity.toLong) + refillPerBatch).toInt
+          // k-smallest by event_id without materializing the group:
+          // max-heap of size ≤ tokens, evict the largest on overflow
+          val heap = new scala.collection.mutable.PriorityQueue[Evt]()(
+            Ordering.by(_.event_id))
+          it.foreach { e =>
+            if (heap.size < tokens) heap.enqueue(e)
+            else if (tokens > 0 && e.event_id < heap.head.event_id) {
+              heap.dequeue(); heap.enqueue(e)
+            }
+          }
+          val admitted = heap.dequeueAll.reverse // ascending event_id
+          state.update(tokens.toLong - admitted.size)
           admitted.iterator
         })
   }

@@ -72,7 +72,7 @@ class RelationalOpsSpec extends SparkSpecBase {
     // first run creates the MV; capture the settled partitions' state
     graft.queries.Relational.mvIncrementalRefresh(spark, sf0001).count()
     val mvPath = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_mv_${Integer.toHexString(sf0001.hashCode)}")
+      s"graft_mv_${graft.Staging.corpusFingerprint(spark, sf0001)}")
     def listing(): Map[String, Long] =
       Files.walk(mvPath).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Cross-session persistent staging (the lake layer): a second session
+  * must be SERVED a published artifact — zero rebuild — keyed by corpus
+  * content fingerprint, with the staged hash partitioning restored.
+  */
+class StagingLakeSpec extends SparkSpecBase {
+
+  private def writeCorpus(dir: String): Unit =
+    spark.range(200).select(col("id"), (col("id") % 7).as("k"))
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+
+  test("second session serves the published artifact with zero rebuilds") {
+    val corpus = tmpDir("lake_corpus")
+    val lake = tmpDir("lake_root")
+    writeCorpus(corpus)
+
+    val cache = new Staging.SessionCache()
+    var builds = 0
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      builds += 1
+      s.read.parquet(s"$corpus/t.parquet").groupBy("k")
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+    }
+
+    val s1 = spark.newSession()
+    s1.conf.set(Staging.LakeConfKey, lake)
+    val a = cache.getOrBuild(s1, corpus, "agg_index")(build(s1))
+    assert(builds === 1)
+    // same session: in-memory hit, no second build
+    cache.getOrBuild(s1, corpus, "agg_index")(build(s1))
+    assert(builds === 1)
+
+    // published: the artifact is a complete parquet dir under the lake
+    val fp = Staging.corpusFingerprint(s1, corpus)
+    val artifact = new java.io.File(s"$lake/v1/agg_index/fp=$fp/_SUCCESS")
+    assert(artifact.exists(), s"expected published artifact at $artifact")
+
+    // a NEW session must be served from the lake: the build thunk is
+    // never invoked (the corpus is read zero times)
+    val s2 = spark.newSession()
+    s2.conf.set(Staging.LakeConfKey, lake)
+    val served = cache.getOrBuild(s2, corpus, "agg_index")(build(s2))
+    assert(builds === 1, "second session rebuilt instead of reading the lake")
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === a.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+  }
+
+  test("lake-served artifact restores the staged hash partitioning") {
+    val corpus = tmpDir("lake_corpus_p")
+    val lake = tmpDir("lake_root_p")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    def build(s: org.apache.spark.sql.SparkSession) =
+      Staging.preservePartitioning(s)(
+        s.read.parquet(s"$corpus/t.parquet")
+          .repartition(col("k")).localCheckpoint())
+
+    val s1 = spark.newSession()
+    s1.conf.set(Staging.LakeConfKey, lake)
+    cache.getOrBuild(s1, corpus, "edges", Seq("k"))(build(s1))
+
+    val s2 = spark.newSession()
+    s2.conf.set(Staging.LakeConfKey, lake)
+    val served = cache.getOrBuild(s2, corpus, "edges", Seq("k"))(build(s2))
+    // the leaf advertises hashpartitioning(k): an aggregate on k plans
+    // with NO shuffle exchange on top of it
+    val agg = served.groupBy("k").agg(count(lit(1)))
+    val exchanges = agg.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"lake-served leaf lost its partitioning:\n${agg.queryExecution.executedPlan}")
+  }
+
+  test("regenerated corpus moves the fingerprint and misses stale artifacts") {
+    val corpus = tmpDir("lake_corpus_fp")
+    val lake = tmpDir("lake_root_fp")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    var builds = 0
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      builds += 1
+      s.read.parquet(s"$corpus/t.parquet").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    }
+    val s1 = spark.newSession()
+    s1.conf.set(Staging.LakeConfKey, lake)
+    val fp1 = Staging.corpusFingerprint(s1, corpus)
+    cache.getOrBuild(s1, corpus, "stats")(build(s1))
+    assert(builds === 1)
+
+    // regenerate the corpus in place: content (and file metadata) change
+    spark.range(300).select(col("id"), (col("id") % 7).as("k"))
+      .write.mode("overwrite").parquet(s"$corpus/t.parquet")
+    val fp2 = Staging.corpusFingerprint(s1, corpus)
+    assert(fp1 !== fp2, "fingerprint must move when the corpus is rewritten")
+
+    // a fresh session must REBUILD (new fingerprint → lake miss), not
+    // be served the stale snapshot's artifact
+    val s2 = spark.newSession()
+    s2.conf.set(Staging.LakeConfKey, lake)
+    val served = cache.getOrBuild(s2, corpus, "stats")(build(s2))
+    assert(builds === 2)
+    assert(served.head().getLong(0) === 300L)
+  }
+
+  test("no lake conf: behavior is session-local (build once per session)") {
+    val corpus = tmpDir("lake_corpus_n")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    var builds = 0
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      builds += 1
+      s.read.parquet(s"$corpus/t.parquet").agg(count(lit(1))).localCheckpoint()
+    }
+    val s1 = spark.newSession()
+    cache.getOrBuild(s1, corpus, "x")(build(s1))
+    cache.getOrBuild(s1, corpus, "x")(build(s1))
+    assert(builds === 1)
+    val s2 = spark.newSession()
+    cache.getOrBuild(s2, corpus, "x")(build(s2))
+    assert(builds === 2) // no lake → a new session rebuilds
+  }
+
+  test("pruneLake removes artifacts older than the cutoff") {
+    val corpus = tmpDir("lake_corpus_pr")
+    val lake = tmpDir("lake_root_pr")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    val s1 = spark.newSession()
+    s1.conf.set(Staging.LakeConfKey, lake)
+    cache.getOrBuild(s1, corpus, "old_idx")(
+      s1.read.parquet(s"$corpus/t.parquet").limit(5).localCheckpoint())
+    // everything is younger than 1h → nothing pruned
+    assert(Staging.pruneLake(s1, 3600 * 1000L) === 0)
+    // cutoff in the future → the artifact is "old" and goes
+    assert(Staging.pruneLake(s1, -1000L) === 1)
+    val keyDir = new java.io.File(s"$lake/v1/old_idx")
+    assert(!keyDir.exists() || keyDir.list().isEmpty)
+  }
+}
