@@ -334,6 +334,158 @@ object StreamingOps {
         OutputMode.Append(), org.apache.spark.sql.Encoders.product[UserTotal])
   }
 
+  // ------------------------------------ E16 streaming decayed counter
+
+  /** Decay window (hours): contributions older than this weigh 0. */
+  val DecayWindowH = 40
+  /** Fixed-point shift: decayed mass is held in 2^-20-unit integers. */
+  val DecayQShift = 20
+
+  case class FlowMass(site: String, h: Long, ibyt: Long)
+  case class DecayEmit(site: String, seq: Long, ref_h: Long,
+      buckets: Array[Long], n_flows: Long, raw_bytes: Long)
+  case class DecayState(refH: Long, buckets: Array[Long],
+      nFlows: Long, rawBytes: Long, seq: Long)
+
+  /** E16: per-key streaming DECAYED counter (B44's live twin) — the
+    * on-call "loud NOW" ranking maintained incrementally: per site, a
+    * bounded ring of per-hour byte sums ([[DecayWindowH]] longs) in
+    * `transformWithState` ValueState. A batch's rows merge by
+    * DECAY-THEN-ADD: when the site's max hour advances, the ring
+    * shifts (each bucket ages; the oldest falls off = decays to 0),
+    * then new mass adds into the age-0 bucket. The ring is a pure
+    * function of (max hour seen, event multiset) — shifts drop
+    * exactly the hours older than the window regardless of arrival
+    * order — so the state is BATCH-SPLIT INVARIANT (the spec's gate)
+    * and late data folds in correctly up to the window.
+    *
+    * Decay semantics are dyadic on purpose: weight(age) = 2^-age,
+    * applied at READ-OUT as integer shift arithmetic
+    * (bucket·2^(20-age), floor-divided past age 20) — exact in any
+    * engine, so the DuckDB oracle replays the ranking bit-for-bit
+    * from raw events. B44's batch exp() half-life ranking needs
+    * per-second terms for bit parity, which is exactly what a
+    * counter must NOT hold; the ring is the O(window) state that
+    * makes a decayed ranking maintainable at 100 TB/day, at the cost
+    * of hour-grain decay.
+    */
+  class DecayedCounterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FlowMass, DecayEmit] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[DecayState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DecayState]("decay",
+        org.apache.spark.sql.Encoders.product[DecayState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[FlowMass],
+        tv: TimerValues): Iterator[DecayEmit] = {
+      val s0 = if (st.exists()) st.get()
+        else DecayState(Long.MinValue, new Array[Long](DecayWindowH), 0L, 0L, 0L)
+      var refH = s0.refH
+      var buckets = s0.buckets
+      var n = s0.nFlows
+      var raw = s0.rawBytes
+      rows.foreach { r =>
+        if (r.h > refH) {
+          // decay: age every bucket by the hour delta, drop the tail
+          val d = if (refH == Long.MinValue) DecayWindowH
+            else math.min(r.h - refH, DecayWindowH.toLong).toInt
+          val shifted = new Array[Long](DecayWindowH)
+          var i = DecayWindowH - 1
+          while (i >= d) { shifted(i) = buckets(i - d); i -= 1 }
+          buckets = shifted
+          refH = r.h
+        }
+        val age = refH - r.h
+        if (age < DecayWindowH) buckets(age.toInt) += r.ibyt // else: weight 0
+        n += 1
+        raw += r.ibyt
+      }
+      st.update(DecayState(refH, buckets, n, raw, s0.seq + 1))
+      Iterator.single(DecayEmit(key, s0.seq + 1, refH, buckets, n, raw))
+    }
+  }
+
+  /** The E16 pipeline over an arbitrary prepared (site, h, ibyt)
+    * stream — split out so the spec can drive it with its own
+    * micro-batch splits.
+    */
+  private[graft] def topkDecayedFrom(
+      masses: org.apache.spark.sql.Dataset[FlowMass], name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = masses.sparkSession
+    import spark.implicits._
+    val q = masses.groupByKey(_.site)
+      .transformWithState(new DecayedCounterProcessor, TimeMode.None(),
+        OutputMode.Append(), org.apache.spark.sql.Encoders.product[DecayEmit])
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_topk_decayed")
+    // latest emission per site (seq is monotone per key), then the
+    // dyadic read-out: Σ bucket(age)·2^(20-age) in exact integers.
+    // Each site's ring is aged relative to the site's OWN last hour;
+    // the ranking ages everything to the GLOBAL current hour, so a
+    // site quiet for k hours carries k extra halvings — that "was
+    // loud, went quiet, sank" behavior is the operator's point.
+    // materialized: `last` feeds both the decayed-sum branch and the
+    // final join (self-join reference conflict otherwise), and it is
+    // key-cardinality tiny
+    val last = spark.table(name)
+      .groupBy($"site")
+      .agg(max(struct($"seq", $"ref_h", $"n_flows", $"raw_bytes", $"buckets"))
+        .as("l"))
+      .select($"site", $"l.ref_h".as("ref_h"), $"l.n_flows".as("n_flows"),
+        $"l.raw_bytes".as("raw_bytes"), $"l.buckets".as("buckets"))
+      .localCheckpoint()
+    val gmax = last.agg(max($"ref_h").as("gmax"))
+    val decayed = last.crossJoin(broadcast(gmax))
+      .select($"site", ($"gmax" - $"ref_h").as("idle"),
+        posexplode($"buckets").as(Seq("age0", "bs")))
+      .withColumn("age", $"age0" + $"idle")
+      .where($"age" < DecayWindowH)
+      .withColumn("w", expr(
+        s"""CASE WHEN age <= $DecayQShift
+           |  THEN bs * shiftleft(CAST(1 AS BIGINT), CAST($DecayQShift - age AS INT))
+           |  ELSE bs div shiftleft(CAST(1 AS BIGINT), CAST(age - $DecayQShift AS INT))
+           |END""".stripMargin))
+      .groupBy($"site").agg(sum($"w").as("d"))
+    last.join(decayed, Seq("site"), "left")
+      .select($"site", $"n_flows", $"raw_bytes",
+        coalesce($"d", lit(0L)).as("decayed_q20"))
+      .orderBy($"decayed_q20".desc, $"site")
+      .limit(10)
+  }
+
+  /** E16 graded entry: the flow stream reduced to (site, hour, bytes)
+    * mass rows — the same site/ibyt derivation as B44 — through the
+    * decayed-counter state, ranked top-10. RocksDB provider required
+    * by transformWithState (and the right backend for per-key ring
+    * state at scale).
+    */
+  def topkDecayed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_decay_${counter.incrementAndGet()}"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val masses = eventsStream(spark, dir)
+        .select(
+          concat(lit("10."), pmod(col("user_id"), lit(64))).as("site"),
+          expr("CAST(ts AS LONG) div 3600").as("h"),
+          round(col("value") * 100).cast("long").as("ibyt"))
+        .as[FlowMass]
+      topkDecayedFrom(masses, name)
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+  }
+
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -673,6 +825,7 @@ object StreamingOps {
     "stream_running_totals" -> runningTotals _,
     "stream_sessions_agg" -> sessionAgg _,
     "stream_topk" -> topKApprox _,
+    "stream_topk_decayed" -> topkDecayed _,
     "stream_decontaminate" -> decontaminate _)
 
   /** Oracle: batch tumbling-window agg, keeping only windows whose end
@@ -680,6 +833,34 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E16: the ring state's read-out replayed from raw events in pure
+    // integer arithmetic (hour buckets, dyadic shift weights) — the
+    // hash equality IS the proof the incremental decay-then-add state
+    // converges to the from-scratch computation
+    "stream_topk_decayed" -> (graft.flow.FlowAnalytics.flowsCte +
+      s""", f AS (
+         |  SELECT '10.' || (user_id % 64) AS site,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, ibyt
+         |  FROM flows),
+         |tm AS (SELECT max(h) AS hmax FROM f),
+         |st AS (
+         |  SELECT site, count(*) AS n_flows,
+         |    CAST(sum(ibyt) AS BIGINT) AS raw_bytes
+         |  FROM f GROUP BY site),
+         |b AS (
+         |  SELECT site, hmax - h AS age, CAST(sum(ibyt) AS BIGINT) AS bs
+         |  FROM f, tm WHERE hmax - h < ${DecayWindowH} GROUP BY 1, 2),
+         |d AS (
+         |  SELECT site, CAST(sum(
+         |      CASE WHEN age <= ${DecayQShift}
+         |        THEN bs * (CAST(1 AS BIGINT) << CAST(${DecayQShift} - age AS INT))
+         |        ELSE bs // (CAST(1 AS BIGINT) << CAST(age - ${DecayQShift} AS INT))
+         |      END) AS BIGINT) AS decayed_q20
+         |  FROM b GROUP BY site)
+         |SELECT st.site, n_flows, raw_bytes,
+         |  coalesce(decayed_q20, 0) AS decayed_q20
+         |FROM st LEFT JOIN d USING (site)
+         |ORDER BY decayed_q20 DESC, st.site LIMIT 10""".stripMargin),
     "stream_distinct_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound

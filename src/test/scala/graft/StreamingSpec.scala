@@ -291,4 +291,49 @@ class StreamingSpec extends SparkSpecBase {
         Option(r.getAs[String]("segment")).getOrElse("-")))
     assert(got.toSeq === Seq((1L, "gold"), (2L, "silver"), (3L, "-")))
   }
+
+  test("decayed counter is batch-split invariant (incl. late and idle keys)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // three files = three micro-batches under maxFilesPerTrigger=1.
+      // Shapes under test: "hot" loud now; "was_loud" all mass old
+      // (extra halvings at read-out); "late" delivers an OLD hour in a
+      // LATER batch (must fold into the right ring slot, not age-0);
+      // "ancient" outside the window entirely (decayed 0, still listed).
+      val h0 = 500000L // arbitrary epoch-hour base
+      val batches = Seq(
+        Seq(("hot", h0, 100L), ("was_loud", h0, 800L), ("ancient", h0 - 45, 999L)),
+        Seq(("hot", h0 + 5, 200L), ("was_loud", h0 + 1, 50L)),
+        Seq(("hot", h0 + 6, 400L), ("late", h0 + 2, 64L), ("hot", h0 + 1, 32L)))
+      val src = tmpDir("decaysrc") + "/data"
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF("site", "h", "ibyt").repartition(1)
+          .write.mode("append").parquet(src)
+      }
+      def run(filesPerTrigger: Option[Int], name: String) = {
+        val rd = spark.readStream.schema("site STRING, h LONG, ibyt LONG")
+        val stream = filesPerTrigger.fold(rd)(n =>
+          rd.option("maxFilesPerTrigger", n)).parquet(src)
+          .as[StreamingOps.FlowMass]
+        StreamingOps.topkDecayedFrom(stream, name)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+      }
+      val split = run(Some(1), "decay_split")
+      val whole = run(None, "decay_whole")
+      assert(split === whole, "decayed state differs across batch splits")
+      val m = split.map(r => r._1 -> r._4).toMap
+      // read-out semantics: hot's age-0 mass at full 2^20 weight;
+      // was_loud idle 6h → its h0+1 mass carries 5 halvings beyond its
+      // own ring age; ancient is out of window
+      assert(m("ancient") === 0L)
+      val sh = 1L << StreamingOps.DecayQShift
+      assert(m("hot") === 400L * sh + 200L * (sh >> 1) + 32L * (sh >> 5) +
+        100L * (sh >> 6))
+      assert(m("was_loud") === 50L * (sh >> 5) + 800L * (sh >> 6))
+      assert(m("late") === 64L * (sh >> 4))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
