@@ -1696,7 +1696,75 @@ object Knn {
        |ORDER BY cid""".stripMargin
   }
 
+  /** D44: inter-label centroid affinity (`emb_label_affinity`) — the
+    * class-separation audit a labeled embedding corpus needs before
+    * training on it: cosine between every pair of label centroids. A
+    * pair near 1.0 means the two classes occupy the same region — a
+    * labeling problem or a distinction the embedder can't see; near
+    * 0 means cleanly separable. Read next to D36 (within-class
+    * outliers): this is the BETWEEN-class complement.
+    *
+    * Execution at 100 TB: per-dim centroid sums are one posexplode →
+    * (label, dim) combine-heavy aggregate (the shuffle carries
+    * labels × dims partials, never vectors); everything after runs on
+    * the labels×dims table — label-pair work is |L|²·D, independent
+    * of corpus size. Determinism: centroid components are nano-
+    * quantized sums / counts (exact IEEE), pair dot/norm terms are
+    * 9-dp-rounded DECIMAL sums (order-free), one sqrt + division +
+    * final round per output row.
+    */
+  def labelAffinity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = load(spark, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x0")))
+      .select($"label", $"dim", $"x0".cast("double").as("x"))
+      .groupBy($"label", $"dim")
+      .agg(graft.Tables.qsum($"x").as("sx"), count(lit(1)).as("n"))
+      .select($"label", $"dim", ($"sx" / $"n".cast("double")).as("c"), $"n")
+    val norms = cent.groupBy($"label")
+      .agg(graft.Tables.dsum(round($"c" * $"c", 9), 9).as("nn"),
+        max($"n").as("n_members"))
+    val dots = cent.as("a")
+      .join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
+      .agg(graft.Tables.dsum(round(col("a.c") * col("b.c"), 9), 9).as("dot"))
+    dots
+      .join(broadcast(norms.select($"label".as("l1"), $"nn".as("nn1"),
+        $"n_members".as("n_1"))), "l1")
+      .join(broadcast(norms.select($"label".as("l2"), $"nn".as("nn2"),
+        $"n_members".as("n_2"))), "l2")
+      .select($"l1", $"l2", $"n_1", $"n_2",
+        round($"dot" / sqrt($"nn1" * $"nn2"), 6).as("cos_r"))
+      .orderBy($"l1", $"l2")
+  }
+
+  val labelAffinitySql: String =
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT label, pos AS dim, CAST(embedding[pos] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, ${Dim + 1}) t(pos)),
+       |cent AS MATERIALIZED (
+       |  SELECT label, dim,
+       |    ${graft.Tables.qsumSql("x")} / CAST(count(*) AS DOUBLE) AS c,
+       |    count(*) AS n
+       |  FROM ex GROUP BY label, dim),
+       |norms AS (
+       |  SELECT label,
+       |    CAST(sum(CAST(round(c * c, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS nn,
+       |    CAST(max(n) AS BIGINT) AS n_members
+       |  FROM cent GROUP BY label),
+       |dots AS (
+       |  SELECT a.label AS l1, b.label AS l2,
+       |    CAST(sum(CAST(round(a.c * b.c, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS dot
+       |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT l1, l2, n1.n_members AS n_1, n2.n_members AS n_2,
+       |  round(dot / sqrt(n1.nn * n2.nn), 6) AS cos_r
+       |FROM dots JOIN norms n1 ON n1.label = l1 JOIN norms n2 ON n2.label = l2
+       |ORDER BY l1, l2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_label_affinity" -> labelAffinity _,
     "ann_cluster_purity" -> clusterPurity _,
     "ann_recall_eval" -> annRecallEval _,
     "knn_join" -> knnJoin _,
@@ -1717,6 +1785,7 @@ object Knn {
     "emb_quantize" -> embQuantize _)
 
   val oracleSql: Map[String, String] = Map(
+    "emb_label_affinity" -> labelAffinitySql,
     "ann_cluster_purity" -> clusterPuritySql,
     "ann_recall_eval" -> annRecallEvalSql,
     "knn_join" -> knnJoinSql,

@@ -1602,7 +1602,42 @@ object FlowAnalytics {
       .orderBy($"site")
   }
 
+  /** B47: traffic-concentration Gini coefficient per protocol — the
+    * one-number inequality summary behind every "is this DDoS or just
+    * big?" triage call: G ≈ 0 means bytes spread evenly over sources,
+    * G → 1 means a handful of talkers own the volume. Computed by the
+    * exact rank formula G = 2·Σᵢ rᵢ·xᵢ / (n·Σx) − (n+1)/n over
+    * per-source byte totals ranked ascending with a (bytes, sa) total
+    * order, so ties can't reorder between engines. All sums are
+    * integer (ibyt is a long) — the only floating-point ops are two
+    * IEEE divisions and one subtraction per output row, rounded once.
+    *
+    * Scale: the per-source rollup shuffles on (pr, sa) with map-side
+    * combine; the ranking is a per-protocol sort of source-cardinality
+    * rows (bounded by live address space, ≪ flow count — sort-spill
+    * territory, not a scale killer; the unbounded-cardinality path is
+    * a KLL-sketch Lorenz-curve approximation per B29's machinery).
+    */
+  def bytesGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perHost = asFlows(spark, dir)
+      .groupBy($"pr", $"sa").agg(sum($"ibyt").as("x"))
+    val w = Window.partitionBy($"pr").orderBy($"x", $"sa")
+    perHost
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy($"pr")
+      .agg(count(lit(1)).as("n_hosts"),
+        sum($"x").as("total_bytes"),
+        sum($"r" * $"x").as("rx"))
+      .select($"pr", $"n_hosts", $"total_bytes",
+        round(($"rx" * 2).cast("double") / ($"n_hosts" * $"total_bytes").cast("double")
+          - ($"n_hosts" + lit(1)).cast("double") / $"n_hosts".cast("double"), 6)
+          .as("gini_r"))
+      .orderBy($"pr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_bytes_gini" -> bytesGini _,
     "flow_flag_profile" -> flagProfile _,
     "flow_topk_decayed" -> topkDecayed _,
     "flow_burstiness" -> burstiness _,
@@ -1707,6 +1742,23 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_bytes_gini" -> (flowsCte +
+      """, ph AS (
+        |  SELECT pr, sa, CAST(sum(ibyt) AS BIGINT) AS x
+        |  FROM flows GROUP BY pr, sa),
+        |rk AS (
+        |  SELECT pr, x,
+        |    CAST(row_number() OVER (PARTITION BY pr ORDER BY x, sa) AS BIGINT) AS r
+        |  FROM ph),
+        |ag AS (
+        |  SELECT pr, count(*) AS n_hosts,
+        |    CAST(sum(x) AS BIGINT) AS total_bytes,
+        |    CAST(sum(r * x) AS BIGINT) AS rx
+        |  FROM rk GROUP BY pr)
+        |SELECT pr, n_hosts, total_bytes,
+        |  round(CAST(rx * 2 AS DOUBLE) / CAST(n_hosts * total_bytes AS DOUBLE)
+        |    - CAST(n_hosts + 1 AS DOUBLE) / CAST(n_hosts AS DOUBLE), 6) AS gini_r
+        |FROM ag ORDER BY pr""".stripMargin),
     "flow_flag_profile" -> (flowsCte +
       """SELECT '10.' || (user_id % 64) AS site, count(*) AS n_flows,
         |  count(CASE WHEN contains(flg, 'S') THEN 1 END) AS n_syn,

@@ -797,7 +797,49 @@ object GraphOps {
         |    AS assortativity_r
         |FROM m""".stripMargin
 
+  /** B48: edge reciprocity (`graph_reciprocity`) — the fraction of
+    * directed links answered in the opposite direction, the classic
+    * one-scalar probe for whether a communication graph is
+    * request/response (high) or broadcast/scan-like (low). Measured
+    * on the site-to-site graph (source site `user_id % 64` → target
+    * site `k % 64` — the ONE derived axis whose two endpoints share a
+    * namespace, so reverse edges can exist at all; self-loops are
+    * excluded as vacuously reciprocal). Execution: distinct edges,
+    * then a LEFT SEMI self-join on the swapped key — edge-cardinality
+    * inputs on both sides (≪ flow count), one hash join, counts only;
+    * the single double division is rounded once.
+    */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val e = stagedGraph(spark, dir, "site_edges")(stage(
+      flows.select(pmod($"user_id", lit(64)).as("s"), pmod($"k", lit(64)).as("d"))
+        .where($"s" =!= $"d").distinct()))
+    val recip = e.as("a")
+      .join(e.as("b"), col("a.s") === col("b.d") && col("a.d") === col("b.s"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip))
+      .select($"n_edges", $"n_recip",
+        round($"n_recip".cast("double") / $"n_edges".cast("double"), 6)
+          .as("recip_ratio_r"))
+  }
+
+  val reciprocitySql: String =
+    FlowAnalytics.flowsCte +
+      """, e AS (SELECT DISTINCT (user_id % 64) AS s, (k % 64) AS d
+        |       FROM flows WHERE (user_id % 64) <> (k % 64)),
+        |r AS (SELECT count(*) AS n_recip FROM e a
+        |      WHERE EXISTS (SELECT 1 FROM e b WHERE b.s = a.d AND b.d = a.s)),
+        |n AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_edges, n_recip,
+        |  round(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+        |    AS recip_ratio_r
+        |FROM n, r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_reciprocity" -> reciprocity _,
     "graph_modularity" -> modularity _,
     "graph_assortativity" -> assortativity _,
     "flow_pagerank" -> flowPagerank _,
@@ -807,6 +849,7 @@ object GraphOps {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_reciprocity" -> reciprocitySql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "flow_pagerank" -> flowPagerankSql,

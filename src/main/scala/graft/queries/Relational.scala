@@ -966,7 +966,107 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** C39: TPC-H Q6 shape — the scan-dominant single-pass filter +
+    * aggregate that benchmarks predicate pushdown end to end: every
+    * predicate reaches the parquet scan (`PushedFilters` on shipdate/
+    * discount/quantity), the projection is 3 columns, and the
+    * aggregate is one partial/final pair with no grouping key. At
+    * 100 TB this is the query whose cost IS the I/O — any plan
+    * regression (lost pushdown, wide ReadSchema) shows up here first.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+             $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+             $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+             $"l_quantity" < 24)
+      .agg(dsum(dec($"l_extendedprice") * dec($"l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** C40: TPC-H Q4 shape — order-priority counts over an EXISTS
+    * (late-shipped line) predicate: a left-semi join whose condition
+    * mixes the equi key with a non-equi cross-table comparison. Spark
+    * plans the equi part as the hash-join key and evaluates the date
+    * comparison as a join residual — the orders side shuffles once on
+    * orderkey, and the priority rollup is a 5-group aggregate.
+    */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+    val li = load(spark, dir, "lineitem")
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** C41: TPC-H Q13 shape — the customer-distribution double
+    * aggregation: orders-per-customer via a LEFT join (customers with
+    * zero orders must survive as count 0), then customers-per-count.
+    * The first aggregate shuffles on custkey; the second input is
+    * customer-cardinality and the histogram fits in one stage.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = load(spark, dir, "customer")
+    val ord = load(spark, dir, "orders")
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** C42: last-touch attribution — every purchase is credited to the
+    * user's most recent PRECEDING non-purchase event (the marketing
+    * twin of the security funnel queries): one pass over events
+    * ordered by (ts, event_id) per user, `last(..., ignoreNulls)`
+    * over a rows-frame ending 1 PRECEDING carries the latest
+    * qualifying channel forward without a self-join. Latencies stay
+    * in integer microseconds end to end (sum is exact; the single
+    * rounded division happens once per output row), so the oracle
+    * replays bit-identically with no libm in sight.
+    *
+    * Scale: one shuffle on user_id for the window sort; the
+    * attribution rollup is a 4-group aggregate. The self-join
+    * formulation this replaces (purchases × prior events) is
+    * quadratic in a hot user's event count; the window form is the
+    * linear shape.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val att = ev
+      .withColumn("att_channel",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(w))
+      .withColumn("att_us",
+        last(when($"event_type" =!= "purchase", unix_micros($"ts".cast("timestamp"))),
+          ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase" && $"att_channel".isNotNull)
+    att.groupBy($"att_channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(unix_micros($"ts".cast("timestamp")) - $"att_us").as("sum_latency_us"))
+      .select($"att_channel", $"n_purchases", $"sum_latency_us",
+        round($"sum_latency_us".cast("double") / $"n_purchases".cast("double") / lit(1e6), 6)
+          .as("avg_latency_s"))
+      .orderBy($"att_channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_revenue" -> q6Revenue _,
+    "q4_late_orders" -> q4LateOrders _,
+    "q13_cust_dist" -> q13CustDist _,
+    "events_attribution" -> eventsAttribution _,
     "mv_incremental_refresh" -> mvIncrementalRefresh _,
     "join_salted_skew" -> joinSaltedSkew _,
     "cust_rfm" -> custRfm _,
@@ -1011,6 +1111,49 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "q6_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |    * CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "events_attribution" ->
+      """WITH att AS (
+        |  SELECT event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS att_channel,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS att_us
+        |  FROM events)
+        |SELECT att_channel, count(*) AS n_purchases,
+        |  CAST(sum(epoch_us(ts) - att_us) AS BIGINT) AS sum_latency_us,
+        |  round(CAST(CAST(sum(epoch_us(ts) - att_us) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS avg_latency_s
+        |FROM att
+        |WHERE event_type = 'purchase' AND att_channel IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the DIRECT full aggregation: hash-equality proves the
     // incremental partition refresh converges to the full recompute
     "mv_incremental_refresh" ->

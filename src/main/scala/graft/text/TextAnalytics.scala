@@ -1810,7 +1810,71 @@ object TextAnalytics {
        |FROM rk JOIN share ON share.source = rk.source
        |ORDER BY vt_r, rk.source, doc_id""".stripMargin
 
+  /** D43 pair support floor — pairs seen in fewer docs don't rank. */
+  val CoocMinDf = 20
+  val CoocMinPair = 5
+  val CoocTopN = 50
+
+  /** D43: token co-occurrence lift (`text_cooc_lift`) — the
+    * association-mining view of the corpus: for token pairs that
+    * share documents, lift = P(a,b) / (P(a)·P(b)) expressed as the
+    * exact integer ratio n_ab·N / (n_a·n_b) — no logarithm, so no
+    * libm anywhere (the PMI ordering is the log of this ratio and
+    * log is monotone: ranking by lift IS ranking by PMI).
+    *
+    * Execution shape at 100 TB: document-frequency floor first (the
+    * vocabulary-sized df table is broadcast), so the within-doc
+    * self-join only fans out FREQUENT tokens — the per-doc pair count
+    * is bounded by (frequent tokens per doc)², and a min-support
+    * HAVING prunes the pair table before it reaches the final top-N
+    * heap (TakeOrderedAndProject). The corpus itself is touched
+    * twice, map-only both times.
+    */
+  def coocLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .distinct()
+    val nd = load(spark, dir, "documents").agg(count(lit(1)).as("nd"))
+    val df = toks.groupBy($"w").agg(count(lit(1)).as("nw"))
+      .where($"nw" >= CoocMinDf)
+    val ft = toks.join(broadcast(df), "w")
+    ft.as("a").join(ft.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"),
+        col("a.nw").as("n_a"), col("b.nw").as("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where($"n_ab" >= CoocMinPair)
+      .crossJoin(broadcast(nd))
+      .select($"w1", $"w2", $"n_a", $"n_b", $"n_ab",
+        round(($"n_ab" * $"nd").cast("double") / ($"n_a" * $"n_b").cast("double"), 6)
+          .as("lift_r"))
+      .orderBy($"lift_r".desc, $"w1", $"w2")
+      .limit(CoocTopN)
+  }
+
+  val coocLiftSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |nd AS (SELECT count(*) AS nd FROM documents),
+       |df AS (SELECT w, count(*) AS nw FROM toks GROUP BY w
+       |       HAVING count(*) >= $CoocMinDf),
+       |ft AS (SELECT t.doc_id, t.w, df.nw FROM toks t JOIN df USING (w)),
+       |pairs AS (
+       |  SELECT a.w AS w1, b.w AS w2, a.nw AS n_a, b.nw AS n_b,
+       |    count(*) AS n_ab
+       |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $CoocMinPair)
+       |SELECT w1, w2, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_ab AS BIGINT) AS n_ab,
+       |  round(CAST(n_ab * (SELECT nd FROM nd) AS DOUBLE)
+       |    / CAST(n_a * n_b AS DOUBLE), 6) AS lift_r
+       |FROM pairs
+       |ORDER BY lift_r DESC, w1, w2 LIMIT $CoocTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cooc_lift" -> coocLift _,
     "corpus_interleave" -> interleave _,
     "text_bpe_fertility" -> bpeFertility _,
     "text_langid_eval" -> langIdEval _,
@@ -1871,6 +1935,7 @@ object TextAnalytics {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_cooc_lift" -> coocLiftSql,
     "corpus_interleave" -> interleaveSql,
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_langid_eval" -> langIdEvalSql,
