@@ -143,6 +143,97 @@ object GraphSearch {
          |FROM deg d LEFT JOIN mh ON mh.node = d.node
          |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------- B49 closeness
+
+  /** B49: seeded closeness + harmonic centrality
+    * (`graph_closeness`) — "how central are the hubs, numerically":
+    * for each of the [[BfsSeeds]] top-degree seeds, exact closeness
+    * C = (r−1)/Σd and harmonic H = Σ 1/d over its BFS ball. The
+    * per-SEED sweep is the production shape for centrality at scale —
+    * exact all-nodes closeness is O(V·E) and nobody runs it; sampled
+    * seed sets (here: the degree top-K) are the standard estimator
+    * (Eppstein–Wang). Execution is B23's delta iteration with the
+    * frontier keyed by (seed, node): per-round work proportional to
+    * the union of the K frontiers, every join on the staged hash(src)
+    * edge table.
+    *
+    * Determinism: distances are exact integers; Σd and the reach
+    * count are integer aggregates; closeness is ONE rounded division.
+    * Harmonic sums 1/d in FIXED-POINT integer arithmetic —
+    * count_d · (10⁹ div d) summed as longs (the truncation is part of
+    * the metric's definition here, identical in both engines) — so no
+    * float addition order exists at all.
+    */
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val ue = flows.select(concat(lit("u:"), $"user_id").as("src"), $"da".as("dst"))
+    val edges = ue.union(ue.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val eSrc = materialize(edges.repartition($"src"))
+    val deg = materialize(
+      eSrc.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")))
+    val seeds = deg.orderBy($"deg".desc, $"node").limit(BfsSeeds)
+      .select($"node".as("seed"))
+    var frontier = materialize(seeds.select($"seed", $"seed".as("node"), lit(0).as("hop")))
+    val layers = ArrayBuffer(frontier)
+    var hop = 0
+    var done = frontier.count() == 0L
+    while (!done) {
+      hop += 1
+      if (hop > BfsHopCap)
+        throw new IllegalStateException(
+          s"closeness frontier still live after $BfsHopCap hops — raise the cap " +
+            "(the oracle recursion bound must move with it)")
+      val seen = layers.map(_.select($"seed", $"node")).reduce(_ unionAll _)
+      val next = materialize(
+        eSrc.join(frontier.select($"seed", $"node".as("src")), "src")
+          .select($"seed", $"dst".as("node")).distinct()
+          .join(seen, Seq("seed", "node"), "left_anti")
+          .select($"seed", $"node", lit(hop).as("hop")))
+      if (next.count() == 0L) { release(next); done = true }
+      else { layers += next; frontier = next }
+    }
+    val reached = layers.map(_.select($"seed", $"hop")).reduce(_ unionAll _)
+    reached.where($"hop" > 0)
+      .groupBy($"seed", $"hop").agg(count(lit(1)).as("nd"))
+      .groupBy($"seed")
+      .agg(sum($"nd").as("n_reached"),
+        sum($"hop" * $"nd").as("sum_dist"),
+        sum($"nd" * expr("CAST(1000000000 AS BIGINT) div hop")).as("harmonic_q9"))
+      .select($"seed", $"n_reached", $"sum_dist", $"harmonic_q9",
+        round($"n_reached".cast("double") / $"sum_dist".cast("double"), 9)
+          .as("closeness_r"))
+      .orderBy($"seed")
+  }
+
+  val closenessSql: String =
+    FlowAnalytics.flowsCte.replace(
+      "WITH flows AS (", "WITH RECURSIVE flows AS MATERIALIZED (") +
+      s""", edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT 'u:' || user_id AS src, da AS dst FROM flows
+         |    UNION ALL SELECT da AS src, 'u:' || user_id AS dst FROM flows)),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS MATERIALIZED (
+         |  SELECT node AS seed FROM deg ORDER BY deg DESC, node LIMIT $BfsSeeds),
+         |reach(seed, node, hop) AS (
+         |  SELECT seed, seed, 0 FROM seeds
+         |  UNION
+         |  SELECT r.seed, e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.node
+         |  WHERE r.hop < $BfsHopCap),
+         |mh AS MATERIALIZED (
+         |  SELECT seed, node, min(hop) AS hop FROM reach GROUP BY seed, node),
+         |hd AS (
+         |  SELECT seed, hop, count(*) AS nd FROM mh WHERE hop > 0
+         |  GROUP BY seed, hop)
+         |SELECT seed, CAST(sum(nd) AS BIGINT) AS n_reached,
+         |  CAST(sum(hop * nd) AS BIGINT) AS sum_dist,
+         |  CAST(sum(nd * (1000000000 // hop)) AS BIGINT) AS harmonic_q9,
+         |  round(CAST(CAST(sum(nd) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(hop * nd) AS BIGINT) AS DOUBLE), 9) AS closeness_r
+         |FROM hd GROUP BY seed ORDER BY seed""".stripMargin
+
   // -------------------------------------------------------------- B24 k-core
 
   /** B24: k-core decomposition (`graph_kcore`) — the maximal subgraph
@@ -423,12 +514,14 @@ object GraphSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_closeness" -> closeness _,
     "graph_bfs_hops" -> bfsHops _,
     "graph_kcore" -> kcore _,
     "graph_sssp" -> sssp _,
     "graph_link_jaccard" -> linkJaccard _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_closeness" -> closenessSql,
     "graph_bfs_hops" -> bfsHopsSql,
     "graph_kcore" -> kcoreSql,
     "graph_sssp" -> ssspSql,

@@ -486,6 +486,123 @@ object StreamingOps {
     }
   }
 
+  // ------------------------------------ E17 streaming EWMA forecaster
+
+  case class ProtoMass(pr: String, h: Long, ibyt: Long)
+  case class EwmaEmit(pr: String, seq: Long, ref_h: Long, ring: Array[Long])
+  case class EwmaState(refH: Long, ring: Array[Long], seq: Long)
+
+  /** E17: streaming EWMA surge forecaster — B26's live twin, the same
+    * shape as E16's decayed counter: per protocol, the last
+    * [[graft.flow.FlowAnalytics.EwmaLags]] hourly byte volumes in a
+    * `transformWithState` ring (shift on hour advance, add into the
+    * age-0 slot). The ring is a pure function of (max hour, event
+    * multiset) — batch-split invariant, late data folds in up to the
+    * window — and the READ-OUT applies B26's truncated-EWMA weights
+    * to the ring slots in the same fixed left-associative order the
+    * batch operator and the oracle use, so the forecast for the
+    * NEXT hour hash-matches a from-scratch replay. State is
+    * O(lags) longs per key: the bounded-memory form that runs
+    * forever at 100 TB/day, where B26 is the backfill/batch form.
+    */
+  class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ProtoMass, EwmaEmit] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    private val Lags = graft.flow.FlowAnalytics.EwmaLags
+    @transient private var st: ValueState[EwmaState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ProtoMass],
+        tv: TimerValues): Iterator[EwmaEmit] = {
+      val s0 = if (st.exists()) st.get()
+        else EwmaState(Long.MinValue, new Array[Long](Lags), 0L)
+      var refH = s0.refH
+      var ring = s0.ring
+      rows.foreach { r =>
+        if (r.h > refH) {
+          val d = if (refH == Long.MinValue) Lags
+            else math.min(r.h - refH, Lags.toLong).toInt
+          val shifted = new Array[Long](Lags)
+          var i = Lags - 1
+          while (i >= d) { shifted(i) = ring(i - d); i -= 1 }
+          ring = shifted
+          refH = r.h
+        }
+        val age = refH - r.h
+        if (age < Lags) ring(age.toInt) += r.ibyt // older: outside the window
+      }
+      st.update(EwmaState(refH, ring, s0.seq + 1))
+      Iterator.single(EwmaEmit(key, s0.seq + 1, refH, ring))
+    }
+  }
+
+  /** The E17 pipeline over a prepared (pr, h, ibyt) stream — split out
+    * so the spec can drive it with its own micro-batch splits.
+    */
+  private[graft] def ewmaForecastFrom(
+      masses: org.apache.spark.sql.Dataset[ProtoMass], name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = masses.sparkSession
+    import spark.implicits._
+    val q = masses.groupByKey(_.pr)
+      .transformWithState(new EwmaProcessor, TimeMode.None(),
+        OutputMode.Append(), org.apache.spark.sql.Encoders.product[EwmaEmit])
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_ewma_forecast")
+    val last = spark.table(name)
+      .groupBy($"pr")
+      .agg(max(struct($"seq", $"ref_h", $"ring")).as("l"))
+      .select($"pr", $"l.ref_h".as("ref_h"), $"l.ring".as("ring"))
+    // read-out: ring slot j−1 holds the volume of hour ref_h+1−j (lag
+    // j of the NEXT hour). Present = vol > 0; weights/num/den in the
+    // same fixed left-associative order as B26 and the oracle.
+    val lags = (1 to graft.flow.FlowAnalytics.EwmaLags)
+      .map(j => element_at($"ring", j))
+    val wts = graft.flow.FlowAnalytics.EwmaWeights
+    val num = lags.zip(wts).map { case (v, wt) =>
+      lit(wt) * when(v > 0L, v.cast("double")).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = lags.zip(wts).map { case (v, wt) =>
+      when(v > 0L, lit(wt)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val nBase = lags.map(v => when(v > 0L, 1L).otherwise(0L)).reduceLeft(_ + _)
+    last
+      .withColumn("n_base", nBase)
+      .where($"n_base" >= 12)
+      .select($"pr", ($"ref_h" + 1).as("next_h"), $"n_base",
+        round(num / den, 6).as("forecast_r"))
+      .orderBy($"pr")
+  }
+
+  /** E17 graded entry: the flow stream reduced to (pr, hour, bytes)
+    * through the EWMA ring, forecasting each protocol's next hour.
+    */
+  def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_ewma_${counter.incrementAndGet()}"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val masses = eventsStream(spark, dir)
+        .select(upper(col("event_type")).as("pr"),
+          expr("CAST(ts AS LONG) div 3600").as("h"),
+          round(col("value") * 100).cast("long").as("ibyt"))
+        .as[ProtoMass]
+      ewmaForecastFrom(masses, name)
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+  }
+
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -815,6 +932,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ewma_forecast" -> ewmaForecast _,
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
     "stream_value_quantiles" -> valueQuantiles _,
@@ -833,6 +951,37 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E17: the EWMA ring's read-out replayed from raw events — per-pr
+    // hourly volumes pivoted to the 24 lag slots of the NEXT hour,
+    // weights/num/den in the same left-associative order as B26
+    "stream_ewma_forecast" -> {
+      val wts = graft.flow.FlowAnalytics.EwmaWeights
+      val lags = 1 to graft.flow.FlowAnalytics.EwmaLags
+      val piv = lags.map(j =>
+        s"max(CASE WHEN h = hmax + 1 - $j THEN vol END) AS v$j").mkString(",\n    ")
+      val num = lags.zip(wts).map { case (j, wt) =>
+        s"CAST('$wt' AS DOUBLE) * CASE WHEN v$j > 0 THEN CAST(v$j AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+      }.mkString(" + ")
+      val den = lags.zip(wts).map { case (j, wt) =>
+        s"CASE WHEN v$j > 0 THEN CAST('$wt' AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+      }.mkString(" + ")
+      val nb = lags.map(j => s"CASE WHEN v$j > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      graft.flow.FlowAnalytics.flowsCte +
+        s""", f AS (
+           |  SELECT pr, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, ibyt
+           |  FROM flows),
+           |hv AS (SELECT pr, h, CAST(sum(ibyt) AS BIGINT) AS vol
+           |       FROM f GROUP BY pr, h),
+           |tm AS (SELECT pr, max(h) AS hmax FROM hv GROUP BY pr),
+           |piv AS (
+           |  SELECT hv.pr, max(hmax) AS hmax,
+           |    $piv
+           |  FROM hv JOIN tm USING (pr) GROUP BY hv.pr)
+           |SELECT pr, hmax + 1 AS next_h,
+           |  CAST($nb AS BIGINT) AS n_base,
+           |  round(($num) / ($den), 6) AS forecast_r
+           |FROM piv WHERE $nb >= 12 ORDER BY pr""".stripMargin
+    },
     // E16: the ring state's read-out replayed from raw events in pure
     // integer arithmetic (hour buckets, dyadic shift weights) — the
     // hash equality IS the proof the incremental decay-then-add state

@@ -336,4 +336,55 @@ class StreamingSpec extends SparkSpecBase {
       assert(m("late") === 64L * (sh >> 4))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming EWMA ring is batch-split invariant and matches a from-scratch replay") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val h0 = 600000L
+      // key A: 15 present baseline hours (≥ the 12-bucket gate), one
+      // GAP hour, a LATE row for an old hour in the last batch; key B:
+      // too sparse — must be filtered by the n_base gate.
+      val rows = (1 to 10).map(j => ("A", h0 + j, 10L * j)) ++
+        Seq(("A", h0 + 12, 77L), ("B", h0 + 3, 5L))
+      val rows2 = (13 to 16).map(j => ("A", h0 + j, 7L * j)) ++ Seq(("B", h0 + 9, 5L))
+      val rows3 = Seq(("A", h0 + 17, 123L), ("A", h0 + 2, 1000L)) // late old hour
+      val batches = Seq(rows, rows2, rows3)
+      val src = tmpDir("ewmasrc") + "/data"
+      batches.foreach { b =>
+        b.toDF("pr", "h", "ibyt").repartition(1)
+          .write.mode("append").parquet(src)
+      }
+      def run(filesPerTrigger: Option[Int], name: String) = {
+        val rd = spark.readStream.schema("pr STRING, h LONG, ibyt LONG")
+        val stream = filesPerTrigger.fold(rd)(n =>
+          rd.option("maxFilesPerTrigger", n)).parquet(src)
+          .as[StreamingOps.ProtoMass]
+        StreamingOps.ewmaForecastFrom(stream, name)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      }
+      val split = run(Some(1), "ewma_split")
+      val whole = run(None, "ewma_whole")
+      assert(split === whole, "EWMA ring differs across batch splits")
+      // from-scratch replay: hourly sums for A, lags of hour hmax+1,
+      // present = vol > 0, weights in the same left-to-right order
+      val all = batches.flatten.filter(_._1 == "A")
+      val hourly = all.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val hmax = hourly.keys.max
+      val wts = graft.flow.FlowAnalytics.EwmaWeights
+      var num = 0.0; var den = 0.0; var nb = 0L
+      (1 to graft.flow.FlowAnalytics.EwmaLags).foreach { j =>
+        val v = hourly.getOrElse(hmax + 1 - j, 0L)
+        num += (if (v > 0) wts(j - 1) * v.toDouble else 0.0)
+        den += (if (v > 0) wts(j - 1) else 0.0)
+        if (v > 0) nb += 1
+      }
+      val expect = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(split.map(_._1) === Seq("A"), "sparse key B must not pass the n_base gate")
+      assert(split.head === (("A", hmax + 1, nb, expect)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
