@@ -628,8 +628,14 @@ object FlowAnalytics {
       .withColumn("cv_r",
         when($"mean_us" === 0d, lit(null).cast("double"))
           .otherwise(round(sqrt($"var_us") / $"mean_us", 6)))
+      // mean gap to 6 dp via exact integer HALF_UP — round(s/(n·1e6), 6)
+      // is round(s/n)/1e6, and s/n can land EXACTLY on a .5 µs
+      // half-tie (measured at sf0.1: one n=5 group flipped the 6th dp
+      // between engines' float round); (2s+n) div 2n has no float
+      // rounding at all
       .select($"user_id", $"da", ($"n_gaps" + 1).as("n_flows"),
-        round($"mean_us" / 1e6, 6).as("mean_gap_s"), $"cv_r")
+        (expr("(2 * s + n_gaps) div (2 * n_gaps)").cast("double") / 1e6)
+          .as("mean_gap_s"), $"cv_r")
       .orderBy($"cv_r", $"user_id", $"da")
   }
 
@@ -2054,14 +2060,14 @@ object FlowAnalytics {
          |  GROUP BY user_id, da
          |  HAVING count(*) >= ${BeaconMinFlows - 1}),
          |m AS (
-         |  SELECT user_id, da, n_gaps,
+         |  SELECT user_id, da, n_gaps, s,
          |    CAST(s AS DOUBLE) / n_gaps AS mean_us,
          |    greatest(CAST(s2 AS DOUBLE) / n_gaps
          |      - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps),
          |      0.0) AS var_us
          |  FROM agg)
          |SELECT user_id, da, n_gaps + 1 AS n_flows,
-         |  round(mean_us / 1e6, 6) AS mean_gap_s,
+         |  CAST((2 * s + n_gaps) // (2 * n_gaps) AS DOUBLE) / 1e6 AS mean_gap_s,
          |  CASE WHEN mean_us = 0 THEN NULL
          |    ELSE round(sqrt(var_us) / mean_us, 6) END AS cv_r
          |FROM m ORDER BY cv_r, user_id, da""".stripMargin),

@@ -765,13 +765,21 @@ object GraphOps {
         sum($"xd").as("sx"), sum($"yd").as("sy"),
         sum($"xd" * $"xd").as("sxx"), sum($"yd" * $"yd").as("syy"),
         sum($"xd" * $"yd").as("sxy"))
+      // degenerate guard: when either endpoint's degree is constant
+      // (a SATURATED bipartite site graph — every src talks to every
+      // dst, which sf0.1 reaches), the variance term is 0 and the
+      // correlation is undefined: NULL, not a divide-by-zero (ANSI
+      // mode throws; DuckDB's double division would emit inf/nan)
       .select($"m",
-        round(($"m".cast("double") * $"sxy".cast("double") -
-            $"sx".cast("double") * $"sy".cast("double")) /
-          sqrt(($"m".cast("double") * $"sxx".cast("double") -
-              $"sx".cast("double") * $"sx".cast("double")) *
-            ($"m".cast("double") * $"syy".cast("double") -
-              $"sy".cast("double") * $"sy".cast("double"))), 6)
+        when(($"m" * $"sxx" - $"sx" * $"sx") * ($"m" * $"syy" - $"sy" * $"sy") <= 0,
+          lit(null).cast("double"))
+          .otherwise(
+            round(($"m".cast("double") * $"sxy".cast("double") -
+                $"sx".cast("double") * $"sy".cast("double")) /
+              sqrt(($"m".cast("double") * $"sxx".cast("double") -
+                  $"sx".cast("double") * $"sx".cast("double")) *
+                ($"m".cast("double") * $"syy".cast("double") -
+                  $"sy".cast("double") * $"sy".cast("double"))), 6))
           .as("assortativity_r"))
   }
 
@@ -788,13 +796,14 @@ object GraphOps {
         |    sum(yd * yd) AS syy, sum(xd * yd) AS sxy
         |  FROM e JOIN od USING (src) JOIN id USING (dst))
         |SELECT m,
-        |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-        |    AS assortativity_r
+        |  CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) <= 0 THEN NULL
+        |    ELSE round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS assortativity_r
         |FROM m""".stripMargin
 
   /** B48: edge reciprocity (`graph_reciprocity`) — the fraction of

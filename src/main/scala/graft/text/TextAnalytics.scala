@@ -1447,23 +1447,31 @@ object TextAnalytics {
     * cut at the ⅓ and ⅔ quantiles of the D9e unigram surprisal, and
     * downstream mixtures sample the buckets at different rates.
     * Reuses [[unigramLogprob]]'s scoring pass verbatim (shared code,
-    * shared oracle CTEs); the thresholds are a lang-sized exact
-    * quantile aggregate BROADCAST back — at 100 TB the cut costs one
-    * corpus scoring pass plus a per-lang percentile over doc-level
-    * scores (docs-sized, not token-sized). Boundary rule is
-    * `score ≤ t` on the 6-dp-rounded score both engines share, so
-    * bucket assignment can't straddle an ulp.
+    * shared oracle CTEs). The cut is by exact RANK TERTILES over the
+    * (nll_r, doc_id) total order — 3·rank ≤ n / ≤ 2n in integer
+    * arithmetic — NOT by interpolated quantile thresholds:
+    * `quantile_cont`/`percentile` interpolation is ulp-sensitive in
+    * the index arithmetic, and a threshold one ulp off flips every
+    * document whose rounded score ties it (measured: two sf0.1 'es'
+    * docs flipped head↔middle under the threshold form). Rank
+    * tertiles are the same stratification with no float comparison
+    * anywhere, and the doc_id tiebreak makes equal scores split
+    * deterministically. At 100 TB the rank is one per-lang sort of
+    * doc-level scores (docs-sized, not token-sized).
     */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = unigramLogprob(spark, dir)
       .join(load(spark, dir, "documents").select($"doc_id", $"lang"), "doc_id")
-    val th = scored.groupBy($"lang")
-      .agg(percentile($"nll_r", typedLit(Seq(1.0 / 3, 2.0 * (1.0 / 3)))).as("t"))
-    scored.join(broadcast(th), "lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"nll_r", $"doc_id")
+    val n = scored.groupBy($"lang").agg(count(lit(1)).as("n"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(n), "lang")
       .select($"doc_id", $"lang", $"n_tokens", $"nll_r",
-        when($"nll_r" <= element_at($"t", 1), "head")
-          .when($"nll_r" <= element_at($"t", 2), "middle")
+        when($"rn" * 3 <= $"n", "head")
+          .when($"rn" * 3 <= $"n" * 2, "middle")
           .otherwise("tail").as("bucket"))
       .orderBy($"doc_id")
   }
@@ -1475,16 +1483,16 @@ object TextAnalytics {
        |wl AS (
        |  SELECT s.doc_id, d.lang, s.n_tokens, s.nll_r
        |  FROM sc s JOIN documents d USING (doc_id)),
-       |th AS (
-       |  SELECT lang,
-       |    quantile_cont(nll_r, CAST(1 AS DOUBLE) / 3) AS t1,
-       |    quantile_cont(nll_r, 2 * (CAST(1 AS DOUBLE) / 3)) AS t2
-       |  FROM wl GROUP BY lang)
+       |rk AS (
+       |  SELECT doc_id, lang, n_tokens, nll_r,
+       |    row_number() OVER (PARTITION BY lang ORDER BY nll_r, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM wl)
        |SELECT doc_id, lang, n_tokens, nll_r,
-       |  CASE WHEN nll_r <= t1 THEN 'head'
-       |       WHEN nll_r <= t2 THEN 'middle'
+       |  CASE WHEN rn * 3 <= n THEN 'head'
+       |       WHEN rn * 3 <= n * 2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
-       |FROM wl JOIN th USING (lang) ORDER BY doc_id""".stripMargin
+       |FROM rk ORDER BY doc_id""".stripMargin
   }
 
   // ----------------------------------------------- D39 n-gram novelty
