@@ -1062,7 +1062,108 @@ object Relational {
       .orderBy($"att_channel")
   }
 
+  /** C43: TPC-H Q7 shape — bilateral trade volume: revenue between a
+    * nation PAIR in both directions, by supplier nation × customer
+    * nation × ship year. Exercises the double-dimension join (the
+    * fact joins nation twice through different paths) with a
+    * disjunctive cross-table pair predicate evaluated AFTER both
+    * broadcast joins. Fact-side shuffles: orderkey only; every
+    * dimension is broadcast.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = load(spark, dir, "nation")
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))
+    val n2 = load(spark, dir, "nation")
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation"))
+    val li = load(spark, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+             $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
+    li.join(load(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(load(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(load(spark, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nkey")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nkey")
+      .where(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+             ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+        .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** C44: TPC-H Q10 shape — returned-item customer ranking: revenue
+    * lost to returns (l_returnflag = 'R') per customer over one
+    * quarter of orders, top 20. The triage report behind churn
+    * follow-up. One orderkey shuffle; customer/nation broadcast; the
+    * ranking is a TakeOrderedAndProject heap, not a full sort.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+      .where($"o_orderdate" >= lit("1996-10-01").cast("timestamp_ntz") &&
+             $"o_orderdate" < lit("1997-01-01").cast("timestamp_ntz"))
+    val li = load(spark, dir, "lineitem").where($"l_returnflag" === "R")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(load(spark, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(load(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** C45: TPC-H Q14 shape — promo revenue share: the conditional-
+    * aggregate ratio (promo-typed parts' share of a month's revenue).
+    * Both legs ride ONE scan — a filter inside the aggregate, not two
+    * passes; part is broadcast. The single division happens once on
+    * two exact decimal sums.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1997-03-01").cast("timestamp_ntz") &&
+             $"l_shipdate" < lit("1997-04-01").cast("timestamp_ntz"))
+    li.join(broadcast(load(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .agg(
+        dsum(when($"p_type" === "PROMO",
+          dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .otherwise(lit(0).cast("decimal(28,4)")), 4).as("promo_revenue"),
+        dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+          .as("total_revenue"))
+      .select($"promo_revenue", $"total_revenue",
+        round(lit(100.0) * $"promo_revenue" / $"total_revenue", 6)
+          .as("promo_share_r"))
+  }
+
+  /** C46: TPC-H Q19 shape — disjunctive multi-attribute predicates:
+    * revenue from three (brand, size-range, quantity-range) OR-arms.
+    * The planner test: the arms share the part join, the OR evaluates
+    * as ONE residual after a single broadcast hash join, and the
+    * common sub-predicates still prune the scan.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+    li.join(broadcast(load(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .where(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#4" && $"p_size".between(1, 35) &&
+          $"l_quantity".between(20, 30)))
+      .agg(dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_volume" -> q7NationVolume _,
+    "q10_returned" -> q10Returned _,
+    "q14_promo_share" -> q14PromoShare _,
+    "q19_disjunctive" -> q19Disjunctive _,
     "q6_revenue" -> q6Revenue _,
     "q4_late_orders" -> q4LateOrders _,
     "q13_cust_dist" -> q13CustDist _,
@@ -1111,6 +1212,63 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(28,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(28,2)))
+        |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |  round(CAST(100 AS DOUBLE) * promo_revenue / total_revenue, 6)
+        |    AS promo_share_r
+        |FROM a""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q6_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
         |    * CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
