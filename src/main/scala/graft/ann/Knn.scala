@@ -1575,7 +1575,10 @@ object Knn {
       .select($"probe_id".as("src_id"), $"neighbor_id", $"rank", $"score")
   }
 
-  val knnJoinSql: String = {
+  /** Shared CTE chain up to the within-cell 3-NN ranking — split out
+    * so D45's accuracy oracle replays the same kNN graph.
+    */
+  private val knnCtesSql: String = {
     val training = (1 to KMeansIters).map { i =>
       assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
     }.mkString(",\n")
@@ -1590,10 +1593,62 @@ object Knn {
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
        |  FROM assigned a JOIN assigned b USING (cid)
-       |  WHERE a.vec_id != b.vec_id)
+       |  WHERE a.vec_id != b.vec_id)""".stripMargin
+  }
+
+  val knnJoinSql: String =
+    s"""$knnCtesSql
        |SELECT src_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
        |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+
+  /** D45: k-NN label accuracy (`knn_label_accuracy`) — the label-noise
+    * audit over D37's kNN graph: each vector's label predicted by the
+    * majority of its 3 within-cell nearest neighbors (ties broken by
+    * vote count desc, then smallest label — a total order), scored
+    * against its own label per class. Low accuracy for one class =
+    * mislabeled or unseparable — read next to D44's centroid affinity
+    * and D36's outliers. Costs one labels-sized join and a per-node
+    * argmax over ≤3 votes on top of the already-staged kNN graph.
+    */
+  def knnLabelAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = load(spark, dir, "embeddings").select($"vec_id", $"label")
+    val votes = knnJoin(spark, dir)
+      .join(broadcast(labels.select($"vec_id".as("neighbor_id"),
+        $"label".as("nbr_label"))), "neighbor_id")
+      .groupBy($"src_id", $"nbr_label").agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy($"src_id").orderBy($"v".desc, $"nbr_label")
+    val pred = votes.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"src_id".as("vec_id"), $"nbr_label".as("pred"))
+    pred.join(labels, "vec_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        count(when($"pred" === $"label", 1)).as("n_correct"))
+      .select($"label", $"n", $"n_correct",
+        round($"n_correct".cast("double") / $"n".cast("double"), 6).as("acc_r"))
+      .orderBy($"label")
   }
+
+  val knnLabelAccuracySql: String =
+    s"""$knnCtesSql,
+       |knn AS (SELECT src_id, neighbor_id FROM ranked WHERE rank <= 3),
+       |votes AS (
+       |  SELECT k.src_id, e.label AS nbr_label, count(*) AS v
+       |  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT src_id AS vec_id, nbr_label AS pred FROM (
+       |    SELECT src_id, nbr_label,
+       |      row_number() OVER (PARTITION BY src_id
+       |        ORDER BY v DESC, nbr_label) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT e.label, count(*) AS n,
+       |  count(CASE WHEN p.pred = e.label THEN 1 END) AS n_correct,
+       |  round(CAST(count(CASE WHEN p.pred = e.label THEN 1 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS acc_r
+       |FROM pred p JOIN embeddings e USING (vec_id)
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
 
   /** D7i: ANN recall evaluation (`ann_recall_eval`) — the index
     * scorecard: per probe, recall@3 of the IVF search against the
@@ -1765,6 +1820,7 @@ object Knn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_label_affinity" -> labelAffinity _,
+    "knn_label_accuracy" -> knnLabelAccuracy _,
     "ann_cluster_purity" -> clusterPurity _,
     "ann_recall_eval" -> annRecallEval _,
     "knn_join" -> knnJoin _,
@@ -1786,6 +1842,7 @@ object Knn {
 
   val oracleSql: Map[String, String] = Map(
     "emb_label_affinity" -> labelAffinitySql,
+    "knn_label_accuracy" -> knnLabelAccuracySql,
     "ann_cluster_purity" -> clusterPuritySql,
     "ann_recall_eval" -> annRecallEvalSql,
     "knn_join" -> knnJoinSql,
