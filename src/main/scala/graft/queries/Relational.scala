@@ -1159,7 +1159,33 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** C47: time-series gap filling (`series_gap_fill`) — the
+    * ClickHouse `WITH FILL` / Grafana `fill(0)` analog every
+    * dashboard needs: the hourly per-type event series densified so
+    * silent hours exist as explicit zeros (a missing bucket reads as
+    * "no data" in an alert rule; a zero reads as "measured quiet" —
+    * they are different facts). Execution: the dense grid generates
+    * from a TYPES-sized min/max aggregate (`sequence` + explode — grid
+    * cardinality is types × hours, independent of event count) and
+    * left-joins the hourly rollup; the corpus is touched once.
+    */
+  def seriesGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = graft.Tables.events(spark, dir)
+      .groupBy($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"h").as("mn"), max($"h").as("mx"))
+      .select($"event_type", explode(expr("sequence(mn, mx)")).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h",
+        coalesce($"n", lit(0L)).as("n"), $"n".isNull.as("filled"))
+      .orderBy($"event_type", $"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "series_gap_fill" -> seriesGapFill _,
     "q7_nation_volume" -> q7NationVolume _,
     "q10_returned" -> q10Returned _,
     "q14_promo_share" -> q14PromoShare _,
@@ -1212,6 +1238,17 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "series_gap_fill" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM h GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM b)
+        |SELECT g.event_type, g.h, coalesce(n, 0) AS n,
+        |  (n IS NULL) AS filled
+        |FROM grid g LEFT JOIN h USING (event_type, h)
+        |ORDER BY 1, 2""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
