@@ -1642,7 +1642,45 @@ object FlowAnalytics {
       .orderBy($"pr")
   }
 
+  /** B50: top-N persistence (`flow_topn_persistence`) — ranking CHURN
+    * over time: the Jaccard overlap between consecutive hours' top-10
+    * byte-ranked sites. Stable ≈ 1 hour-over-hour means the heavy
+    * talkers are structural; a sudden dip means the ranking regime
+    * changed (flash event, DDoS onset) even when total volume didn't
+    * — the temporal complement of B47's concentration number.
+    *
+    * Execution: the per-hour top-10 goes through the rank-limit heap
+    * rewrite (`row_number() ≤ 10` → bounded per-group heap, no
+    * per-hour sort), and everything after runs on hours×10 rows —
+    * the self-join on (hour+1, site) and the set sizes are exact
+    * integer counts; one rounded division per output row.
+    */
+  def topnPersistence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = asFlows(spark, dir)
+      .groupBy(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"),
+        concat(lit("10."), pmod($"user_id", lit(64))).as("site"))
+      .agg(sum($"ibyt").as("bytes"))
+    val w = Window.partitionBy($"h").orderBy($"bytes".desc, $"site")
+    val topn = hourly.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 10).select($"h", $"site")
+    val sz = topn.groupBy($"h").agg(count(lit(1)).as("n"))
+    val inter = topn.select(($"h" + 1).as("h"), $"site")
+      .join(topn, Seq("h", "site"))
+      .groupBy($"h").agg(count(lit(1)).as("inter"))
+    sz.select(($"h" + 1).as("h"), $"n".as("n_prev"))
+      .join(sz.select($"h", $"n".as("n_cur")), "h")
+      .join(inter, Seq("h"), "left")
+      .select($"h", $"n_prev", $"n_cur",
+        coalesce($"inter", lit(0L)).as("inter"),
+        round(coalesce($"inter", lit(0L)).cast("double") /
+          ($"n_prev" + $"n_cur" - coalesce($"inter", lit(0L))).cast("double"), 6)
+          .as("jaccard_r"))
+      .orderBy($"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_topn_persistence" -> topnPersistence _,
     "flow_bytes_gini" -> bytesGini _,
     "flow_flag_profile" -> flagProfile _,
     "flow_topk_decayed" -> topkDecayed _,
@@ -1748,6 +1786,29 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_topn_persistence" -> (flowsCte +
+      """, hb AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    '10.' || (user_id % 64) AS site, CAST(sum(ibyt) AS BIGINT) AS bytes
+        |  FROM flows GROUP BY 1, 2),
+        |tn AS (
+        |  SELECT h, site FROM (
+        |    SELECT h, site,
+        |      row_number() OVER (PARTITION BY h ORDER BY bytes DESC, site) AS rn
+        |    FROM hb)
+        |  WHERE rn <= 10),
+        |sz AS (SELECT h, count(*) AS n FROM tn GROUP BY h),
+        |iv AS (
+        |  SELECT b.h, count(*) AS inter
+        |  FROM tn a JOIN tn b ON a.h + 1 = b.h AND a.site = b.site
+        |  GROUP BY b.h)
+        |SELECT c.h, p.n AS n_prev, c.n AS n_cur,
+        |  coalesce(iv.inter, 0) AS inter,
+        |  round(CAST(coalesce(iv.inter, 0) AS DOUBLE)
+        |    / CAST(p.n + c.n - coalesce(iv.inter, 0) AS DOUBLE), 6) AS jaccard_r
+        |FROM sz c JOIN sz p ON c.h = p.h + 1
+        |LEFT JOIN iv ON iv.h = c.h
+        |ORDER BY c.h""".stripMargin),
     "flow_bytes_gini" -> (flowsCte +
       """, ph AS (
         |  SELECT pr, sa, CAST(sum(ibyt) AS BIGINT) AS x

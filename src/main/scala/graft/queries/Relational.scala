@@ -1184,7 +1184,48 @@ object Relational {
       .orderBy($"event_type", $"h")
   }
 
+  /** C48: revenue Pareto / concentration curve (`cust_pareto`) — the
+    * "which decile of customers carries the revenue" report (the
+    * customer-base complement of B47's per-source Gini). Customers
+    * rank by exact integer revenue CENTS (round(price·100) — the 2-dp
+    * values are exact at cent grain, so ranking and sums never touch
+    * float addition order), deciles assign by integer rank arithmetic
+    * ((rank−1)·10 div n + 1), and the cumulative share is a running
+    * sum over the 10 decile rows. The only doubles are the two final
+    * rounded divisions per output row.
+    *
+    * Scale: one custkey-keyed aggregate; the global rank is a sort of
+    * customer-cardinality rows (the same bound every RFM/ntile
+    * segmentation already accepts); deciles aggregate to 10 rows.
+    */
+  def custPareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val n = perCust.agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+    val w = Window.orderBy($"cents".desc, $"o_custkey")
+    perCust
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("CAST((rk - 1) * 10 div n AS INT) + 1"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("revenue_cents"),
+        max($"total").as("total"))
+      .withColumn("cum_cents",
+        sum($"revenue_cents").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"n_customers", $"revenue_cents",
+        round($"revenue_cents".cast("double") / $"total".cast("double"), 6)
+          .as("share_r"),
+        round($"cum_cents".cast("double") / $"total".cast("double"), 6)
+          .as("cum_share_r"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cust_pareto" -> custPareto _,
     "series_gap_fill" -> seriesGapFill _,
     "q7_nation_volume" -> q7NationVolume _,
     "q10_returned" -> q10Returned _,
@@ -1238,6 +1279,28 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "cust_pareto" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total FROM pc),
+        |rk AS (
+        |  SELECT o_custkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+        |  FROM pc),
+        |dec AS (
+        |  SELECT CAST((rk - 1) * 10 // (SELECT n FROM n) AS INT) + 1 AS decile,
+        |    count(*) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM rk GROUP BY 1)
+        |SELECT decile, n_customers, revenue_cents,
+        |  round(CAST(revenue_cents AS DOUBLE)
+        |    / CAST((SELECT total FROM n) AS DOUBLE), 6) AS share_r,
+        |  round(CAST(CAST(sum(revenue_cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |    / CAST((SELECT total FROM n) AS DOUBLE), 6) AS cum_share_r
+        |FROM dec ORDER BY decile""".stripMargin,
     "series_gap_fill" ->
       """WITH h AS (
         |  SELECT event_type,
