@@ -1679,7 +1679,41 @@ object FlowAnalytics {
       .orderBy($"h")
   }
 
+  /** B51: sampling-rate correction (`flow_sampling_correct`) — the
+    * nfdump sampled-export reality: routers export 1-in-N sampled
+    * flows, and per-collector sampling rates must scale counters
+    * before any cross-collector aggregation is meaningful. The rate
+    * map is a per-watcher config (the reference's per-source ini
+    * sections); here each `flowsrc` carries a deterministic rate
+    * (1 / 10 / 100 by collector index). Pure broadcast-join +
+    * multiply — map-only over the corpus, exact integer scaled
+    * counters — then the per-collector rollup shows raw vs corrected
+    * volume and each collector's corrected share.
+    */
+  def samplingCorrect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = spark.createDataFrame(Seq(
+      ("nfsen-0", 1L), ("nfsen-1", 10L), ("nfsen-2", 100L)))
+      .toDF("flowsrc", "rate")
+    val corrected = asFlows(spark, dir)
+      .join(broadcast(rates), "flowsrc")
+      .groupBy($"flowsrc")
+      .agg(max($"rate").as("rate"),
+        count(lit(1)).as("n_flows"),
+        sum($"ibyt").as("raw_bytes"),
+        sum($"ibyt" * $"rate").as("est_bytes"),
+        sum($"ipkt" * $"rate").as("est_pkts"))
+    val tot = corrected.agg(sum($"est_bytes").as("tot"))
+    corrected.crossJoin(broadcast(tot))
+      .select($"flowsrc", $"rate", $"n_flows", $"raw_bytes", $"est_bytes",
+        $"est_pkts",
+        round($"est_bytes".cast("double") / $"tot".cast("double"), 6)
+          .as("share_r"))
+      .orderBy($"flowsrc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_sampling_correct" -> samplingCorrect _,
     "flow_topn_persistence" -> topnPersistence _,
     "flow_bytes_gini" -> bytesGini _,
     "flow_flag_profile" -> flagProfile _,
@@ -1786,6 +1820,23 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_sampling_correct" -> (flowsCte +
+      """, rates AS (
+        |  SELECT 'nfsen-0' AS flowsrc, 1 AS rate
+        |  UNION ALL SELECT 'nfsen-1', 10
+        |  UNION ALL SELECT 'nfsen-2', 100),
+        |c AS (
+        |  SELECT f.flowsrc, CAST(max(rate) AS BIGINT) AS rate,
+        |    count(*) AS n_flows,
+        |    CAST(sum(ibyt) AS BIGINT) AS raw_bytes,
+        |    CAST(sum(ibyt * rate) AS BIGINT) AS est_bytes,
+        |    CAST(sum(ipkt * rate) AS BIGINT) AS est_pkts
+        |  FROM flows f JOIN rates USING (flowsrc)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(est_bytes) AS BIGINT) AS tot FROM c)
+        |SELECT flowsrc, rate, n_flows, raw_bytes, est_bytes, est_pkts,
+        |  round(CAST(est_bytes AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share_r
+        |FROM c, t ORDER BY flowsrc""".stripMargin),
     "flow_topn_persistence" -> (flowsCte +
       """, hb AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,

@@ -162,13 +162,106 @@ object Joins {
       |FROM events JOIN tiers ON value >= lo AND value < hi
       |GROUP BY tier_id, lo, hi ORDER BY tier_id""".stripMargin
 
+  /** C15c: NEAREST-direction ASOF (`join_asof_nearest`) — pandas
+    * `merge_asof(direction='nearest')`: each click matches its CLOSEST
+    * signup in either time direction (ties → backward, the pandas
+    * default; an equal-timestamp right row counts as backward with
+    * gap 0 via the (ts, tag) sort). Same ONE-shuffle tagged-union
+    * shape as C15 — the backward match is `last(…, ignoreNulls)` over
+    * the preceding frame and the forward match is `first(…,
+    * ignoreNulls)` over the following frame of the SAME sorted pass,
+    * so "nearest" costs exactly one window sort, not two joins.
+    * Gaps compare in exact integer microseconds.
+    */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+    val signups = ev.where($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"))
+    val lTagged = clicks.withColumn("_tag", lit(1))
+      .withColumn("_srow", lit(null).cast("struct<signup_id:bigint,sts:timestamp_ntz>"))
+    val rTagged = signups
+      .withColumn("_tag", lit(0))
+      .withColumn("_srow", struct($"signup_id", $"ts".as("sts")))
+      .withColumn("click_id", lit(null).cast("bigint"))
+      .select(lTagged.columns.toIndexedSeq.map(col): _*)
+    // third sort key: among several right rows at the SAME timestamp,
+    // last() must pick a deterministic one (the largest signup_id —
+    // mirrored by the oracle's ORDER BY ts DESC, signup_id DESC)
+    val wB = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"_tag", $"_srow.signup_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"_tag", $"_srow.signup_id")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val us = unix_micros($"ts".cast("timestamp"))
+    lTagged.union(rTagged)
+      .withColumn("_prev", last($"_srow", ignoreNulls = true).over(wB))
+      .withColumn("_next", first($"_srow", ignoreNulls = true).over(wF))
+      .where($"_tag" === 1)
+      .withColumn("_pgap", us - unix_micros($"_prev.sts".cast("timestamp")))
+      .withColumn("_ngap", unix_micros($"_next.sts".cast("timestamp")) - us)
+      .select($"click_id", $"user_id",
+        when($"_prev".isNull && $"_next".isNull, lit(null).cast("bigint"))
+          .when($"_next".isNull || ($"_prev".isNotNull && $"_pgap" <= $"_ngap"),
+            $"_prev.signup_id")
+          .otherwise($"_next.signup_id").as("signup_id"),
+        when($"_prev".isNull && $"_next".isNull, lit(null).cast("string"))
+          .when($"_next".isNull || ($"_prev".isNotNull && $"_pgap" <= $"_ngap"),
+            lit("backward"))
+          .otherwise(lit("forward")).as("direction"),
+        when($"_prev".isNull && $"_next".isNull, lit(null).cast("bigint"))
+          .when($"_next".isNull || ($"_prev".isNotNull && $"_pgap" <= $"_ngap"),
+            $"_pgap")
+          .otherwise($"_ngap").as("gap_us"))
+      .orderBy($"click_id")
+  }
+
+  val joinAsofNearestSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |signups AS (
+      |  SELECT user_id, ts, event_id AS signup_id FROM events
+      |  WHERE event_type = 'signup'),
+      |m AS (
+      |  SELECT c.click_id, c.user_id,
+      |    (SELECT s.signup_id FROM signups s
+      |     WHERE s.user_id = c.user_id AND s.ts <= c.ts
+      |     ORDER BY s.ts DESC, s.signup_id DESC LIMIT 1) AS prev_id,
+      |    (SELECT epoch_us(c.ts) - epoch_us(s.ts) FROM signups s
+      |     WHERE s.user_id = c.user_id AND s.ts <= c.ts
+      |     ORDER BY s.ts DESC, s.signup_id DESC LIMIT 1) AS pgap,
+      |    (SELECT s.signup_id FROM signups s
+      |     WHERE s.user_id = c.user_id AND s.ts > c.ts
+      |     ORDER BY s.ts, s.signup_id LIMIT 1) AS next_id,
+      |    (SELECT epoch_us(s.ts) - epoch_us(c.ts) FROM signups s
+      |     WHERE s.user_id = c.user_id AND s.ts > c.ts
+      |     ORDER BY s.ts, s.signup_id LIMIT 1) AS ngap
+      |  FROM clicks c)
+      |SELECT click_id, user_id,
+      |  CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+      |       WHEN next_id IS NULL OR (prev_id IS NOT NULL AND pgap <= ngap)
+      |         THEN prev_id ELSE next_id END AS signup_id,
+      |  CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+      |       WHEN next_id IS NULL OR (prev_id IS NOT NULL AND pgap <= ngap)
+      |         THEN 'backward' ELSE 'forward' END AS direction,
+      |  CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+      |       WHEN next_id IS NULL OR (prev_id IS NOT NULL AND pgap <= ngap)
+      |         THEN pgap ELSE ngap END AS gap_us
+      |FROM m ORDER BY click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof _,
     "join_asof_tol" -> joinAsofTolerance _,
+    "join_asof_nearest" -> joinAsofNearest _,
     "join_range" -> joinRange _)
 
   val oracleSql: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
     "join_asof_tol" -> joinAsofToleranceSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "join_range" -> joinRangeSql)
 }
