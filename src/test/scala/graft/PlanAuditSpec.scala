@@ -27,6 +27,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("codegen id"), "not codegen'd")
   }
 
+  test("q6_revenue pushes all four predicates to the scan and prunes to 4 columns") {
+    val df = Relational.q6Revenue(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(p.contains(f), s"predicate $f not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), s"unpruned scan:\n$p")
+  }
+
+  test("topn_persistence ranks per hour through the heap rewrite, not a window sort") {
+    val p = plan(graft.flow.FlowAnalytics.topnPersistence(spark, sf0001))
+    assert(!p.contains("Window"), s"per-hour top-10 fell back to WindowExec:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the rank-limit bounded-heap aggregate:\n$p")
+  }
+
   test("q1_agg prunes lineitem to the referenced columns") {
     val p = plan(Relational.q1Agg(spark, sf0001))
     assert(!p.contains("l_orderkey"), s"unpruned scan:\n$p")
