@@ -1224,7 +1224,32 @@ object Relational {
       .orderBy($"decile")
   }
 
+  /** C49: order-status transition matrix (`status_transitions`) — the
+    * first-order Markov view of customer behavior: counts of
+    * consecutive (prev status → status) pairs per customer's order
+    * history in (o_orderdate, o_orderkey) total order, with each
+    * row's transition probability relative to its source state. The
+    * churn-model input and the sequence complement of C35's RFM
+    * snapshot. One custkey shuffle for the lag window; the matrix is
+    * |states|² rows; counts exact, one rounded division per cell.
+    */
+  def statusTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val pairs = load(spark, dir, "orders")
+      .withColumn("prev", lag($"o_orderstatus", 1).over(w))
+      .where($"prev".isNotNull)
+      .groupBy($"prev".as("from_status"), $"o_orderstatus".as("to_status"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy($"from_status").agg(sum($"n").as("n_from"))
+    pairs.join(broadcast(fromTot), "from_status")
+      .select($"from_status", $"to_status", $"n",
+        round($"n".cast("double") / $"n_from".cast("double"), 6).as("p_r"))
+      .orderBy($"from_status", $"to_status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "status_transitions" -> statusTransitions _,
     "cust_pareto" -> custPareto _,
     "series_gap_fill" -> seriesGapFill _,
     "q7_nation_volume" -> q7NationVolume _,
@@ -1279,6 +1304,21 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "status_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS from_status,
+        |    o_orderstatus AS to_status
+        |  FROM orders),
+        |m AS (
+        |  SELECT from_status, to_status, count(*) AS n
+        |  FROM p WHERE from_status IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_status, CAST(sum(n) AS BIGINT) AS n_from
+        |       FROM m GROUP BY 1)
+        |SELECT from_status, to_status, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p_r
+        |FROM m JOIN ft USING (from_status)
+        |ORDER BY from_status, to_status""".stripMargin,
     "cust_pareto" ->
       """WITH pc AS (
         |  SELECT o_custkey,

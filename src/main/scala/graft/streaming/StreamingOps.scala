@@ -603,6 +603,99 @@ object StreamingOps {
     }
   }
 
+  // ---------------------------------------- E18 streaming silence watch
+
+  /** Hours of quiet after which a site is reported silent. */
+  val SilenceHours = 24L
+
+  case class SiteSeen(site: String, h: Long)
+  case class SeenEmit(site: String, seq: Long, last_h: Long, n_flows: Long)
+  case class SeenState(lastH: Long, nFlows: Long, seq: Long)
+
+  /** E18: streaming silence watch (`stream_silence_watch`) — the
+    * "collector went dark" detector the reference's per-watcher
+    * service model needs: per site, `transformWithState` keeps only
+    * (last event-time hour, flow count) — O(1) per key — and the
+    * read-out reports every site whose last hour trails the global
+    * max by ≥ [[SilenceHours]], with how long it has been quiet.
+    * A site that NEVER reported can't be detected by state alone
+    * (nothing created its key) — that needs the expected-site dim
+    * join, which stream-static enrichment (E3) already covers; this
+    * operator owns the went-quiet half. Max-merge is trivially
+    * batch-split invariant and late-data safe (max commutes).
+    */
+  class SilenceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, SiteSeen, SeenEmit] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SeenState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SeenState]("seen",
+        org.apache.spark.sql.Encoders.product[SeenState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SiteSeen],
+        tv: TimerValues): Iterator[SeenEmit] = {
+      val s0 = if (st.exists()) st.get() else SeenState(Long.MinValue, 0L, 0L)
+      var lastH = s0.lastH
+      var n = s0.nFlows
+      rows.foreach { r => if (r.h > lastH) lastH = r.h; n += 1 }
+      st.update(SeenState(lastH, n, s0.seq + 1))
+      Iterator.single(SeenEmit(key, s0.seq + 1, lastH, n))
+    }
+  }
+
+  private[graft] def silenceWatchFrom(
+      seen: org.apache.spark.sql.Dataset[SiteSeen], name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val q = seen.groupByKey(_.site)
+      .transformWithState(new SilenceProcessor, TimeMode.None(),
+        OutputMode.Append(), org.apache.spark.sql.Encoders.product[SeenEmit])
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_silence_watch")
+    val last = spark.table(name)
+      .groupBy($"site")
+      .agg(max(struct($"seq", $"last_h", $"n_flows")).as("l"))
+      .select($"site", $"l.last_h".as("last_h"), $"l.n_flows".as("n_flows"))
+    val gmax = last.agg(max($"last_h").as("gmax"))
+    last.crossJoin(broadcast(gmax))
+      .where($"gmax" - $"last_h" >= SilenceHours)
+      .select($"site", $"n_flows", $"last_h",
+        ($"gmax" - $"last_h").as("silent_hours"))
+      .orderBy($"site")
+  }
+
+  /** E18 graded entry: keyed by the full da service address — sparse
+    * enough (~k×users keys) that every SF has services whose traffic
+    * dies out before the corpus ends, so the report is non-trivial
+    * at sf0.001 through sf0.1.
+    */
+  def silenceWatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_silence_${counter.incrementAndGet()}"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val seen = eventsStream(spark, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(
+          concat(lit("192.168."), pmod(col("k"), lit(256)),
+            lit("."), pmod(col("user_id"), lit(256))).as("site"),
+          expr("CAST(ts AS LONG) div 3600").as("h"))
+        .as[SiteSeen]
+      silenceWatchFrom(seen, name)
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+  }
+
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -932,6 +1025,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_silence_watch" -> silenceWatch _,
     "stream_ewma_forecast" -> ewmaForecast _,
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
@@ -951,6 +1045,22 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E18: max-merge state replayed from raw events — last-seen hour
+    // per site vs the global max, threshold in whole hours
+    "stream_silence_watch" ->
+      s"""WITH seen AS (
+         |  SELECT '192.168.' || (CAST(props->>'k' AS BIGINT) % 256)
+         |      || '.' || (user_id % 256) AS site,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+         |  FROM events),
+         |last AS (
+         |  SELECT site, max(h) AS last_h, count(*) AS n_flows
+         |  FROM seen GROUP BY site),
+         |g AS (SELECT max(last_h) AS gmax FROM last)
+         |SELECT site, n_flows, last_h, gmax - last_h AS silent_hours
+         |FROM last, g
+         |WHERE gmax - last_h >= $SilenceHours
+         |ORDER BY site""".stripMargin,
     // E17: the EWMA ring's read-out replayed from raw events — per-pr
     // hourly volumes pivoted to the 24 lag slots of the NEXT hour,
     // weights/num/den in the same left-associative order as B26
