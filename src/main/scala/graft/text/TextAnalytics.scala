@@ -1881,7 +1881,87 @@ object TextAnalytics {
        |FROM pairs
        |ORDER BY lift_r DESC, w1, w2 LIMIT $CoocTopN""".stripMargin
 
+  /** D46 boilerplate floor: a gram this common is template text. */
+  val BoilerMinDf = 25
+  val BoilerGramTokens = 6
+  val BoilerTopN = 20
+
+  /** D46: boilerplate-gram extraction (`text_boilerplate_grams`) —
+    * the template detector: token-6-grams whose document frequency
+    * crosses [[BoilerMinDf]] are navigation chrome / license
+    * headers / generated scaffolding, and their per-doc coverage is
+    * the "how templated is this corpus" number that decides whether
+    * passage-level dedup (D22) is worth running. One positional
+    * explode → per-gram-TYPE df aggregate (the shuffle carries
+    * distinct grams, not instances), top-N by (df, gram) total
+    * order; corpus doc count rides along for the df share.
+    */
+  /** Two deterministic templates planted at query level (the D22 /
+    * D16 pattern: the synthetic corpus has no organic boilerplate —
+    * its 6-gram df tops out at 3 — so the detector's signal is
+    * constructed identically in both engines): a header on every 3rd
+    * doc, a footer on every 5th.
+    */
+  val BoilerHeader =
+    "standard corpus template header begins every generated document in this export batch"
+  val BoilerFooter =
+    "automated footer with license terms and provenance notice applies to this record"
+
+  def boilerplateGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = BoilerGramTokens
+    val docs = load(spark, dir, "documents")
+      .select($"doc_id",
+        concat(
+          when($"doc_id" % 3 === 0, lit(BoilerHeader + " ")).otherwise(lit("")),
+          $"text",
+          when($"doc_id" % 5 === 0, lit(" " + BoilerFooter)).otherwise(lit("")))
+          .as("text"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .where(size($"toks") >= k)
+      .select($"doc_id",
+        explode(expr(s"sequence(1, size(toks) - ${k - 1})")).as("i"), $"toks")
+      .select($"doc_id", concat_ws(" ", expr(s"slice(toks, i, $k)")).as("gram"))
+      .distinct()
+      .groupBy($"gram").agg(count(lit(1)).as("df"))
+      .where($"df" >= BoilerMinDf)
+      .crossJoin(broadcast(nd))
+      .select($"gram", $"df",
+        round($"df".cast("double") / $"nd".cast("double"), 6).as("df_share_r"))
+      .orderBy($"df".desc, $"gram")
+      .limit(BoilerTopN)
+  }
+
+  val boilerplateGramsSql: String =
+    s"""WITH bdocs AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 3 = 0 THEN '$BoilerHeader ' ELSE '' END)
+       |      || text ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ' $BoilerFooter' ELSE '' END) AS text
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM bdocs),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(toks[p : p + ${BoilerGramTokens - 1}], ' ') AS gram
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, n - ${BoilerGramTokens - 2})) AS p
+       |    FROM t WHERE n >= $BoilerGramTokens)),
+       |df AS (
+       |  SELECT gram, count(*) AS df FROM g GROUP BY gram
+       |  HAVING count(*) >= $BoilerMinDf),
+       |nd AS (SELECT count(*) AS nd FROM documents)
+       |SELECT gram, df,
+       |  round(CAST(df AS DOUBLE) / CAST((SELECT nd FROM nd) AS DOUBLE), 6)
+       |    AS df_share_r
+       |FROM df ORDER BY df DESC, gram LIMIT $BoilerTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate_grams" -> boilerplateGrams _,
     "text_cooc_lift" -> coocLift _,
     "corpus_interleave" -> interleave _,
     "text_bpe_fertility" -> bpeFertility _,
@@ -1943,6 +2023,7 @@ object TextAnalytics {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_boilerplate_grams" -> boilerplateGramsSql,
     "text_cooc_lift" -> coocLiftSql,
     "corpus_interleave" -> interleaveSql,
     "text_bpe_fertility" -> bpeFertilitySql,

@@ -387,4 +387,41 @@ class StreamingSpec extends SparkSpecBase {
       assert(split.head === (("A", hmax + 1, nb, expect)))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("silence watch max-merge is batch-split invariant and thresholds correctly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val h0 = 700000L
+      // "live" reports up to the global max; "dark" stops 30h before
+      // (reported); "edge" stops exactly 24h before (reported — the
+      // >= boundary); "recent" stops 23h before (not reported). A late
+      // out-of-order row for dark must NOT advance its max.
+      val batches = Seq(
+        Seq(("live", h0), ("dark", h0 + 10), ("edge", h0 + 16), ("recent", h0 + 17)),
+        Seq(("live", h0 + 20), ("dark", h0 + 5)), // late old row for dark
+        Seq(("live", h0 + 40)))
+      val src = tmpDir("silsrc") + "/data"
+      batches.foreach(_.toDF("site", "h").repartition(1)
+        .write.mode("append").parquet(src))
+      def run(filesPerTrigger: Option[Int], name: String) = {
+        val rd = spark.readStream.schema("site STRING, h LONG")
+        val stream = filesPerTrigger.fold(rd)(n =>
+          rd.option("maxFilesPerTrigger", n)).parquet(src)
+          .as[StreamingOps.SiteSeen]
+        StreamingOps.silenceWatchFrom(stream, name)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+      }
+      val split = run(Some(1), "sil_split")
+      val whole = run(None, "sil_whole")
+      assert(split === whole, "silence state differs across batch splits")
+      assert(split.map(_._1) === Seq("dark", "edge"),
+        s"expected exactly dark+edge reported, got $split")
+      val m = split.map(r => r._1 -> r._4).toMap
+      assert(m("dark") === 30L, "late old row must not advance dark's max")
+      assert(m("edge") === 24L, "the >= threshold boundary must report")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
