@@ -1248,7 +1248,72 @@ object Relational {
       .orderBy($"from_status", $"to_status")
   }
 
+  /** C50: DAU/MAU stickiness (`events_stickiness`) — the engagement
+    * ratio product teams watch: per day, distinct active users that
+    * day over distinct users active in the trailing 30 days. Exact,
+    * via the user-day grain: the corpus collapses to distinct
+    * (user, day) ONCE (the only corpus-sized pass), and the trailing
+    * window is a 30-way day-fanout of that table — user-days × 30 is
+    * orders below event count, and MAU dedups (user, anchor day)
+    * exactly. The approximate path for unbounded windows is the
+    * B18b sliding HLL-merge; this is the exact twin at the grain
+    * where exactness is affordable.
+    */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = graft.Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      .distinct()
+    val dau = userDays.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val mau = userDays
+      .select($"user_id", explode(expr("sequence(day, day + 29)")).as("day"))
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("mau"))
+    // only days that exist in the data (the fanout also creates
+    // anchor days past the corpus end)
+    dau.join(mau, "day")
+      .select($"day", $"dau", $"mau",
+        round($"dau".cast("double") / $"mau".cast("double"), 6)
+          .as("stickiness_r"))
+      .orderBy($"day")
+  }
+
+  /** C51: cohort LTV matrix (`cohort_ltv`) — cumulative revenue per
+    * signup cohort by age: customers cohort on their FIRST order
+    * month, each order lands in an age bucket (months since cohort),
+    * and the running sum across ages is the lifetime-value curve
+    * finance reads cohort-over-cohort. Revenue stays in exact integer
+    * cents; the cumulative window runs over the tiny cohort×age
+    * matrix, so the only corpus-sized work is one custkey aggregate
+    * and one fact re-join.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderdate",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+    val cohort = ord.groupBy($"o_custkey").agg(min($"m").as("cm"))
+    val cells = ord.join(cohort, "o_custkey")
+      .groupBy($"cm", ($"m" - $"cm").as("age_m"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev_cents"))
+    val sizes = cohort.groupBy($"cm").agg(count(lit(1)).as("n_customers"))
+    val w = Window.partitionBy($"cm").orderBy($"age_m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sizes), "cm")
+      .withColumn("cum_cents", sum($"rev_cents").over(w))
+      .select($"cm".cast("long").as("cohort_month"),
+        $"age_m".cast("long").as("age_m"), $"n_customers", $"n_orders",
+        $"rev_cents", $"cum_cents",
+        round($"cum_cents".cast("double") / ($"n_customers" * 100).cast("double"), 6)
+          .as("ltv_per_cust_r"))
+      .orderBy($"cohort_month", $"age_m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stickiness" -> eventsStickiness _,
+    "cohort_ltv" -> cohortLtv _,
     "status_transitions" -> statusTransitions _,
     "cust_pareto" -> custPareto _,
     "series_gap_fill" -> seriesGapFill _,
@@ -1304,6 +1369,43 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "events_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |mau AS (
+        |  SELECT day, count(*) AS mau FROM (
+        |    SELECT DISTINCT user_id, day + a AS day
+        |    FROM ud, range(0, 30) t(a))
+        |  GROUP BY day)
+        |SELECT d.day, dau, mau,
+        |  round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness_r
+        |FROM dau d JOIN mau USING (day)
+        |ORDER BY d.day""".stripMargin,
+    "cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+        |cells AS (
+        |  SELECT cm, m - cm AS age_m, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+        |sz AS (SELECT cm, count(*) AS n_customers FROM c GROUP BY 1)
+        |SELECT CAST(cm AS BIGINT) AS cohort_month, CAST(age_m AS BIGINT) AS age_m,
+        |  n_customers, n_orders, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age_m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents,
+        |  round(CAST(CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age_m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |    / CAST(n_customers * 100 AS DOUBLE), 6) AS ltv_per_cust_r
+        |FROM cells JOIN sz USING (cm)
+        |ORDER BY cohort_month, age_m""".stripMargin,
     "status_transitions" ->
       """WITH p AS (
         |  SELECT lag(o_orderstatus) OVER (PARTITION BY o_custkey
