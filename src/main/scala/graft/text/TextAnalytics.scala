@@ -1960,7 +1960,69 @@ object TextAnalytics {
        |    AS df_share_r
        |FROM df ORDER BY df DESC, gram LIMIT $BoilerTopN""".stripMargin
 
+  /** D47: source-mix drift detection (`corpus_drift_chi2`) — the
+    * monitoring statistic a continuously-ingested corpus needs: does
+    * a new snapshot's source distribution still match the baseline?
+    * Chi-square per-source contributions of observed-vs-expected
+    * counts, where expected scales the baseline mix to the snapshot
+    * size. The synthetic corpus has no organic drift (sources are
+    * uniform by construction), so the snapshot is derived at query
+    * level with a planted skew — every 3rd doc of three sources
+    * dropped — mirrored in the oracle; the contributions for
+    * untouched sources come out slightly POSITIVE too (their share
+    * grew when others shrank), which is exactly what the statistic
+    * is for. Counts exact; expected/contribution are one
+    * deterministic double expression per source row, rounded once.
+    */
+  val DriftDropSources = Seq("src0", "src1", "src2")
+
+  def driftChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"source")
+    val snap = docs.where(!($"doc_id" % 3 === 0 &&
+      $"source".isin(DriftDropSources: _*)))
+    val base = docs.groupBy($"source").agg(count(lit(1)).as("n_base"))
+    val cur = snap.groupBy($"source").agg(count(lit(1)).as("n_cur"))
+    val tot = base.agg(sum($"n_base").as("tb"))
+      .crossJoin(cur.agg(sum($"n_cur").as("tc")))
+    base.join(cur, Seq("source"), "left")
+      .select($"source", $"n_base", coalesce($"n_cur", lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp_cur",
+        $"n_base".cast("double") * $"tc".cast("double") / $"tb".cast("double"))
+      .select($"source", $"n_base", $"n_cur",
+        round($"exp_cur", 6).as("exp_cur_r"),
+        round(($"n_cur".cast("double") - $"exp_cur") *
+          ($"n_cur".cast("double") - $"exp_cur") / $"exp_cur", 6)
+          .as("chi2_contrib_r"))
+      .orderBy($"source")
+  }
+
+  val driftChi2Sql: String = {
+    val drop = DriftDropSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, source FROM documents),
+       |snap AS (
+       |  SELECT doc_id, source FROM docs
+       |  WHERE NOT (doc_id % 3 = 0 AND source IN ($drop))),
+       |base AS (SELECT source, count(*) AS n_base FROM docs GROUP BY 1),
+       |cur AS (SELECT source, count(*) AS n_cur FROM snap GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(n_base) AS BIGINT) FROM base) AS tb,
+       |         (SELECT CAST(sum(n_cur) AS BIGINT) FROM cur) AS tc),
+       |j AS (
+       |  SELECT b.source, b.n_base, coalesce(c.n_cur, 0) AS n_cur,
+       |    CAST(b.n_base AS DOUBLE) * CAST(tc AS DOUBLE) / CAST(tb AS DOUBLE)
+       |      AS exp_cur
+       |  FROM base b LEFT JOIN cur c USING (source), tot)
+       |SELECT source, n_base, n_cur,
+       |  round(exp_cur, 6) AS exp_cur_r,
+       |  round((CAST(n_cur AS DOUBLE) - exp_cur)
+       |    * (CAST(n_cur AS DOUBLE) - exp_cur) / exp_cur, 6) AS chi2_contrib_r
+       |FROM j ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_drift_chi2" -> driftChi2 _,
     "text_boilerplate_grams" -> boilerplateGrams _,
     "text_cooc_lift" -> coocLift _,
     "corpus_interleave" -> interleave _,
@@ -2023,6 +2085,7 @@ object TextAnalytics {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_drift_chi2" -> driftChi2Sql,
     "text_boilerplate_grams" -> boilerplateGramsSql,
     "text_cooc_lift" -> coocLiftSql,
     "corpus_interleave" -> interleaveSql,
