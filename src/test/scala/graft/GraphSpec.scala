@@ -235,4 +235,42 @@ class GraphSpec extends SparkSpecBase {
     // the coefficient is a real number in [-1, 1]
     assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
   }
+
+  test("incremental PageRank: warm-start beats a cold start at the same round budget") {
+    // the operator's reason to exist, measured: after IncrRounds
+    // rounds on the full graph, the warm-started vector must sit
+    // strictly closer (L1 over the top-N intersection universe) to
+    // the converged full walk than a cold uniform start given the
+    // same budget. Uses the graded outputs only — flow_pagerank is
+    // the converged reference, flow_pagerank_incr the warm result.
+    import spark.implicits._
+    val converged = GraphOps.flowPagerank(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val warm = GraphOps.flowPagerankIncr(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // cold baseline at the same budget: rebuild B19's walk truncated
+    // to IncrRounds via the public pieces — run the full query's
+    // recurrence by hand on collected edges (sf0.001: tiny)
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val e = flows.select($"sa", $"da").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val und = (e ++ e.map(p => (p._2, p._1))).distinct
+    val outdeg = und.groupBy(_._1).view.mapValues(_.length).toMap
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).distinct
+    val n = nodes.length
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cold = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to GraphOps.IncrRounds) {
+      val contrib = und.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        math.floor(cold(s) * GraphOps.Damping / outdeg(s) * 1e9 + 0.5).toLong
+      }.sum / 1e9).toMap
+      cold = nodes.map(v => v ->
+        r9((1.0 - GraphOps.Damping) / n + contrib.getOrElse(v, 0.0))).toMap
+    }
+    val keys = converged.keySet
+    def l1(m: Map[String, Double]) =
+      keys.toSeq.map(k => math.abs(m.getOrElse(k, 0.0) - converged(k))).sum
+    assert(l1(warm) < l1(cold),
+      s"warm-start L1 ${l1(warm)} must beat cold L1 ${l1(cold)} at ${GraphOps.IncrRounds} rounds")
+  }
 }
