@@ -151,12 +151,19 @@ object GraphOps {
       }
       ranks
     }
-    // phase 1: the persisted-yesterday walk (cold, Iters rounds)
-    val (_, seOld, nodesOld) = graphOf(oldFlows, "incr_old")
-    val nOld = nodesOld.agg(count(lit(1)).as("n"))
-    val warmBase = stage(walk(seOld, nodesOld, nOld,
-      nodesOld.crossJoin(broadcast(nOld)).select($"node", (lit(1.0) / $"n").as("pr")),
-      Iters))
+    // phase 1: the persisted-yesterday walk (cold, Iters rounds).
+    // The converged vector goes through the staging layer — session
+    // cache + artifact lake — so "yesterday's ranks are a persisted
+    // artifact" is literal: a later session (or cluster job) on the
+    // same corpus snapshot READS the vector and runs only phase 2.
+    val warmBase = stagedGraph(spark, dir, "incr_warm_base", Seq("node")) {
+      val (_, seOld, nodesOld) = graphOf(oldFlows, "incr_old")
+      val nOld = nodesOld.agg(count(lit(1)).as("n"))
+      stage(walk(seOld, nodesOld, nOld,
+        nodesOld.crossJoin(broadcast(nOld))
+          .select($"node", (lit(1.0) / $"n").as("pr")),
+        Iters))
+    }
     // phase 2: fold the delta in, warm-start IncrRounds rounds
     val (_, seFull, nodesFull) = graphOf(flows, "und") // shared with B19's staging
     val nFull = nodesFull.agg(count(lit(1)).as("n"))
