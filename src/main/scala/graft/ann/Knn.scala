@@ -359,6 +359,69 @@ object Knn {
     rankTopK(cands, 3, Seq.empty)
   }
 
+  /** D7k similarity floor for the range search. */
+  val RangeTau = 0.2
+
+  /** D7k: radius / range search (`ann_range_search`) — the OTHER ANN
+    * query shape: "everything at least τ-similar", not "the k
+    * nearest" (dedup sweeps, recall-oriented retrieval, and
+    * near-duplicate audits want a similarity floor, not a count
+    * budget). Same multi-probe IVF routing as D7c — probes score
+    * only their [[MultiProbeCells]] nearest cells' members — with
+    * the bounded heap replaced by a threshold on the 6-dp-rounded
+    * score (rounded BEFORE the comparison in both engines, so a
+    * final-ulp wobble cannot flip membership). Output size is
+    * data-dependent by design; the cell routing keeps the scored
+    * candidate set a vanishing fraction of the corpus.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = stagedModel(spark, dir, s"cents_$KMeansIters")(
+      trainedCentroids(vecs, KMeansIters))
+    val assigned = assign(vecs, cents)
+    val probeCells = vecs.where($"vec_id" < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", vcos($"embedding", $"cent"))
+      .groupBy($"vec_id")
+      .agg(first($"embedding").as("probe_emb"),
+        graft.functions.TopKByAgg.topk_by($"cscore", $"cid", MultiProbeCells)
+          .as("cells"))
+      .select($"vec_id".as("probe_id"), $"probe_emb",
+        explode($"cells.id").as("cid"))
+    assigned.join(probeCells, Seq("cid"))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score_r", round(vcos($"probe_emb", $"embedding"), 6))
+      .where($"score_r" >= RangeTau)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"score_r")
+      .orderBy($"probe_id", $"score_r".desc, $"neighbor_id")
+  }
+
+  val rangeSearchSql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")},
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM embeddings e, cents$KMeansIters c
+       |    WHERE e.vec_id < 10) t
+       |  WHERE rn <= $MultiProbeCells)
+       |SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |  round(${cosSql("p.probe_emb", "a.embedding")}, 6) AS score_r
+       |FROM assigned a JOIN pcells p USING (cid)
+       |WHERE a.vec_id != p.probe_id
+       |  AND round(${cosSql("p.probe_emb", "a.embedding")}, 6) >= $RangeTau
+       |ORDER BY probe_id, score_r DESC, neighbor_id""".stripMargin
+  }
+
   val ivfTopKMultiSql: String = {
     val training = (1 to KMeansIters).map { i =>
       assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
@@ -1820,6 +1883,7 @@ object Knn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_label_affinity" -> labelAffinity _,
+    "ann_range_search" -> rangeSearch _,
     "knn_label_accuracy" -> knnLabelAccuracy _,
     "ann_cluster_purity" -> clusterPurity _,
     "ann_recall_eval" -> annRecallEval _,
@@ -1842,6 +1906,7 @@ object Knn {
 
   val oracleSql: Map[String, String] = Map(
     "emb_label_affinity" -> labelAffinitySql,
+    "ann_range_search" -> rangeSearchSql,
     "knn_label_accuracy" -> knnLabelAccuracySql,
     "ann_cluster_purity" -> clusterPuritySql,
     "ann_recall_eval" -> annRecallEvalSql,
