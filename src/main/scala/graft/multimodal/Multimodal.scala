@@ -483,7 +483,80 @@ object Multimodal {
       |  CASE WHEN doc_id % 97 != 0 THEN CAST(pooled AS BIGINT) END AS pooled_sum
       |FROM s ORDER BY doc_id""".stripMargin
 
+  case class ImageHist(doc_id: Long, ok: Boolean, h0: Option[Long],
+      h1: Option[Long], h2: Option[Long], h3: Option[Long])
+
+  /** D12f: luminance histogram (`mm_image_histogram`) — the
+    * exposure/contrast audit of a feature-extract stage: per image, a
+    * 4-bucket histogram of per-pixel r+g+b (bucket = (r+g+b) div 192
+    * over the 0..765 range) computed on the REAL `ImageIO`-decoded
+    * raster. Same real-codec grading trick as D12d: rasters follow
+    * the shared deterministic formula, so the DuckDB oracle replays
+    * the exact bucket counts arithmetically while Spark earns them
+    * through the actual PNG decode; corrupt payloads surface as
+    * `ok = false` with NULL buckets. Map-only over the corpus.
+    */
+  def imageHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngPayloads(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, png) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+              catch { case _: Exception => null }
+            if (img == null) ImageHist(id, ok = false, None, None, None, None)
+            else {
+              val h = new Array[Long](4)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  h(lum / 192) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              ImageHist(id, ok = true, Some(h(0)), Some(h(1)), Some(h(2)), Some(h(3)))
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val imageHistogramSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars % 64 + 16 AS w, n_chars % 48 + 12 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      |c AS (
+      |  SELECT doc_id,
+      |    ((doc_id * 31 + x * 7 + y * 13) % 256
+      |     + (doc_id * 17 + x * 11 + y * 5) % 256
+      |     + (doc_id * 23 + x * 3 + y * 19) % 256) // 192 AS b
+      |  FROM px),
+      |s AS (
+      |  SELECT doc_id,
+      |    count(*) FILTER (WHERE b = 0) AS h0,
+      |    count(*) FILTER (WHERE b = 1) AS h1,
+      |    count(*) FILTER (WHERE b = 2) AS h2,
+      |    count(*) FILTER (WHERE b = 3) AS h3
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, doc_id % 97 != 0 AS ok,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(h0 AS BIGINT) END AS h0,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(h1 AS BIGINT) END AS h1,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(h2 AS BIGINT) END AS h2,
+      |  CASE WHEN doc_id % 97 != 0 THEN CAST(h3 AS BIGINT) END AS h3
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_histogram" -> imageHistogram _,
     "mm_phash_dedup" -> phashDedup _,
     "mm_decode_stats" -> decodeStats _,
     "mm_resize" -> resizeStats _,
@@ -493,6 +566,7 @@ object Multimodal {
     "mm_binary_dedup" -> binaryDedup _)
 
   val oracleSql: Map[String, String] = Map(
+    "mm_image_histogram" -> imageHistogramSql,
     "mm_phash_dedup" -> phashDedupSql,
     "mm_binary_dedup" -> binaryDedupSql,
     "mm_image_decode" -> imageDecodeSql,
