@@ -2021,7 +2021,70 @@ object TextAnalytics {
        |FROM j ORDER BY source""".stripMargin
   }
 
+  /** D8d: language-ID confidence margin (`text_langid_margin`) — the
+    * calibration view D8c's confusion matrix doesn't give: per
+    * PREDICTED language, how decisively did the classifier win? The
+    * margin is top score − second score in exact integer profile
+    * counts (no floats anywhere until the final rounded mean);
+    * margin 0 = a tie the priority chain broke arbitrarily — those
+    * are the documents a routing pipeline should send to the
+    * expensive classifier. Map-only scoring, 5-group rollup.
+    */
+  def langIdMargin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = load(spark, dir, "documents")
+      .withColumns(profiles.map { case (l, ws) => s"s_$l" -> profileScore(ws) }.toMap)
+    val pred = profiles.foldRight(lit("und")) { case ((l, _), els) =>
+      val c = col(s"s_$l")
+      val others = profiles.filter(_._1 != l).map(p => col(s"s_${p._1}"))
+      when(others.foldLeft(lit(true))((acc, o) => acc && c >= o), l).otherwise(els)
+    }
+    val arr = array_sort(array(profiles.map(p => col(s"s_${p._1}")): _*))
+    scored
+      .withColumn("lang_pred", pred)
+      .withColumn("margin",
+        element_at(arr, profiles.size) - element_at(arr, profiles.size - 1))
+      .groupBy($"lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"margin" === 0, 1)).as("n_ties"),
+        sum($"margin").as("sum_margin"))
+      .select($"lang_pred", $"n_docs", $"n_ties", $"sum_margin",
+        round($"sum_margin".cast("double") / $"n_docs".cast("double"), 6)
+          .as("avg_margin_r"))
+      .orderBy($"lang_pred")
+  }
+
+  val langIdMarginSql: String = {
+    val scores = profiles.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([$set], w))) AS s_$l"
+    }.mkString(",\n  ")
+    val predCase = profiles.map { case (l, _) =>
+      val conds = profiles.filter(_._1 != l)
+        .map(o => s"s_$l >= s_${o._1}").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    val arr = profiles.map(p => s"s_${p._1}").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |  $scores
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE $predCase ELSE 'und' END AS lang_pred,
+       |    list_sort($arr)[${profiles.size}]
+       |      - list_sort($arr)[${profiles.size - 1}] AS margin
+       |  FROM scored)
+       |SELECT lang_pred, count(*) AS n_docs,
+       |  count(CASE WHEN margin = 0 THEN 1 END) AS n_ties,
+       |  CAST(sum(margin) AS BIGINT) AS sum_margin,
+       |  round(CAST(CAST(sum(margin) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS avg_margin_r
+       |FROM m GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_margin" -> langIdMargin _,
     "corpus_drift_chi2" -> driftChi2 _,
     "text_boilerplate_grams" -> boilerplateGrams _,
     "text_cooc_lift" -> coocLift _,
@@ -2085,6 +2148,7 @@ object TextAnalytics {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_langid_margin" -> langIdMarginSql,
     "corpus_drift_chi2" -> driftChi2Sql,
     "text_boilerplate_grams" -> boilerplateGramsSql,
     "text_cooc_lift" -> coocLiftSql,
