@@ -617,7 +617,14 @@ object Dedup {
     val gh = g.select($"doc_id",
       array_sort(transform($"grams", x => xxhash64(x))).as("gh"),
       size($"grams").as("szs"))
+    // Round-robin balance the candidate PAIRS first: the prefix join
+    // emits pairs clustered by hot documents, and with the (index-
+    // sized) hash table riding the verification joins as an AQE
+    // broadcast, that clustering otherwise caps the merge-scan at a
+    // fraction of the available parallelism. Pair rows are 16 bytes —
+    // the balancing shuffle is noise next to the scan it spreads.
     val result = cand
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
       .join(gh.select($"doc_id".as("d1"), $"gh".as("g1"),
         $"szs".as("sz1")), "d1")
       .join(gh.select($"doc_id".as("d2"), $"gh".as("g2"),
@@ -716,7 +723,12 @@ object Dedup {
     val gh = g.select($"doc_id",
       array_sort(transform($"grams", x => xxhash64(x))).as("gh"),
       size($"grams").as("szs"))
+    // Pairs round-robin balanced before the verification joins — same
+    // rationale as the D4 site (hot-document clustering otherwise
+    // caps the merge-scan parallelism; measured 25 s task / 4.2 s
+    // wall on 32 cores at sf0.1 before this).
     val result = cand
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .join(gh.select($"doc_id".as("d1"), $"gh".as("g1"),
         $"szs".as("sz1")), "d1")
       .join(gh.select($"doc_id".as("d2"), $"gh".as("g2")), "d2")
