@@ -661,6 +661,21 @@ object Knn {
     * then rescaled — equals [[graft.Tables.qsum]] of the per-sub
     * doubles exactly.
     */
+  /** Spread a narrow scan across the session's cores before the
+    * CPU-bound encode/assign/ADC stages: at bench SF the corpus is
+    * one parquet file → ONE partition, which serializes the whole
+    * map chain onto a single task (measured 3.8 s task = 3.8 s wall
+    * on 32 cores). CONDITIONAL on purpose: when the scan already
+    * arrives with enough partitions (any real cluster), this is a
+    * no-op — the "corpus never shuffles for encoding" contract
+    * holds at scale, and the balancing shuffle only ever moves a
+    * sub-core-count row set.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
+  }
+
   private def adcScore(cds: Column, lutm: Column): Column =
     aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L),
       (acc, sub) => acc + element_at(lutm,
@@ -672,7 +687,7 @@ object Knn {
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val sv = subvecs(vecs)
     val cb = stagedModel(spark, dir, s"pqcb_$PqIters")(pqCodebooks(sv, PqIters))
-    val codes = pqEncodeArr(vecs, cb)
+    val codes = pqEncodeArr(spread(vecs), cb)
     val lut = lutToMap(sv.where($"vec_id" < 10)
       .join(broadcast(cb), "sub")
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
@@ -753,7 +768,7 @@ object Knn {
     // the embedding and the encoder consumes it — the corpus reaches
     // its (cell, codes) index-row form without a single shuffle
     val coded = pqEncodeArr(
-      assign(vecs, cents).withColumnRenamed("cid", "cell"),
+      assign(spread(vecs), cents).withColumnRenamed("cid", "cell"),
       cb, keep = Seq("cell"))
     val probes = coded.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
@@ -856,7 +871,7 @@ object Knn {
     // map-only residual encode off the staged table; candidates score
     // map-side via the ordered L2-ADC fold (negated: lower distance =
     // better)
-    val coded = pqEncodeArr(rvecs, cb, keep = Seq("cell"))
+    val coded = pqEncodeArr(spread(rvecs), cb, keep = Seq("cell"))
     val probes = rvecs.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
     val lut = lutToMap(rsv.where($"vec_id" < 10)
@@ -955,7 +970,7 @@ object Knn {
     val cb = stagedModel(spark, dir, s"pqcb_pc_$PqIters")(pcCodebooks(svc, PqIters))
     // map-only per-cell encode (cell-keyed nested codebooks broadcast
     // in); candidates score map-side via the ordered L2-ADC fold
-    val coded = pcEncodeArr(rvecs, cb)
+    val coded = pcEncodeArr(spread(rvecs), cb)
     val probes = rvecs.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
     val lut = lutToMap(svc.where($"vec_id" < 10)
