@@ -299,9 +299,19 @@ object Multimodal {
     * truncated after encode — a genuinely corrupt file for the decode
     * error path.
     */
+  /** Conditional narrow-scan spread (same rationale as the PQ encode
+    * path): one parquet file → one partition serializes the CPU-bound
+    * PNG encode/decode chain onto a single task; on a real cluster
+    * the scan arrives multi-partition and this is a no-op.
+    */
+  private def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
+  }
+
   private def pngPayloads(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    load(spark, dir, "documents")
+    spread(load(spark, dir, "documents"))
       .select(col("doc_id"),
         (col("n_chars") % 64 + 16).cast("int").as("w"),
         (col("n_chars") % 48 + 12).cast("int").as("h"))
