@@ -1155,13 +1155,23 @@ object TextAnalytics {
   val DsirTargetLang = "en"
   val DsirTopN = 50
 
+  /** Conditional narrow-scan spread (see the PQ/multimodal twins):
+    * the per-token md5 stream is CPU-bound, and a one-file scan
+    * would serialize it onto one task; no-op on multi-partition
+    * scans.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
+  }
+
   def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val docs = load(spark, dir, "documents")
     // unigrams ++ bigrams in one array expression — the zip_with over
     // two shifted slices avoids a posexplode + self-join on position
-    val tok = docs
+    val tok = spread(docs)
       .withColumn("ts", split($"text", " "))
       .select($"doc_id", $"lang", explode(expr(
         """concat(ts, zip_with(slice(ts, 1, size(ts) - 1),
