@@ -1424,8 +1424,13 @@ object FlowAnalytics {
       .groupBy($"h")
       .agg(first($"tot").as("tot"), first($"n_ports").as("n_ports"),
         graft.Tables.qsum(p * log(2.0, p)).as("negH"))
+      // + 0.0 normalizes the single-port hour: negH is exactly 0.0
+      // there and the negation yields IEEE −0.0, whose canonical form
+      // differs between engines' printers ('-0.0' vs '0.0' flips the
+      // value hash; measured at sf0.001). x + 0.0 is the identity for
+      // every other double.
       .select($"h", $"tot", $"n_ports",
-        round(-$"negH", 6).as("entropy_r"),
+        (round(-$"negH", 6) + lit(0.0)).as("entropy_r"),
         when($"n_ports" === 1, 0.0)
           .otherwise(round(-$"negH" / log(2.0, $"n_ports".cast("double")), 6))
           .as("norm_entropy_r"))
@@ -1973,7 +1978,7 @@ object FlowAnalytics {
          |      AS negH
          |  FROM hp JOIN tt USING (h) GROUP BY hp.h, tt.tot, tt.n_ports)
          |SELECT h, CAST(tot AS BIGINT) AS tot, n_ports,
-         |  round(-negH, 6) AS entropy_r,
+         |  round(-negH, 6) + CAST(0 AS DOUBLE) AS entropy_r,
          |  CASE WHEN n_ports = 1 THEN 0.0
          |       ELSE round(-negH /
          |         (ln(CAST(n_ports AS DOUBLE)) / ln(CAST(2 AS DOUBLE))), 6)
