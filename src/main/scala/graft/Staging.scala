@@ -59,6 +59,22 @@ object Staging {
     * table's SCHEMA changes, so a new library version can never be
     * poisoned by artifacts a previous version published.
     */
+  /** Conditional narrow-scan spread for CPU-bound map chains (PQ
+    * encode/ADC folds, PNG codec, per-token hashing, char-gram
+    * kernels): a one-file scan — the shape every small-SF bench run
+    * sees — arrives as ONE partition and serializes the whole chain
+    * onto a single task (measured 3.8 s task = 3.8 s wall on 32
+    * cores). CONDITIONAL on purpose: when the scan already carries at
+    * least half the session's parallelism (any real cluster read),
+    * this is a no-op — the family's "the corpus never shuffles for
+    * encoding" contracts hold at scale, and the balancing shuffle
+    * only ever moves a sub-core-count row set.
+    */
+  def spreadNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
+  }
+
   private val LakeFormatVersion = 1
 
   /** Session conf key for the cross-session artifact lake root. When

@@ -661,20 +661,8 @@ object Knn {
     * then rescaled — equals [[graft.Tables.qsum]] of the per-sub
     * doubles exactly.
     */
-  /** Spread a narrow scan across the session's cores before the
-    * CPU-bound encode/assign/ADC stages: at bench SF the corpus is
-    * one parquet file → ONE partition, which serializes the whole
-    * map chain onto a single task (measured 3.8 s task = 3.8 s wall
-    * on 32 cores). CONDITIONAL on purpose: when the scan already
-    * arrives with enough partitions (any real cluster), this is a
-    * no-op — the "corpus never shuffles for encoding" contract
-    * holds at scale, and the balancing shuffle only ever moves a
-    * sub-core-count row set.
-    */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
-  }
+  /** See [[graft.Staging.spreadNarrow]]. */
+  private def spread(df: DataFrame): DataFrame = graft.Staging.spreadNarrow(df)
 
   private def adcScore(cds: Column, lutm: Column): Column =
     aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L),

@@ -478,16 +478,8 @@ object Dedup {
     * evaluates its lambda interpreted per ELEMENT (the HOF trap,
     * measured ~3.2 s of the sf0.1 budget on this exact shape).
     */
-  /** Conditional narrow-scan spread (the PQ/PNG/DSIR twin): the
-    * char-gram extraction + sort kernel is CPU-bound, and a one-file
-    * scan serializes it onto a single task (measured 1.9 s wall =
-    * 1.9 s task at sf0.1); no-op once the scan arrives with
-    * partitions.
-    */
-  private def spreadNarrow(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
-  }
+  /** See [[graft.Staging.spreadNarrow]]. */
+  private def spreadNarrow(df: DataFrame): DataFrame = graft.Staging.spreadNarrow(df)
 
   private[graft] def gramTable(docs: DataFrame): DataFrame =
     spreadNarrow(docs)

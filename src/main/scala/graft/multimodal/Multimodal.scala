@@ -299,15 +299,9 @@ object Multimodal {
     * truncated after encode — a genuinely corrupt file for the decode
     * error path.
     */
-  /** Conditional narrow-scan spread (same rationale as the PQ encode
-    * path): one parquet file → one partition serializes the CPU-bound
-    * PNG encode/decode chain onto a single task; on a real cluster
-    * the scan arrives multi-partition and this is a no-op.
-    */
-  private def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
-  }
+  /** See [[graft.Staging.spreadNarrow]]. */
+  private def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.Staging.spreadNarrow(df)
 
   private def pngPayloads(spark: SparkSession, dir: String) = {
     import spark.implicits._

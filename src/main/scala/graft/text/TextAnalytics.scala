@@ -1155,15 +1155,8 @@ object TextAnalytics {
   val DsirTargetLang = "en"
   val DsirTopN = 50
 
-  /** Conditional narrow-scan spread (see the PQ/multimodal twins):
-    * the per-token md5 stream is CPU-bound, and a one-file scan
-    * would serialize it onto one task; no-op on multi-partition
-    * scans.
-    */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
-  }
+  /** See [[graft.Staging.spreadNarrow]]. */
+  private def spread(df: DataFrame): DataFrame = graft.Staging.spreadNarrow(df)
 
   def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
