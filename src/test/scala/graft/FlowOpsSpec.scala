@@ -480,4 +480,24 @@ class FlowOpsSpec extends SparkSpecBase {
     assert(got == expected.map { case (k, v) => (k: Int) -> v })
     assert(got.values.sum == perHost.length)
   }
+
+  test("bytes Gini matches a driver-side rank-formula recompute at sf0.001") {
+    import spark.implicits._
+    val hosts = FlowAnalytics.asFlows(spark, sf0001)
+      .groupBy($"pr", $"sa").agg(org.apache.spark.sql.functions.sum($"ibyt").as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = hosts.groupBy(_._1).view.mapValues { xs =>
+      val sorted = xs.sortBy(h => (h._3, h._2))
+      val n = sorted.length.toLong
+      val t = sorted.map(_._3).sum
+      val rx = sorted.zipWithIndex.map { case ((_, _, x), i) => (i + 1) * x }.sum
+      val g = (2.0 * rx) / (n * t).toDouble - (n + 1).toDouble / n
+      BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = FlowAnalytics.bytesGini(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got === expected)
+    // Gini is a proper inequality coefficient: in [0, 1)
+    assert(got.values.forall(g => g >= 0.0 && g < 1.0))
+  }
 }

@@ -212,4 +212,40 @@ class RelationalOpsSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(got === expected)
   }
+
+  test("cust_pareto: deciles partition every customer and the cumulative share ends at 1") {
+    import spark.implicits._
+    val rows = Relational.custPareto(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val nCust = graft.Tables.load(spark, sf0001, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_._2).sum === nCust, "every customer lands in exactly one decile")
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    // shares are a partition of total revenue
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.last._5 - 1.0) < 1e-6, "cumulative share must end at 1")
+    // Pareto shape: the first (richest) decile carries at least its
+    // uniform share
+    assert(rows.head._4 >= 1.0 / rows.length)
+  }
+
+  test("events_attribution matches a driver-side replay at sf0.001") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        (r.getTimestamp(1).getNanos / 1000) % 1000, r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._3).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._1))
+      sorted.zipWithIndex.collect { case ((_, ts, _, "purchase"), i)
+          if sorted.take(i).exists(_._4 != "purchase") =>
+        val (_, ats, _, aty) = sorted.take(i).filter(_._4 != "purchase").last
+        (aty, ts - ats)
+      }
+    }.groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = Relational.eventsAttribution(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
 }
