@@ -62,7 +62,15 @@ object Bench {
     val hs = headline.flatMap(n => byName.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"spark":"${spark.version}","queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val sparkVersion = spark.version
+    // Shutdown emits a WARN per staged block the SessionCache releases
+    // ("RDD was locally checkpointed … cannot be recomputed"), hundreds
+    // of lines that drown the headline JSON out of the output tail the
+    // driver captures (every BENCH_r*.json through r9 had parsed:null).
+    // Silence the stop-path logging and print the headline LAST, after
+    // spark.stop(), so it is always the final line of output.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"spark":"$sparkVersion","queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
   }
 }

@@ -72,7 +72,41 @@ object Staging {
     */
   def spreadNarrow(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p / 2) df else df.repartition(p)
+    if (estimatedScanPartitions(df) >= p / 2) df else df.repartition(p)
+  }
+
+  /** Scan-width estimate for [[spreadNarrow]]'s conditional, WITHOUT
+    * `df.rdd` — which would eagerly run full physical planning (and
+    * read only the pre-AQE count) at DataFrame-construction time for
+    * every call site. The spread inputs are narrow chains over one
+    * leaf, so the leaf IS the parallelism: a staged [[org.apache.spark.sql.execution.LogicalRDD]]
+    * carries its exact partition count for free, and a file scan's
+    * split count is `ceil((bytes + files·openCost) / maxPartitionBytes)`
+    * — Spark packs small files to ~maxPartitionBytes per split, so the
+    * size-based figure tracks the planner's within the factor-of-2
+    * slack the `≥ p/2` test already tolerates. Anything unrecognized
+    * (a join, an in-memory relation) is treated as already-wide: the
+    * contract at scale is "never an unnecessary shuffle", so the
+    * estimate must only ever skip a spread, not invent one.
+    */
+  private def estimatedScanPartitions(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val maxB = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = conf.filesOpenCostInBytes
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    leaves match {
+      case Seq(lr: LogicalRDD) => lr.rdd.getNumPartitions.toLong
+      case Seq(rel: LogicalRelation) => rel.relation match {
+        case fs: HadoopFsRelation =>
+          val files = fs.location.inputFiles.length.toLong
+          val bytes = fs.location.sizeInBytes
+          (bytes + files * openCost + maxB - 1) / maxB
+        case _ => Long.MaxValue
+      }
+      case _ => Long.MaxValue
+    }
   }
 
   private val LakeFormatVersion = 1
@@ -122,7 +156,7 @@ object Staging {
     * call site: reliable checkpoint on the cluster path, else
     * executor-memory localCheckpoint).
     */
-  private def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 

@@ -55,6 +55,9 @@ object Verify {
     // from the artifacts when the producing versions are recorded.
     Files.writeString(Paths.get(s"$outDir/env.json"),
       s"""{"spark": ${q(spark.version)}, "scala": ${q(scala.util.Properties.versionNumberString)}, "java": ${q(System.getProperty("java.version"))}}""")
+    // same stop-path WARN flood as Bench: keep the tail of the output
+    // clean for the driver's capture window
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
   }
 }

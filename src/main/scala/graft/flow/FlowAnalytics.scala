@@ -1641,7 +1641,13 @@ object FlowAnalytics {
         sum($"x").as("total_bytes"),
         sum($"r" * $"x").as("rx"))
       .select($"pr", $"n_hosts", $"total_bytes",
-        round(($"rx" * 2).cast("double") / ($"n_hosts" * $"total_bytes").cast("double")
+        // each factor casts to double BEFORE multiplying: rx·2 and
+        // n_hosts·total_bytes in LONG arithmetic overflow at the scale
+        // this operator claims (ANSI mode throws, non-ANSI wraps);
+        // the result is a double anyway and the oracle mirrors the
+        // same cast-then-multiply structure, so hashes stay exact
+        round($"rx".cast("double") * lit(2.0)
+          / ($"n_hosts".cast("double") * $"total_bytes".cast("double"))
           - ($"n_hosts" + lit(1)).cast("double") / $"n_hosts".cast("double"), 6)
           .as("gini_r"))
       .orderBy($"pr")
@@ -1879,7 +1885,8 @@ object FlowAnalytics {
         |    CAST(sum(r * x) AS BIGINT) AS rx
         |  FROM rk GROUP BY pr)
         |SELECT pr, n_hosts, total_bytes,
-        |  round(CAST(rx * 2 AS DOUBLE) / CAST(n_hosts * total_bytes AS DOUBLE)
+        |  round(CAST(rx AS DOUBLE) * 2
+        |      / (CAST(n_hosts AS DOUBLE) * CAST(total_bytes AS DOUBLE))
         |    - CAST(n_hosts + 1 AS DOUBLE) / CAST(n_hosts AS DOUBLE), 6) AS gini_r
         |FROM ag ORDER BY pr""".stripMargin),
     "flow_flag_profile" -> (flowsCte +

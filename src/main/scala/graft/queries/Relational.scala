@@ -1194,19 +1194,49 @@ object Relational {
     * sum over the 10 decile rows. The only doubles are the two final
     * rounded divisions per output row.
     *
-    * Scale: one custkey-keyed aggregate; the global rank is a sort of
-    * customer-cardinality rows (the same bound every RFM/ntile
-    * segmentation already accepts); deciles aggregate to 10 rows.
+    * Scale: one custkey-keyed aggregate, then a DISTRIBUTED exact
+    * rank — never `row_number()` over a global partition-less window,
+    * which funnels every customer through ONE task's sort at 100 TB.
+    * The rank is the classic range-partitioned two-pass form: (1)
+    * `repartitionByRange` on the rank order so partition i's rows all
+    * precede partition i+1's, each partition sorted and locally
+    * numbered in the same pass (`monotonically_increasing_id` already
+    * encodes [partition id | in-partition position] after the
+    * within-partition sort — no second shuffle, no per-partition
+    * window); (2) global rank = local rank + the preceding
+    * partitions' row counts, a partition-count-sized offset table
+    * broadcast back. Every partition sorts in parallel; the only
+    * driver-width state is the offsets (≤ shuffle-partition count).
+    * In-partition positions use the id's low 33 bits — sound while a
+    * range partition holds < 2³³ (≈8.6B) customers, far above any
+    * sane partitioning of a customer dimension.
     */
   def custPareto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perCust = load(spark, dir, "orders")
       .groupBy($"o_custkey")
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val n = perCust.agg(count(lit(1)).as("n"), sum($"cents").as("total"))
-    val w = Window.orderBy($"cents".desc, $"o_custkey")
-    perCust
-      .withColumn("rk", row_number().over(w))
+    // materialized ONCE: the ranked table feeds the offset count, the
+    // grand total and the decile rollup — lazily it would re-run the
+    // range sort per consumer (three orders scans in the plan)
+    val numbered = graft.Staging.materialize(perCust
+      .repartitionByRange($"cents".desc, $"o_custkey")
+      .sortWithinPartitions($"cents".desc, $"o_custkey")
+      .withColumn("mid", monotonically_increasing_id())
+      .select($"cents",
+        shiftright($"mid", 33).as("pid"),
+        ($"mid".bitwiseAND(lit((1L << 33) - 1)) + 1).as("lrk")))
+    val n = numbered.agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+    val cnts = numbered.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+    // preceding-partition offsets via a triangular join on the TINY
+    // per-partition count table (≤ shuffle partitions rows) — keeps
+    // even this step free of partition-less windows
+    val off = cnts.as("a")
+      .join(broadcast(cnts.as("b")), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    numbered.join(broadcast(off), "pid")
+      .withColumn("rk", $"lrk" + $"off")
       .crossJoin(broadcast(n))
       .withColumn("decile", expr("CAST((rk - 1) * 10 div n AS INT) + 1"))
       .groupBy($"decile")

@@ -1461,6 +1461,15 @@ object TextAnalytics {
     * anywhere, and the doc_id tiebreak makes equal scores split
     * deterministically. At 100 TB the rank is one per-lang sort of
     * doc-level scores (docs-sized, not token-sized).
+    *
+    * SEMANTIC NOTE for mixture consumers: rank tertiles SPLIT ties —
+    * two documents with identical rounded nll_r can land in different
+    * buckets (the doc_id tiebreak decides), unlike CCNet's published
+    * threshold form where equal scores always share a bucket. Bucket
+    * SIZES are exact thirds here; bucket BOUNDARIES are not
+    * score-closed. Downstream samplers that assume "same score ⇒ same
+    * bucket" (e.g. score-keyed caching of bucket membership) must key
+    * on (nll_r, doc_id), not nll_r alone.
     */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
