@@ -121,6 +121,22 @@ object Staging {
     */
   val LakeConfKey = "spark.graft.stagingLake"
 
+  /** Session conf key: when `"true"`, [[SessionCache.getOrBuild]]
+    * FAILS LOUDLY instead of staging a session-lifetime artifact via
+    * `localCheckpoint` with no reliable checkpoint dir configured. On
+    * that path an entry's lineage is truncated and its blocks live
+    * only in executor memory — a later executor loss makes the entry
+    * unrecoverable for the rest of the session (the lake layer does
+    * not help mid-session: the served entry's blocks are just as
+    * memory-resident; recovery requires an explicit
+    * [[SessionCache.invalidate]] + rebuild). Production sessions that
+    * require durable session-lifetime artifacts set this together
+    * with a checkpoint dir (`graft.Graft.session(ckptDir, ...)`);
+    * dev/bench sessions leave it unset and accept the
+    * rebuild-on-loss posture.
+    */
+  val RequireDurableConfKey = "spark.graft.staging.requireDurable"
+
   /** Content fingerprint of a corpus snapshot: 16 hex chars over the
     * sorted (relative path, length, mtime) of every data file under
     * `dir`. Metadata-only — one driver-side recursive listing, no data
@@ -291,10 +307,13 @@ object Staging {
     * Durability: on the localCheckpoint path (no checkpoint dir set) a
     * staged entry's lineage is truncated and its blocks live only in
     * executor memory — a later executor loss makes that entry
-    * unrecoverable for the rest of the session. Production sessions
-    * holding session-lifetime artifacts should set a reliable
-    * checkpoint dir (`graft.Graft.session(ckptDir, ...)`), which
-    * every materialize in this codebase switches to automatically.
+    * unrecoverable for the rest of the session (recovery = [[invalidate]]
+    * + rebuild/re-serve). Production sessions holding session-lifetime
+    * artifacts should set a reliable checkpoint dir
+    * (`graft.Graft.session(ckptDir, ...)`), which every materialize in
+    * this codebase switches to automatically — and can ENFORCE that
+    * posture with [[Staging.RequireDurableConfKey]], which makes
+    * [[getOrBuild]] fail loudly rather than stage memory-only entries.
     */
   private[graft] final class SessionCache {
     private val entries =
@@ -320,6 +339,17 @@ object Staging {
       val cached = entries.get(k)
       if (cached != null) cached
       else {
+        // durability gate (see [[Staging.RequireDurableConfKey]]): a
+        // session that declares it needs durable staged artifacts must
+        // not silently get memory-only localCheckpoint entries
+        if (spark.conf.get(RequireDurableConfKey, "false").toBoolean &&
+            spark.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            s"$RequireDurableConfKey=true but no reliable checkpoint dir is " +
+            s"set: staged artifact '$key' would live only in executor memory " +
+            "(localCheckpoint) and an executor loss would make it " +
+            "unrecoverable for the session. Set a checkpoint dir " +
+            "(graft.Graft.session(ckptDir, ...)) or unset the conf.")
         installCleanup(spark)
         // Cross-session layer (when spark.graft.stagingLake is set):
         // serve the published artifact for this corpus SNAPSHOT —

@@ -560,43 +560,52 @@ object GraphOps {
 
   /** The B21 LPA machinery, shared by the community report and the
     * B45 modularity scorecard: returns (unode-keyed edge table,
-    * final user labels [lazy], final service labels [staged]).
+    * converged node→label table).
+    *
+    * The CONVERGED labels are a staged session+lake artifact
+    * (`lpa_labels`, node-keyed) exactly like B19c's warm PageRank
+    * vector: community detection runs once per corpus snapshot and
+    * every consumer — the community report, the modularity scorecard,
+    * a later session — READS the label table instead of re-paying the
+    * vote rounds. Round STATE inside the build keeps the measured
+    * cadence: only the user half of each round is staged (each
+    * intermediate is consumed exactly once by the next vote), and the
+    * final svc is staged because it feeds both the last usr vote and
+    * the published union.
     */
   private def lpaLabelFrames(spark: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame) = {
     import spark.implicits._
-    val flows = FlowAnalytics.asFlows(spark, dir)
-    val ue = flows
-      .select(concat(lit("u:"), $"user_id").as("unode"), $"da").distinct()
-    // one staged copy per vote direction (joins on unode / on da);
-    // the da-keyed copy derives from the staged unode-keyed one —
-    // edge-sized re-key, one flow-corpus scan total
-    val ueU = stagedGraph(spark, dir, "bip_ue_u", Seq("unode"))(stage(ue.repartition($"unode")))
-    val ueD = stagedGraph(spark, dir, "bip_ue_d", Seq("da"))(stage(ueU.repartition($"da")))
-    var usr = ueU.select($"unode".as("node")).distinct()
-      .select($"node", $"node".as("lbl"))
-    var svc = ueD.select($"da".as("node")).distinct()
-      .select($"node", $"node".as("lbl"))
-    // label state is referenced once per vote, so only the USER half
-    // of each round is staged (one eager job per round, not two);
-    // the final svc feeds both the last usr vote and the output
-    // union, so it is staged — while the final usr flows lazily into
-    // the output aggregation (referenced once)
-    for (i <- 1 to LpaIters) {
-      val svcNext =
-        vote(ueU.join(usr, $"unode" === $"node").select($"da".as("tgt"), $"lbl"))
-      svc = if (i == LpaIters) stage(svcNext) else svcNext
-      val usrNext = vote(
-        ueD.join(svc, $"da" === $"node").select($"unode".as("tgt"), $"lbl"))
-      usr = if (i < LpaIters) stage(usrNext) else usrNext
+    val ueU = stagedGraph(spark, dir, "bip_ue_u", Seq("unode"))(stage(
+      FlowAnalytics.asFlows(spark, dir)
+        .select(concat(lit("u:"), $"user_id").as("unode"), $"da").distinct()
+        .repartition($"unode")))
+    val labels = stagedGraph(spark, dir, "lpa_labels", Seq("node")) {
+      // the da-keyed vote copy derives from the staged unode-keyed
+      // one — edge-sized re-key, one flow-corpus scan total
+      val ueD = stagedGraph(spark, dir, "bip_ue_d", Seq("da"))(
+        stage(ueU.repartition($"da")))
+      var usr = ueU.select($"unode".as("node")).distinct()
+        .select($"node", $"node".as("lbl"))
+      var svc = ueD.select($"da".as("node")).distinct()
+        .select($"node", $"node".as("lbl"))
+      for (i <- 1 to LpaIters) {
+        val svcNext =
+          vote(ueU.join(usr, $"unode" === $"node").select($"da".as("tgt"), $"lbl"))
+        svc = if (i == LpaIters) stage(svcNext) else svcNext
+        val usrNext = vote(
+          ueD.join(svc, $"da" === $"node").select($"unode".as("tgt"), $"lbl"))
+        usr = if (i < LpaIters) stage(usrNext) else usrNext
+      }
+      stage(usr.unionAll(svc).repartition($"node"))
     }
-    (ueU, usr, svc)
+    (ueU, labels)
   }
 
   def flowCommunities(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, usr, svc) = lpaLabelFrames(spark, dir)
-    usr.unionAll(svc)
+    val (_, labels) = lpaLabelFrames(spark, dir)
+    labels
       .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
       .orderBy($"n_nodes".desc, $"lbl")
       .limit(LpaTopN)
@@ -616,10 +625,9 @@ object GraphOps {
     */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (ueU, usr, svc) = lpaLabelFrames(spark, dir)
-    // labels feed three joins here (vs one downstream use in the
-    // community report) — stage the union once
-    val lab = stage(usr.unionAll(svc))
+    // reads the STAGED converged labels — the scorecard never re-runs
+    // the vote rounds the community report already paid for
+    val (ueU, lab) = lpaLabelFrames(spark, dir)
     val mframe = ueU.agg(count(lit(1)).as("m"))
     val ec = ueU
       .join(lab.select($"node".as("unode"), $"lbl".as("lu")), "unode")

@@ -126,6 +126,65 @@ class StagingLakeSpec extends SparkSpecBase {
     assert(builds === 2) // no lake → a new session rebuilds
   }
 
+  test("requireDurable fails loud on the no-checkpoint-dir path; a " +
+      "checkpoint dir satisfies it") {
+    val corpus = tmpDir("lake_corpus_rd")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    def build(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$corpus/t.parquet").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+
+    val s1 = spark.newSession()
+    s1.conf.set(Staging.RequireDurableConfKey, "true")
+    assert(s1.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: suite context has no checkpoint dir")
+    val e = intercept[IllegalStateException] {
+      cache.getOrBuild(s1, corpus, "must_be_durable")(build(s1))
+    }
+    assert(e.getMessage.contains(Staging.RequireDurableConfKey))
+    assert(e.getMessage.contains("must_be_durable"))
+
+    // with a reliable checkpoint dir the same request is served —
+    // reset the (context-global) dir afterwards so later suites keep
+    // the localCheckpoint staging path they were measured on
+    val ckpt = tmpDir("lake_ckpt_rd")
+    s1.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val a = cache.getOrBuild(s1, corpus, "must_be_durable")(build(s1))
+      assert(a.head().getLong(0) === 200L)
+    } finally s1.sparkContext.setCheckpointDir(null)
+  }
+
+  test("lost localCheckpoint entry: consuming fails; invalidate + " +
+      "getOrBuild is the recovery path") {
+    val corpus = tmpDir("lake_corpus_loss")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    var builds = 0
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      builds += 1
+      s.read.parquet(s"$corpus/t.parquet").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    }
+    val s1 = spark.newSession()
+    val a = cache.getOrBuild(s1, corpus, "volatile")(build(s1))
+    assert(builds === 1 && a.head().getLong(0) === 200L)
+
+    // simulate executor loss: the entry's memory-only blocks vanish.
+    // The truncated-lineage frame is now unrecoverable — exactly the
+    // hazard RequireDurableConfKey exists to refuse up front.
+    Staging.backingRdd(a).get.unpersist(blocking = true)
+    intercept[Exception] { a.count() }
+
+    // recovery contract: invalidate drops the dead entry, the next
+    // getOrBuild rebuilds from source
+    cache.invalidate(s1, corpus)
+    val b = cache.getOrBuild(s1, corpus, "volatile")(build(s1))
+    assert(builds === 2)
+    assert(b.head().getLong(0) === 200L)
+  }
+
   test("pruneLake removes artifacts older than the cutoff") {
     val corpus = tmpDir("lake_corpus_pr")
     val lake = tmpDir("lake_root_pr")
