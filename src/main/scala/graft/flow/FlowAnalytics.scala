@@ -1723,7 +1723,91 @@ object FlowAnalytics {
       .orderBy($"flowsrc")
   }
 
+  /** B52: bidirectional flow stitching (`flow_biflow_stitch`) —
+    * nfdump's biflow view: netflow exporters emit each DIRECTION of a
+    * conversation as its own unidirectional record, and the analyst
+    * view pairs request and reply into one biflow row with separate
+    * forward/reverse byte+packet counters (the RFC 5103 shape). The
+    * synthetic exporter rule extends the events→flow mapping the same
+    * way flags/ports do: per event, `k % 3` decides what the exporter
+    * emitted — 0: both the request record and the reply record
+    * (endpoints/ports swapped, the reply one second later with its
+    * own counters), 1: request only, 2: reply only (request direction
+    * lost) — so the stitch is exercised with two-sided conversations
+    * AND both one-sided postures.
+    *
+    * Deterministic pairing rule, mirrored in the oracle: legs group
+    * by the CANONICAL 5-tuple — the lexicographically smaller
+    * (addr, port) endpoint first — and the conversation's CLIENT is
+    * the side whose direction saw the earlier first record (request
+    * precedes reply); a first-second tie, and any one-sided
+    * conversation, resolves to the observed/canonical-first side.
+    * One-sided conversations keep zeroed opposite-direction counters
+    * (nfdump biflow semantics for unanswered scans).
+    *
+    * Scale: map-only direction normalization, then ONE shuffle on the
+    * canonical tuple with map-side combine — the same profile as any
+    * per-conversation rollup; no join, no window. At 100 TB the
+    * conversation table is the natural bucketing key for every
+    * downstream biflow consumer.
+    */
+  def biflowStitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = asFlows(spark, dir)
+      .withColumn("s", expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
+    // both exporter records derive from ONE corpus pass (explode of a
+    // 2-slot struct array, nulls filtered) — never two scans
+    val legs = f.select(explode(array(
+        when(pmod($"k", lit(3)) =!= 2, struct(
+          $"sa".as("src"), $"da".as("dst"),
+          $"sp".as("spt"), $"dp".as("dpt"),
+          $"pr", $"s", $"ibyt", $"ipkt")),
+        when(pmod($"k", lit(3)) =!= 1, struct(
+          $"da".as("src"), $"sa".as("dst"),
+          $"dp".as("spt"), $"sp".as("dpt"),
+          $"pr", ($"s" + 1).as("s"),
+          round($"value" * 250).cast("long").as("ibyt"),
+          (pmod($"event_id", lit(500)) + 1).as("ipkt")))
+      )).as("l"))
+      .where($"l".isNotNull).select($"l.*")
+    val isF = ($"src" < $"dst") || ($"src" === $"dst" && $"spt" <= $"dpt")
+    val conv = legs
+      .select(
+        when(isF, $"src").otherwise($"dst").as("a1"),
+        when(isF, $"spt").otherwise($"dpt").as("p1"),
+        when(isF, $"dst").otherwise($"src").as("a2"),
+        when(isF, $"dpt").otherwise($"spt").as("p2"),
+        $"pr", $"s", $"ibyt", $"ipkt", isF.as("isf"))
+      .groupBy($"a1", $"p1", $"a2", $"p2", $"pr")
+      .agg(
+        min($"s").as("first_s"), max($"s").as("last_s"),
+        min(when($"isf", $"s")).as("af"),
+        min(when(!$"isf", $"s")).as("bf"),
+        count(when($"isf", 1)).as("a_flows"),
+        sum(when($"isf", $"ibyt")).as("a_bytes"),
+        sum(when($"isf", $"ipkt")).as("a_pkts"),
+        count(when(!$"isf", 1)).as("b_flows"),
+        sum(when(!$"isf", $"ibyt")).as("b_bytes"),
+        sum(when(!$"isf", $"ipkt")).as("b_pkts"))
+    val cliA = $"bf".isNull || ($"af".isNotNull && $"af" <= $"bf")
+    conv.select(
+        when(cliA, $"a1").otherwise($"a2").as("client"),
+        when(cliA, $"p1").otherwise($"p2").as("client_port"),
+        when(cliA, $"a2").otherwise($"a1").as("server"),
+        when(cliA, $"p2").otherwise($"p1").as("server_port"),
+        $"pr",
+        when(cliA, $"a_flows").otherwise($"b_flows").as("fwd_flows"),
+        coalesce(when(cliA, $"a_bytes").otherwise($"b_bytes"), lit(0L)).as("fwd_bytes"),
+        coalesce(when(cliA, $"a_pkts").otherwise($"b_pkts"), lit(0L)).as("fwd_pkts"),
+        when(cliA, $"b_flows").otherwise($"a_flows").as("rev_flows"),
+        coalesce(when(cliA, $"b_bytes").otherwise($"a_bytes"), lit(0L)).as("rev_bytes"),
+        coalesce(when(cliA, $"b_pkts").otherwise($"a_pkts"), lit(0L)).as("rev_pkts"),
+        $"first_s", $"last_s", ($"last_s" - $"first_s").as("duration_s"))
+      .orderBy($"client", $"client_port", $"server", $"server_port", $"pr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_biflow_stitch" -> biflowStitch _,
     "flow_sampling_correct" -> samplingCorrect _,
     "flow_topn_persistence" -> topnPersistence _,
     "flow_bytes_gini" -> bytesGini _,
@@ -1831,6 +1915,56 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_biflow_stitch" -> (flowsCte +
+      """, legs AS (
+        |  SELECT sa AS src, da AS dst, sp AS spt, dp AS dpt, pr,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s, ibyt, ipkt
+        |  FROM flows WHERE k % 3 <> 2
+        |  UNION ALL
+        |  SELECT da, sa, dp, sp, pr,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1,
+        |    CAST(round(value * 250) AS BIGINT), (event_id % 500) + 1
+        |  FROM flows WHERE k % 3 <> 1),
+        |canon AS (
+        |  SELECT
+        |    CASE WHEN isf THEN src ELSE dst END AS a1,
+        |    CASE WHEN isf THEN spt ELSE dpt END AS p1,
+        |    CASE WHEN isf THEN dst ELSE src END AS a2,
+        |    CASE WHEN isf THEN dpt ELSE spt END AS p2,
+        |    pr, s, ibyt, ipkt, isf
+        |  FROM (SELECT *,
+        |    (src < dst OR (src = dst AND spt <= dpt)) AS isf FROM legs)),
+        |conv AS (
+        |  SELECT a1, p1, a2, p2, pr,
+        |    min(s) AS first_s, max(s) AS last_s,
+        |    min(CASE WHEN isf THEN s END) AS af,
+        |    min(CASE WHEN NOT isf THEN s END) AS bf,
+        |    count(CASE WHEN isf THEN 1 END) AS a_flows,
+        |    CAST(sum(CASE WHEN isf THEN ibyt END) AS BIGINT) AS a_bytes,
+        |    CAST(sum(CASE WHEN isf THEN ipkt END) AS BIGINT) AS a_pkts,
+        |    count(CASE WHEN NOT isf THEN 1 END) AS b_flows,
+        |    CAST(sum(CASE WHEN NOT isf THEN ibyt END) AS BIGINT) AS b_bytes,
+        |    CAST(sum(CASE WHEN NOT isf THEN ipkt END) AS BIGINT) AS b_pkts
+        |  FROM canon GROUP BY a1, p1, a2, p2, pr),
+        |cli AS (
+        |  SELECT *,
+        |    (bf IS NULL OR (af IS NOT NULL AND af <= bf)) AS ca
+        |  FROM conv)
+        |SELECT
+        |  CASE WHEN ca THEN a1 ELSE a2 END AS client,
+        |  CASE WHEN ca THEN p1 ELSE p2 END AS client_port,
+        |  CASE WHEN ca THEN a2 ELSE a1 END AS server,
+        |  CASE WHEN ca THEN p2 ELSE p1 END AS server_port,
+        |  pr,
+        |  CASE WHEN ca THEN a_flows ELSE b_flows END AS fwd_flows,
+        |  coalesce(CASE WHEN ca THEN a_bytes ELSE b_bytes END, 0) AS fwd_bytes,
+        |  coalesce(CASE WHEN ca THEN a_pkts ELSE b_pkts END, 0) AS fwd_pkts,
+        |  CASE WHEN ca THEN b_flows ELSE a_flows END AS rev_flows,
+        |  coalesce(CASE WHEN ca THEN b_bytes ELSE a_bytes END, 0) AS rev_bytes,
+        |  coalesce(CASE WHEN ca THEN b_pkts ELSE a_pkts END, 0) AS rev_pkts,
+        |  first_s, last_s, last_s - first_s AS duration_s
+        |FROM cli
+        |ORDER BY client, client_port, server, server_port, pr""".stripMargin),
     "flow_sampling_correct" -> (flowsCte +
       """, rates AS (
         |  SELECT 'nfsen-0' AS flowsrc, 1 AS rate

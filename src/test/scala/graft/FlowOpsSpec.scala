@@ -500,4 +500,50 @@ class FlowOpsSpec extends SparkSpecBase {
     // Gini is a proper inequality coefficient: in [0, 1)
     assert(got.values.forall(g => g >= 0.0 && g < 1.0))
   }
+
+  test("biflow stitch matches a driver-side replay of the pairing rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    case class Leg(src: String, dst: String, spt: Int, dpt: Int,
+        pr: String, s: Long, b: Long, p: Long)
+    val legs = FlowAnalytics.asFlows(spark, sf0001)
+      .select($"event_id", $"k", $"sa", $"da", $"sp", $"dp", $"pr",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("s"),
+        $"ibyt", $"ipkt", $"value")
+      .collect().flatMap { r =>
+        val (eid, k) = (r.getLong(0), r.getLong(1))
+        val (sa, da, sp, dp) = (r.getString(2), r.getString(3), r.getInt(4), r.getInt(5))
+        val (pr, s, ib, ip, v) = (r.getString(6), r.getLong(7), r.getLong(8),
+          r.getLong(9), r.getDouble(10))
+        (if (k % 3 != 2) Seq(Leg(sa, da, sp, dp, pr, s, ib, ip)) else Nil) ++
+        (if (k % 3 != 1)
+          Seq(Leg(da, sa, dp, sp, pr, s + 1, math.round(v * 250), eid % 500 + 1))
+         else Nil)
+      }
+    val expected = legs.groupBy { l =>
+      val fwd = l.src < l.dst || (l.src == l.dst && l.spt <= l.dpt)
+      if (fwd) (l.src, l.spt, l.dst, l.dpt, l.pr) else (l.dst, l.dpt, l.src, l.spt, l.pr)
+    }.map { case ((a1, p1, a2, p2, pr), ls) =>
+      val (aLegs, bLegs) = ls.partition(l => l.src == a1 && l.spt == p1)
+      val af = aLegs.map(_.s).minOption
+      val bf = bLegs.map(_.s).minOption
+      val cliA = bf.isEmpty || (af.isDefined && af.get <= bf.get)
+      val (fl, rl) = if (cliA) (aLegs, bLegs) else (bLegs, aLegs)
+      val key = if (cliA) (a1, p1, a2, p2, pr) else (a2, p2, a1, p1, pr)
+      key -> ((fl.length.toLong, fl.map(_.b).sum, fl.map(_.p).sum,
+        rl.length.toLong, rl.map(_.b).sum, rl.map(_.p).sum,
+        ls.map(_.s).min, ls.map(_.s).max))
+    }
+    val got = FlowAnalytics.biflowStitch(spark, sf0001).collect().map { r =>
+      (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3), r.getString(4)) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getLong(10), r.getLong(11), r.getLong(12)))
+    }.toMap
+    assert(got == expected)
+    // all three exporter postures are genuinely present in the corpus
+    val twoSided = got.values.count(v => v._1 > 0 && v._4 > 0)
+    val oneSided = got.values.count(v => v._4 == 0)
+    val revObserved = got.keys.count(_._1.startsWith("192.168."))
+    assert(twoSided > 0 && oneSided > 0 && revObserved > 0)
+  }
 }
