@@ -164,16 +164,16 @@ object GraphSearch {
     * the metric's definition here, identical in both engines) — so no
     * float addition order exists at all.
     */
-  def closeness(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val flows = FlowAnalytics.asFlows(spark, dir)
-    val ue = flows.select(concat(lit("u:"), $"user_id").as("src"), $"da".as("dst"))
-    val edges = ue.union(ue.select($"dst".as("src"), $"src".as("dst"))).distinct()
-    val eSrc = materialize(edges.repartition($"src"))
-    val deg = materialize(
-      eSrc.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")))
-    val seeds = deg.orderBy($"deg".desc, $"node").limit(BfsSeeds)
-      .select($"node".as("seed"))
+  /** Per-seed layered BFS over the staged symmetric edge table:
+    * returns the union of materialized per-layer leaves as
+    * (seed, node, hop) minimum hop distances (hop 0 = the seed
+    * itself). The B23 frontier/delta iteration run once per seed
+    * stripe — shared by B49's exact seeded sweep and B49b's
+    * Eppstein–Wang all-nodes estimator.
+    */
+  private def seededBfs(eSrc: DataFrame, seeds: DataFrame,
+      what: String): DataFrame = {
+    import eSrc.sparkSession.implicits._
     var frontier = materialize(seeds.select($"seed", $"seed".as("node"), lit(0).as("hop")))
     val layers = ArrayBuffer(frontier)
     var hop = 0
@@ -182,7 +182,7 @@ object GraphSearch {
       hop += 1
       if (hop > BfsHopCap)
         throw new IllegalStateException(
-          s"closeness frontier still live after $BfsHopCap hops — raise the cap " +
+          s"$what frontier still live after $BfsHopCap hops — raise the cap " +
             "(the oracle recursion bound must move with it)")
       val seen = layers.map(_.select($"seed", $"node")).reduce(_ unionAll _)
       val next = materialize(
@@ -193,7 +193,20 @@ object GraphSearch {
       if (next.count() == 0L) { release(next); done = true }
       else { layers += next; frontier = next }
     }
-    val reached = layers.map(_.select($"seed", $"hop")).reduce(_ unionAll _)
+    layers.map(_.select($"seed", $"node", $"hop")).reduce(_ unionAll _)
+  }
+
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val ue = flows.select(concat(lit("u:"), $"user_id").as("src"), $"da".as("dst"))
+    val edges = ue.union(ue.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val eSrc = materialize(edges.repartition($"src"))
+    val deg = materialize(
+      eSrc.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")))
+    val seeds = deg.orderBy($"deg".desc, $"node").limit(BfsSeeds)
+      .select($"node".as("seed"))
+    val reached = seededBfs(eSrc, seeds, "closeness").select($"seed", $"hop")
     reached.where($"hop" > 0)
       .groupBy($"seed", $"hop").agg(count(lit(1)).as("nd"))
       .groupBy($"seed")
@@ -233,6 +246,108 @@ object GraphSearch {
          |  round(CAST(CAST(sum(nd) AS BIGINT) AS DOUBLE)
          |    / CAST(CAST(sum(hop * nd) AS BIGINT) AS DOUBLE), 9) AS closeness_r
          |FROM hd GROUP BY seed ORDER BY seed""".stripMargin
+
+  // ------------------------------------- B49b sampled all-pairs closeness
+
+  /** B49b: sampled ALL-NODES closeness (`graph_closeness_sampled`) —
+    * the Eppstein–Wang estimator (Eppstein & Wang 2001, "Fast
+    * approximation of centrality"): run BFS from k uniformly sampled
+    * seeds and estimate EVERY node's average distance as
+    * d̂(v) = n/(k(n−1)) · Σᵢ d(sᵢ, v), closeness ĉ(v) = 1/d̂(v).
+    * Exact all-pairs closeness is O(V·E) and nobody runs it at
+    * 100 TB; k = O(log n / ε²) sampled sweeps estimate every node
+    * within ε·Δ with high probability (Hoeffding over the k
+    * independent per-seed distances — the bound spec pins the
+    * guarantee against an exact recompute). B49 answers "how central
+    * are the hubs, exactly"; this answers "rank ALL nodes by
+    * centrality, approximately" at k·O(E) total cost.
+    *
+    * The estimator is defined on a CONNECTED graph, so the subject is
+    * the GIANT COMPONENT — the component of the top-degree hub, found
+    * by one extra single-seed BFS sweep (the standard practice; the
+    * contact graph's minor components are event noise). n is the
+    * component size and seeds sample from the component, so every
+    * component node is reached by all k seeds by construction.
+    *
+    * Derandomized sampling: seeds are the first [[CloseSampleSeeds]]
+    * component nodes in (md5(node), node) order — the repo's standard
+    * hash-order uniform sample, identical in both engines. All
+    * aggregates are exact integers; the two estimator divisions are
+    * single rounded IEEE ops on exact operands. Output is the
+    * top-[[CloseSampleTopN]] most-central nodes (sum_dist asc =
+    * closeness desc, node tiebreak).
+    */
+  val CloseSampleSeeds = 8
+  val CloseSampleTopN = 50
+
+  def closenessSampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flows = FlowAnalytics.asFlows(spark, dir)
+    val ue = flows.select(concat(lit("u:"), $"user_id").as("src"), $"da".as("dst"))
+    val edges = ue.union(ue.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val eSrc = materialize(edges.repartition($"src"))
+    val deg = materialize(
+      eSrc.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")))
+    val hub = deg.orderBy($"deg".desc, $"node").limit(1)
+      .select($"node".as("seed"))
+    val comp = materialize(
+      seededBfs(eSrc, hub, "closenessSampled-component").select($"node"))
+    val nFrame = comp.agg(count(lit(1)).as("n"))
+    val seeds = comp.orderBy(md5($"node"), $"node").limit(CloseSampleSeeds)
+      .select($"node".as("seed"))
+    val kD = lit(CloseSampleSeeds.toDouble)
+    seededBfs(eSrc, seeds, "closenessSampled")
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_seen"), sum($"hop").as("sum_dist"))
+      .where($"n_seen" === CloseSampleSeeds)
+      .crossJoin(broadcast(nFrame))
+      .select($"node", $"sum_dist",
+        round(($"n".cast("double") * $"sum_dist".cast("double")) /
+          (kD * ($"n" - 1).cast("double")), 9).as("est_avg_dist_r"),
+        round((kD * ($"n" - 1).cast("double")) /
+          ($"n".cast("double") * $"sum_dist".cast("double")), 9)
+          .as("closeness_est_r"))
+      .orderBy($"sum_dist", $"node")
+      .limit(CloseSampleTopN)
+  }
+
+  val closenessSampledSql: String =
+    FlowAnalytics.flowsCte.replace(
+      "WITH flows AS (", "WITH RECURSIVE flows AS MATERIALIZED (") +
+      s""", edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT 'u:' || user_id AS src, da AS dst FROM flows
+         |    UNION ALL SELECT da AS src, 'u:' || user_id AS dst FROM flows)),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |hub AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1),
+         |creach(node, hop) AS (
+         |  SELECT node, 0 FROM hub
+         |  UNION
+         |  SELECT e.dst, c.hop + 1 FROM creach c JOIN edges e ON e.src = c.node
+         |  WHERE c.hop < $BfsHopCap),
+         |comp AS MATERIALIZED (SELECT DISTINCT node FROM creach),
+         |nn AS (SELECT count(*) AS n FROM comp),
+         |seeds AS MATERIALIZED (
+         |  SELECT node AS seed FROM comp
+         |  ORDER BY md5(node), node LIMIT $CloseSampleSeeds),
+         |reach(seed, node, hop) AS (
+         |  SELECT seed, seed, 0 FROM seeds
+         |  UNION
+         |  SELECT r.seed, e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.node
+         |  WHERE r.hop < $BfsHopCap),
+         |mh AS MATERIALIZED (
+         |  SELECT seed, node, min(hop) AS hop FROM reach GROUP BY seed, node),
+         |ag AS (
+         |  SELECT node, CAST(sum(hop) AS BIGINT) AS sum_dist
+         |  FROM mh GROUP BY node HAVING count(*) = $CloseSampleSeeds)
+         |SELECT node, sum_dist,
+         |  round((CAST(n AS DOUBLE) * CAST(sum_dist AS DOUBLE))
+         |    / ($CloseSampleSeeds.0 * CAST(n - 1 AS DOUBLE)), 9) AS est_avg_dist_r,
+         |  round(($CloseSampleSeeds.0 * CAST(n - 1 AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sum_dist AS DOUBLE)), 9) AS closeness_est_r
+         |FROM ag CROSS JOIN nn
+         |ORDER BY sum_dist, node LIMIT $CloseSampleTopN""".stripMargin
 
   // -------------------------------------------------------------- B24 k-core
 
@@ -515,6 +630,7 @@ object GraphSearch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> closeness _,
+    "graph_closeness_sampled" -> closenessSampled _,
     "graph_bfs_hops" -> bfsHops _,
     "graph_kcore" -> kcore _,
     "graph_sssp" -> sssp _,
@@ -522,6 +638,7 @@ object GraphSearch {
 
   val oracleSql: Map[String, String] = Map(
     "graph_closeness" -> closenessSql,
+    "graph_closeness_sampled" -> closenessSampledSql,
     "graph_bfs_hops" -> bfsHopsSql,
     "graph_kcore" -> kcoreSql,
     "graph_sssp" -> ssspSql,

@@ -161,4 +161,74 @@ class GraphSearchSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("sampled closeness: Eppstein–Wang estimate within the Hoeffding " +
+      "bound of an exact all-pairs recompute at sf0.001") {
+    import spark.implicits._
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val edgePairs = flows
+      .select(concat(lit("u:"), $"user_id").as("u"), $"da").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edgePairs.foldLeft(Map.empty[String, Set[String]]) {
+      case (m, (s, d)) =>
+        m.updated(s, m.getOrElse(s, Set.empty) + d)
+          .updated(d, m.getOrElse(d, Set.empty) + s)
+    }
+    def bfsFrom(s: String): Map[String, Int] = {
+      var dist = Map(s -> 0); var frontier = Set(s); var hop = 0
+      while (frontier.nonEmpty) {
+        hop += 1
+        val next = frontier.flatMap(adj).diff(dist.keySet)
+        dist = dist ++ next.map(_ -> hop); frontier = next
+      }
+      dist
+    }
+    // the query's universe: the component of the top-degree hub
+    val hub = adj.toSeq.sortBy { case (v, nb) => (-nb.size, v) }.head._1
+    val nodes = bfsFrom(hub).keySet.toSeq.sorted
+    val n = nodes.size
+    assert(n > GraphSearch.CloseSampleTopN,
+      "giant component too small to exercise the top-N cut")
+    // exact all-pairs distances within the component (fine at sf0.001)
+    val exact = nodes.map(v => v -> bfsFrom(v)).toMap
+    val diameter = nodes.map(v => exact(v).values.max).max
+    val trueAvg = nodes.map(v => v -> exact(v).values.sum.toDouble / (n - 1)).toMap
+
+    val k = GraphSearch.CloseSampleSeeds
+    // derandomized uniform sample: first k nodes in (md5, node) order,
+    // exactly the query's rule
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val seeds = nodes.sortBy(v => (md5hex(v), v)).take(k)
+
+    val got = GraphSearch.closenessSampled(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= GraphSearch.CloseSampleTopN)
+    // estimator internals replay: sum_dist is the exact seed-distance
+    // sum, est_avg = n/(k(n-1))·sum, closeness = inverse
+    got.foreach { case (v, sumDist, estAvg, cEst) =>
+      val expSum = seeds.map(s => exact(s)(v).toLong).sum
+      assert(sumDist == expSum, s"$v: sum_dist $sumDist != $expSum")
+      val exp = n.toDouble * sumDist / (k.toDouble * (n - 1))
+      assert(math.abs(estAvg - BigDecimal(exp).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(math.abs(cEst * estAvg - 1.0) < 1e-6)
+    }
+    // Eppstein–Wang / Hoeffding guarantee: with k samples, every
+    // node's estimated average distance is within ε·Δ of the truth
+    // w.p. ≥ 1 − 1/n for ε = sqrt(ln(2n²)/(2k)). The sample here is
+    // deterministic (md5-order), so we assert the bound OUTRIGHT —
+    // it must hold for every output node on this corpus
+    val eps = math.sqrt(math.log(2.0 * n * n) / (2.0 * k))
+    val bound = eps * diameter
+    got.foreach { case (v, _, estAvg, _) =>
+      assert(math.abs(estAvg - trueAvg(v)) <= bound,
+        s"$v: |${estAvg} - ${trueAvg(v)}| > ε·Δ = $bound (ε=$eps, Δ=$diameter)")
+    }
+    // and the output really is the global top by estimated closeness
+    val gotNodes = got.map(_._1).toSeq
+    assert(gotNodes == gotNodes.sorted(Ordering.by((v: String) =>
+      (got.find(_._1 == v).get._2, v))).toSeq)
+  }
 }
