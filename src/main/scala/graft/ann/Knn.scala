@@ -74,17 +74,23 @@ object Knn {
   /** The oracle's cosine — list_reduce fold, same element order and
     * widening as [[VecFuncs.vcos]].
     */
-  private def cosSql(a: String, b: String): String =
+  private def cosSql(a: String, b: String): String = cosSqlDim(a, b, Dim.toString)
+
+  /** [[cosSql]] over only the first `dim` components (`dim` may be a
+    * column reference) — the Matryoshka-truncation scoring twin. Same
+    * fixed-order fold as [[graft.functions.VecFuncs.vcos]].
+    */
+  private def cosSqlDim(a: String, b: String, dim: String): String =
     s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |    list_transform(range(1, $Dim + 1),
+       |    list_transform(range(1, $dim + 1),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |   (acc, v) -> acc + v)
        | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(1, $Dim + 1),
+       |      list_transform(range(1, $dim + 1),
        |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))),
        |      (acc, v) -> acc + v))
        |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(1, $Dim + 1),
+       |      list_transform(range(1, $dim + 1),
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |      (acc, v) -> acc + v))))""".stripMargin
 
@@ -121,6 +127,79 @@ object Knn {
       .withColumn("score", vcos($"probe_emb", $"embedding"))
     rankTopK(scored, 5, Seq.empty)
   }
+
+  /** D20c: Matryoshka truncation evaluation (`emb_matryoshka`) — the
+    * MRL question (Kusupati et al. 2022): how much RANKING survives
+    * when vectors are truncated to a dim prefix? For each prefix in
+    * [[MatryoshkaDims]], every probe's exact top-5 by truncated-dim
+    * cosine is compared against the full-dim top-5, reported as
+    * overlap@5 — the go/no-go table for serving shorter vectors
+    * (the storage/recall trade the SQ8/PQ family makes by
+    * quantization, made here by truncation).
+    *
+    * Execution: ONE corpus pass — the candidate set explodes the 4
+    * prefix dims and scores each with the fused [[VecFuncs.vcos]]
+    * over `slice(...)` (no per-dim rescan), rank through the bounded
+    * per-(probe, dim) heap, and the tiny ranked table (probes×5×dims
+    * rows) is materialized once and self-compared. Overlap counts are
+    * exact integers; one rounded division per output row. Rank order
+    * is float-comparison-only (no float addition across rows), and
+    * the fold order matches the oracle's list_reduce exactly.
+    */
+  val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  def embMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val probes = vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val scored = spread(vecs).crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("dim", explode(typedLit(MatryoshkaDims)))
+      .withColumn("score",
+        vcos(expr("slice(probe_emb, 1, dim)"), expr("slice(embedding, 1, dim)")))
+    val ranked = graft.Staging.materialize(rankTopK(scored, 5, Seq("dim")))
+    val full = ranked.where($"dim" === Dim)
+      .select($"probe_id", $"neighbor_id")
+    val totals = ranked.groupBy($"dim").agg(count(lit(1)).as("n_pairs"))
+    val hits = ranked.select($"dim", $"probe_id", $"neighbor_id")
+      .join(broadcast(full), Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy($"dim").agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("dim"), "left")
+      .select($"dim", $"n_pairs",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        round(coalesce($"n_overlap", lit(0L)).cast("double") /
+          $"n_pairs".cast("double"), 6).as("overlap_r"))
+      .orderBy($"dim")
+  }
+
+  val embMatryoshkaSql: String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < 10),
+       |dims AS (SELECT unnest([${MatryoshkaDims.mkString(", ")}]) AS dim),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id, d.dim,
+       |    ${cosSqlDim("p.probe_emb", "e.embedding", "d.dim")} AS score
+       |  FROM embeddings e, probes p, dims d WHERE e.vec_id != p.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, dim,
+       |    row_number() OVER (PARTITION BY probe_id, dim
+       |      ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored),
+       |top AS (SELECT probe_id, vec_id, dim FROM ranked WHERE rank <= 5),
+       |fulltop AS (SELECT probe_id, vec_id FROM top WHERE dim = $Dim),
+       |totals AS (SELECT dim, count(*) AS n_pairs FROM top GROUP BY dim),
+       |hits AS (
+       |  SELECT t.dim, count(*) AS n_overlap
+       |  FROM top t JOIN fulltop f
+       |    ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+       |  GROUP BY t.dim)
+       |SELECT CAST(t.dim AS INT) AS dim, t.n_pairs,
+       |  coalesce(h.n_overlap, 0) AS n_overlap,
+       |  round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+       |    / CAST(t.n_pairs AS DOUBLE), 6) AS overlap_r
+       |FROM totals t LEFT JOIN hits h ON h.dim = t.dim
+       |ORDER BY dim""".stripMargin
 
   val bruteTopKSql: String =
     s"""WITH probes AS (
@@ -1905,7 +1984,8 @@ object Knn {
     "dedup_embedding" -> embDedup _,
     "dedup_semantic" -> semanticDedup _,
     "emb_norms" -> embNorms _,
-    "emb_quantize" -> embQuantize _)
+    "emb_quantize" -> embQuantize _,
+    "emb_matryoshka" -> embMatryoshka _)
 
   val oracleSql: Map[String, String] = Map(
     "emb_label_affinity" -> labelAffinitySql,
@@ -1928,5 +2008,6 @@ object Knn {
     "dedup_embedding" -> embDedupSql,
     "dedup_semantic" -> semanticDedupSql,
     "emb_norms" -> embNormsSql,
-    "emb_quantize" -> embQuantizeSql)
+    "emb_quantize" -> embQuantizeSql,
+    "emb_matryoshka" -> embMatryoshkaSql)
 }

@@ -1159,6 +1159,193 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** C52: TPC-H Q8 shape — national market share: one supplier
+    * nation's share of a region's revenue per order year. The
+    * two-level pattern: a 6-way join narrows to (year, volume,
+    * supplier-nation), then the share is a conditional-aggregate
+    * ratio per year (Q14's ratio at a grouped grain). Lineitem
+    * shuffles once on orderkey; every dimension broadcasts.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = load(spark, dir, "nation")
+    val custRegion = load(spark, dir, "customer")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(load(spark, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "EUROPE")
+      .select($"c_custkey")
+    val suppNat = load(spark, dir, "supplier")
+      .join(broadcast(nat.select($"n_nationkey".as("sn_key"),
+        $"n_name".as("supp_nation"))), $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"supp_nation")
+    val ord = load(spark, dir, "orders")
+      .where($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+             $"o_orderdate" < lit("1997-01-01").cast("timestamp_ntz"))
+    load(spark, dir, "lineitem")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custRegion), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        dsum(when($"supp_nation" === "NATION_3",
+          dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .otherwise(lit(0).cast("decimal(28,4)")), 4).as("nation_volume"),
+        dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+          .as("total_volume"))
+      .select($"o_year", $"nation_volume", $"total_volume",
+        round($"nation_volume" / $"total_volume", 6).as("mkt_share_r"))
+      .orderBy($"o_year")
+  }
+
+  /** C53: TPC-H Q15 shape — top supplier(s) by quarterly revenue:
+    * the per-group aggregate filtered by its own GLOBAL max (the
+    * original's revenue view + scalar subquery). The supplier rollup
+    * computes once and feeds both the max and the final filter; the
+    * max broadcasts back — never a global sort. Equality compares the
+    * two engines' identical exact-decimal-derived doubles.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = load(spark, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+             $"l_shipdate" < lit("1996-04-01").cast("timestamp_ntz"))
+      .groupBy($"l_suppkey")
+      .agg(dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+        .as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("mx"))
+    rev.join(broadcast(load(spark, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .crossJoin(broadcast(mx))
+      .where($"total_revenue" === $"mx")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** C54: TPC-H Q16 shape — supplier diversity per part profile:
+    * distinct suppliers per (brand, type, size) over the
+    * lineitem-derived part↔supplier pairs (the schema's partsupp
+    * stand-in), excluding flagged suppliers (negative acctbal — the
+    * "complaints" analog) via an anti join and excluding one brand +
+    * the promo type family by predicate. count(DISTINCT) per group
+    * after the pairs dedup; part broadcasts, the anti join
+    * broadcasts its tiny supplier side.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flagged = load(spark, dir, "supplier")
+      .where($"s_acctbal" < 0).select($"s_suppkey")
+    val pairs = load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(flagged), $"l_suppkey" === $"s_suppkey", "left_anti")
+    pairs.join(broadcast(load(spark, dir, "part")),
+        $"l_partkey" === $"p_partkey")
+      .where($"p_brand" =!= "Brand#1" && !$"p_type".startsWith("PROMO") &&
+             $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** C55: TPC-H Q18 shape — large-volume orders: orders whose total
+    * quantity clears a threshold (the HAVING-on-sum pattern), joined
+    * back to customer detail, top 20 by order value. The lineitem
+    * rollup is one orderkey shuffle with map-side combine; the
+    * HAVING prunes before the joins; the top-20 is a
+    * TakeOrderedAndProject heap. Quantities are exact decimals.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .where($"total_qty" > 300)
+    big.join(load(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(load(spark, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  /** C56: TPC-H Q22 shape — idle wealthy customers: account balance
+    * above the positive-balance average (exact-decimal scalar
+    * aggregate broadcast back) AND no orders in the trailing year
+    * (anti join — the schema's every-customer-orders reality makes
+    * the original's "never ordered" set empty, so the idle window is
+    * time-bounded), grouped by nation as the country-code analog.
+    * Customer-sized work end to end; one rounded output double.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = load(spark, dir, "customer")
+    val avgBal = cust.where($"c_acctbal" > 0)
+      .agg((dsum($"c_acctbal") / count(lit(1))).as("avg_bal"))
+    val recent = load(spark, dir, "orders")
+      .where($"o_orderdate" >= lit("2000-08-01").cast("timestamp_ntz"))
+      .select($"o_custkey").distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .where($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".as("cntry"))
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .select($"cntry", $"numcust", round($"totacctbal", 2).as("totacctbal_r"))
+      .orderBy($"cntry")
+  }
+
+  /** C57: frequent-path mining (`events_path_mining`) — the top
+    * consecutive event-type trigrams across user journeys: where C42
+    * attributes a known conversion and B12 matches a FIXED pattern,
+    * this DISCOVERS the dominant paths (the product-analytics
+    * "common journeys" report). One user shuffle for the two lead
+    * windows in (ts, event_id) total order; the path space is
+    * |event_types|³ ≤ tiny, and the top-20 goes through the
+    * TakeOrderedAndProject heap. Counts exact.
+    */
+  def eventsPathMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .where($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  /** C58: ordered string aggregation (`cust_listagg`) — the
+    * LISTAGG / ClickHouse groupArray / DuckDB string_agg(ORDER BY)
+    * report shape: per market segment, the top-5 customers by
+    * account balance as ONE ordered comma-joined string. The rank
+    * prunes through the row_number ≤ k heap rewrite (never a full
+    * per-segment sort), and the ordered concat is deterministic by
+    * construction: collect_list is order-free but the (rk, name)
+    * structs are array_sort-ed by the exact integer rank before
+    * joining — the only portable way to an ordered LISTAGG on a
+    * distributed engine.
+    */
+  def custListagg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    load(spark, dir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 5)
+      .groupBy($"c_mktsegment")
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct($"rk", $"c_name"))),
+          x => x.getField("c_name"))).as("top_names"),
+        dsum($"c_acctbal").as("top_bal"))
+      .select($"c_mktsegment", $"top_names", round($"top_bal", 2).as("top_bal_r"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** C47: time-series gap filling (`series_gap_fill`) — the
     * ClickHouse `WITH FILL` / Grafana `fill(0)` analog every
     * dashboard needs: the hourly per-type event series densified so
@@ -1350,6 +1537,13 @@ object Relational {
     "q7_nation_volume" -> q7NationVolume _,
     "q10_returned" -> q10Returned _,
     "q14_promo_share" -> q14PromoShare _,
+    "q8_market_share" -> q8MarketShare _,
+    "events_path_mining" -> eventsPathMining _,
+    "cust_listagg" -> custListagg _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q16_supplier_cnt" -> q16SupplierCnt _,
+    "q18_large_orders" -> q18LargeOrders _,
+    "q22_idle_customers" -> q22IdleCustomers _,
     "q19_disjunctive" -> q19Disjunctive _,
     "q6_revenue" -> q6Revenue _,
     "q4_late_orders" -> q4LateOrders _,
@@ -1484,6 +1678,110 @@ object Relational {
         |  (n IS NULL) AS filled
         |FROM grid g LEFT JOIN h USING (event_type, h)
         |ORDER BY 1, 2""".stripMargin,
+    "events_path_mining" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "cust_listagg" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_name, c_acctbal, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY rk) AS top_names,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE), 2)
+        |    AS top_bal_r
+        |FROM r WHERE rk <= 5
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q8_market_share" ->
+      """WITH cr AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |a AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(28,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(28,2)))
+        |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS nation_volume,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS total_volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cr ON o_custkey = c_custkey
+        |  JOIN sn ON l_suppkey = s_suppkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT o_year, nation_volume, total_volume,
+        |  round(nation_volume / total_volume, 6) AS mkt_share_r
+        |FROM a ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+        |    / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-08-01')
+        |SELECT c_nationkey AS cntry, count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE), 2)
+        |    AS totacctbal_r
+        |FROM customer CROSS JOIN ab
+        |WHERE c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,

@@ -137,23 +137,26 @@ class StagingLakeSpec extends SparkSpecBase {
 
     val s1 = spark.newSession()
     s1.conf.set(Staging.RequireDurableConfKey, "true")
-    assert(s1.sparkContext.getCheckpointDir.isEmpty,
-      "precondition: suite context has no checkpoint dir")
-    val e = intercept[IllegalStateException] {
-      cache.getOrBuild(s1, corpus, "must_be_durable")(build(s1))
-    }
-    assert(e.getMessage.contains(Staging.RequireDurableConfKey))
-    assert(e.getMessage.contains("must_be_durable"))
-
-    // with a reliable checkpoint dir the same request is served —
-    // reset the (context-global) dir afterwards so later suites keep
-    // the localCheckpoint staging path they were measured on
-    val ckpt = tmpDir("lake_ckpt_rd")
-    s1.sparkContext.setCheckpointDir(ckpt)
+    // the checkpoint dir is CONTEXT-global and other suites may have
+    // set one — save it, run both branches against a controlled
+    // state, restore at the end
+    val prevDir = s1.sparkContext.getCheckpointDir
     try {
+      s1.sparkContext.setCheckpointDir(null)
+      val e = intercept[IllegalStateException] {
+        cache.getOrBuild(s1, corpus, "must_be_durable")(build(s1))
+      }
+      assert(e.getMessage.contains(Staging.RequireDurableConfKey))
+      assert(e.getMessage.contains("must_be_durable"))
+
+      // with a reliable checkpoint dir the same request is served
+      s1.sparkContext.setCheckpointDir(tmpDir("lake_ckpt_rd"))
       val a = cache.getOrBuild(s1, corpus, "must_be_durable")(build(s1))
       assert(a.head().getLong(0) === 200L)
-    } finally s1.sparkContext.setCheckpointDir(null)
+    } finally prevDir match {
+      case Some(d) => s1.sparkContext.setCheckpointDir(d)
+      case None => s1.sparkContext.setCheckpointDir(null)
+    }
   }
 
   test("lost localCheckpoint entry: consuming fails; invalidate + " +
