@@ -25,9 +25,15 @@ object FlowAnalytics {
     * sa octets: 10 . user_id%64 . (event_id div 256)%256 . event_id%256
     * da octets: 192.168 . k%256 . user_id%256
     */
-  def asFlows(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.Tables.events(spark, dir)
+  def asFlows(spark: SparkSession, dir: String): DataFrame =
+    flowsOf(graft.Tables.events(spark, dir))
+
+  /** The events→flows mapping over ANY events frame — pure column
+    * ops, so it composes onto the streaming source too (E19).
+    */
+  private[graft] def flowsOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .withColumn("sa", concat(
         lit("10."), pmod($"user_id", lit(64)),
@@ -1751,33 +1757,49 @@ object FlowAnalytics {
     * conversation table is the natural bucketing key for every
     * downstream biflow consumer.
     */
-  def biflowStitch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val f = asFlows(spark, dir)
+  /** The B52/E19 exporter-leg derivation: one corpus pass (explode of
+    * a 2-slot struct array, nulls filtered — never two scans) over ANY
+    * flows frame, batch or streaming. Keeps both the event-time `ts`
+    * (the streaming twin's watermark/session column) and the integer
+    * epoch seconds `s` the aggregates use.
+    */
+  private[graft] def biflowLegs(flows: DataFrame): DataFrame = {
+    import flows.sparkSession.implicits._
+    flows
       .withColumn("s", expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
-    // both exporter records derive from ONE corpus pass (explode of a
-    // 2-slot struct array, nulls filtered) — never two scans
-    val legs = f.select(explode(array(
+      .select(explode(array(
         when(pmod($"k", lit(3)) =!= 2, struct(
           $"sa".as("src"), $"da".as("dst"),
           $"sp".as("spt"), $"dp".as("dpt"),
-          $"pr", $"s", $"ibyt", $"ipkt")),
+          $"pr", $"ts".as("ts"), $"s", $"ibyt", $"ipkt")),
         when(pmod($"k", lit(3)) =!= 1, struct(
           $"da".as("src"), $"sa".as("dst"),
           $"dp".as("spt"), $"sp".as("dpt"),
-          $"pr", ($"s" + 1).as("s"),
+          $"pr", ($"ts" + expr("INTERVAL 1 SECOND")).as("ts"),
+          ($"s" + 1).as("s"),
           round($"value" * 250).cast("long").as("ibyt"),
           (pmod($"event_id", lit(500)) + 1).as("ipkt")))
       )).as("l"))
       .where($"l".isNotNull).select($"l.*")
+  }
+
+  /** Canonical-endpoint normalization of the legs (smaller
+    * (addr, port) endpoint first), shared by B52 and E19.
+    */
+  private[graft] def biflowCanon(legs: DataFrame): DataFrame = {
+    import legs.sparkSession.implicits._
     val isF = ($"src" < $"dst") || ($"src" === $"dst" && $"spt" <= $"dpt")
-    val conv = legs
-      .select(
-        when(isF, $"src").otherwise($"dst").as("a1"),
-        when(isF, $"spt").otherwise($"dpt").as("p1"),
-        when(isF, $"dst").otherwise($"src").as("a2"),
-        when(isF, $"dpt").otherwise($"spt").as("p2"),
-        $"pr", $"s", $"ibyt", $"ipkt", isF.as("isf"))
+    legs.select(
+      when(isF, $"src").otherwise($"dst").as("a1"),
+      when(isF, $"spt").otherwise($"dpt").as("p1"),
+      when(isF, $"dst").otherwise($"src").as("a2"),
+      when(isF, $"dpt").otherwise($"spt").as("p2"),
+      $"pr", $"ts", $"s", $"ibyt", $"ipkt", isF.as("isf"))
+  }
+
+  def biflowStitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conv = biflowCanon(biflowLegs(asFlows(spark, dir)))
       .groupBy($"a1", $"p1", $"a2", $"p2", $"pr")
       .agg(
         min($"s").as("first_s"), max($"s").as("last_s"),

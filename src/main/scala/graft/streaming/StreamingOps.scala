@@ -958,6 +958,77 @@ object StreamingOps {
     * stand-in for the production update-mode keyed sink. Shares
     * C26's oracle verbatim.
     */
+  /** E19: streaming biflow stitching (`stream_biflow_stitch`) — the
+    * live twin of batch B52: unidirectional exporter records pair in
+    * the state store as a session-windowed aggregation per canonical
+    * 5-tuple (request and reply legs merge into one conversation
+    * while it is live; 30 min of silence closes it), and closed
+    * conversations emit in append mode once the watermark passes
+    * their end — which is also what bounds state: a conversation can
+    * only grow while its end is above the watermark, exactly the
+    * production posture for an unbounded netflow feed (B52's global
+    * stitch has no close rule and so no bounded-state streaming
+    * form). Leg derivation and canonicalization are
+    * [[graft.flow.FlowAnalytics.biflowLegs]]/`biflowCanon` — the
+    * SAME column ops as batch — and the DuckDB oracle reproduces the
+    * session merge (gaps-and-islands, diff ≥ gap starts a new
+    * conversation), the client rule, and the append emission rule
+    * (session end ≤ max leg time − watermark lag).
+    */
+  def biflowStitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_biflow_${counter.incrementAndGet()}"
+    val q = biflowStitchStream(eventsStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_biflow_stitch")
+    spark.table(name)
+      .orderBy($"client", $"client_port", $"server", $"server_port",
+        $"pr", $"first_s")
+  }
+
+  /** The unstarted E19 streaming plan over any events stream —
+    * exposed so specs can drive it with forced micro-batch splits.
+    */
+  private[graft] def biflowStitchStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val legs = graft.flow.FlowAnalytics.biflowCanon(
+      graft.flow.FlowAnalytics.biflowLegs(
+        graft.flow.FlowAnalytics.flowsOf(events)))
+    val conv = legs
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"),
+        $"a1", $"p1", $"a2", $"p2", $"pr")
+      .agg(
+        min($"s").as("first_s"), max($"s").as("last_s"),
+        min(when($"isf", $"s")).as("af"),
+        min(when(!$"isf", $"s")).as("bf"),
+        count(when($"isf", 1)).as("a_flows"),
+        sum(when($"isf", $"ibyt")).as("a_bytes"),
+        sum(when($"isf", $"ipkt")).as("a_pkts"),
+        count(when(!$"isf", 1)).as("b_flows"),
+        sum(when(!$"isf", $"ibyt")).as("b_bytes"),
+        sum(when(!$"isf", $"ipkt")).as("b_pkts"))
+    val cliA = $"bf".isNull || ($"af".isNotNull && $"af" <= $"bf")
+    conv.select(
+      when(cliA, $"a1").otherwise($"a2").as("client"),
+      when(cliA, $"p1").otherwise($"p2").as("client_port"),
+      when(cliA, $"a2").otherwise($"a1").as("server"),
+      when(cliA, $"p2").otherwise($"p1").as("server_port"),
+      $"pr",
+      when(cliA, $"a_flows").otherwise($"b_flows").as("fwd_flows"),
+      coalesce(when(cliA, $"a_bytes").otherwise($"b_bytes"), lit(0L)).as("fwd_bytes"),
+      coalesce(when(cliA, $"a_pkts").otherwise($"b_pkts"), lit(0L)).as("fwd_pkts"),
+      when(cliA, $"b_flows").otherwise($"a_flows").as("rev_flows"),
+      coalesce(when(cliA, $"b_bytes").otherwise($"a_bytes"), lit(0L)).as("rev_bytes"),
+      coalesce(when(cliA, $"b_pkts").otherwise($"a_pkts"), lit(0L)).as("rev_pkts"),
+      $"first_s", $"last_s")
+  }
+
   def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_cdc_${counter.incrementAndGet()}"
@@ -1029,6 +1100,7 @@ object StreamingOps {
     "stream_ewma_forecast" -> ewmaForecast _,
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
+    "stream_biflow_stitch" -> biflowStitch _,
     "stream_value_quantiles" -> valueQuantiles _,
     "stream_quality_gate" -> qualityGate _,
     "stream_bloom_gate" -> bloomGate _,
@@ -1045,6 +1117,70 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E19: session merge (gaps-and-islands, diff ≥ gap splits), client
+    // rule and append emission (end ≤ max leg ts − lag) replayed from
+    // the raw events — the same legs CTE as batch B52 plus event-time
+    "stream_biflow_stitch" -> (graft.flow.FlowAnalytics.flowsCte +
+      """, legs AS (
+        |  SELECT sa AS src, da AS dst, sp AS spt, dp AS dpt, pr, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s, ibyt, ipkt
+        |  FROM flows WHERE k % 3 <> 2
+        |  UNION ALL
+        |  SELECT da, sa, dp, sp, pr, ts + INTERVAL 1 SECOND,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1,
+        |    CAST(round(value * 250) AS BIGINT), (event_id % 500) + 1
+        |  FROM flows WHERE k % 3 <> 1),
+        |canon AS (
+        |  SELECT
+        |    CASE WHEN isf THEN src ELSE dst END AS a1,
+        |    CASE WHEN isf THEN spt ELSE dpt END AS p1,
+        |    CASE WHEN isf THEN dst ELSE src END AS a2,
+        |    CASE WHEN isf THEN dpt ELSE spt END AS p2,
+        |    pr, ts, s, ibyt, ipkt, isf
+        |  FROM (SELECT *,
+        |    (src < dst OR (src = dst AND spt <= dpt)) AS isf FROM legs)),
+        |isl AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM canon
+        |  WINDOW w AS (PARTITION BY a1, p1, a2, p2, pr ORDER BY ts)),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY a1, p1, a2, p2, pr
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM isl),
+        |sess AS (
+        |  SELECT a1, p1, a2, p2, pr, sid,
+        |    max(ts) AS last_ts,
+        |    min(s) AS first_s, max(s) AS last_s,
+        |    min(CASE WHEN isf THEN s END) AS af,
+        |    min(CASE WHEN NOT isf THEN s END) AS bf,
+        |    count(CASE WHEN isf THEN 1 END) AS a_flows,
+        |    CAST(sum(CASE WHEN isf THEN ibyt END) AS BIGINT) AS a_bytes,
+        |    CAST(sum(CASE WHEN isf THEN ipkt END) AS BIGINT) AS a_pkts,
+        |    count(CASE WHEN NOT isf THEN 1 END) AS b_flows,
+        |    CAST(sum(CASE WHEN NOT isf THEN ibyt END) AS BIGINT) AS b_bytes,
+        |    CAST(sum(CASE WHEN NOT isf THEN ipkt END) AS BIGINT) AS b_pkts
+        |  FROM g GROUP BY a1, p1, a2, p2, pr, sid),
+        |emitted AS (
+        |  SELECT *, (bf IS NULL OR (af IS NOT NULL AND af <= bf)) AS ca
+        |  FROM sess
+        |  WHERE last_ts + INTERVAL 30 MINUTE
+        |    <= (SELECT max(ts) FROM legs) - INTERVAL 10 MINUTE)
+        |SELECT
+        |  CASE WHEN ca THEN a1 ELSE a2 END AS client,
+        |  CASE WHEN ca THEN p1 ELSE p2 END AS client_port,
+        |  CASE WHEN ca THEN a2 ELSE a1 END AS server,
+        |  CASE WHEN ca THEN p2 ELSE p1 END AS server_port,
+        |  pr,
+        |  CASE WHEN ca THEN a_flows ELSE b_flows END AS fwd_flows,
+        |  coalesce(CASE WHEN ca THEN a_bytes ELSE b_bytes END, 0) AS fwd_bytes,
+        |  coalesce(CASE WHEN ca THEN a_pkts ELSE b_pkts END, 0) AS fwd_pkts,
+        |  CASE WHEN ca THEN b_flows ELSE a_flows END AS rev_flows,
+        |  coalesce(CASE WHEN ca THEN b_bytes ELSE a_bytes END, 0) AS rev_bytes,
+        |  coalesce(CASE WHEN ca THEN b_pkts ELSE a_pkts END, 0) AS rev_pkts,
+        |  first_s, last_s
+        |FROM emitted
+        |ORDER BY client, client_port, server, server_port, pr, first_s""".stripMargin),
     // E18: max-merge state replayed from raw events — last-seen hour
     // per site vs the global max, threshold in whole hours
     "stream_silence_watch" ->

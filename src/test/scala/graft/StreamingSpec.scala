@@ -273,6 +273,46 @@ class StreamingSpec extends SparkSpecBase {
       s"cross-batch session merge broken: ${got.toSeq}")
   }
 
+  test("biflow stitching merges a conversation's legs ACROSS micro-batches") {
+    import spark.implicits._
+    // two events that map to the IDENTICAL directed 5-tuple: the
+    // synthetic addresses embed event_id bits, and 122_880_000 =
+    // lcm(256·256, 60000)·k, so e and e + 122_880_000 share
+    // sa/da/sp/dp (and user/k ⇒ da). k=0 ⇒ the exporter emits BOTH
+    // legs per event. Arriving in different micro-batches 5 min
+    // apart, the session state must merge them into ONE conversation
+    // with fwd=2/rev=2 — the property a single-batch drain can't
+    // distinguish from batch aggregation. A far-future third event
+    // advances the watermark past the conversation's close.
+    val src = tmpDir("biflowsrc") + "/ev"
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 1, 0, 0).plusMinutes(min))
+    val schema = "event_id LONG, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING, ts TIMESTAMP"
+    val batch1 = Seq((1000L, 7L, "view", 2.5, """{"k": 0}""", ts(0)))
+    val batch2 = Seq(
+      (1000L + 122880000L, 7L, "view", 2.5, """{"k": 0}""", ts(5)),
+      (555L, 99L, "view", 1.0, """{"k": 5}""", ts(600)))
+    Seq(batch1, batch2).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+        .repartition(1).write.parquet(s"$src/part$i")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/part*")
+    val q = graft.streaming.StreamingOps.biflowStitchStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("biflow_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("biflow_out").collect().map(r =>
+      (r.getString(0), r.getLong(5), r.getLong(6), r.getLong(8), r.getLong(9)))
+    // one emitted conversation: client = the request side (earlier
+    // first record), 2 request legs / 2 reply legs, bytes
+    // 2·round(2.5·100) forward and 2·round(2.5·250) reverse; the
+    // watermark-advancer's own conversation stays open and must not emit
+    assert(got.toSeq === Seq(("10.7.3.232", 2L, 500L, 2L, 1250L)),
+      s"cross-batch biflow merge broken: ${got.toSeq}")
+  }
+
   test("stream-static join enriches without shuffling the stream side") {
     import spark.implicits._
     val src = tmpDir("enrichsrc") + "/data"
