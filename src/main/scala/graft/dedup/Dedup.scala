@@ -1452,11 +1452,26 @@ object Dedup {
     * graphs); [[connectedComponents]] is the one-hop-per-round
     * propagation twin, equivalence spec-pinned.
     */
+  /** The converged D15 cluster assignment as a session+lake staged
+    * artifact (`cc_labels`, doc_id-keyed) — cluster labels are
+    * corpus-snapshot material exactly like the minhash band index:
+    * the closure runs ONCE per snapshot and every consumer (D15's
+    * report, D15c's size histogram, D15b's representative pick, a
+    * later session) reads the label table instead of re-running the
+    * star rounds.
+    */
+  private def ccLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionStage.getOrBuild(spark, dir, "cc_labels", Seq("doc_id")) {
+      graft.Staging.materialize(
+        connectedComponentsTwoPhase(corpusNear(spark, dir).select($"doc_id"),
+          minhashPairs(spark, dir)).repartition($"doc_id"))
+    }
+  }
+
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = corpusNear(spark, dir).select($"doc_id")
-    val pairs = minhashPairs(spark, dir)
-    connectedComponentsTwoPhase(docs, pairs)
+    ccLabels(spark, dir)
       .withColumn("is_canonical", $"doc_id" === $"cluster_id")
       .orderBy($"doc_id")
   }
@@ -1519,8 +1534,7 @@ object Dedup {
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = corpusNear(spark, dir)
-    val labels = connectedComponentsTwoPhase(docs.select($"doc_id"),
-      minhashPairs(spark, dir))
+    val labels = ccLabels(spark, dir)
     val q = graft.text.TextAnalytics.qualityCols(docs)
       .select($"doc_id", $"score")
     val lq = labels.join(q, "doc_id")
