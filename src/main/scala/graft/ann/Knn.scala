@@ -1746,6 +1746,52 @@ object Knn {
        |SELECT src_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
        |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
 
+  /** D37b: semantic cluster map (`knn_components`) — connected
+    * components over the MUTUAL-kNN graph (an edge only where each
+    * vector ranks the other in its top-3): the standard robust
+    * density link for embedding-space clustering — one-directional
+    * attraction to a hub does not merge clusters, mutual attraction
+    * does. Composes two existing pieces: D37's within-cell kNN graph
+    * and D15's two-phase star closure (converges-or-throws), giving
+    * every vector a cluster label + canonical flag. The kNN edge
+    * table is tiny (n·k rows) and materialized once before its
+    * self-join; the closure is edge-bound, never corpus².
+    */
+  def knnComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = graft.Staging.materialize(
+      knnJoin(spark, dir).select($"src_id", $"neighbor_id"))
+    val mut = knn.as("a").join(knn.as("b"),
+        col("b.src_id") === col("a.neighbor_id") &&
+        col("b.neighbor_id") === col("a.src_id"))
+      .where(col("a.src_id") < col("a.neighbor_id"))
+      .select(col("a.src_id").as("d1"), col("a.neighbor_id").as("d2"))
+    val ids = load(spark, dir, "embeddings").select($"vec_id".as("doc_id"))
+    graft.dedup.Dedup.connectedComponentsTwoPhase(ids, mut)
+      .select($"doc_id".as("vec_id"), $"cluster_id",
+        ($"doc_id" === $"cluster_id").as("is_canonical"))
+      .orderBy($"vec_id")
+  }
+
+  val knnComponentsSql: String =
+    s"""${knnCtesSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |knn AS (SELECT src_id, neighbor_id FROM ranked WHERE rank <= 3),
+       |mut AS (
+       |  SELECT a.src_id AS d1, a.neighbor_id AS d2
+       |  FROM knn a JOIN knn b
+       |    ON b.src_id = a.neighbor_id AND b.neighbor_id = a.src_id
+       |  WHERE a.src_id < a.neighbor_id),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM mut
+       |  UNION ALL SELECT d2, d1 FROM mut),
+       |reach(vec_id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.vec_id)
+       |SELECT vec_id, min(lbl) AS cluster_id,
+       |  vec_id = min(lbl) AS is_canonical
+       |FROM reach GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** D45: k-NN label accuracy (`knn_label_accuracy`) — the label-noise
     * audit over D37's kNN graph: each vector's label predicted by the
     * majority of its 3 within-cell nearest neighbors (ties broken by
@@ -1985,7 +2031,8 @@ object Knn {
     "dedup_semantic" -> semanticDedup _,
     "emb_norms" -> embNorms _,
     "emb_quantize" -> embQuantize _,
-    "emb_matryoshka" -> embMatryoshka _)
+    "emb_matryoshka" -> embMatryoshka _,
+    "knn_components" -> knnComponents _)
 
   val oracleSql: Map[String, String] = Map(
     "emb_label_affinity" -> labelAffinitySql,
@@ -2009,5 +2056,6 @@ object Knn {
     "dedup_semantic" -> semanticDedupSql,
     "emb_norms" -> embNormsSql,
     "emb_quantize" -> embQuantizeSql,
-    "emb_matryoshka" -> embMatryoshkaSql)
+    "emb_matryoshka" -> embMatryoshkaSql,
+    "knn_components" -> knnComponentsSql)
 }
