@@ -1008,6 +1008,46 @@ object FlowAnalytics {
       .orderBy($"user_id")
   }
 
+  /** B53: peak flow concurrency (`flow_concurrency`) — the "active
+    * connections" gauge per site: sweep line over each site's flow
+    * intervals (+1 at start, −1 at end, ends sort before starts at
+    * ties ⇒ half-open [s, e) semantics), running sum = concurrent
+    * flows, reported as each site's peak and the FIRST instant it is
+    * reached. The capacity-planning/DDoS question B27's busy-period
+    * merge doesn't answer: not "how long was the line busy" but "how
+    * many at once".
+    *
+    * Scale: the sweep is a per-SITE window over that site's 2·flows
+    * boundary rows in (t, delta, event_id) total order — partitioned
+    * by the report key, never a global sort; the peak extraction is
+    * an exact integer max(struct) argmin trick (earliest t among max
+    * concurrency), one row per site out.
+    */
+  def flowConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = asFlows(spark, dir).select(
+      concat(lit("10."), pmod($"user_id", lit(64))).as("site"),
+      $"ts".cast("timestamp").cast("long").as("s"),
+      ($"ts".cast("timestamp").cast("long") + pmod($"event_id", lit(300)) + 60L).as("e"),
+      $"event_id")
+    val bounds = iv.select($"site", $"event_id",
+        explode(array(
+          struct($"s".as("t"), lit(1).as("delta")),
+          struct($"e".as("t"), lit(-1).as("delta")))).as("b"))
+      .select($"site", $"b.t".as("t"), $"b.delta".as("delta"), $"event_id")
+    val w = Window.partitionBy($"site")
+      .orderBy($"t", $"delta", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds
+      .withColumn("conc", sum($"delta").over(w))
+      .groupBy($"site")
+      .agg((count(lit(1)) / 2).cast("long").as("n_flows"),
+        max(struct($"conc", (-$"t").as("nt"))).as("pk"))
+      .select($"site", $"n_flows",
+        $"pk.conc".as("peak_conc"), (-$"pk.nt").as("peak_at_s"))
+      .orderBy($"site")
+  }
+
   // ------------------------------------------- B28 sketch intersection
 
   /** B28: approximate distinct-set overlap (`flow_distinct_overlap`) —
@@ -1830,6 +1870,7 @@ object FlowAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_biflow_stitch" -> biflowStitch _,
+    "flow_concurrency" -> flowConcurrency _,
     "flow_sampling_correct" -> samplingCorrect _,
     "flow_topn_persistence" -> topnPersistence _,
     "flow_bytes_gini" -> bytesGini _,
@@ -1937,6 +1978,30 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_concurrency" -> (flowsCte +
+      """, iv AS (
+        |  SELECT '10.' || (user_id % 64) AS site,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 300) + 60 AS e,
+        |    event_id
+        |  FROM flows),
+        |bounds AS (
+        |  SELECT site, s AS t, 1 AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT site, e, -1, event_id FROM iv),
+        |sweep AS (
+        |  SELECT site, t, delta,
+        |    CAST(sum(delta) OVER (PARTITION BY site
+        |      ORDER BY t, delta, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM bounds),
+        |pk AS (SELECT site, max(conc) AS peak_conc FROM sweep GROUP BY site),
+        |nf AS (SELECT site, count(*) AS n_flows FROM iv GROUP BY site)
+        |SELECT n.site, n.n_flows, p.peak_conc,
+        |  (SELECT min(t) FROM sweep s
+        |   WHERE s.site = n.site AND s.conc = p.peak_conc) AS peak_at_s
+        |FROM nf n JOIN pk p ON p.site = n.site
+        |ORDER BY n.site""".stripMargin),
     "flow_biflow_stitch" -> (flowsCte +
       """, legs AS (
         |  SELECT sa AS src, da AS dst, sp AS spt, dp AS dpt, pr,
