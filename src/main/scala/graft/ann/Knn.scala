@@ -128,6 +128,71 @@ object Knn {
     rankTopK(scored, 5, Seq.empty)
   }
 
+  /** D7l: binary-embedding ANN (`ann_topk_binary`) — the 1-bit
+    * compression limit of the SQ8/PQ family: each vector binarizes to
+    * its per-dimension SIGN (64 dims → two 32-bit words in longs) and
+    * search ranks by Hamming distance — xor + popcount, the cheapest
+    * possible scan kernel (32× less memory traffic than float32, no
+    * multiplies). The production shape for first-stage retrieval over
+    * binarized embeddings, refined by an exact re-rank elsewhere
+    * (D6/D20b). Packing is ONE map-only pass (a per-row fold, no
+    * plane join); scoring is integer end to end — the graded output
+    * contains no floats at all, so cross-engine parity is exact by
+    * construction. Ties rank by (hamming, vec_id) through the same
+    * bounded heap as every ANN query.
+    */
+  def binaryTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def word(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, i) -> acc + IF(element_at(embedding, i + ${off + 1}) > 0D,
+         |    shiftleft(1L, i), 0L))""".stripMargin)
+    val packed = spread(load(spark, dir, "embeddings")
+        .select($"vec_id", $"embedding"))
+      .select($"vec_id", word(0).as("lo"), word(32).as("hi"))
+    val probes = packed.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"lo".as("plo"), $"hi".as("phi"))
+    val scored = packed.crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("ham",
+        expr("bit_count(lo ^ plo) + bit_count(hi ^ phi)").cast("long"))
+      .withColumn("score", -$"ham".cast("double"))
+    rankTopK(scored, 5, Seq.empty)
+      .select($"probe_id", $"neighbor_id", $"rank",
+        (-$"score").cast("long").as("hamming"))
+  }
+
+  val binaryTopKSql: String =
+    s"""WITH packed AS (
+       |  SELECT vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, 32),
+       |        i -> CASE WHEN embedding[i + 1] > 0
+       |          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+       |      (acc, v) -> acc + v) AS lo,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, 32),
+       |        i -> CASE WHEN embedding[i + 33] > 0
+       |          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+       |      (acc, v) -> acc + v) AS hi
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+       |  FROM packed WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    CAST(bit_count(xor(e.lo, p.plo)) AS BIGINT)
+       |      + CAST(bit_count(xor(e.hi, p.phi)) AS BIGINT) AS ham
+       |  FROM packed e, probes p WHERE e.vec_id != p.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, ham,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ham, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(ham AS BIGINT) AS hamming
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   /** D20c: Matryoshka truncation evaluation (`emb_matryoshka`) — the
     * MRL question (Kusupati et al. 2022): how much RANKING survives
     * when vectors are truncated to a dim prefix? For each prefix in
@@ -2032,7 +2097,8 @@ object Knn {
     "emb_norms" -> embNorms _,
     "emb_quantize" -> embQuantize _,
     "emb_matryoshka" -> embMatryoshka _,
-    "knn_components" -> knnComponents _)
+    "knn_components" -> knnComponents _,
+    "ann_topk_binary" -> binaryTopK _)
 
   val oracleSql: Map[String, String] = Map(
     "emb_label_affinity" -> labelAffinitySql,
@@ -2057,5 +2123,6 @@ object Knn {
     "emb_norms" -> embNormsSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,
-    "knn_components" -> knnComponentsSql)
+    "knn_components" -> knnComponentsSql,
+    "ann_topk_binary" -> binaryTopKSql)
 }
