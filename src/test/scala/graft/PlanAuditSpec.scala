@@ -421,6 +421,55 @@ class PlanAuditSpec extends SparkSpecBase {
       s"hourly exchange not reused at runtime:\n$p")
   }
 
+  test("biflow stitch is one corpus pass + one canonical-key shuffle, no join") {
+    val p = plan(FlowAnalytics.biflowStitch(spark, sf0001))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).length === 1,
+      s"leg derivation re-scanned the corpus:\n$p")
+    assert(!p.contains("Join"), s"the stitch must be a pure aggregation:\n$p")
+    // partial + final aggregate around exactly one exchange pair
+    // (canonical key, then the output sort)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no map-side combine")
+  }
+
+  test("cust_pareto has no customer-scale partition-less window") {
+    val p = plan(Relational.custPareto(spark, sf0001))
+    // the only window left runs over the 10 decile rows (cum share);
+    // the rank itself is the eager range-partitioned two-pass build,
+    // whose leaves appear here as ExistingRDD scans
+    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(p).length <= 1,
+      s"unexpected extra window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the materialized distributed-rank leaf:\n$p")
+  }
+
+  test("binary ANN packs map-only and broadcasts probes, not the corpus") {
+    val p = plan(graft.ann.Knn.binaryTopK(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for probing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"ranking must go through the bounded heap:\n$p")
+    assert(!p.contains("Window"), s"per-probe sort window crept in:\n$p")
+  }
+
+  test("flow_concurrency's sweep window is partitioned by site, never global") {
+    val p = plan(FlowAnalytics.flowConcurrency(spark, sf0001))
+    // every Window node must carry a site partition spec — a global
+    // sweep would single-task the whole corpus at scale
+    val windows = "(?m)^Arguments: .*windowspecdefinition\\(.*".r
+      .findAllIn(p).toList
+    assert(windows.nonEmpty, s"expected the sweep window:\n$p")
+    windows.foreach(w => assert(w.contains("site"),
+      s"sweep window lost its site partitioning: $w"))
+  }
+
+  test("q8 market share broadcasts every dimension around one fact shuffle") {
+    val p = plan(Relational.q8MarketShare(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"q8 dimensions not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-side merge join crept in:\n$p")
+  }
+
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
