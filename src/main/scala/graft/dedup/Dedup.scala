@@ -1676,7 +1676,55 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** D1c: cross-source duplication matrix (`dedup_source_overlap`) —
+    * WHICH crawls duplicate each other: the near-dup candidate pairs
+    * (the staged D2 pair table — no new corpus work) tagged with each
+    * side's source, rolled up per unordered source pair with its
+    * share of all pairs. High off-diagonal mass means two feeds
+    * mirror each other (dedup ACROSS them before mixing); diagonal
+    * mass is within-crawl boilerplate. The doc→source map joins as a
+    * plain shuffle join — at scale it is doc-cardinality, never a
+    * broadcast build side.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = load(spark, dir, "documents").select($"doc_id", $"source")
+    val smap = src.union(src.where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"source"))
+    val tagged = minhashPairs(spark, dir)
+      .join(smap.select($"doc_id".as("d1"), $"source".as("sa")), "d1")
+      .join(smap.select($"doc_id".as("d2"), $"source".as("sb")), "d2")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+    val tot = tagged.agg(count(lit(1)).as("total"))
+    tagged.groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select($"source_a", $"source_b", $"n_pairs",
+        round($"n_pairs".cast("double") / $"total".cast("double"), 6)
+          .as("share_r"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val sourceOverlapSql: String = minhashCtes +
+    """, smap AS (
+      |  SELECT doc_id, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, source FROM documents WHERE doc_id % 7 = 0),
+      |tagged AS (
+      |  SELECT least(s1.source, s2.source) AS source_a,
+      |    greatest(s1.source, s2.source) AS source_b
+      |  FROM pairs p
+      |  JOIN smap s1 ON s1.doc_id = p.d1
+      |  JOIN smap s2 ON s2.doc_id = p.d2),
+      |tot AS (SELECT count(*) AS total FROM tagged)
+      |SELECT source_a, source_b, count(*) AS n_pairs,
+      |  round(CAST(count(*) AS DOUBLE)
+      |    / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS share_r
+      |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> sourceOverlap _,
     "dedup_span_excise" -> spanExcise _,
     "dedup_clusters" -> clusters _,
     "dedup_cluster_sizes" -> clusterSizes _,
@@ -1696,6 +1744,7 @@ object Dedup {
     "dedup_rate_report" -> dedupRateReport _)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_source_overlap" -> sourceOverlapSql,
     "dedup_span_excise" -> spanExciseSql,
     "dedup_bloom_gate" -> bloomGateSql,
     "dedup_clusters" -> clustersSql,
