@@ -1868,7 +1868,126 @@ object FlowAnalytics {
       .orderBy($"client", $"client_port", $"server", $"server_port", $"pr")
   }
 
+  /** B54: hierarchical subnet rollup (`flow_subnet_rollup`) — the
+    * operator behind "which /24 inside which /16 is hot": source
+    * traffic aggregated at /24 grain with each /24's share of its
+    * enclosing /16, computed through the codegen'd ip4_aton/ip4_ntoa
+    * expressions (mask arithmetic on the numeric form, canonical
+    * dotted-quad back out). The oracle derives both prefixes from the
+    * closed-form octet arithmetic of the synthetic address plan, so
+    * the whole numeric round-trip is hash-checked.
+    *
+    * Scale: ONE corpus shuffle keyed by the /24 (map-side combine);
+    * the /16 rollup re-aggregates the /24 table (subnet-sized, not
+    * corpus-sized) and broadcasts back for the share — the classic
+    * two-level reaggregation, never a second corpus pass.
+    */
+  def subnetRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val by24 = asFlows(spark, dir)
+      .withColumn("san", ip4_aton($"sa"))
+      .groupBy(
+        ip4_ntoa($"san".bitwiseAND(lit(0xFFFF0000L))).as("net16"),
+        ip4_ntoa($"san".bitwiseAND(lit(0xFFFFFF00L))).as("net24"))
+      .agg(sum($"ibyt").as("bytes"), count(lit(1)).as("n_flows"),
+        countDistinct($"sa").as("n_hosts"))
+    val by16 = by24.groupBy($"net16").agg(sum($"bytes").as("bytes16"))
+    by24.join(broadcast(by16), "net16")
+      .select($"net16", $"net24", $"bytes", $"n_flows", $"n_hosts",
+        round($"bytes".cast("double") / $"bytes16".cast("double"), 6)
+          .as("share16_r"))
+      .orderBy($"net16", $"bytes".desc, $"net24")
+  }
+
+  /** B55: robust traffic anomaly detection (`flow_mad_anomaly`) —
+    * median/MAD z-scores over each collector's hourly volume series:
+    * rz = (vol − median) / (1.4826·MAD). The robust complement of
+    * B20's mean/stddev z-score — a real traffic spike inflates the
+    * mean AND the stddev of its own baseline (masking), while the
+    * median and the median absolute deviation ignore it, which is why
+    * NOC alerting prefers MAD for bursty links.
+    *
+    * Scale: the corpus reduces ONCE to the (flowsrc, hour) rollup,
+    * which is materialized (hours × collectors rows — KB, not TB) so
+    * the two grouped exact-percentile passes (median, then MAD) and
+    * the final join-back all read the tiny rollup instead of
+    * re-scanning the corpus; both percentile frames broadcast back.
+    * No global window anywhere.
+    *
+    * Determinism: vol is the decimal-exact sum cast to double, both
+    * engines interpolate the exact median identically (percentile ↔
+    * quantile_cont), and the published score is round(6) so a final
+    * ulp in the division cannot flip the hash. The flag threshold
+    * (|rz| > 3.5) is the conventional MAD cutoff.
+    */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = graft.Staging.materialize(asFlows(spark, dir)
+      .groupBy($"flowsrc", date_trunc("hour", $"ts").as("h"))
+      .agg(dsum($"value").cast("double").as("vol")))
+    val med = hourly.groupBy($"flowsrc")
+      .agg(expr("percentile(vol, 0.5)").as("med"))
+    val dev = hourly.join(broadcast(med), "flowsrc")
+      .withColumn("dev", abs($"vol" - $"med"))
+    val mad = dev.groupBy($"flowsrc")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "flowsrc")
+      .where($"mad" > 0)
+      .withColumn("rz_r", round(($"vol" - $"med") / (lit(1.4826) * $"mad"), 6))
+      .select($"flowsrc", $"h", $"vol",
+        round($"med", 6).as("med_r"), round($"mad", 6).as("mad_r"),
+        $"rz_r", (abs($"rz_r") > 3.5).as("anomalous"))
+      .orderBy($"flowsrc", $"h")
+  }
+
+  /** B56: Theil–Sen robust trend estimation (`flow_theil_sen`) — per
+    * collector, the median of all pairwise slopes of the hourly
+    * volume series (slope), plus the median-of-residuals intercept:
+    * the capacity-planning trend line that a day of outage zeros or
+    * one DDoS spike cannot hijack, unlike least squares (up to ~29%
+    * contamination tolerance).
+    *
+    * Scale: the corpus reduces ONCE to the materialized (flowsrc,
+    * hour) rollup; the O(hours²) pair generation runs on that
+    * bounded rollup — hours grow with the calendar, not the corpus,
+    * so the pair count is unchanged at 100× the data. The per-site
+    * slope median is a grouped exact percentile; the intercept pass
+    * re-reads the same materialized rollup with the slope broadcast
+    * back.
+    *
+    * Determinism: slopes are exact double quotients of decimal-exact
+    * hourly sums over integer hour deltas; both engines interpolate
+    * medians identically; published values round(6).
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = graft.Staging.materialize(asFlows(spark, dir)
+      .groupBy($"flowsrc", date_trunc("hour", $"ts").as("h"))
+      .agg(dsum($"value").cast("double").as("vol"))
+      .withColumn("t",
+        expr("unix_micros(CAST(h AS TIMESTAMP)) div 3600000000")))
+    val a = hourly.select($"flowsrc", $"t".as("ta"), $"vol".as("va"))
+    val b = hourly.select($"flowsrc", $"t".as("tb"), $"vol".as("vb"))
+    val sen = a.join(broadcast(b), Seq("flowsrc"))
+      .where($"ta" < $"tb")
+      .select($"flowsrc",
+        (($"vb" - $"va") / ($"tb" - $"ta").cast("double")).as("slope"))
+      .groupBy($"flowsrc")
+      .agg(expr("percentile(slope, 0.5)").as("sen"))
+    hourly.join(broadcast(sen), "flowsrc")
+      .groupBy($"flowsrc")
+      .agg(count(lit(1)).as("n_hours"),
+        expr("percentile(vol - sen * t, 0.5)").as("icept"),
+        max($"sen").as("sen_v"))
+      .select($"flowsrc", $"n_hours", round($"sen_v", 6).as("slope_r"),
+        round($"icept", 6).as("icept_r"))
+      .orderBy($"flowsrc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_subnet_rollup" -> subnetRollup _,
+    "flow_mad_anomaly" -> madAnomaly _,
+    "flow_theil_sen" -> theilSen _,
     "flow_biflow_stitch" -> biflowStitch _,
     "flow_concurrency" -> flowConcurrency _,
     "flow_sampling_correct" -> samplingCorrect _,
@@ -1978,6 +2097,63 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_subnet_rollup" -> (flowsCte +
+      """, by24 AS (
+        |  SELECT '10.' || (user_id % 64) || '.0.0' AS net16,
+        |    '10.' || (user_id % 64) || '.' || ((event_id // 256) % 256)
+        |      || '.0' AS net24,
+        |    CAST(sum(ibyt) AS BIGINT) AS bytes, count(*) AS n_flows,
+        |    count(DISTINCT sa) AS n_hosts
+        |  FROM flows GROUP BY 1, 2),
+        |by16 AS (SELECT net16, CAST(sum(bytes) AS BIGINT) AS bytes16
+        |  FROM by24 GROUP BY 1)
+        |SELECT b.net16, net24, bytes, n_flows, n_hosts,
+        |  round(CAST(bytes AS DOUBLE) / CAST(bytes16 AS DOUBLE), 6)
+        |    AS share16_r
+        |FROM by24 b JOIN by16 USING (net16)
+        |ORDER BY net16, bytes DESC, net24""".stripMargin),
+    "flow_mad_anomaly" -> (flowsCte +
+      """, hourly AS (
+        |  SELECT flowsrc, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vol
+        |  FROM flows GROUP BY 1, 2),
+        |med AS (SELECT flowsrc, quantile_cont(vol, 0.5) AS med
+        |  FROM hourly GROUP BY 1),
+        |dev AS (
+        |  SELECT h.flowsrc, h.h, h.vol, m.med, abs(h.vol - m.med) AS dev
+        |  FROM hourly h JOIN med m USING (flowsrc)),
+        |mad AS (SELECT flowsrc, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.flowsrc, d.h, d.vol,
+        |  round(d.med, 6) AS med_r, round(a.mad, 6) AS mad_r,
+        |  round((d.vol - d.med) / (1.4826 * a.mad), 6) AS rz_r,
+        |  abs(round((d.vol - d.med) / (1.4826 * a.mad), 6)) > 3.5
+        |    AS anomalous
+        |FROM dev d JOIN mad a USING (flowsrc)
+        |WHERE a.mad > 0
+        |ORDER BY d.flowsrc, d.h""".stripMargin),
+    "flow_theil_sen" -> (flowsCte +
+      """, hourly0 AS (
+        |  SELECT flowsrc, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vol
+        |  FROM flows GROUP BY 1, 2),
+        |hourly AS (
+        |  SELECT flowsrc, vol,
+        |    CAST(floor(epoch(h)) AS BIGINT) // 3600 AS t
+        |  FROM hourly0),
+        |sen AS (
+        |  SELECT a.flowsrc,
+        |    quantile_cont((b.vol - a.vol) / CAST(b.t - a.t AS DOUBLE), 0.5)
+        |      AS sen
+        |  FROM hourly a JOIN hourly b
+        |    ON a.flowsrc = b.flowsrc AND a.t < b.t
+        |  GROUP BY 1)
+        |SELECT h.flowsrc, count(*) AS n_hours,
+        |  round(max(s.sen), 6) AS slope_r,
+        |  round(quantile_cont(h.vol - s.sen * h.t, 0.5), 6) AS icept_r
+        |FROM hourly h JOIN sen s USING (flowsrc)
+        |GROUP BY h.flowsrc
+        |ORDER BY h.flowsrc""".stripMargin),
     "flow_concurrency" -> (flowsCte +
       """, iv AS (
         |  SELECT '10.' || (user_id % 64) AS site,
