@@ -1346,6 +1346,187 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** C59: TPC-H Q2 shape — minimum-cost supplier per part: for each
+    * LARGE-typed part, the European supplier(s) offering the lowest
+    * observed price (the schema's partsupp stand-in: the MIN stored
+    * `l_extendedprice` per (part, supplier) pair — a stored value, no
+    * arithmetic, so the min-equality join-back compares bit-identical
+    * doubles on both engines). The correlated-min pattern: the pair
+    * cost table aggregates once, the per-part min re-aggregates the
+    * pair table (part-sized, not corpus-sized) and broadcasts back —
+    * Q2's correlated subquery as a two-level reaggregation, never a
+    * per-row subquery execution. Suppliers and part both broadcast.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val euSupp = load(spark, dir, "supplier")
+      .join(broadcast(load(spark, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(load(spark, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "EUROPE")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val cost = load(spark, dir, "lineitem")
+      .join(broadcast(euSupp.select($"s_suppkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice").as("supply_cost"))
+    val mn = cost.groupBy($"l_partkey").agg(min($"supply_cost").as("min_cost"))
+    cost.join(broadcast(mn), "l_partkey")
+      .where($"supply_cost" === $"min_cost")
+      .join(broadcast(load(spark, dir, "part")
+        .where($"p_type" === "LARGE")), $"l_partkey" === $"p_partkey")
+      .join(broadcast(euSupp), $"l_suppkey" === $"s_suppkey")
+      .select($"p_partkey", $"s_suppkey", $"s_name", $"n_name", $"supply_cost")
+      .orderBy($"p_partkey", $"s_suppkey")
+  }
+
+  /** C60: TPC-H Q9 shape — product-line profit by supplier nation and
+    * year: profit = revenue − cost with `p_retailprice·quantity·0.1`
+    * standing in for ps_supplycost·quantity, over the 'red' part
+    * family. Every term stays exact decimal until the final sum
+    * (retail 2 dp × integer qty × 0.10 → ≤ 4 dp exact; revenue 4 dp
+    * exact), so the per-(nation, year) profit is order-free.
+    * Lineitem shuffles once on orderkey; part (pre-filtered) and
+    * supplier⋈nation broadcast.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redParts = load(spark, dir, "part")
+      .where($"p_name".contains("red"))
+      .select($"p_partkey", $"p_retailprice")
+    val suppNat = load(spark, dir, "supplier")
+      .join(broadcast(load(spark, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    load(spark, dir, "lineitem")
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .join(load(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+      .agg(dsum(
+        dec($"l_extendedprice") * (lit(1) - dec($"l_discount")) -
+          dec($"p_retailprice") * dec($"l_quantity") * dec(lit(0.1)), 4)
+        .as("profit"))
+      .orderBy($"nation", $"o_year")
+  }
+
+  /** C61: TPC-H Q11 shape — important parts by inventory value: per
+    * part, the traded value through one nation's suppliers, kept only
+    * where it clears a FRACTION of the global total (the original's
+    * group-HAVING-against-scalar-subquery). The part rollup computes
+    * once and feeds both the global sum and the filter; the scalar
+    * broadcasts back via crossJoin — never a second corpus pass. Both
+    * engines derive the threshold with one identical IEEE multiply on
+    * the same exact-decimal-derived total.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val natSupp = load(spark, dir, "supplier")
+      .join(broadcast(load(spark, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .where($"n_name" === "NATION_0")
+      .select($"s_suppkey")
+    val value = load(spark, dir, "lineitem")
+      .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey".as("p_key"))
+      .agg(dsum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")), 4)
+        .as("part_value"))
+    val tot = value.agg(sum($"part_value").as("total_value"))
+    value.crossJoin(broadcast(tot))
+      .where($"part_value" > lit(0.001) * $"total_value")
+      .select($"p_key", $"part_value")
+      .orderBy($"part_value".desc, $"p_key")
+  }
+
+  /** C62: TPC-H Q12 shape — shipping-lag service classes: lineitems
+    * bucketed by fulfilment lag (ship − order date; the schema's
+    * shipmode/receipt stand-in, Q4's 90-day lateness rule extended to
+    * a 3-class ladder), counting urgent-priority vs other lines per
+    * class (Q12's conditional-count pair). ONE orderkey join, the
+    * CASE evaluates map-side, 3-row output — the canonical
+    * conditional-aggregate report.
+    */
+  def q12ShipClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lag = datediff($"l_shipdate", $"o_orderdate")
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    load(spark, dir, "lineitem")
+      .join(load(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy(when(lag > 90, "VERY_LATE").when(lag > 30, "LATE")
+        .otherwise("ON_TIME").as("ship_class"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"ship_class")
+  }
+
+  /** C63: TPC-H Q20 shape — high-volume suppliers of a part family:
+    * suppliers who shipped more than a threshold quantity of
+    * 'red'-prefixed parts in 1997, narrowed to one region (the
+    * original's nested IN-chain: parts → partsupp volume test →
+    * suppliers → nation). The chain runs as pre-filtered broadcast
+    * joins into ONE supplier-keyed rollup with HAVING — each nesting
+    * level prunes before the next touches it; nothing corpus-sized
+    * survives past the first aggregate. Quantities exact decimal.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redParts = load(spark, dir, "part")
+      .where($"p_name".startsWith("red")).select($"p_partkey")
+    val shipped = load(spark, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+             $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_quantity").as("qty"))
+      .where($"qty" > 200)
+    shipped.join(broadcast(load(spark, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(load(spark, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .where($"n_regionkey" === 3)
+      .select($"s_suppkey", $"s_name", $"n_name", $"qty")
+      .orderBy($"s_suppkey")
+  }
+
+  /** C64: TPC-H Q21 shape — suppliers who kept orders waiting: on
+    * finished ('F') orders, the supplier whose line shipped late
+    * (> 90-day lag, the repo's Q4 lateness rule) while EVERY other
+    * supplier on the order shipped on time — Q21's exists +
+    * not-exists double correlation, as a left-semi against
+    * other-supplier lines (multi-supplier orders survive) + a
+    * left-anti against other-supplier LATE lines (sole-blame
+    * survives). The late set stays DECLARATIVE (re-derived per leg
+    * from pushed-down scans) rather than materialized — in
+    * production lateness is rare but here it is corpus-fraction-
+    * sized, and pinning it would trade two pruned columnar scans for
+    * a full intermediate write. All legs key on orderkey, so AQE
+    * plans each as broadcast or shuffle join by the late set's REAL
+    * size. numwait counts distinct orders per supplier.
+    */
+  def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val late = load(spark, dir, "lineitem")
+      .join(load(spark, dir, "orders").where($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .select($"l_orderkey", $"l_suppkey")
+    val others = load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o2_key"), $"l_suppkey".as("o2_supp"))
+    val lateOthers = late
+      .select($"l_orderkey".as("o3_key"), $"l_suppkey".as("o3_supp"))
+    late
+      .join(others, $"l_orderkey" === $"o2_key" &&
+        $"l_suppkey" =!= $"o2_supp", "left_semi")
+      .join(lateOthers, $"l_orderkey" === $"o3_key" &&
+        $"l_suppkey" =!= $"o3_supp", "left_anti")
+      .join(broadcast(load(spark, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(countDistinct($"l_orderkey").as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
   /** C47: time-series gap filling (`series_gap_fill`) — the
     * ClickHouse `WITH FILL` / Grafana `fill(0)` analog every
     * dashboard needs: the hourly per-type event series densified so
@@ -1529,6 +1710,12 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost" -> q2MinCost _,
+    "q9_product_profit" -> q9ProductProfit _,
+    "q11_important_parts" -> q11ImportantParts _,
+    "q12_ship_classes" -> q12ShipClasses _,
+    "q20_excess_suppliers" -> q20ExcessSuppliers _,
+    "q21_waiting_orders" -> q21WaitingOrders _,
     "events_stickiness" -> eventsStickiness _,
     "cohort_ltv" -> cohortLtv _,
     "status_transitions" -> statusTransitions _,
@@ -1593,6 +1780,96 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """WITH eu_supp AS (
+        |  SELECT s_suppkey, s_name, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+        |  FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey, min(supply_cost) AS min_cost
+        |  FROM cost GROUP BY 1)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, supply_cost
+        |FROM cost JOIN mn USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN eu_supp ON cost.l_suppkey = s_suppkey
+        |WHERE supply_cost = min_cost AND p_type = 'LARGE'
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(
+        |    CAST(l_extendedprice AS DECIMAL(28,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(28,2)))
+        |    - CAST(p_retailprice AS DECIMAL(28,2))
+        |      * CAST(l_quantity AS DECIMAL(28,2))
+        |      * CAST(0.1 AS DECIMAL(28,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS p_key,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE)
+        |      AS part_value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_0' GROUP BY 1),
+        |tot AS (SELECT sum(part_value) AS total_value FROM val)
+        |SELECT p_key, part_value FROM val CROSS JOIN tot
+        |WHERE part_value > 0.001 * total_value
+        |ORDER BY part_value DESC, p_key""".stripMargin,
+    "q12_ship_classes" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+        |      THEN 'VERY_LATE'
+        |    WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'LATE'
+        |    ELSE 'ON_TIME' END AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+        |  FROM lineitem
+        |  JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') p
+        |    ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 200)
+        |SELECT s_suppkey, s_name, n_name, qty
+        |FROM shipped JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 3
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_orders" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT)
+        |  AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
     "events_stickiness" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,
