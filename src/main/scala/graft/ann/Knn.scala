@@ -2074,7 +2074,73 @@ object Knn {
        |FROM dots JOIN norms n1 ON n1.label = l1 JOIN norms n2 ON n2.label = l2
        |ORDER BY l1, l2""".stripMargin
 
+  /** D48: hard-negative mining (`emb_hard_negatives`) — the
+    * contrastive-training data miner: for every vector, the most
+    * similar vector carrying a DIFFERENT label (the "hard negative"
+    * a triplet/InfoNCE loss wants next to each anchor). Exhaustive
+    * different-label search is corpus² — production miners search
+    * ANN candidates — so this searches within each trained IVF cell
+    * (the lake-persisted centroids D7b trains; same-cell = the
+    * candidates any IVF probe would return). Σ|cell|² work, corpus
+    * never re-shuffles for scoring, labels ride the assignment
+    * (map-side) instead of joining back. Top-1 per anchor is an
+    * order-free max over (score, −neg_id) structs — no window, no
+    * per-cell sort. Anchors whose cell is label-pure yield no row
+    * (inner semantics, mirrored in the oracle).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings")
+    val cents = stagedModel(spark, dir, s"cents_$KMeansIters")(
+      trainedCentroids(vecs.select($"vec_id", $"embedding"), KMeansIters))
+    val centArr = cents.agg(collect_list(struct($"cid", $"cent")).as("cs"))
+    val assigned = vecs.crossJoin(broadcast(centArr))
+      .select($"vec_id", $"embedding", $"label",
+        array_max(transform($"cs", c => struct(
+          vcos($"embedding", c.getField("cent")).as("s"),
+          (-c.getField("cid")).as("nc"),
+          c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+    val nbrs = assigned.select($"cid", $"vec_id".as("nbr_id"),
+      $"embedding".as("nbr_emb"), $"label".as("nbr_label"))
+    assigned.join(nbrs, Seq("cid"))
+      .where($"label" =!= $"nbr_label")
+      .groupBy($"vec_id", $"label")
+      .agg(max(struct(
+        vcos($"embedding", $"nbr_emb").as("s"),
+        (-$"nbr_id").as("ni"),
+        $"nbr_id".as("neg_id"),
+        $"nbr_label".as("neg_label"))).as("t"))
+      .select($"vec_id", $"label", $"t.neg_id".as("neg_id"),
+        $"t.neg_label".as("neg_label"), round($"t.s", 6).as("score_r"))
+      .orderBy($"vec_id")
+  }
+
+  val hardNegativesSql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")},
+       |lab AS (
+       |  SELECT a.vec_id, a.embedding, a.cid, e.label
+       |  FROM assigned a JOIN embeddings e USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+       |    ${cosSql("a.embedding", "b.embedding")} AS score
+       |  FROM lab a JOIN lab b USING (cid)
+       |  WHERE a.label <> b.label)
+       |SELECT vec_id, label, neg_id, neg_label, round(score, 6) AS score_r
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, neg_id) AS rn FROM pairs) t
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hard_negatives" -> hardNegatives _,
     "emb_label_affinity" -> labelAffinity _,
     "ann_range_search" -> rangeSearch _,
     "knn_label_accuracy" -> knnLabelAccuracy _,
@@ -2101,6 +2167,7 @@ object Knn {
     "ann_topk_binary" -> binaryTopK _)
 
   val oracleSql: Map[String, String] = Map(
+    "emb_hard_negatives" -> hardNegativesSql,
     "emb_label_affinity" -> labelAffinitySql,
     "ann_range_search" -> rangeSearchSql,
     "knn_label_accuracy" -> knnLabelAccuracySql,

@@ -1984,7 +1984,53 @@ object FlowAnalytics {
       .orderBy($"flowsrc")
   }
 
+  /** B57: Holt double-exponential forecast (`flow_holt_forecast`) —
+    * level + trend smoothing over each collector's hourly volume
+    * series (l ← α·x + (1−α)(l+b); b ← β(l−l_prev) + (1−β)b), the
+    * short-horizon complement of B26's trendless EWMA: a steadily
+    * growing link EWMA under-forecasts forever, Holt tracks the
+    * slope. Published: final level/trend and the 1-/3-hour-ahead
+    * forecasts l + h·b.
+    *
+    * Scale: the corpus reduces ONCE to the materialized (flowsrc,
+    * hour) rollup; the inherently-sequential recursion folds over
+    * each collector's hour-sorted array via the `aggregate` HOF —
+    * calendar-bounded rows per group, map-side, no window, no
+    * driver loop.
+    *
+    * Determinism: α=0.5, β=0.25 are exactly-representable dyadics,
+    * the fold is written with the identical parse tree in the DuckDB
+    * recursive-CTE twin, and the recurrence visits observations in
+    * the same hour order on both engines — so every intermediate
+    * IEEE value matches bit for bit; outputs round(6) regardless.
+    * Init: l₁ = x₁, b₁ = 0 (documented choice, mirrored exactly).
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = graft.Staging.materialize(asFlows(spark, dir)
+      .groupBy($"flowsrc", date_trunc("hour", $"ts").as("h"))
+      .agg(dsum($"value").cast("double").as("vol")))
+    hourly.groupBy($"flowsrc")
+      .agg(array_sort(collect_list(struct($"h", $"vol"))).as("s"))
+      .select($"flowsrc", size($"s").cast("long").as("n_hours"),
+        expr("""aggregate(
+          slice(s, 2, size(s) - 1),
+          named_struct(
+            'l', CAST(element_at(s, 1).vol AS DOUBLE),
+            'b', CAST(0.0 AS DOUBLE)),
+          (acc, x) -> named_struct(
+            'l', 0.5D * x.vol + 0.5D * (acc.l + acc.b),
+            'b', 0.25D * ((0.5D * x.vol + 0.5D * (acc.l + acc.b)) - acc.l)
+                   + 0.75D * acc.b))""").as("st"))
+      .select($"flowsrc", $"n_hours",
+        round($"st.l", 6).as("level_r"), round($"st.b", 6).as("trend_r"),
+        round($"st.l" + $"st.b", 6).as("fc1_r"),
+        round($"st.l" + lit(3.0) * $"st.b", 6).as("fc3_r"))
+      .orderBy($"flowsrc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_holt_forecast" -> holtForecast _,
     "flow_subnet_rollup" -> subnetRollup _,
     "flow_mad_anomaly" -> madAnomaly _,
     "flow_theil_sen" -> theilSen _,
@@ -2097,6 +2143,29 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_holt_forecast" -> (flowsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, hourly AS (
+        |  SELECT flowsrc, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vol
+        |  FROM flows GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT flowsrc, vol,
+        |    row_number() OVER (PARTITION BY flowsrc ORDER BY h) AS i
+        |  FROM hourly),
+        |cnt AS (SELECT flowsrc, max(i) AS n_hours FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT flowsrc, i, vol AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT h.flowsrc, h.i,
+        |    0.5 * h.vol + 0.5 * (r.l + r.b),
+        |    0.25 * ((0.5 * h.vol + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+        |  FROM rec r JOIN idx h ON h.flowsrc = r.flowsrc AND h.i = r.i + 1)
+        |SELECT r.flowsrc, CAST(c.n_hours AS BIGINT) AS n_hours,
+        |  round(r.l, 6) AS level_r, round(r.b, 6) AS trend_r,
+        |  round(r.l + r.b, 6) AS fc1_r, round(r.l + 3.0 * r.b, 6) AS fc3_r
+        |FROM rec r JOIN cnt c ON r.flowsrc = c.flowsrc AND r.i = c.n_hours
+        |ORDER BY r.flowsrc""".stripMargin),
     "flow_subnet_rollup" -> (flowsCte +
       """, by24 AS (
         |  SELECT '10.' || (user_id % 64) || '.0.0' AS net16,
