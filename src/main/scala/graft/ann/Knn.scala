@@ -2074,6 +2074,76 @@ object Knn {
        |FROM dots JOIN norms n1 ON n1.label = l1 JOIN norms n2 ON n2.label = l2
        |ORDER BY l1, l2""".stripMargin
 
+  /** D49: embedding centroid drift (`emb_centroid_drift`) — the
+    * embedding-space twin of D47's source-mix drift: per label, the
+    * cosine between the class centroid of corpus half A and half B
+    * (vec_id parity as the deterministic snapshot proxy). A label
+    * whose two halves' centroids drift apart signals a shifted
+    * upstream distribution or an embedder version change — caught
+    * BEFORE the vectors poison an index or a training mix. Same
+    * scale shape as D44: one posexplode → (label, half, dim)
+    * combine-heavy aggregate (nano-quantized sums), then label-sized
+    * joins; work after the first pass is |L|·D, corpus-independent.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = load(spark, dir, "embeddings")
+      .select($"label", ($"vec_id" % 2).cast("int").as("half"),
+        posexplode($"embedding").as(Seq("dim", "x0")))
+      .select($"label", $"half", $"dim", $"x0".cast("double").as("x"))
+      .groupBy($"label", $"half", $"dim")
+      .agg(graft.Tables.qsum($"x").as("sx"), count(lit(1)).as("n"))
+      .select($"label", $"half", $"dim",
+        ($"sx" / $"n".cast("double")).as("c"), $"n")
+    val norms = cent.groupBy($"label", $"half")
+      .agg(graft.Tables.dsum(round($"c" * $"c", 9), 9).as("nn"),
+        max($"n").as("n_members"))
+    val dots = cent.where($"half" === 0).as("a")
+      .join(cent.where($"half" === 1).as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") === col("b.label"))
+      .groupBy(col("a.label").as("label"))
+      .agg(graft.Tables.dsum(round(col("a.c") * col("b.c"), 9), 9).as("dot"))
+    dots
+      .join(broadcast(norms.where($"half" === 0)
+        .select($"label", $"nn".as("nn0"), $"n_members".as("n_0"))), "label")
+      .join(broadcast(norms.where($"half" === 1)
+        .select($"label", $"nn".as("nn1"), $"n_members".as("n_1"))), "label")
+      .select($"label", $"n_0", $"n_1",
+        round($"dot" / sqrt($"nn0" * $"nn1"), 6).as("cos_r"),
+        round(lit(1.0) - $"dot" / sqrt($"nn0" * $"nn1"), 6).as("drift_r"))
+      .orderBy($"label")
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT label, vec_id % 2 AS half, pos AS dim,
+       |    CAST(embedding[pos] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, ${Dim + 1}) t(pos)),
+       |cent AS MATERIALIZED (
+       |  SELECT label, half, dim,
+       |    ${graft.Tables.qsumSql("x")} / CAST(count(*) AS DOUBLE) AS c,
+       |    count(*) AS n
+       |  FROM ex GROUP BY label, half, dim),
+       |norms AS (
+       |  SELECT label, half,
+       |    CAST(sum(CAST(round(c * c, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS nn,
+       |    CAST(max(n) AS BIGINT) AS n_members
+       |  FROM cent GROUP BY label, half),
+       |dots AS (
+       |  SELECT a.label AS label,
+       |    CAST(sum(CAST(round(a.c * b.c, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS dot
+       |  FROM cent a JOIN cent b
+       |    ON a.dim = b.dim AND a.label = b.label
+       |    AND a.half = 0 AND b.half = 1
+       |  GROUP BY 1)
+       |SELECT d.label, n0.n_members AS n_0, n1.n_members AS n_1,
+       |  round(dot / sqrt(n0.nn * n1.nn), 6) AS cos_r,
+       |  round(1.0 - dot / sqrt(n0.nn * n1.nn), 6) AS drift_r
+       |FROM dots d
+       |JOIN norms n0 ON n0.label = d.label AND n0.half = 0
+       |JOIN norms n1 ON n1.label = d.label AND n1.half = 1
+       |ORDER BY d.label""".stripMargin
+
   /** D48: hard-negative mining (`emb_hard_negatives`) — the
     * contrastive-training data miner: for every vector, the most
     * similar vector carrying a DIFFERENT label (the "hard negative"
@@ -2140,6 +2210,7 @@ object Knn {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroid_drift" -> centroidDrift _,
     "emb_hard_negatives" -> hardNegatives _,
     "emb_label_affinity" -> labelAffinity _,
     "ann_range_search" -> rangeSearch _,
@@ -2167,6 +2238,7 @@ object Knn {
     "ann_topk_binary" -> binaryTopK _)
 
   val oracleSql: Map[String, String] = Map(
+    "emb_centroid_drift" -> centroidDriftSql,
     "emb_hard_negatives" -> hardNegativesSql,
     "emb_label_affinity" -> labelAffinitySql,
     "ann_range_search" -> rangeSearchSql,
