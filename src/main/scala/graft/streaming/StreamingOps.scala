@@ -603,6 +603,169 @@ object StreamingOps {
     }
   }
 
+  // ------------------------------------ E20 streaming Holt forecaster
+
+  /** Hours a slot stays open for late data before it folds into the
+    * smoothed state (same tolerance as E17's ring). */
+  val HoltRing = 24
+
+  case class FlowCents(flowsrc: String, h: Long, cents: Long)
+  case class HoltEmit(flowsrc: String, seq: Long, ref_h: Long,
+      cents: Array[Long], cnts: Array[Long], l: Double, b: Double,
+      n_closed: Long)
+  case class HoltState(refH: Long, cents: Array[Long], cnts: Array[Long],
+      l: Double, b: Double, nClosed: Long, seq: Long)
+
+  /** E20: streaming Holt level+trend forecaster — B57's live twin.
+    * The Holt recurrence is inherently sequential over CLOSED hours,
+    * so the state is split in two: a [[HoltRing]]-slot open-hour ring
+    * (exact integer cents + observation counts, E17's late-data
+    * tolerance) and the folded (l, b, n) smoothing state. When the
+    * stream advances past a slot, that hour is CLOSED: folded into
+    * (l, b) oldest-first with the exact recurrence the batch operator
+    * uses — so the final state is a pure function of the event
+    * multiset (batch-split invariant), and the read-out (which folds
+    * the still-open slots in hour order) hash-matches the
+    * from-scratch recursive replay. Hours nobody observed occupy a
+    * cnt=0 slot and are SKIPPED, matching the batch rollup (absent
+    * row ≠ zero volume). State is O(ring) per key — the
+    * bounded-memory form that runs forever, where B57 is the
+    * backfill/batch form.
+    */
+  class HoltProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FlowCents, HoltEmit] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    private val R = HoltRing
+    @transient private var st: ValueState[HoltState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HoltState]("holt",
+        org.apache.spark.sql.Encoders.product[HoltState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[FlowCents],
+        tv: TimerValues): Iterator[HoltEmit] = {
+      val s0 = if (st.exists()) st.get()
+        else HoltState(Long.MinValue, new Array[Long](R),
+          new Array[Long](R), 0.0, 0.0, 0L, 0L)
+      var refH = s0.refH
+      var cents = s0.cents
+      var cnts = s0.cnts
+      var l = s0.l
+      var b = s0.b
+      var n = s0.nClosed
+      // fold one closed hour: the EXACT parse tree of the batch
+      // aggregate-HOF / recursive-CTE recurrence (dyadic constants)
+      def close(v: Long): Unit = {
+        val x = v.toDouble / 100.0
+        if (n == 0L) { l = x; b = 0.0; n = 1L }
+        else {
+          val ln = 0.5 * x + 0.5 * (l + b)
+          b = 0.25 * (ln - l) + 0.75 * b
+          l = ln
+          n += 1L
+        }
+      }
+      rows.foreach { r =>
+        if (r.h > refH) {
+          val d = if (refH == Long.MinValue) R
+            else math.min(r.h - refH, R.toLong).toInt
+          // slots falling off the ring close oldest-first
+          var a = R - 1
+          while (a >= R - d) {
+            if (a < R && cnts(a) > 0L) close(cents(a))
+            a -= 1
+          }
+          val sc = new Array[Long](R)
+          val sn = new Array[Long](R)
+          var i = R - 1
+          while (i >= d) { sc(i) = cents(i - d); sn(i) = cnts(i - d); i -= 1 }
+          cents = sc; cnts = sn
+          refH = r.h
+        }
+        val age = refH - r.h
+        if (age < R) { // older than the ring: already folded, dropped
+          cents(age.toInt) += r.cents
+          cnts(age.toInt) += 1L
+        }
+      }
+      st.update(HoltState(refH, cents, cnts, l, b, n, s0.seq + 1))
+      Iterator.single(HoltEmit(key, s0.seq + 1, refH, cents, cnts, l, b, n))
+    }
+  }
+
+  /** The E20 pipeline over a prepared (flowsrc, h, cents) stream —
+    * split out so the spec can drive it with its own batch splits.
+    */
+  private[graft] def holtForecastFrom(
+      masses: org.apache.spark.sql.Dataset[FlowCents], name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = masses.sparkSession
+    import spark.implicits._
+    val q = masses.groupByKey(_.flowsrc)
+      .transformWithState(new HoltProcessor, TimeMode.None(),
+        OutputMode.Append(), org.apache.spark.sql.Encoders.product[HoltEmit])
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_holt_forecast")
+    val last = spark.table(name)
+      .groupBy($"flowsrc")
+      .agg(max(struct($"seq", $"ref_h", $"cents", $"cnts",
+        $"l", $"b", $"n_closed")).as("s"))
+      .select($"flowsrc", $"s.cents".as("cents"), $"s.cnts".as("cnts"),
+        $"s.l".as("l"), $"s.b".as("b"), $"s.n_closed".as("n_closed"))
+    // read-out: fold the still-open slots oldest-first (age R−1 → 0,
+    // observed slots only) from the closed (l, b, n) state — the same
+    // recurrence tree as the processor, the batch HOF and the oracle.
+    val slots = (HoltRing - 1 to 0 by -1).map { a =>
+      struct(element_at($"cents", a + 1).as("v"),
+        element_at($"cnts", a + 1).as("c"))
+    }
+    last
+      .withColumn("arr", array(slots: _*))
+      .withColumn("st", expr("""aggregate(
+        filter(arr, s -> s.c > 0L),
+        named_struct('l', l, 'b', b, 'n', n_closed),
+        (acc, s) -> IF(acc.n = 0L,
+          named_struct('l', CAST(s.v AS DOUBLE) / 100.0D,
+            'b', CAST(0.0 AS DOUBLE), 'n', 1L),
+          named_struct(
+            'l', 0.5D * (CAST(s.v AS DOUBLE) / 100.0D)
+                   + 0.5D * (acc.l + acc.b),
+            'b', 0.25D * ((0.5D * (CAST(s.v AS DOUBLE) / 100.0D)
+                   + 0.5D * (acc.l + acc.b)) - acc.l) + 0.75D * acc.b,
+            'n', acc.n + 1L)))"""))
+      .select($"flowsrc", $"st.n".as("n_hours"),
+        round($"st.l", 6).as("level_r"), round($"st.b", 6).as("trend_r"),
+        round($"st.l" + $"st.b", 6).as("fc1_r"),
+        round($"st.l" + lit(3.0) * $"st.b", 6).as("fc3_r"))
+      .orderBy($"flowsrc")
+  }
+
+  /** E20 graded entry: the flow stream reduced to (flowsrc, hour,
+    * cents) through the Holt processor, forecasting each collector.
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_holt_${counter.incrementAndGet()}"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val masses = graft.flow.FlowAnalytics.flowsOf(eventsStream(spark, dir))
+        .select(col("flowsrc"),
+          expr("CAST(ts AS LONG) div 3600").as("h"),
+          col("ibyt").as("cents"))
+        .as[FlowCents]
+      holtForecastFrom(masses, name)
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+  }
+
   // ---------------------------------------- E18 streaming silence watch
 
   /** Hours of quiet after which a site is reported silent. */
@@ -1096,6 +1259,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_holt_forecast" -> holtForecast _,
     "stream_silence_watch" -> silenceWatch _,
     "stream_ewma_forecast" -> ewmaForecast _,
     "stream_distinct_hll" -> distinctHll _,
@@ -1117,6 +1281,38 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E20: the Holt state replayed from raw events in hour order —
+    // the hash equality IS the proof the split open-ring/folded-state
+    // design converges to the sequential from-scratch recursion
+    "stream_holt_forecast" -> (graft.flow.FlowAnalytics.flowsCte
+      .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, f AS (
+        |  SELECT flowsrc, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    ibyt
+        |  FROM flows),
+        |hourly AS (
+        |  SELECT flowsrc, h, CAST(sum(ibyt) AS BIGINT) AS cents
+        |  FROM f GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT flowsrc, cents,
+        |    row_number() OVER (PARTITION BY flowsrc ORDER BY h) AS i
+        |  FROM hourly),
+        |cnt AS (SELECT flowsrc, max(i) AS n_hours FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT flowsrc, i, CAST(cents AS DOUBLE) / 100.0 AS l,
+        |    CAST(0 AS DOUBLE) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT h.flowsrc, h.i,
+        |    0.5 * (CAST(h.cents AS DOUBLE) / 100.0) + 0.5 * (r.l + r.b),
+        |    0.25 * ((0.5 * (CAST(h.cents AS DOUBLE) / 100.0)
+        |      + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+        |  FROM rec r JOIN idx h ON h.flowsrc = r.flowsrc AND h.i = r.i + 1)
+        |SELECT r.flowsrc, CAST(c.n_hours AS BIGINT) AS n_hours,
+        |  round(r.l, 6) AS level_r, round(r.b, 6) AS trend_r,
+        |  round(r.l + r.b, 6) AS fc1_r, round(r.l + 3.0 * r.b, 6) AS fc3_r
+        |FROM rec r JOIN cnt c ON r.flowsrc = c.flowsrc AND r.i = c.n_hours
+        |ORDER BY r.flowsrc""".stripMargin),
     // E19: session merge (gaps-and-islands, diff ≥ gap splits), client
     // rule and append emission (end ≤ max leg ts − lag) replayed from
     // the raw events — the same legs CTE as batch B52 plus event-time

@@ -377,6 +377,72 @@ class StreamingSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming Holt state is batch-split invariant and matches a sequential replay") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(src: String, filesPerTrigger: Option[Int], name: String) = {
+        val rd = spark.readStream.schema("flowsrc STRING, h LONG, cents LONG")
+        val stream = filesPerTrigger.fold(rd)(n =>
+          rd.option("maxFilesPerTrigger", n)).parquet(src)
+          .as[StreamingOps.FlowCents]
+        StreamingOps.holtForecastFrom(stream, name)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      }
+      // the from-scratch sequential recursion, the same parse tree as
+      // the processor / batch HOF / recursive-CTE oracle
+      def replay(rows: Seq[(String, Long, Long)]) =
+        rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, rs) =>
+          val hourly = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+            .toSeq.sortBy(_._1)
+          var l = 0.0; var b = 0.0; var n = 0L
+          hourly.foreach { case (_, cents) =>
+            val x = cents.toDouble / 100.0
+            if (n == 0L) { l = x; b = 0.0; n = 1L }
+            else {
+              val ln = 0.5 * x + 0.5 * (l + b)
+              b = 0.25 * (ln - l) + 0.75 * b
+              l = ln; n += 1L
+            }
+          }
+          def r6(v: Double) = BigDecimal(v)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (k, n, r6(l), r6(b), r6(l + b), r6(l + 3.0 * b))
+        }
+      val h0 = 800000L
+      // Part 1 — split invariance: hours stay within one ring span
+      // (state is then order-free), with a GAP hour, a LATE old row in
+      // the last batch, and a single-hour sparse key.
+      val b1 = (1 to 10).map(j => ("A", h0 + j, 100L * j + 7L)) ++
+        Seq(("B", h0 + 3, 250L))
+      val b2 = (12 to 18).map(j => ("A", h0 + j, 55L * j))
+      val b3 = Seq(("A", h0 + 20, 999L), ("A", h0 + 2, 1234L)) // late old hour
+      val batches = Seq(b1, b2, b3)
+      val src = tmpDir("holtsrc") + "/data"
+      batches.foreach(_.toDF("flowsrc", "h", "cents").repartition(1)
+        .write.mode("append").parquet(src))
+      val split = run(src, Some(1), "holt_split")
+      val whole = run(src, None, "holt_whole")
+      assert(split === whole, "Holt state differs across batch splits")
+      assert(split === replay(batches.flatten),
+        "Holt state differs from the sequential replay")
+      // Part 2 — the CLOSE path: a 40-hour span (single ordered file)
+      // forces slots off the 24-slot ring, folding them incrementally;
+      // the final state must still equal the from-scratch recursion.
+      val wide = (1 to 40).filterNot(j => j % 7 == 0)
+        .map(j => ("W", h0 + j, 31L * j + (j % 5) * 13L))
+      val src2 = tmpDir("holtsrc2") + "/data"
+      wide.toDF("flowsrc", "h", "cents").repartition(1)
+        .coalesce(1).write.mode("append").parquet(src2)
+      val closed = run(src2, None, "holt_closed")
+      assert(closed === replay(wide),
+        "incremental closure diverged from the sequential recursion")
+      assert(closed.head._2 === wide.map(_._2).distinct.size.toLong)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming EWMA ring is batch-split invariant and matches a from-scratch replay") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
