@@ -559,7 +559,152 @@ object Multimodal {
       |  CASE WHEN doc_id % 97 != 0 THEN CAST(h3 AS BIGINT) END AS h3
       |FROM s ORDER BY doc_id""".stripMargin
 
+  case class AudioStats(doc_id: Long, ok: Boolean, sample_rate: Option[Int],
+      n_samples: Option[Long], duration_us: Option[Long], peak: Option[Long],
+      zc: Option[Long], ssq: Option[Long], rms_r: Option[Double])
+
+  /** Deterministic PCM16 sample formula shared by the WAV generator
+    * and the DuckDB oracle — PCM in a WAV container is lossless, so
+    * decoded samples equal generated samples and the oracle scores
+    * the REAL codec path. Integer sawtooth (not a sine): both engines
+    * compute it in exact integer arithmetic, no libm dependence.
+    */
+  @inline private def fs(id: Long, i: Int): Int =
+    (((id * 131 + i.toLong * (id % 7 + 3)) % 65536) - 32768).toInt
+
+  private val WavRate = 8000
+
+  /** Each doc's deterministic PCM16 mono signal, written through a
+    * REAL RIFF/WAVE container (44-byte canonical header, LE samples).
+    * Every 89th payload is truncated mid-header — a genuinely corrupt
+    * file for the decode error path.
+    */
+  private def wavPayloads(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    spread(load(spark, dir, "documents"))
+      .select(col("doc_id"), (col("n_chars") % 300 + 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, n) =>
+            val dataSize = 2 * n
+            val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+              .put("WAVE".getBytes("US-ASCII"))
+              .put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(1) // PCM, mono
+              .putInt(WavRate).putInt(WavRate * 2)
+              .putShort(2).putShort(16) // block align, bits
+              .put("data".getBytes("US-ASCII")).putInt(dataSize)
+            var i = 0
+            while (i < n) { bb.putShort(fs(id, i).toShort); i += 1 }
+            val bytes = bb.array()
+            (id, if (id % 89 == 0) bytes.take(16) else bytes)
+          }
+        }
+      }
+      .toDF("doc_id", "wav")
+  }
+
+  /** D12g: REAL audio decode (`mm_audio_decode`) — the audio leg of
+    * the modality triad, through the JVM's actual WAV codec
+    * (`javax.sound.sampled.AudioSystem`: container parse, format
+    * negotiation, frame extraction) in the same batched
+    * partition-local stage as the PNG path. Published features are
+    * what an audio curation pipeline gates on: duration, peak, RMS
+    * energy, zero-crossing rate (the cheap voiced/unvoiced signal).
+    * Gradable because the PCM signal is generated from a shared
+    * exact-integer formula and WAV is lossless — a decoder that did
+    * not really parse the RIFF container cannot pass; corrupt files
+    * surface as `ok = false` rows, not task failures. Map-only at
+    * 100 TB: encode+decode ride the scan, no shuffle before the
+    * per-doc row.
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavPayloads(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, wav) =>
+            val in =
+              try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(wav))
+              catch { case _: Exception => null }
+            if (in == null)
+              AudioStats(id, ok = false, None, None, None, None, None, None, None)
+            else {
+              val fmt = in.getFormat
+              val raw = in.readAllBytes()
+              in.close()
+              val ok = fmt.getChannels == 1 &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+              if (!ok)
+                AudioStats(id, ok = false, None, None, None, None, None, None, None)
+              else {
+                val n = raw.length / 2
+                var ssq = 0L; var peak = 0L; var zc = 0L
+                var prevNonNeg = false
+                var i = 0
+                while (i < n) {
+                  val v = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toLong
+                  ssq += v * v
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  val nonNeg = v >= 0
+                  if (i > 0 && nonNeg != prevNonNeg) zc += 1
+                  prevNonNeg = nonNeg
+                  i += 1
+                }
+                AudioStats(id, ok = true,
+                  Some(fmt.getSampleRate.toInt), Some(n.toLong),
+                  Some(n.toLong * 1000000L / WavRate), Some(peak), Some(zc),
+                  Some(ssq),
+                  Some(BigDecimal(math.sqrt(ssq.toDouble / n.toDouble))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              }
+            }
+          }
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  val audioDecodeSql: String =
+    """WITH params AS (
+      |  SELECT doc_id, CAST(n_chars % 300 + 100 AS INT) AS n,
+      |    doc_id % 7 + 3 AS k
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, n, i,
+      |    ((doc_id * 131 + i * k) % 65536) - 32768 AS v
+      |  FROM params, range(0, 400) t(i) WHERE i < n),
+      |st AS (
+      |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+      |    CAST(sum(v * v) AS BIGINT) AS ssq,
+      |    CAST(max(abs(v)) AS BIGINT) AS peak,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL
+      |      AND ((v >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      |  FROM (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |        FROM samp)
+      |  GROUP BY doc_id)
+      |SELECT p.doc_id, p.doc_id % 89 <> 0 AS ok,
+      |  CASE WHEN p.doc_id % 89 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+      |  CASE WHEN p.doc_id % 89 = 0 THEN NULL ELSE s.n_samples END AS n_samples,
+      |  CASE WHEN p.doc_id % 89 = 0 THEN NULL
+      |       ELSE s.n_samples * 1000000 // 8000 END AS duration_us,
+      |  CASE WHEN p.doc_id % 89 = 0 THEN NULL ELSE s.peak END AS peak,
+      |  CASE WHEN p.doc_id % 89 = 0 THEN NULL ELSE s.zc END AS zc,
+      |  CASE WHEN p.doc_id % 89 = 0 THEN NULL ELSE s.ssq END AS ssq,
+      |  CASE WHEN p.doc_id % 89 = 0 THEN NULL
+      |       ELSE round(sqrt(CAST(s.ssq AS DOUBLE) / CAST(s.n_samples AS DOUBLE)), 6)
+      |  END AS rms_r
+      |FROM params p JOIN st s USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_decode" -> audioDecode _,
     "mm_image_histogram" -> imageHistogram _,
     "mm_phash_dedup" -> phashDedup _,
     "mm_decode_stats" -> decodeStats _,
@@ -570,6 +715,7 @@ object Multimodal {
     "mm_binary_dedup" -> binaryDedup _)
 
   val oracleSql: Map[String, String] = Map(
+    "mm_audio_decode" -> audioDecodeSql,
     "mm_image_histogram" -> imageHistogramSql,
     "mm_phash_dedup" -> phashDedupSql,
     "mm_binary_dedup" -> binaryDedupSql,
