@@ -567,6 +567,55 @@ object Relational {
       .orderBy($"user_id", $"k", $"valid_from", $"event_id")
   }
 
+  /** C65: SCD2 point-in-time join (`join_scd2_pit`) — the
+    * feature-store / warehouse classic that CONSUMES C29's slowly-
+    * changing dimension: each fact matched to the dimension version
+    * valid AT the fact's timestamp (no leakage from later versions —
+    * the correctness property offline training joins live or die on).
+    * Deletes are tombstones: a fact landing between a delete and the
+    * next version matches NO version (has_dim = false), not the
+    * stale one.
+    *
+    * Execution is the union-tag one-pass ASOF pattern (C15's shape),
+    * NOT a per-fact range probe: dimension changes (typ 0, tombstones
+    * carrying null) and facts (typ 1) union into one stream, ONE
+    * (key)-partitioned window ordered by (ts, typ, event_id) carries
+    * the latest version struct via last(..., ignoreNulls), and facts
+    * read their carry — one shuffle total, no interval explosion, no
+    * broadcast of a corpus-sized dimension. Same-instant semantics:
+    * versions at the fact's exact ts ARE visible (typ orders dim
+    * before fact), multiple same-ts versions resolve by event_id —
+    * mirrored in the oracle's (ts DESC, event_id DESC LIMIT 1)
+    * lateral probe.
+    */
+  def joinScd2Pit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.Tables.events(spark, dir)
+      .where(pmod($"user_id", lit(10)) === 0)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"ts", $"event_id", $"event_type", $"value")
+    val dimSide = base.select($"user_id", $"k", $"ts", $"event_id",
+      lit(0).as("typ"),
+      when($"event_type" =!= "error", $"event_id").as("ver"),
+      when($"event_type" =!= "error", $"value").as("vval"))
+    val factSide = base.where($"event_type" === "purchase")
+      .select($"user_id", $"k", $"ts", $"event_id", lit(1).as("typ"),
+        lit(null).cast("long").as("ver"), lit(null).cast("double").as("vval"))
+    val w = Window.partitionBy($"user_id", $"k")
+      .orderBy($"ts", $"typ", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dimSide.union(factSide)
+      .withColumn("carry",
+        last(when($"typ" === 0, struct($"ver", $"vval")), ignoreNulls = true)
+          .over(w))
+      .where($"typ" === 1)
+      .select($"user_id", $"k", $"event_id", $"ts",
+        $"carry.ver".as("dim_version"), $"carry.vval".as("dim_value"),
+        $"carry.ver".isNotNull.as("has_dim"))
+      .orderBy($"event_id")
+  }
+
   /** C28: declarative data-quality audit (`table_audit`) — the
     * dbt-test / Deequ-style constraint sweep every warehouse load
     * runs before publishing a partition: null rates, key uniqueness,
@@ -1711,6 +1760,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost" -> q2MinCost _,
+    "join_scd2_pit" -> joinScd2Pit _,
     "q9_product_profit" -> q9ProductProfit _,
     "q11_important_parts" -> q11ImportantParts _,
     "q12_ship_classes" -> q12ShipClasses _,
@@ -1780,6 +1830,25 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "join_scd2_pit" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(props->>'k' AS BIGINT) AS k, ts, event_id,
+        |    event_type, value
+        |  FROM events WHERE user_id % 10 = 0),
+        |dimv AS (
+        |  SELECT user_id, k, ts, event_id,
+        |    CASE WHEN event_type <> 'error' THEN event_id END AS ver,
+        |    CASE WHEN event_type <> 'error' THEN value END AS vval
+        |  FROM ev),
+        |facts AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.k, f.event_id, f.ts,
+        |  d.ver AS dim_version, d.vval AS dim_value,
+        |  d.ver IS NOT NULL AS has_dim
+        |FROM facts f LEFT JOIN LATERAL (
+        |  SELECT ver, vval FROM dimv d
+        |  WHERE d.user_id = f.user_id AND d.k = f.k AND d.ts <= f.ts
+        |  ORDER BY d.ts DESC, d.event_id DESC LIMIT 1) d ON TRUE
+        |ORDER BY f.event_id""".stripMargin,
     "q2_min_cost" ->
       """WITH eu_supp AS (
         |  SELECT s_suppkey, s_name, n_name FROM supplier
