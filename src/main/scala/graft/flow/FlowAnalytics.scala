@@ -1984,6 +1984,54 @@ object FlowAnalytics {
       .orderBy($"flowsrc")
   }
 
+  /** B58: longest-prefix-match enrichment (`flow_lpm_enrich`) — the
+    * GeoIP/ASN/routing-table join every flow pipeline runs: each
+    * address resolves to its MOST SPECIFIC matching prefix from a
+    * routing dim (here /24 rack entries inside /16 site entries over
+    * a /0 default). Execution is the 100 TB shape for LPM on Spark:
+    * one broadcast LEFT join per distinct mask length present in the
+    * dim (mask arithmetic on the codegen'd ip4_aton numeric form),
+    * specificity resolved map-side by coalesce — the corpus NEVER
+    * shuffles for enrichment, there is no per-row prefix explode, and
+    * a real routing table's ~30 mask lengths stay a bounded join
+    * chain. The closed-form oracle re-derives the winning prefix from
+    * the synthetic address plan, so the whole aton→mask→LPM chain is
+    * hash-verified, including the default route (dst lives outside
+    * every specific prefix).
+    */
+  def lpmEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ten = 167772160L // 10.0.0.0
+    val p16 = spark.range(64).select(
+      (lit(ten) + $"id" * 65536L).as("p16"),
+      concat(lit("site-"), $"id").as("l16"))
+    val p24 = spark.range(64).select($"id".as("u"))
+      .crossJoin(spark.range(4).select($"id".as("j")))
+      .select((lit(ten) + $"u" * 65536L + $"j" * 256L).as("p24"),
+        concat(lit("rack-"), $"u", lit("-"), $"j").as("l24"))
+    asFlows(spark, dir)
+      .withColumn("san", ip4_aton($"sa"))
+      .withColumn("dan", ip4_aton($"da"))
+      .join(broadcast(p24),
+        $"san".bitwiseAND(lit(0xFFFFFF00L)) === $"p24", "left")
+      .join(broadcast(p16),
+        $"san".bitwiseAND(lit(0xFFFF0000L)) === $"p16", "left")
+      .join(broadcast(p24.select($"p24".as("dp24"), $"l24".as("dl24"))),
+        $"dan".bitwiseAND(lit(0xFFFFFF00L)) === $"dp24", "left")
+      .join(broadcast(p16.select($"p16".as("dp16"), $"l16".as("dl16"))),
+        $"dan".bitwiseAND(lit(0xFFFF0000L)) === $"dp16", "left")
+      .select(
+        coalesce($"l24", $"l16", lit("internet")).as("src_label"),
+        when($"l24".isNotNull, 24).when($"l16".isNotNull, 16)
+          .otherwise(0).cast("int").as("matched_len"),
+        coalesce($"dl24", $"dl16", lit("internet")).as("dst_label"),
+        $"sa", $"ibyt")
+      .groupBy($"src_label", $"matched_len", $"dst_label")
+      .agg(count(lit(1)).as("n_flows"), sum($"ibyt").as("bytes"),
+        countDistinct($"sa").as("n_src"))
+      .orderBy($"src_label")
+  }
+
   /** B57: Holt double-exponential forecast (`flow_holt_forecast`) —
     * level + trend smoothing over each collector's hourly volume
     * series (l ← α·x + (1−α)(l+b); b ← β(l−l_prev) + (1−β)b), the
@@ -2031,6 +2079,7 @@ object FlowAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_holt_forecast" -> holtForecast _,
+    "flow_lpm_enrich" -> lpmEnrich _,
     "flow_subnet_rollup" -> subnetRollup _,
     "flow_mad_anomaly" -> madAnomaly _,
     "flow_theil_sen" -> theilSen _,
@@ -2143,6 +2192,20 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_lpm_enrich" -> (flowsCte +
+      """, enr AS (
+        |  SELECT CASE WHEN (event_id // 256) % 256 < 4
+        |      THEN 'rack-' || (user_id % 64) || '-' || ((event_id // 256) % 256)
+        |      ELSE 'site-' || (user_id % 64) END AS src_label,
+        |    CAST(CASE WHEN (event_id // 256) % 256 < 4 THEN 24 ELSE 16 END
+        |      AS INT) AS matched_len,
+        |    'internet' AS dst_label, sa, ibyt
+        |  FROM flows)
+        |SELECT src_label, matched_len, dst_label,
+        |  count(*) AS n_flows, CAST(sum(ibyt) AS BIGINT) AS bytes,
+        |  count(DISTINCT sa) AS n_src
+        |FROM enr GROUP BY 1, 2, 3
+        |ORDER BY src_label""".stripMargin),
     "flow_holt_forecast" -> (flowsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """, hourly AS (
         |  SELECT flowsrc, date_trunc('hour', ts) AS h,
