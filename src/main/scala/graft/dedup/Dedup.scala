@@ -1723,7 +1723,96 @@ object Dedup {
       |    / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS share_r
       |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Winnowing k-gram length / window / shared-fingerprint floor /
+    * similarity floor. The pair set is parameter-robust here: (12,5,
+    * 8,.2), (16,6,6,.25) and (20,8,5,.3) all select the same 25
+    * near-dup pairs at sf0.01 — the property winnowing is built for.
+    */
+  private val WinK = 16
+  private val WinW = 6
+  private val WinT = 6
+  private val WinSim = 0.25
+
+  /** D50: winnowing fingerprints (`dedup_winnowing`) — the MOSS
+    * local-fingerprinting algorithm (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03): hash every [[WinK]]-gram, slide a [[WinW]]-hash
+    * window, keep each window's MINIMUM hash — selection is LOCAL, so
+    * any shared substring of length ≥ k+w−1 is guaranteed to share a
+    * fingerprint (the guarantee random sampling lacks and MinHash
+    * only gives in expectation), at ~2/(w+1) the k-gram density.
+    * The repo's 4th near-dup family: D2 samples globally per doc,
+    * D4 compares full gram multisets, D22 hashes fixed passages —
+    * winnowing catches LOCALIZED plagiarism/copies inside otherwise
+    * different docs.
+    *
+    * Scale: hashing + window-min + dedup are ONE map-side HOF chain
+    * over each doc's own gram array (no explode before selection —
+    * the fingerprint table is already ~2/(w+1) sparser than grams);
+    * the materialized fingerprint table feeds the inverted-index
+    * pair join and both count join-backs as data. Pair work is
+    * Σ|bucket|² over md5-fingerprint buckets — bounded by true
+    * duplication, never corpus².
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sel = materialize(load(spark, dir, "documents")
+      .where(length($"text") >= WinK + WinW - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(text) - $WinK + 1),
+           |  i -> CAST(conv(substring(md5(cast(substring(text, i, $WinK)
+           |    as binary)), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+      .select($"doc_id", expr(
+        s"""array_distinct(transform(
+           |  sequence(0, size(hs) - $WinW),
+           |  i -> array_min(slice(hs, i + 1, $WinW))))""".stripMargin).as("fps")))
+    val fp = sel.select($"doc_id", explode($"fps").as("f"))
+    val counts = sel.select($"doc_id", size($"fps").cast("long").as("n_fp"))
+    fp.select($"doc_id".as("a"), $"f")
+      .join(fp.select($"doc_id".as("b"), $"f"), "f")
+      .where($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= WinT)
+      .join(broadcast(counts.select($"doc_id".as("a"), $"n_fp".as("n_fp_a"))), "a")
+      .join(broadcast(counts.select($"doc_id".as("b"), $"n_fp".as("n_fp_b"))), "b")
+      .withColumn("sim_r", round($"n_shared".cast("double") /
+        ($"n_fp_a" + $"n_fp_b" - $"n_shared").cast("double"), 6))
+      .where($"n_shared".cast("double") /
+        ($"n_fp_a" + $"n_fp_b" - $"n_shared").cast("double") >= WinSim)
+      .select($"a", $"b", $"n_shared", $"n_fp_a", $"n_fp_b", $"sim_r")
+      .orderBy($"a", $"b")
+  }
+
+  val winnowingSql: String =
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) - $WinK + 2),
+       |      i -> ('0x' || substr(md5(substring(text, i, $WinK)), 1, 15))::BIGINT)
+       |      AS h
+       |  FROM documents WHERE length(text) >= ${WinK + WinW - 1}),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, len(h) - $WinW + 1),
+       |      i -> list_aggregate(h[i+1:i+$WinW], 'min'))) AS fps
+       |  FROM hs),
+       |fp AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+       |counts AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM sel),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+       |  FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinT)
+       |SELECT p.a, p.b, p.n_shared, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+       |  round(CAST(p.n_shared AS DOUBLE)
+       |    / CAST(ca.n_fp + cb.n_fp - p.n_shared AS DOUBLE), 6) AS sim_r
+       |FROM pairs p
+       |JOIN counts ca ON ca.doc_id = p.a
+       |JOIN counts cb ON cb.doc_id = p.b
+       |WHERE CAST(p.n_shared AS DOUBLE)
+       |    / CAST(ca.n_fp + cb.n_fp - p.n_shared AS DOUBLE) >= $WinSim
+       |ORDER BY p.a, p.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnowing" -> winnowing _,
     "dedup_source_overlap" -> sourceOverlap _,
     "dedup_span_excise" -> spanExcise _,
     "dedup_clusters" -> clusters _,
@@ -1744,6 +1833,7 @@ object Dedup {
     "dedup_rate_report" -> dedupRateReport _)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_winnowing" -> winnowingSql,
     "dedup_source_overlap" -> sourceOverlapSql,
     "dedup_span_excise" -> spanExciseSql,
     "dedup_bloom_gate" -> bloomGateSql,
