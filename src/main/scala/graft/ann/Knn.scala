@@ -2074,6 +2074,75 @@ object Knn {
        |FROM dots JOIN norms n1 ON n1.label = l1 JOIN norms n2 ON n2.label = l2
        |ORDER BY l1, l2""".stripMargin
 
+  /** Fused-list depth, RRF smoothing constant, published cut. */
+  private val RrfDepth = 50
+  private val RrfK = 60
+  private val RrfTopN = 20
+
+  /** D51: hybrid-retrieval fusion (`search_rrf_fusion`) — reciprocal
+    * rank fusion (Cormack–Clarke–Buettcher) of the two retrieval
+    * signals the engine already serves: D29's sparse BM25 ranking and
+    * a dense cosine ranking against a probe embedding. Each doc
+    * scores Σ 1/(k + rank) over the lists it appears in — the
+    * score-scale-free way to merge rankings from incomparable
+    * retrievers (BM25 logs vs cosine), the standard hybrid-search
+    * serving pattern.
+    *
+    * Scale: each retriever contributes only its TOP-[[RrfDepth]]
+    * list through the TakeOrdered heap (never a global rank of the
+    * corpus — fusion depth is the serving constant, corpus size
+    * isn't); ranks assign on the 50-row lists, the full-outer merge
+    * is list-sized, and the dense leg is one broadcast-probe scan.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sTop = graft.text.TextAnalytics.bm25Scores(spark, dir)
+      .orderBy($"score".desc, $"doc_id").limit(RrfDepth)
+    val sRank = sTop.withColumn("ra", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"ra")
+    val probe = load(spark, dir, "embeddings")
+      .where($"vec_id" === 0).select($"embedding".as("pe"))
+    val dTop = load(spark, dir, "embeddings")
+      .crossJoin(broadcast(probe))
+      .select($"vec_id".as("doc_id"), vcos($"embedding", $"pe").as("ds"))
+      .orderBy($"ds".desc, $"doc_id").limit(RrfDepth)
+    val dRank = dTop.withColumn("rb", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"ds".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rb")
+    sRank.join(dRank, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"ra", $"rb",
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + $"ra"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"rb"), lit(0.0)), 6).as("rrf_r"))
+      .orderBy($"rrf_r".desc, $"doc_id")
+      .limit(RrfTopN)
+  }
+
+  val rrfFusionSql: String =
+    graft.text.TextAnalytics.bm25CtesSql + s""",
+       |sr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS ra
+       |  FROM (SELECT * FROM bscore ORDER BY score DESC, doc_id
+       |        LIMIT $RrfDepth)),
+       |pe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |dsc AS (
+       |  SELECT vec_id AS doc_id,
+       |    ${cosSql("embedding", "pe")} AS ds
+       |  FROM embeddings, pe),
+       |dr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY ds DESC, doc_id) AS rb
+       |  FROM (SELECT * FROM dsc ORDER BY ds DESC, doc_id LIMIT $RrfDepth))
+       |SELECT doc_id, ra, rb,
+       |  round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + ra), CAST(0 AS DOUBLE))
+       |    + coalesce(CAST(1 AS DOUBLE) / ($RrfK + rb), CAST(0 AS DOUBLE)), 6)
+       |    AS rrf_r
+       |FROM sr FULL OUTER JOIN dr USING (doc_id)
+       |ORDER BY rrf_r DESC, doc_id LIMIT $RrfTopN""".stripMargin
+
   /** D49: embedding centroid drift (`emb_centroid_drift`) — the
     * embedding-space twin of D47's source-mix drift: per label, the
     * cosine between the class centroid of corpus half A and half B
@@ -2211,6 +2280,7 @@ object Knn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroid_drift" -> centroidDrift _,
+    "search_rrf_fusion" -> rrfFusion _,
     "emb_hard_negatives" -> hardNegatives _,
     "emb_label_affinity" -> labelAffinity _,
     "ann_range_search" -> rangeSearch _,
@@ -2239,6 +2309,7 @@ object Knn {
 
   val oracleSql: Map[String, String] = Map(
     "emb_centroid_drift" -> centroidDriftSql,
+    "search_rrf_fusion" -> rrfFusionSql,
     "emb_hard_negatives" -> hardNegativesSql,
     "emb_label_affinity" -> labelAffinitySql,
     "ann_range_search" -> rangeSearchSql,

@@ -588,6 +588,14 @@ object TextAnalytics {
 
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bm25Scores(spark, dir).orderBy($"score".desc, $"doc_id").limit(Bm25TopN)
+  }
+
+  /** The full BM25 score table (no top-N cut) — split out so D51's
+    * reciprocal-rank fusion reads the same scores the D29 report
+    * ranks. */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val toks = load(spark, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("w"))
     val dl = toks.groupBy($"doc_id")
@@ -609,10 +617,11 @@ object TextAnalytics {
       .agg(graft.Tables.dsum(round($"idf" * (($"tf" * lit(Bm25K1p1)) /
         ($"tf" + lit(Bm25K1) * ((lit(1.0) - lit(Bm25B)) +
           (lit(Bm25B) * $"dl") / $"avgdl"))), 9), 9).as("score"))
-      .orderBy($"score".desc, $"doc_id").limit(Bm25TopN)
   }
 
-  val bm25Sql: String = {
+  /** The BM25 CTE chain up to the full `bscore` table — shared with
+    * D51's fusion oracle. */
+  val bm25CtesSql: String = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -629,16 +638,21 @@ object TextAnalytics {
        |  SELECT w, round(ln(CAST(1 AS DOUBLE) +
        |    ((SELECT nd FROM stats) - CAST(count(*) AS DOUBLE) + CAST(0.5 AS DOUBLE))
        |      / (CAST(count(*) AS DOUBLE) + CAST(0.5 AS DOUBLE))), 6) AS idf
-       |  FROM tf GROUP BY w)
-       |SELECT doc_id,
-       |  CAST(sum(CAST(round(i.idf * ((t.tf * CAST($Bm25K1p1 AS DOUBLE)) /
-       |    (t.tf + CAST($Bm25K1 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST($Bm25B AS DOUBLE)) +
-       |      (CAST($Bm25B AS DOUBLE) * d.dl) / (SELECT avgdl FROM stats)))), 9)
-       |    AS DECIMAL(28, 9))) AS DOUBLE) AS score
-       |FROM tf t JOIN idf i USING (w) JOIN dl d USING (doc_id)
-       |GROUP BY doc_id
-       |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+       |  FROM tf GROUP BY w),
+       |bscore AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CAST(round(i.idf * ((t.tf * CAST($Bm25K1p1 AS DOUBLE)) /
+       |      (t.tf + CAST($Bm25K1 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST($Bm25B AS DOUBLE)) +
+       |        (CAST($Bm25B AS DOUBLE) * d.dl) / (SELECT avgdl FROM stats)))), 9)
+       |      AS DECIMAL(28, 9))) AS DOUBLE) AS score
+       |  FROM tf t JOIN idf i USING (w) JOIN dl d USING (doc_id)
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  val bm25Sql: String = bm25CtesSql +
+    s"""
+       |SELECT doc_id, score FROM bscore
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
 
   // RE2-safe patterns (valid and identical in Java regex and DuckDB's
   // RE2): no backrefs, no lookaround.
