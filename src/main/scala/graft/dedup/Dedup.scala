@@ -1753,9 +1753,12 @@ object Dedup {
     * Σ|bucket|² over md5-fingerprint buckets — bounded by true
     * duplication, never corpus².
     */
-  def winnowing(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sel = materialize(load(spark, dir, "documents")
+  /** The winnowing selection for ANY (doc_id, text) frame — split out
+    * so the spec can pin the k+w−1 shared-substring guarantee on
+    * synthetic docs. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .where(length($"text") >= WinK + WinW - 1)
       .withColumn("hs", expr(
         s"""transform(sequence(1, length(text) - $WinK + 1),
@@ -1764,7 +1767,13 @@ object Dedup {
       .select($"doc_id", expr(
         s"""array_distinct(transform(
            |  sequence(0, size(hs) - $WinW),
-           |  i -> array_min(slice(hs, i + 1, $WinW))))""".stripMargin).as("fps")))
+           |  i -> array_min(slice(hs, i + 1, $WinW))))""".stripMargin).as("fps"))
+  }
+
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sel = materialize(winnowFps(
+      load(spark, dir, "documents").select($"doc_id", $"text")))
     val fp = sel.select($"doc_id", explode($"fps").as("f"))
     val counts = sel.select($"doc_id", size($"fps").cast("long").as("n_fp"))
     fp.select($"doc_id".as("a"), $"f")

@@ -10,6 +10,27 @@ import graft.dedup.Dedup
   */
 class DedupAlgoSpec extends SparkSpecBase {
 
+  test("winnowing guarantee: any shared substring of k+w-1 chars shares a fingerprint") {
+    import spark.implicits._
+    // k=16, w=6 → guarantee threshold 21 chars. Two otherwise-disjoint
+    // docs embed the same 21-char span at different offsets; a third
+    // doc shares nothing. Deterministic synthetic text (no RNG).
+    val shared = "the-common-span-here!" // exactly 21 chars
+    assert(shared.length === 21)
+    def filler(seed: Int, n: Int): String =
+      (0 until n).map(i => ('a' + (i * seed + seed * 7) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, filler(3, 40) + shared + filler(5, 37)),
+      (2L, filler(11, 73) + shared + filler(13, 19)),
+      (3L, filler(17, 120))).toDF("doc_id", "text")
+    val fps = Dedup.winnowFps(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a k+w-1 substring must share a winnowing fingerprint")
+    // selection density: fingerprints are a strict subset of grams
+    assert(fps.values.forall(_.nonEmpty))
+  }
+
   test("connectedComponents labels a diameter-12 chain correctly (no silent cap)") {
     import spark.implicits._
     // path graph 0-1-2-...-12: min-label propagation needs 12 rounds —
