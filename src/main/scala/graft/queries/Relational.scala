@@ -567,6 +567,42 @@ object Relational {
       .orderBy($"user_id", $"k", $"valid_from", $"event_id")
   }
 
+  /** C66: Markov next-event model + eval (`events_markov_next`) —
+    * the sequence-model baseline product analytics ships: a
+    * first-order transition model (per previous event type, the
+    * most frequent successor) TRAINED and EVALUATED on the journey
+    * stream in one pass — C49 publishes the transition matrix; this
+    * closes the loop with the argmax model and its per-state
+    * accuracy, the baseline any sequence model must beat.
+    *
+    * One user-keyed window pass builds transitions; everything after
+    * is |types|²-sized. The argmax is an order-free min over
+    * (−count, successor) structs — count desc then lexicographic
+    * successor, no window over the model table; the tie rule is
+    * mirrored in the oracle's (n DESC, nxt) row_number.
+    */
+  def eventsMarkovNext(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("prev"))
+      .withColumn("nxt", lead($"prev", 1).over(w))
+      .where($"nxt".isNotNull)
+      .select($"prev", $"nxt")
+    val model = tr.groupBy($"prev", $"nxt").agg(count(lit(1)).as("n"))
+      .groupBy($"prev")
+      .agg(min(struct((-$"n").as("nn"), $"nxt".as("pred"))).as("m"))
+      .select($"prev", $"m.pred".as("pred"))
+    tr.join(broadcast(model), "prev")
+      .groupBy($"prev")
+      .agg(count(lit(1)).as("n_trans"), max($"pred").as("pred"),
+        count(when($"nxt" === $"pred", 1)).as("n_correct"))
+      .select($"prev", $"n_trans", $"pred", $"n_correct",
+        round($"n_correct".cast("double") / $"n_trans".cast("double"), 6)
+          .as("acc_r"))
+      .orderBy($"prev")
+  }
+
   /** C65: SCD2 point-in-time join (`join_scd2_pit`) — the
     * feature-store / warehouse classic that CONSUMES C29's slowly-
     * changing dimension: each fact matched to the dimension version
@@ -1761,6 +1797,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost" -> q2MinCost _,
     "join_scd2_pit" -> joinScd2Pit _,
+    "events_markov_next" -> eventsMarkovNext _,
     "q9_product_profit" -> q9ProductProfit _,
     "q11_important_parts" -> q11ImportantParts _,
     "q12_ship_classes" -> q12ShipClasses _,
@@ -1830,6 +1867,27 @@ object Relational {
     "approx_percentile" -> approxPercentile _)
 
   val oracleSql: Map[String, String] = Map(
+    "events_markov_next" ->
+      """WITH tr AS (
+        |  SELECT event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |t2 AS (SELECT * FROM tr WHERE nxt IS NOT NULL),
+        |cnt AS (SELECT prev, nxt, count(*) AS n FROM t2 GROUP BY 1, 2),
+        |model AS (
+        |  SELECT prev, nxt AS pred FROM (
+        |    SELECT prev, nxt,
+        |      row_number() OVER (PARTITION BY prev ORDER BY n DESC, nxt) AS rn
+        |    FROM cnt) x
+        |  WHERE rn = 1)
+        |SELECT t.prev, count(*) AS n_trans, max(m.pred) AS pred,
+        |  CAST(count(CASE WHEN t.nxt = m.pred THEN 1 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(count(CASE WHEN t.nxt = m.pred THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS acc_r
+        |FROM t2 t JOIN model m USING (prev)
+        |GROUP BY t.prev ORDER BY t.prev""".stripMargin,
     "join_scd2_pit" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(props->>'k' AS BIGINT) AS k, ts, event_id,
