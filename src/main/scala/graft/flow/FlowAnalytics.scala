@@ -1984,6 +1984,53 @@ object FlowAnalytics {
       .orderBy($"flowsrc")
   }
 
+  /** KMV sketch width for B59 (rel. error ≈ 1/√(k−1) ≈ 6%). */
+  private val KmvK = 256
+
+  /** B59: sketch set algebra (`flow_set_algebra`) — the question HLL
+    * can't answer directly: for every protocol PAIR, how many source
+    * hosts do the two sets SHARE, and how many are exclusive —
+    * |A|, |B|, |A∪B|, |A∩B|, |A\B| — all read off two fixed-size
+    * KMV/theta sketches ([[graft.functions.KmvAgg]]). HLL unions,
+    * but intersections come out only by inclusion–exclusion with
+    * compounding error; KMV reads them from the common hash window
+    * below θ. Exact counterparts ride alongside, and because the
+    * hash is md5-derived the oracle REPLAYS the sketches (ORDER
+    * BY/LIMIT k) and hash-checks the estimates themselves.
+    *
+    * Scale: one corpus pass builds all per-protocol sketches
+    * (map-side partials are O(k) longs; the shuffle carries one
+    * sketch per partition, never the host set); the pair algebra
+    * runs on the |protocols|-row sketch table. The exact legs exist
+    * for the scorecard — a production run keeps only the sketches.
+    */
+  def setAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KmvAgg._
+    val p = asFlows(spark, dir).select($"pr", $"da").distinct()
+    val sk = asFlows(spark, dir).groupBy($"pr")
+      .agg(kmv_sketch($"da", KmvK).as("sk"))
+    val ex = p.groupBy($"pr").agg(count(lit(1)).as("exact"))
+    val exi = p.as("a").join(p.as("b"),
+        col("a.da") === col("b.da") && col("a.pr") < col("b.pr"))
+      .groupBy(col("a.pr").as("pr_a"), col("b.pr").as("pr_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    sk.select($"pr".as("pr_a"), $"sk".as("sk_a"))
+      .crossJoin(broadcast(sk.select($"pr".as("pr_b"), $"sk".as("sk_b"))))
+      .where($"pr_a" < $"pr_b")
+      .join(broadcast(ex.select($"pr".as("pr_a"), $"exact".as("exact_a"))), "pr_a")
+      .join(broadcast(ex.select($"pr".as("pr_b"), $"exact".as("exact_b"))), "pr_b")
+      .join(broadcast(exi), Seq("pr_a", "pr_b"), "left")
+      .select($"pr_a", $"pr_b", $"exact_a", $"exact_b",
+        coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+        round(kmv_estimate($"sk_a"), 4).as("est_a_r"),
+        round(kmv_estimate($"sk_b"), 4).as("est_b_r"),
+        round(kmv_union_est($"sk_a", $"sk_b"), 4).as("est_union_r"),
+        round(kmv_inter_est($"sk_a", $"sk_b"), 4).as("est_inter_r"),
+        round(kmv_diff_est($"sk_a", $"sk_b"), 4).as("est_diff_r"))
+      .orderBy($"pr_a", $"pr_b")
+  }
+
   /** B58: longest-prefix-match enrichment (`flow_lpm_enrich`) — the
     * GeoIP/ASN/routing-table join every flow pipeline runs: each
     * address resolves to its MOST SPECIFIC matching prefix from a
@@ -2079,6 +2126,7 @@ object FlowAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_holt_forecast" -> holtForecast _,
+    "flow_set_algebra" -> setAlgebra _,
     "flow_lpm_enrich" -> lpmEnrich _,
     "flow_subnet_rollup" -> subnetRollup _,
     "flow_mad_anomaly" -> madAnomaly _,
@@ -2192,6 +2240,79 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_set_algebra" -> (flowsCte +
+      """, p AS (SELECT DISTINCT pr, da FROM flows),
+        |hh AS (SELECT pr, ('0x' || substr(md5(da), 1, 15))::BIGINT AS h
+        |       FROM p),
+        |rk AS (SELECT pr, h,
+        |    row_number() OVER (PARTITION BY pr ORDER BY h) AS rn
+        |  FROM hh),
+        |sk AS (SELECT pr, h, rn FROM rk WHERE rn <= 256),
+        |sth AS (
+        |  SELECT pr, count(*) AS ns,
+        |    max(CASE WHEN rn = 256 THEN h END) AS th
+        |  FROM sk GROUP BY pr),
+        |ex AS (SELECT pr, count(*) AS exact FROM p GROUP BY pr),
+        |exi AS (
+        |  SELECT a.pr AS pr_a, b.pr AS pr_b, count(*) AS exact_inter
+        |  FROM p a JOIN p b ON a.da = b.da AND a.pr < b.pr GROUP BY 1, 2),
+        |prs AS (SELECT a.pr AS pr_a, b.pr AS pr_b
+        |        FROM ex a JOIN ex b ON a.pr < b.pr),
+        |uv AS (
+        |  SELECT pr_a, pr_b, h FROM (
+        |    SELECT q.pr_a, q.pr_b, s.h FROM prs q JOIN sk s ON s.pr = q.pr_a
+        |    UNION
+        |    SELECT q.pr_a, q.pr_b, s.h FROM prs q JOIN sk s ON s.pr = q.pr_b)),
+        |ur AS (SELECT pr_a, pr_b, h,
+        |    row_number() OVER (PARTITION BY pr_a, pr_b ORDER BY h) AS rn
+        |  FROM uv),
+        |uth AS (
+        |  SELECT pr_a, pr_b, count(*) AS nu,
+        |    max(CASE WHEN rn = 256 THEN h END) AS th
+        |  FROM ur WHERE rn <= 256 GROUP BY 1, 2),
+        |rho AS (
+        |  SELECT s1.pr AS pr_a, s2.pr AS pr_b, count(*) AS c
+        |  FROM sk s1 JOIN sk s2 ON s1.h = s2.h AND s1.pr < s2.pr
+        |  JOIN uth u ON u.pr_a = s1.pr AND u.pr_b = s2.pr
+        |  WHERE u.th IS NULL OR s1.h < u.th
+        |  GROUP BY 1, 2),
+        |dif AS (
+        |  SELECT q.pr_a, q.pr_b, count(*) AS c
+        |  FROM prs q JOIN sk s1 ON s1.pr = q.pr_a
+        |  JOIN uth u ON u.pr_a = q.pr_a AND u.pr_b = q.pr_b
+        |  LEFT JOIN sk s2 ON s2.pr = q.pr_b AND s2.h = s1.h
+        |  WHERE s2.h IS NULL AND (u.th IS NULL OR s1.h < u.th)
+        |  GROUP BY 1, 2)
+        |SELECT q.pr_a, q.pr_b,
+        |  ea.exact AS exact_a, eb.exact AS exact_b,
+        |  coalesce(i.exact_inter, 0) AS exact_inter,
+        |  round(CASE WHEN sa.ns < 256 THEN CAST(sa.ns AS DOUBLE)
+        |    ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(sa.th AS DOUBLE) END, 4) AS est_a_r,
+        |  round(CASE WHEN sb.ns < 256 THEN CAST(sb.ns AS DOUBLE)
+        |    ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(sb.th AS DOUBLE) END, 4) AS est_b_r,
+        |  round(CASE WHEN u.nu < 256 THEN CAST(u.nu AS DOUBLE)
+        |    ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(u.th AS DOUBLE) END, 4) AS est_union_r,
+        |  round(CASE WHEN u.th IS NULL THEN CAST(coalesce(r.c, 0) AS DOUBLE)
+        |    ELSE (CAST(coalesce(r.c, 0) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(u.th AS DOUBLE) END, 4) AS est_inter_r,
+        |  round(CASE WHEN u.th IS NULL THEN CAST(coalesce(d.c, 0) AS DOUBLE)
+        |    ELSE (CAST(coalesce(d.c, 0) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(u.th AS DOUBLE) END, 4) AS est_diff_r
+        |FROM prs q
+        |JOIN ex ea ON ea.pr = q.pr_a
+        |JOIN ex eb ON eb.pr = q.pr_b
+        |JOIN sth sa ON sa.pr = q.pr_a
+        |JOIN sth sb ON sb.pr = q.pr_b
+        |JOIN uth u ON u.pr_a = q.pr_a AND u.pr_b = q.pr_b
+        |LEFT JOIN exi i ON i.pr_a = q.pr_a AND i.pr_b = q.pr_b
+        |LEFT JOIN rho r ON r.pr_a = q.pr_a AND r.pr_b = q.pr_b
+        |LEFT JOIN dif d ON d.pr_a = q.pr_a AND d.pr_b = q.pr_b
+        |ORDER BY q.pr_a, q.pr_b""".stripMargin),
     "flow_lpm_enrich" -> (flowsCte +
       """, enr AS (
         |  SELECT CASE WHEN (event_id // 256) % 256 < 4

@@ -77,6 +77,16 @@ object GraftFunctions {
       CmsQuery(e(0), e(1)) }),
     "zorder2" -> (e => { arity("zorder2", e, 3)
       ZOrder2(e(0), e(1), intArg(e(2), "zorder2")) }),
+    "kmv_sketch" -> (e => { arity("kmv_sketch", e, 2)
+      KmvAgg(e(0), intArg(e(1), "kmv_sketch")).toAggregateExpression() }),
+    "kmv_estimate" -> (e => { arity("kmv_estimate", e, 1)
+      KmvEstimate(e.head) }),
+    "kmv_union_est" -> (e => { arity("kmv_union_est", e, 2)
+      KmvUnionEst(e(0), e(1)) }),
+    "kmv_inter_est" -> (e => { arity("kmv_inter_est", e, 2)
+      KmvInterEst(e(0), e(1)) }),
+    "kmv_diff_est" -> (e => { arity("kmv_diff_est", e, 2)
+      KmvDiffEst(e(0), e(1)) }),
     "hll_sketch" -> (e => { arity("hll_sketch", e, 2)
       HllAgg(e(0), intArg(e(1), "hll_sketch")).toAggregateExpression() }),
     "hll_estimate" -> (e => { arity("hll_estimate", e, 2)
