@@ -2031,6 +2031,53 @@ object FlowAnalytics {
       .orderBy($"pr_a", $"pr_b")
   }
 
+  /** B60: day-over-day host churn (`flow_host_churn`) — B59's sketch
+    * algebra pointed at the time axis: per consecutive-day pair, the
+    * RETAINED (∩), NEW (today \ yesterday) and LOST (yesterday \
+    * today) source-host populations, each read off the two days'
+    * O(k) KMV sketches — the NOC "did our client base shift" report
+    * that exact daily set joins answer only by re-shuffling the
+    * corpus per day pair. Sketches build in ONE corpus pass; churn
+    * algebra runs on the days-sized sketch table. Exact legs ride
+    * alongside as the scorecard; estimates are oracle-REPLAYED and
+    * hash-checked like B59.
+    */
+  def hostChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KmvAgg._
+    val pd = asFlows(spark, dir)
+      .select(date_trunc("day", $"ts").as("d"), $"sa").distinct()
+    val sk = asFlows(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("d"))
+      .agg(kmv_sketch($"sa", KmvK).as("sk"))
+    val pairs = sk.select($"d".as("d0"), $"sk".as("sk0"))
+      .join(broadcast(sk.select($"d".as("d1"), $"sk".as("sk1"))),
+        expr("d1 = d0 + INTERVAL 1 DAY"))
+    val a = pd.select($"d".as("da"), $"sa")
+    val b = pd.select($"d".as("db"), $"sa".as("sb"))
+    val ret = a.join(b, expr("db = da + INTERVAL 1 DAY") && $"sa" === $"sb")
+      .groupBy($"db".as("d1")).agg(count(lit(1)).as("exact_ret"))
+    val fresh = b.join(a, expr("db = da + INTERVAL 1 DAY") && $"sa" === $"sb",
+        "left_anti")
+      .groupBy($"db".as("d1")).agg(count(lit(1)).as("exact_new"))
+    val lost = a.join(b, expr("db = da + INTERVAL 1 DAY") && $"sa" === $"sb",
+        "left_anti")
+      .select(expr("da + INTERVAL 1 DAY").as("d1"))
+      .groupBy($"d1").agg(count(lit(1)).as("exact_lost"))
+    pairs
+      .join(broadcast(ret), Seq("d1"), "left")
+      .join(broadcast(fresh), Seq("d1"), "left")
+      .join(broadcast(lost), Seq("d1"), "left")
+      .select(date_format($"d1", "yyyy-MM-dd").as("day_s"),
+        coalesce($"exact_ret", lit(0L)).as("exact_ret"),
+        coalesce($"exact_new", lit(0L)).as("exact_new"),
+        coalesce($"exact_lost", lit(0L)).as("exact_lost"),
+        round(kmv_inter_est($"sk0", $"sk1"), 4).as("est_ret_r"),
+        round(kmv_diff_est($"sk1", $"sk0"), 4).as("est_new_r"),
+        round(kmv_diff_est($"sk0", $"sk1"), 4).as("est_lost_r"))
+      .orderBy($"day_s")
+  }
+
   /** B58: longest-prefix-match enrichment (`flow_lpm_enrich`) — the
     * GeoIP/ASN/routing-table join every flow pipeline runs: each
     * address resolves to its MOST SPECIFIC matching prefix from a
@@ -2127,6 +2174,7 @@ object FlowAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flow_holt_forecast" -> holtForecast _,
     "flow_set_algebra" -> setAlgebra _,
+    "flow_host_churn" -> hostChurn _,
     "flow_lpm_enrich" -> lpmEnrich _,
     "flow_subnet_rollup" -> subnetRollup _,
     "flow_mad_anomaly" -> madAnomaly _,
@@ -2240,6 +2288,90 @@ object FlowAnalytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "flow_host_churn" -> (flowsCte +
+      """, pd AS (SELECT DISTINCT date_trunc('day', ts) AS d, sa FROM flows),
+        |hh AS (SELECT d, ('0x' || substr(md5(sa), 1, 15))::BIGINT AS h
+        |       FROM pd),
+        |rk AS (SELECT d, h,
+        |    row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        |  FROM hh),
+        |sk AS (SELECT d, h FROM rk WHERE rn <= 256),
+        |days AS (SELECT DISTINCT d FROM pd),
+        |prs AS (SELECT a.d AS d0, b.d AS d1 FROM days a
+        |        JOIN days b ON b.d = a.d + INTERVAL 1 DAY),
+        |uv AS (
+        |  SELECT d0, d1, h FROM (
+        |    SELECT q.d0, q.d1, s.h FROM prs q JOIN sk s ON s.d = q.d0
+        |    UNION
+        |    SELECT q.d0, q.d1, s.h FROM prs q JOIN sk s ON s.d = q.d1)),
+        |ur AS (SELECT d0, d1, h,
+        |    row_number() OVER (PARTITION BY d0, d1 ORDER BY h) AS rn
+        |  FROM uv),
+        |uth AS (
+        |  SELECT d0, d1, max(CASE WHEN rn = 256 THEN h END) AS th
+        |  FROM ur WHERE rn <= 256 GROUP BY 1, 2),
+        |rho AS (
+        |  SELECT s1.d AS d0, s2.d AS d1, count(*) AS c
+        |  FROM sk s1 JOIN sk s2
+        |    ON s1.h = s2.h AND s2.d = s1.d + INTERVAL 1 DAY
+        |  JOIN uth u ON u.d0 = s1.d AND u.d1 = s2.d
+        |  WHERE u.th IS NULL OR s1.h < u.th
+        |  GROUP BY 1, 2),
+        |fresh AS (
+        |  SELECT q.d0, q.d1, count(*) AS c
+        |  FROM prs q JOIN sk s1 ON s1.d = q.d1
+        |  JOIN uth u ON u.d0 = q.d0 AND u.d1 = q.d1
+        |  LEFT JOIN sk s2 ON s2.d = q.d0 AND s2.h = s1.h
+        |  WHERE s2.h IS NULL AND (u.th IS NULL OR s1.h < u.th)
+        |  GROUP BY 1, 2),
+        |lost AS (
+        |  SELECT q.d0, q.d1, count(*) AS c
+        |  FROM prs q JOIN sk s1 ON s1.d = q.d0
+        |  JOIN uth u ON u.d0 = q.d0 AND u.d1 = q.d1
+        |  LEFT JOIN sk s2 ON s2.d = q.d1 AND s2.h = s1.h
+        |  WHERE s2.h IS NULL AND (u.th IS NULL OR s1.h < u.th)
+        |  GROUP BY 1, 2),
+        |xret AS (
+        |  SELECT b.d AS d1, count(*) AS exact_ret
+        |  FROM pd a JOIN pd b
+        |    ON a.sa = b.sa AND b.d = a.d + INTERVAL 1 DAY
+        |  GROUP BY 1),
+        |xnew AS (
+        |  SELECT b.d AS d1, count(*) AS exact_new FROM pd b
+        |  WHERE NOT EXISTS (SELECT 1 FROM pd a
+        |    WHERE a.sa = b.sa AND b.d = a.d + INTERVAL 1 DAY)
+        |  GROUP BY 1),
+        |xlost AS (
+        |  SELECT a.d + INTERVAL 1 DAY AS d1, count(*) AS exact_lost
+        |  FROM pd a
+        |  WHERE NOT EXISTS (SELECT 1 FROM pd b
+        |    WHERE b.sa = a.sa AND b.d = a.d + INTERVAL 1 DAY)
+        |  GROUP BY 1)
+        |SELECT strftime(q.d1, '%Y-%m-%d') AS day_s,
+        |  coalesce(r.exact_ret, 0) AS exact_ret,
+        |  coalesce(n.exact_new, 0) AS exact_new,
+        |  coalesce(l.exact_lost, 0) AS exact_lost,
+        |  round(CASE WHEN u.th IS NULL THEN CAST(coalesce(rr.c, 0) AS DOUBLE)
+        |    ELSE (CAST(coalesce(rr.c, 0) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(u.th AS DOUBLE) END, 4) AS est_ret_r,
+        |  round(CASE WHEN u.th IS NULL THEN CAST(coalesce(f.c, 0) AS DOUBLE)
+        |    ELSE (CAST(coalesce(f.c, 0) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(u.th AS DOUBLE) END, 4) AS est_new_r,
+        |  round(CASE WHEN u.th IS NULL THEN CAST(coalesce(o.c, 0) AS DOUBLE)
+        |    ELSE (CAST(coalesce(o.c, 0) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(u.th AS DOUBLE) END, 4) AS est_lost_r
+        |FROM prs q
+        |JOIN uth u ON u.d0 = q.d0 AND u.d1 = q.d1
+        |LEFT JOIN xret r ON r.d1 = q.d1
+        |LEFT JOIN xnew n ON n.d1 = q.d1
+        |LEFT JOIN xlost l ON l.d1 = q.d1
+        |LEFT JOIN rho rr ON rr.d0 = q.d0 AND rr.d1 = q.d1
+        |LEFT JOIN fresh f ON f.d0 = q.d0 AND f.d1 = q.d1
+        |LEFT JOIN lost o ON o.d0 = q.d0 AND o.d1 = q.d1
+        |ORDER BY day_s""".stripMargin),
     "flow_set_algebra" -> (flowsCte +
       """, p AS (SELECT DISTINCT pr, da FROM flows),
         |hh AS (SELECT pr, ('0x' || substr(md5(da), 1, 15))::BIGINT AS h
