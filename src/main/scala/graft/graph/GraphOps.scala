@@ -750,11 +750,11 @@ object GraphOps {
     * edge set given as (u, v) with u < v, deduplicated. Exposed for
     * the planted-graph spec.
     */
-  private[graft] def triangleCounts(edges0: DataFrame): DataFrame = {
-    import edges0.sparkSession.implicits._
-    // callers hand in a materialized/staged edge table (the spec's
-    // planted graphs are row-literal leaves — nothing to truncate)
-    val edges = edges0
+  /** Degree table + (s, y, z) oriented-triangle enumeration over an
+    * undirected (u, v) u<v edge set — shared by B22's counts and
+    * B61's edge support. */
+  private[graft] def orientedTriangles(edges: DataFrame): (DataFrame, DataFrame) = {
+    import edges.sparkSession.implicits._
     val deg = materialize(
       edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg")))
@@ -774,6 +774,15 @@ object GraphOps {
       // the closing {y,z} edge, if present, is oriented y→z because
       // (deg,id)(y) < (deg,id)(z) by the wedge ordering above
       .join(oriented.select($"s".as("y"), $"t".as("z")), Seq("y", "z"))
+    (deg, tri)
+  }
+
+  private[graft] def triangleCounts(edges0: DataFrame): DataFrame = {
+    import edges0.sparkSession.implicits._
+    // callers hand in a materialized/staged edge table (the spec's
+    // planted graphs are row-literal leaves — nothing to truncate)
+    val edges = edges0
+    val (deg, tri) = orientedTriangles(edges)
     val perNode = tri
       .select(explode(array($"s", $"y", $"z")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("triangles"))
@@ -831,6 +840,69 @@ object GraphOps {
     triangleCounts(coOrderEdgesStaged(spark, dir))
       .orderBy($"triangles".desc, $"node").limit(TriTopN)
   }
+
+  /** B61: per-edge triangle support (`graph_edge_support`) — the
+    * k-truss building block: how many triangles each edge closes.
+    * Where B22 scores NODES (clustering), support scores EDGES — a
+    * high-support edge sits inside a dense community, a zero-support
+    * edge is a bridge or a scanner spoke; the k-truss peel (drop
+    * edges with support < k−2, iterate) starts exactly here, and
+    * this table IS its first fixpoint input. Same m^1.5-bounded
+    * degree-ordered enumeration as B22 on the SAME staged sample
+    * subgraph (one edge build serves B22/B24/B25/B61); each
+    * triangle credits its three canonical (min,max) edges through
+    * one map-side explode and an edge-sized rollup. Exact integer
+    * counting end to end.
+    */
+  def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coOrderEdgesStaged(spark, dir)
+    val (_, tri) = orientedTriangles(edges)
+    val sup = tri.select(explode(array(
+        struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
+        struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
+        struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
+        .as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+    edges.join(sup, Seq("u", "v"), "left")
+      .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
+      .orderBy($"support".desc, $"u", $"v").limit(50)
+  }
+
+  val edgeSupportSql: String =
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |  WHERE ('0x' || substr(md5('tri:' || l_partkey), 1, 7))::BIGINT
+       |    % $TriSampleMod = 0),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+       |deg AS MATERIALIZED (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+       |  GROUP BY node),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN du.deg <= dv.deg THEN e.u ELSE e.v END AS s,
+       |         CASE WHEN du.deg <= dv.deg THEN e.v ELSE e.u END AS t,
+       |         CASE WHEN du.deg <= dv.deg THEN dv.deg ELSE du.deg END AS dt
+       |  FROM edges e
+       |  JOIN deg du ON du.node = e.u
+       |  JOIN deg dv ON dv.node = e.v),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.s AS s, e1.t AS y, e2.t AS z
+       |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+       |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+       |  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+       |sup AS (
+       |  SELECT u, v, count(*) AS support FROM (
+       |    SELECT least(s, y) AS u, greatest(s, y) AS v FROM tri
+       |    UNION ALL SELECT least(s, z), greatest(s, z) FROM tri
+       |    UNION ALL SELECT least(y, z), greatest(y, z) FROM tri)
+       |  GROUP BY 1, 2)
+       |SELECT e.u, e.v, coalesce(sup.support, 0) AS support
+       |FROM edges e LEFT JOIN sup USING (u, v)
+       |ORDER BY support DESC, e.u, e.v LIMIT 50""".stripMargin
 
   val graphTrianglesSql: String =
     s"""WITH op AS MATERIALIZED (
@@ -993,7 +1065,8 @@ object GraphOps {
     "flow_pagerank_pers" -> flowPagerankPers _,
     "flow_hits" -> flowHits _,
     "flow_communities" -> flowCommunities _,
-    "graph_triangles" -> graphTriangles _)
+    "graph_triangles" -> graphTriangles _,
+    "graph_edge_support" -> edgeSupport _)
 
   val oracleSql: Map[String, String] = Map(
     "flow_pagerank_incr" -> flowPagerankIncrSql,
@@ -1004,5 +1077,6 @@ object GraphOps {
     "flow_pagerank_pers" -> flowPagerankPersSql,
     "flow_hits" -> flowHitsSql,
     "flow_communities" -> flowCommunitiesSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_edge_support" -> edgeSupportSql)
 }
