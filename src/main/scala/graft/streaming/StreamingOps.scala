@@ -1230,6 +1230,40 @@ object StreamingOps {
     * B18 way: exact counts from the batch twin (oracle-replayed) +
     * a within_bound verdict on the drained sketch estimate.
     */
+  /** E21: streaming KMV distinct (`stream_distinct_kmv`) — E15's
+    * shape with the theta sketch: per event type, a complete-mode
+    * kmv_sketch over the user stream (O(k) longs per group in the
+    * state store, capped-set merge per batch). Unlike E15's HLL —
+    * which the oracle can only bound — the md5-derandomized KMV
+    * estimate is REPLAYED by the oracle and hash-checked exactly,
+    * and the final sketch also feeds B59/B60-style set algebra
+    * across groups downstream.
+    */
+  def distinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_kmv_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.KmvAgg.kmv_sketch(
+        $"user_id".cast("string"), 256).as("sk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_distinct_kmv")
+    val sk = spark.table(name)
+      .select($"event_type",
+        round(graft.functions.KmvAgg.kmv_estimate($"sk"), 4).as("est_r"))
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    sk.join(exact, "event_type")
+      .select($"event_type", $"exact_users", $"est_r")
+      .orderBy($"event_type")
+  }
+
   def distinctHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_hll_${counter.incrementAndGet()}"
@@ -1262,6 +1296,7 @@ object StreamingOps {
     "stream_holt_forecast" -> holtForecast _,
     "stream_silence_watch" -> silenceWatch _,
     "stream_ewma_forecast" -> ewmaForecast _,
+    "stream_distinct_kmv" -> distinctKmv _,
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
     "stream_biflow_stitch" -> biflowStitch _,
@@ -1281,6 +1316,29 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E21: the KMV estimate replayed exactly (ORDER BY/LIMIT k)
+    "stream_distinct_kmv" ->
+      """WITH uu AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+        |  FROM events),
+        |hh AS (SELECT event_type,
+        |    ('0x' || substr(md5(u), 1, 15))::BIGINT AS h
+        |  FROM uu),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hh),
+        |sth AS (
+        |  SELECT event_type, count(*) AS ns,
+        |    max(CASE WHEN rn = 256 THEN h END) AS th
+        |  FROM rk WHERE rn <= 256 GROUP BY 1),
+        |ex AS (SELECT event_type, count(*) AS exact_users
+        |       FROM uu GROUP BY 1)
+        |SELECT s.event_type, ex.exact_users,
+        |  round(CASE WHEN s.ns < 256 THEN CAST(s.ns AS DOUBLE)
+        |    ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(s.th AS DOUBLE) END, 4) AS est_r
+        |FROM sth s JOIN ex ON ex.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin,
     // E20: the Holt state replayed from raw events in hour order —
     // the hash equality IS the proof the split open-ring/folded-state
     // design converges to the sequential from-scratch recursion
