@@ -1028,19 +1028,26 @@ object TextAnalytics {
     * DECIMAL(28,9) (token order is partition-dependent → order-free
     * sum), final mean rounded 6 dp ([[unigramLogprob]]'s rule).
     */
+  /** Per-doc bigram stream (doc_id, w1, w2, bg) — shared by D9f's
+    * add-1 NLL and D9j's Kneser–Ney NLL. */
+  private def docBigrams(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("ts", split($"text", " "))
+      .where(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2, concat(a, ' ', b) AS bg))""".stripMargin))
+        .as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"), $"p.bg".as("bg"))
+  }
+
   def bigramNll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
     val tok = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
     val vocabN = tok.agg(countDistinct($"w").as("v"))
-    val bg = docs
-      .withColumn("ts", split($"text", " "))
-      .where(size($"ts") >= 2)
-      .select($"doc_id", explode(expr(
-        """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
-          |  (a, b) -> struct(a AS w1, concat(a, ' ', b) AS bg))""".stripMargin))
-        .as("p"))
-      .select($"doc_id", $"p.w1".as("w1"), $"p.bg".as("bg"))
+    val bg = docBigrams(docs).select($"doc_id", $"w1", $"bg")
     val bgCnt = bg.groupBy($"bg").agg(first($"w1").as("w1"), count(lit(1)).as("c2"))
     val prefCnt = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val typeScore = bgCnt.join(prefCnt, "w1")
@@ -1076,6 +1083,80 @@ object TextAnalytics {
       |  FROM bgc b JOIN pfc p USING (w1))
       |SELECT g.doc_id, count(*) AS n_bigrams,
       |  round(${graft.Tables.qsumSql("-lnp")} / count(*), 6) AS nll_r
+      |FROM bg g JOIN ts2 USING (bg)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** D9j: interpolated Kneser–Ney bigram NLL (`text_bigram_kn`) —
+    * the LM-filter upgrade over D9f's add-1 smoothing: absolute
+    * discounting with a CONTINUATION-count backoff,
+    * P(w2|w1) = (c(w1w2)−D)/c(w1) + D·N1+(w1·)/c(w1) · P_cont(w2),
+    * P_cont(w2) = N1+(·w2)/N1+(··). The canonical example: "francisco"
+    * is frequent but only ever follows "san" — add-1 over-scores it
+    * in novel contexts, KN's continuation count (distinct LEFT
+    * neighbors) does not. D = 0.75 is the standard discount and an
+    * exact dyadic, so both engines' smoothing arithmetic is
+    * bit-identical IEEE.
+    *
+    * Scale: the bigram type table computes once (combine-heavy); the
+    * three model legs — prefix totals, forward type counts N1+(w1·),
+    * continuation counts N1+(·w2) — are vocab-sized rollups OF that
+    * table (no second corpus pass), hash-joined back; the global
+    * type count broadcasts. Per-doc scoring joins the type score
+    * table and reduces — D9f's exact shape.
+    */
+  def bigramKn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = docBigrams(load(spark, dir, "documents"))
+    val bgCnt = bg.groupBy($"bg")
+      .agg(first($"w1").as("w1"), first($"w2").as("w2"),
+        count(lit(1)).as("c2"))
+    val prefCnt = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val fwdTypes = bgCnt.groupBy($"w1").agg(count(lit(1)).as("n1p"))
+    val contCnt = bgCnt.groupBy($"w2").agg(count(lit(1)).as("cont"))
+    val totTypes = bgCnt.agg(count(lit(1)).as("total"))
+    val score = bgCnt
+      .join(prefCnt, "w1").join(fwdTypes, "w1").join(contCnt, "w2")
+      .crossJoin(broadcast(totTypes))
+      .select($"bg", round(log(
+        ($"c2".cast("double") - lit(0.75)) / $"c1" +
+          (lit(0.75) * $"n1p" / $"c1") *
+            ($"cont".cast("double") / $"total")), 9).as("lnp"))
+    bg.join(score, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Tables.qsum(-$"lnp").as("s"))
+      .select($"doc_id", $"n_bigrams",
+        round($"s".cast("double") / $"n_bigrams", 6).as("kn_nll_r"))
+      .orderBy($"doc_id")
+  }
+
+  val bigramKnSql: String =
+    s"""WITH tt AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ts[p] AS w1, ts[p + 1] AS w2,
+      |    ts[p] || ' ' || ts[p + 1] AS bg
+      |  FROM (SELECT doc_id, ts, unnest(range(1, n)) AS p
+      |        FROM tt WHERE n >= 2)),
+      |bgc AS (SELECT bg, any_value(w1) AS w1, any_value(w2) AS w2,
+      |    count(*) AS c2
+      |  FROM bg GROUP BY bg),
+      |pfc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |fwd AS (SELECT w1, count(*) AS n1p FROM bgc GROUP BY w1),
+      |bck AS (SELECT w2, count(*) AS cont FROM bgc GROUP BY w2),
+      |tot AS (SELECT count(*) AS total FROM bgc),
+      |ts2 AS (
+      |  SELECT b.bg, round(ln(
+      |    (CAST(b.c2 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / p.c1 +
+      |      (CAST(0.75 AS DOUBLE) * f.n1p / p.c1) *
+      |        (CAST(k.cont AS DOUBLE) / (SELECT total FROM tot))), 9)
+      |    AS lnp
+      |  FROM bgc b JOIN pfc p USING (w1) JOIN fwd f USING (w1)
+      |  JOIN bck k USING (w2))
+      |SELECT g.doc_id, count(*) AS n_bigrams,
+      |  round(${graft.Tables.qsumSql("-lnp")} / count(*), 6) AS kn_nll_r
       |FROM bg g JOIN ts2 USING (bg)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
@@ -2127,6 +2208,7 @@ object TextAnalytics {
     "corpus_dsir" -> corpusDsir _,
     "text_unigram_logprob" -> unigramLogprob _,
     "text_bigram_nll" -> bigramNll _,
+    "text_bigram_kn" -> bigramKn _,
     "text_tfidf" -> tfidf _,
     "corpus_curate" -> corpusCurate _,
     "text_entropy" -> entropy _,
@@ -2217,6 +2299,7 @@ object TextAnalytics {
     "corpus_dsir" -> corpusDsirSql,
     "text_unigram_logprob" -> unigramLogprobSql,
     "text_bigram_nll" -> bigramNllSql,
+    "text_bigram_kn" -> bigramKnSql,
     "text_tfidf" -> tfidfSql,
     "corpus_curate" -> corpusCurateSql,
     "text_entropy" -> entropySql,
