@@ -870,6 +870,60 @@ object GraphOps {
       .orderBy($"support".desc, $"u", $"v").limit(50)
   }
 
+  /** B61b: k-truss decomposition (spec-level, like E2/E5 — the peel
+    * is iterative with data-dependent rounds, so there is no
+    * SQL-expressible oracle twin; B61 grades the support table the
+    * peel consumes). `trussness(e)` = the largest k such that e
+    * survives the k-truss peel (repeatedly drop edges in < k−2
+    * triangles). Computed for ALL k in one pass of nested peels:
+    * ascending k, re-peeling to fixpoint at each level — each round
+    * is B61's edge-sized support rollup + an edge filter, staged per
+    * round; total rounds are bounded by the peel depth (≤ max
+    * support), and a [[KtrussMaxRounds]] backstop throws rather than
+    * silently truncating (the CC convergence contract).
+    */
+  val KtrussMaxRounds = 200
+
+  def ktruss(edges0: DataFrame): DataFrame = {
+    import edges0.sparkSession.implicits._
+    var remaining = materialize(edges0.select($"u", $"v"))
+    var out: Option[DataFrame] = None
+    var k = 3
+    var rounds = 0
+    while (remaining.limit(1).count() > 0) {
+      // peel at level k to fixpoint
+      var changed = true
+      while (changed) {
+        rounds += 1
+        if (rounds > KtrussMaxRounds)
+          throw new IllegalStateException(
+            s"k-truss peel exceeded $KtrussMaxRounds rounds")
+        val (_, tri) = orientedTriangles(remaining)
+        val sup = tri.select(explode(array(
+            struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
+            struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
+            struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
+            .as("e"))
+          .select($"e.u".as("u"), $"e.v".as("v"))
+          .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+        val scored = materialize(remaining.join(sup, Seq("u", "v"), "left")
+          .select($"u", $"v",
+            coalesce($"support", lit(0L)).as("support")))
+        val keep = materialize(
+          scored.where($"support" >= k - 2).select($"u", $"v"))
+        val dropped = scored.where($"support" < k - 2)
+          .select($"u", $"v", lit(k - 1).as("trussness"))
+        out = Some(out.fold(dropped.select($"u", $"v", $"trussness"))(
+          _.unionAll(dropped.select($"u", $"v", $"trussness"))))
+        changed = dropped.limit(1).count() > 0
+        remaining = keep
+      }
+      k += 1
+    }
+    out.fold(edges0.sparkSession.emptyDataFrame)(
+      _.orderBy($"trussness".desc, $"u", $"v"))
+  }
+
   val edgeSupportSql: String =
     s"""WITH op AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

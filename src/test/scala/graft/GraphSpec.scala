@@ -9,6 +9,20 @@ import graft.graph.GraphOps
   */
 class GraphSpec extends SparkSpecBase {
 
+  test("k-truss: planted K5 / triangle / bridge decompose to 5 / 3 / 2") {
+    import spark.implicits._
+    val k5 = for { i <- 1 to 5; j <- (i + 1) to 5 } yield (i.toLong, j.toLong)
+    val tri = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val bridge = Seq((5L, 10L))
+    val edges = (k5 ++ tri ++ bridge).toDF("u", "v")
+    val got = graft.graph.GraphOps.ktruss(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.size === 14)
+    k5.foreach { e => assert(got(e) === 5, s"K5 edge $e") }
+    tri.foreach { e => assert(got(e) === 3, s"triangle edge $e") }
+    assert(got((5L, 10L)) === 2, "bridge")
+  }
+
   private lazy val full = {
     // same recurrence as the query, but keep ALL nodes (the graded
     // query returns top-25 only)
