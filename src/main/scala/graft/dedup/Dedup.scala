@@ -1789,7 +1789,11 @@ object Dedup {
     // the semi join keeps the explode map-side
     val keep = fp0.groupBy($"f").agg(count(lit(1)).as("d"))
       .where($"d" <= WinDfCap).select($"f")
-    val fp = materialize(fp0.join(keep, Seq("f"), "left_semi"))
+    // the keep set is fingerprint-sized (8-byte hashes) → broadcast
+    // semi join keeps the explode+filter map-only for all three
+    // consumers; materializing the exploded table would pay a write
+    // larger than the recompute
+    val fp = fp0.join(broadcast(keep), Seq("f"), "left_semi")
     val counts = fp.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
     fp.select($"doc_id".as("a"), $"f")
       .join(fp.select($"doc_id".as("b"), $"f"), "f")
