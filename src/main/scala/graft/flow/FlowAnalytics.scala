@@ -2093,8 +2093,13 @@ object FlowAnalytics {
     * hash-verified, including the default route (dst lives outside
     * every specific prefix).
     */
-  def lpmEnrich(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The LPM label derivation over ANY flow-shaped frame — pure
+    * broadcast joins + column ops, so it composes onto the streaming
+    * source (E22) like [[flowsOf]] does. Output adds (src_label,
+    * matched_len, dst_label) to the frame. */
+  private[graft] def lpmLabeled(flows: DataFrame): DataFrame = {
+    import flows.sparkSession.implicits._
+    val spark = flows.sparkSession
     val ten = 167772160L // 10.0.0.0
     val p16 = spark.range(64).select(
       (lit(ten) + $"id" * 65536L).as("p16"),
@@ -2103,7 +2108,7 @@ object FlowAnalytics {
       .crossJoin(spark.range(4).select($"id".as("j")))
       .select((lit(ten) + $"u" * 65536L + $"j" * 256L).as("p24"),
         concat(lit("rack-"), $"u", lit("-"), $"j").as("l24"))
-    asFlows(spark, dir)
+    flows
       .withColumn("san", ip4_aton($"sa"))
       .withColumn("dan", ip4_aton($"da"))
       .join(broadcast(p24),
@@ -2114,12 +2119,17 @@ object FlowAnalytics {
         $"dan".bitwiseAND(lit(0xFFFFFF00L)) === $"dp24", "left")
       .join(broadcast(p16.select($"p16".as("dp16"), $"l16".as("dl16"))),
         $"dan".bitwiseAND(lit(0xFFFF0000L)) === $"dp16", "left")
-      .select(
-        coalesce($"l24", $"l16", lit("internet")).as("src_label"),
+      .withColumn("src_label", coalesce($"l24", $"l16", lit("internet")))
+      .withColumn("matched_len",
         when($"l24".isNotNull, 24).when($"l16".isNotNull, 16)
-          .otherwise(0).cast("int").as("matched_len"),
-        coalesce($"dl24", $"dl16", lit("internet")).as("dst_label"),
-        $"sa", $"ibyt")
+          .otherwise(0).cast("int"))
+      .withColumn("dst_label", coalesce($"dl24", $"dl16", lit("internet")))
+  }
+
+  def lpmEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lpmLabeled(asFlows(spark, dir))
+      .select($"src_label", $"matched_len", $"dst_label", $"sa", $"ibyt")
       .groupBy($"src_label", $"matched_len", $"dst_label")
       .agg(count(lit(1)).as("n_flows"), sum($"ibyt").as("bytes"),
         countDistinct($"sa").as("n_src"))

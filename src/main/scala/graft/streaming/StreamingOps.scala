@@ -1264,6 +1264,40 @@ object StreamingOps {
       .orderBy($"event_type")
   }
 
+  /** E22: streaming LPM enrichment (`stream_lpm_enrich`) — B58's
+    * routing-table join running ON the stream: the same broadcast
+    * join per mask length + map-side coalesce rides each micro-batch
+    * (stream-static enrichment with the static side broadcast — E3's
+    * pattern, here GRADED), feeding a complete-mode per-route
+    * rollup. Distinct hosts per route use the KMV sketch — exact
+    * count-distinct is unsupported in streaming aggregation, HLL is
+    * only boundable, but the md5-derandomized KMV estimate is
+    * REPLAYED by the oracle and hash-checked exactly.
+    */
+  def lpmEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_lpm_${counter.incrementAndGet()}"
+    val labeled = graft.flow.FlowAnalytics.lpmLabeled(
+      graft.flow.FlowAnalytics.flowsOf(eventsStream(spark, dir)))
+    val q = labeled
+      .groupBy($"src_label", $"matched_len", $"dst_label")
+      .agg(count(lit(1)).as("n_flows"), sum($"ibyt").as("bytes"),
+        graft.functions.KmvAgg.kmv_sketch($"sa", 256).as("sk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_lpm_enrich")
+    spark.table(name)
+      .select($"src_label", $"matched_len", $"dst_label",
+        $"n_flows", $"bytes",
+        round(graft.functions.KmvAgg.kmv_estimate($"sk"), 4)
+          .as("n_src_est_r"))
+      .orderBy($"src_label")
+  }
+
   def distinctHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_hll_${counter.incrementAndGet()}"
@@ -1297,6 +1331,7 @@ object StreamingOps {
     "stream_silence_watch" -> silenceWatch _,
     "stream_ewma_forecast" -> ewmaForecast _,
     "stream_distinct_kmv" -> distinctKmv _,
+    "stream_lpm_enrich" -> lpmEnrich _,
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
     "stream_biflow_stitch" -> biflowStitch _,
@@ -1316,6 +1351,40 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E22: closed-form LPM labels + exact counts + the KMV host
+    // estimate replayed per route
+    "stream_lpm_enrich" -> (graft.flow.FlowAnalytics.flowsCte +
+      """, enr AS (
+        |  SELECT CASE WHEN (event_id // 256) % 256 < 4
+        |      THEN 'rack-' || (user_id % 64) || '-' || ((event_id // 256) % 256)
+        |      ELSE 'site-' || (user_id % 64) END AS src_label,
+        |    CAST(CASE WHEN (event_id // 256) % 256 < 4 THEN 24 ELSE 16 END
+        |      AS INT) AS matched_len,
+        |    'internet' AS dst_label, sa, ibyt
+        |  FROM flows),
+        |uu AS (SELECT DISTINCT src_label, matched_len, dst_label, sa
+        |       FROM enr),
+        |hh AS (SELECT src_label, matched_len, dst_label,
+        |    ('0x' || substr(md5(sa), 1, 15))::BIGINT AS h
+        |  FROM uu),
+        |rk AS (SELECT src_label, matched_len, dst_label, h,
+        |    row_number() OVER (PARTITION BY src_label, matched_len,
+        |      dst_label ORDER BY h) AS rn
+        |  FROM hh),
+        |sth AS (
+        |  SELECT src_label, matched_len, dst_label, count(*) AS ns,
+        |    max(CASE WHEN rn = 256 THEN h END) AS th
+        |  FROM rk WHERE rn <= 256 GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT src_label, matched_len, dst_label,
+        |    count(*) AS n_flows, CAST(sum(ibyt) AS BIGINT) AS bytes
+        |  FROM enr GROUP BY 1, 2, 3)
+        |SELECT a.src_label, a.matched_len, a.dst_label, a.n_flows, a.bytes,
+        |  round(CASE WHEN s.ns < 256 THEN CAST(s.ns AS DOUBLE)
+        |    ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(s.th AS DOUBLE) END, 4) AS n_src_est_r
+        |FROM agg a JOIN sth s USING (src_label, matched_len, dst_label)
+        |ORDER BY a.src_label""".stripMargin),
     // E21: the KMV estimate replayed exactly (ORDER BY/LIMIT k)
     "stream_distinct_kmv" ->
       """WITH uu AS (
