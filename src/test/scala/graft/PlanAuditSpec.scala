@@ -470,6 +470,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"fact-side merge join crept in:\n$p")
   }
 
+  test("LPM enrichment rides the scan: broadcast joins only, no shuffle before the rollup") {
+    val p = plan(FlowAnalytics.lpmEnrich(spark, sf0001))
+    assert("BroadcastHashJoin LeftOuter".r.findAllIn(p).length === 4,
+      s"expected 4 broadcast mask-length joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a routing join shuffled the corpus:\n$p")
+  }
+
+  test("KMV set algebra: sketches reduce per protocol; the pair algebra never re-scans") {
+    val p = plan(FlowAnalytics.setAlgebra(spark, sf0001))
+    // the KMV sketch build must have a partial (map-side) phase
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial sketch aggregation:\n$p")
+    // the pair cross join must be over broadcast sketch tables
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"sketch pair table not broadcast:\n$p")
+  }
+
+  test("Holt forecast folds map-side: only the rollup and final sort exchange") {
+    val p = plan(FlowAnalytics.holtForecast(spark, sf0001))
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"Holt fold grew extra shuffles ($exchanges):\n$p")
+    assert(!p.contains("Window"), s"the sequential fold fell back to a window:\n$p")
+  }
+
+  test("winnowing selection is map-side over the doc's own gram array") {
+    val p = plan(graft.dedup.Dedup.winnowing(spark, sf0001))
+    // stop-fingerprint filter must be a broadcast semi join, and the
+    // fingerprint self-join must not be a nested loop
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"stop-fingerprint filter lost its broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to a nested loop:\n$p")
+  }
+
   test("codegen'd IP expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
