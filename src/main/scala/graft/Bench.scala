@@ -71,6 +71,13 @@ object Bench {
     // spark.stop(), so it is always the final line of output.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"spark":"$sparkVersion","queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val headlineJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"spark":"$sparkVersion","queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    // the bare headline also lands in a fixed file so the artifact
+    // parses even if a log relay decorates the printed line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+      (headlineJson + "\n").getBytes("UTF-8"))
+    println(headlineJson)
   }
 }

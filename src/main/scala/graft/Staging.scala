@@ -102,7 +102,16 @@ object Staging {
         case fs: HadoopFsRelation =>
           val files = fs.location.inputFiles.length.toLong
           val bytes = fs.location.sizeInBytes
-          (bytes + files * openCost + maxB - 1) / maxB
+          val total = bytes + files * openCost
+          // mirror Spark's FilePartition.maxSplitBytes: small scans
+          // split at bytesPerCore (floored at openCost), not at
+          // maxPartitionBytes — without this term the estimate
+          // UNDERCOUNTS small scans and spreads an already-wide read
+          val parallelism = math.max(1L,
+            df.sparkSession.sparkContext.defaultParallelism.toLong)
+          val split = math.max(1L, math.min(maxB,
+            math.max(openCost, total / parallelism)))
+          (total + split - 1) / split
         case _ => Long.MaxValue
       }
       case _ => Long.MaxValue

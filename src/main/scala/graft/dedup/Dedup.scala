@@ -1785,24 +1785,28 @@ object Dedup {
     val sel = materialize(winnowFps(
       load(spark, dir, "documents").select($"doc_id", $"text")))
     val fp0 = sel.select($"doc_id", explode($"fps").as("f"))
-    // stop-fingerprint removal: the df rollup is fingerprint-sized and
-    // the semi join keeps the explode map-side
-    val keep = fp0.groupBy($"f").agg(count(lit(1)).as("d"))
-      .where($"d" <= WinDfCap).select($"f")
-    // the keep set is fingerprint-sized (8-byte hashes) → broadcast
-    // semi join keeps the explode+filter map-only for all three
-    // consumers; materializing the exploded table would pay a write
-    // larger than the recompute
-    val fp = fp0.join(broadcast(keep), Seq("f"), "left_semi")
+    // stop-fingerprint removal: broadcast the BOUNDED side. The set of
+    // fingerprints with df > WinDfCap grows with phrase popularity
+    // (boilerplate), not with corpus size, so it stays driver-sized at
+    // 100 TB; the complement (df <= cap) is nearly all distinct
+    // fingerprints and grows linearly with the corpus. Anti join on the
+    // stop set keeps the explode+filter map-only for all consumers.
+    val stop = fp0.groupBy($"f").agg(count(lit(1)).as("d"))
+      .where($"d" > WinDfCap).select($"f")
+    val fp = fp0.join(broadcast(stop), Seq("f"), "left_anti")
     val counts = fp.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+    // counts is one row per document — corpus-sized — so the join-backs
+    // must NOT be broadcast; the post-threshold pair table is tiny, so
+    // a plain shuffle join is the scale-safe shape and AQE may still
+    // choose to broadcast the small PAIR side at runtime.
     fp.select($"doc_id".as("a"), $"f")
       .join(fp.select($"doc_id".as("b"), $"f"), "f")
       .where($"a" < $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("n_shared"))
       .where($"n_shared" >= WinT)
-      .join(broadcast(counts.select($"doc_id".as("a"), $"n_fp".as("n_fp_a"))), "a")
-      .join(broadcast(counts.select($"doc_id".as("b"), $"n_fp".as("n_fp_b"))), "b")
+      .join(counts.select($"doc_id".as("a"), $"n_fp".as("n_fp_a")), "a")
+      .join(counts.select($"doc_id".as("b"), $"n_fp".as("n_fp_b")), "b")
       .withColumn("sim_r", round($"n_shared".cast("double") /
         ($"n_fp_a" + $"n_fp_b" - $"n_shared").cast("double"), 6))
       .where($"n_shared".cast("double") /

@@ -1680,20 +1680,23 @@ object FlowAnalytics {
     val perHost = asFlows(spark, dir)
       .groupBy($"pr", $"sa").agg(sum($"ibyt").as("x"))
     val w = Window.partitionBy($"pr").orderBy($"x", $"sa")
+    // the per-protocol total rides the SAME window partition — no
+    // extra shuffle — so each term sums r·(x/T) instead of r·x:
+    // r·x in LONG overflows at claimed scale (r ~ 10⁸ hosts × x ~
+    // 10¹² bytes), while Σ r·x/T ≤ n, so the qsum-quantized longs
+    // stay ≤ n·10⁹ ≈ 10¹⁷ — order-free, overflow-free, and the
+    // oracle mirrors the identical quantization
+    val wAll = Window.partitionBy($"pr")
     perHost
       .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("t", sum($"x").over(wAll))
       .groupBy($"pr")
       .agg(count(lit(1)).as("n_hosts"),
         sum($"x").as("total_bytes"),
-        sum($"r" * $"x").as("rx"))
+        graft.Tables.qsum($"r".cast("double") * $"x".cast("double")
+          / $"t".cast("double")).as("rxn"))
       .select($"pr", $"n_hosts", $"total_bytes",
-        // each factor casts to double BEFORE multiplying: rx·2 and
-        // n_hosts·total_bytes in LONG arithmetic overflow at the scale
-        // this operator claims (ANSI mode throws, non-ANSI wraps);
-        // the result is a double anyway and the oracle mirrors the
-        // same cast-then-multiply structure, so hashes stay exact
-        round($"rx".cast("double") * lit(2.0)
-          / ($"n_hosts".cast("double") * $"total_bytes".cast("double"))
+        round($"rxn" * lit(2.0) / $"n_hosts".cast("double")
           - ($"n_hosts" + lit(1)).cast("double") / $"n_hosts".cast("double"), 6)
           .as("gini_r"))
       .orderBy($"pr")
@@ -2669,16 +2672,19 @@ object FlowAnalytics {
         |  FROM flows GROUP BY pr, sa),
         |rk AS (
         |  SELECT pr, x,
-        |    CAST(row_number() OVER (PARTITION BY pr ORDER BY x, sa) AS BIGINT) AS r
+        |    CAST(row_number() OVER (PARTITION BY pr ORDER BY x, sa) AS BIGINT) AS r,
+        |    CAST(sum(x) OVER (PARTITION BY pr) AS BIGINT) AS t
         |  FROM ph),
         |ag AS (
         |  SELECT pr, count(*) AS n_hosts,
         |    CAST(sum(x) AS BIGINT) AS total_bytes,
-        |    CAST(sum(r * x) AS BIGINT) AS rx
+        |    """.stripMargin
+      + graft.Tables.qsumSql(
+        "CAST(r AS DOUBLE) * CAST(x AS DOUBLE) / CAST(t AS DOUBLE)")
+      + """ AS rxn
         |  FROM rk GROUP BY pr)
         |SELECT pr, n_hosts, total_bytes,
-        |  round(CAST(rx AS DOUBLE) * 2
-        |      / (CAST(n_hosts AS DOUBLE) * CAST(total_bytes AS DOUBLE))
+        |  round(rxn * CAST(2 AS DOUBLE) / CAST(n_hosts AS DOUBLE)
         |    - CAST(n_hosts + 1 AS DOUBLE) / CAST(n_hosts AS DOUBLE), 6) AS gini_r
         |FROM ag ORDER BY pr""".stripMargin),
     "flow_flag_profile" -> (flowsCte +

@@ -39,11 +39,27 @@ object KmvUtil {
   /** Hash-space size 2⁶⁰ as an exact double (a power of two). */
   val M: Double = 1152921504606846976L.toDouble
 
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of md5(key) as a 60-bit long — read straight
+    * off the digest bytes: 15 hex chars are the top 60 bits of the
+    * first 8 bytes, i.e. the big-endian long >>> 4. Identical to the
+    * oracle's `('0x' || substr(md5(s), 1, 15))::BIGINT`, without the
+    * per-row digest allocation, hex formatting, and re-parse.
+    */
   def hash(key: UTF8String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(key.getBytes)
+    val be =
+      ((bytes(0) & 0xffL) << 56) | ((bytes(1) & 0xffL) << 48) |
+      ((bytes(2) & 0xffL) << 40) | ((bytes(3) & 0xffL) << 32) |
+      ((bytes(4) & 0xffL) << 24) | ((bytes(5) & 0xffL) << 16) |
+      ((bytes(6) & 0xffL) << 8) | (bytes(7) & 0xffL)
+    be >>> 4
   }
 
   def serialize(k: Int, set: java.util.TreeSet[java.lang.Long]): Array[Byte] = {

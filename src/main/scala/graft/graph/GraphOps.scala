@@ -920,7 +920,10 @@ object GraphOps {
       }
       k += 1
     }
-    out.fold(edges0.sparkSession.emptyDataFrame)(
+    // empty input: keep the (u, v, trussness) schema so callers that
+    // select the columns don't hit an AnalysisException
+    out.fold(
+      edges0.select($"u", $"v", lit(0).as("trussness")).limit(0))(
       _.orderBy($"trussness".desc, $"u", $"v"))
   }
 

@@ -663,7 +663,17 @@ object StreamingOps {
           n += 1L
         }
       }
-      rows.foreach { r =>
+      // Spark gives NO ordering guarantee for the post-shuffle rows
+      // iterator; unsorted, a batch spanning > R hours would close
+      // ring slots in arrival order and silently drop rows more than
+      // R hours older than the max hour already seen in the SAME
+      // batch. Sorting by hour first makes the state a pure function
+      // of the event multiset regardless of batch splits or shuffle
+      // interleaving (same-hour rows only ADD into a slot, so their
+      // relative order is immaterial). Per-key per-batch row sets are
+      // small (hourly masses), so the buffer is cheap.
+      val ordered = rows.toArray.sortInPlaceBy(_.h)
+      ordered.foreach { r =>
         if (r.h > refH) {
           val d = if (refH == Long.MinValue) R
             else math.min(r.h - refH, R.toLong).toInt

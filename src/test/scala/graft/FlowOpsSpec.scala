@@ -490,8 +490,12 @@ class FlowOpsSpec extends SparkSpecBase {
       val sorted = xs.sortBy(h => (h._3, h._2))
       val n = sorted.length.toLong
       val t = sorted.map(_._3).sum
-      val rx = sorted.zipWithIndex.map { case ((_, _, x), i) => (i + 1) * x }.sum
-      val g = (2.0 * rx) / (n * t).toDouble - (n + 1).toDouble / n
+      // mirror the operator's overflow-free form: qsum of r·(x/T)
+      // per term (Σ r·x/T ≤ n, so quantized longs never overflow)
+      val rxn = sorted.zipWithIndex.map { case ((_, _, x), i) =>
+        math.floor((i + 1).toDouble * x.toDouble / t.toDouble * 1.0e9 + 0.5).toLong
+      }.sum.toDouble / 1.0e9
+      val g = rxn * 2.0 / n.toDouble - (n + 1).toDouble / n.toDouble
       BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
     val got = FlowAnalytics.bytesGini(spark, sf0001).collect()

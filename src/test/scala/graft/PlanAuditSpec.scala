@@ -497,10 +497,12 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("winnowing selection is map-side over the doc's own gram array") {
     val p = plan(graft.dedup.Dedup.winnowing(spark, sf0001))
-    // stop-fingerprint filter must be a broadcast semi join, and the
-    // fingerprint self-join must not be a nested loop
-    assert(p.contains("BroadcastHashJoin LeftSemi"),
-      s"stop-fingerprint filter lost its broadcast:\n$p")
+    // stop-fingerprint filter must broadcast the BOUNDED stop set
+    // (df > cap) as an anti join — never the corpus-growing keep set
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"stop-fingerprint filter lost its broadcast anti join:\n$p")
+    assert(!p.contains("BroadcastHashJoin LeftSemi"),
+      s"winnowing regressed to broadcasting the corpus-growing keep set:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"pair join degenerated to a nested loop:\n$p")
   }

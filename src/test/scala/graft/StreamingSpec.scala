@@ -440,6 +440,27 @@ class StreamingSpec extends SparkSpecBase {
       assert(closed === replay(wide),
         "incremental closure diverged from the sequential recursion")
       assert(closed.head._2 === wide.map(_._2).distinct.size.toLong)
+      // Part 3 — disorder tolerance: the SAME >ring span arriving
+      // out of time order within one batch (Spark guarantees no row
+      // order after the groupByKey shuffle). Without the per-batch
+      // sort, arrival order would close ring slots early and silently
+      // drop rows > ring hours older than the batch's max hour.
+      val scrambled = {
+        val arr = wide.toArray
+        val rnd = new scala.util.Random(42)
+        for (i <- arr.indices.reverse.dropRight(1)) {
+          val j = rnd.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+        }
+        arr.toSeq
+      }
+      assert(scrambled !== wide) // the shuffle actually moved rows
+      val src3 = tmpDir("holtsrc3") + "/data"
+      scrambled.toDF("flowsrc", "h", "cents").repartition(1)
+        .coalesce(1).write.mode("append").parquet(src3)
+      val disordered = run(src3, None, "holt_disordered")
+      assert(disordered === replay(wide),
+        "out-of-order arrival within a batch diverged from the replay")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
