@@ -916,7 +916,7 @@ object GraphOps {
         out = Some(out.fold(dropped.select($"u", $"v", $"trussness"))(
           _.unionAll(dropped.select($"u", $"v", $"trussness"))))
         changed = dropped.limit(1).count() > 0
-        remaining = keep
+        remaining = org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(keep)
       }
       k += 1
     }
@@ -925,6 +925,128 @@ object GraphOps {
     out.fold(
       edges0.select($"u", $"v", lit(0).as("trussness")).limit(0))(
       _.orderBy($"trussness".desc, $"u", $"v"))
+  }
+
+  /** B61c: fixed-k truss (`graph_ktruss4`) — the 4-truss of the B22
+    * color-sampled co-order graph: the maximal subgraph where every
+    * surviving edge closes ≥ 2 triangles WITHIN the subgraph. This is
+    * the graded face of [[ktruss]]'s full decomposition: one peel
+    * level, so the round count is small and pinnable, which makes the
+    * k-core-style unrolled oracle possible — the oracle replays
+    * exactly [[Ktruss4MaxRounds]] support+filter rounds, peeling is
+    * idempotent at the fixed point, and the Spark side
+    * converges-or-THROWS inside the same budget, so any non-throwing
+    * run matches the fixed unroll.
+    *
+    * Execution shape per round: B61's oriented-triangle support
+    * rollup (m^1.5-bounded wedge join) + one edge filter; the edge
+    * set only SHRINKS, so rounds get cheaper as the peel proceeds.
+    * Convergence is a count compare (keep ⊆ remaining, so equal
+    * counts ⇔ identical sets).
+    */
+  val Ktruss4K = 4
+  val Ktruss4MaxRounds = 32
+  val Ktruss4TopN = 50
+
+  /** Peel `edges0` ((u, v), u < v, deduped) to its 4-truss; returns
+    * the surviving edges with their in-truss support. Exposed for the
+    * planted-graph spec.
+    */
+  private[graft] def ktruss4Of(edges0: DataFrame,
+      maxRounds: Int = Ktruss4MaxRounds): DataFrame = {
+    import edges0.sparkSession.implicits._
+    var remaining = materialize(edges0.select($"u", $"v"))
+    var scored: DataFrame = edges0.sparkSession.emptyDataFrame
+    var converged = false
+    var iter = 0
+    while (!converged) {
+      iter += 1
+      if (iter > maxRounds)
+        throw new IllegalStateException(
+          s"4-truss peel did not converge within $maxRounds rounds — " +
+            "raise Ktruss4MaxRounds (the oracle unroll must move with it)")
+      val (_, tri) = orientedTriangles(remaining)
+      val sup = tri.select(explode(array(
+          struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
+          struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
+          struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
+          .as("e"))
+        .select($"e.u".as("u"), $"e.v".as("v"))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+      val sc = materialize(remaining.join(sup, Seq("u", "v"), "left")
+        .select($"u", $"v", coalesce($"support", lit(0L)).as("support")))
+      val keep = materialize(
+        sc.where($"support" >= Ktruss4K - 2).select($"u", $"v"))
+      converged = keep.count() == remaining.count()
+      // fresh-stats leaf: the round plan references `remaining` three
+      // times (wedge join + closing edge), so inherited checkpoint
+      // stats would compound exponentially across rounds — see
+      // [[org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf]]
+      remaining = org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(keep)
+      // the round that OBSERVES convergence scored the fixpoint set,
+      // so its support column is the in-truss support
+      scored = sc
+    }
+    scored.where($"support" >= Ktruss4K - 2)
+  }
+
+  def ktruss4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the converged truss is corpus-snapshot material (the peel ran
+    // 22 rounds at sf0.01): stage it once per (session, dir) + lake
+    // like the LPA labels, so steady-state serves reads
+    val truss = stagedGraph(spark, dir, "ktruss4_truss") {
+      materialize(ktruss4Of(coOrderEdgesStaged(spark, dir)))
+    }
+    truss.orderBy($"support".desc, $"u", $"v").limit(Ktruss4TopN)
+  }
+
+  val ktruss4Sql: String = {
+    // one peel round over e{i-1}: the B61 support rollup + the
+    // >= k-2 edge filter. The unroll count is Ktruss4MaxRounds; the
+    // final round's support table doubles as the output's support
+    // column (at the fixed point the filter is a no-op).
+    def round(i: Int): String = {
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+         |  GROUP BY node),
+         |o$i AS MATERIALIZED (
+         |  SELECT CASE WHEN du.deg <= dv.deg THEN e.u ELSE e.v END AS s,
+         |         CASE WHEN du.deg <= dv.deg THEN e.v ELSE e.u END AS t,
+         |         CASE WHEN du.deg <= dv.deg THEN dv.deg ELSE du.deg END AS dt
+         |  FROM $prev e
+         |  JOIN d$i du ON du.node = e.u
+         |  JOIN d$i dv ON dv.node = e.v),
+         |tri$i AS MATERIALIZED (
+         |  SELECT e1.s AS s, e1.t AS y, e2.t AS z
+         |  FROM o$i e1 JOIN o$i e2 ON e1.s = e2.s
+         |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+         |  JOIN o$i e3 ON e3.s = e1.t AND e3.t = e2.t),
+         |sup$i AS MATERIALIZED (
+         |  SELECT u, v, count(*) AS support FROM (
+         |    SELECT least(s, y) AS u, greatest(s, y) AS v FROM tri$i
+         |    UNION ALL SELECT least(s, z), greatest(s, z) FROM tri$i
+         |    UNION ALL SELECT least(y, z), greatest(y, z) FROM tri$i)
+         |  GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $prev e LEFT JOIN sup$i USING (u, v)
+         |  WHERE coalesce(support, 0) >= ${Ktruss4K - 2})""".stripMargin
+    }
+    val rounds = (1 to Ktruss4MaxRounds).map(round).mkString(",\n")
+    val R = Ktruss4MaxRounds
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |  WHERE ('0x' || substr(md5('tri:' || l_partkey), 1, 7))::BIGINT
+       |    % $TriSampleMod = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+       |$rounds
+       |SELECT e.u, e.v, sup$R.support
+       |FROM e$R e JOIN sup$R USING (u, v)
+       |ORDER BY support DESC, e.u, e.v LIMIT $Ktruss4TopN""".stripMargin
   }
 
   val edgeSupportSql: String =
@@ -1123,7 +1245,8 @@ object GraphOps {
     "flow_hits" -> flowHits _,
     "flow_communities" -> flowCommunities _,
     "graph_triangles" -> graphTriangles _,
-    "graph_edge_support" -> edgeSupport _)
+    "graph_edge_support" -> edgeSupport _,
+    "graph_ktruss4" -> ktruss4 _)
 
   val oracleSql: Map[String, String] = Map(
     "flow_pagerank_incr" -> flowPagerankIncrSql,
@@ -1135,5 +1258,6 @@ object GraphOps {
     "flow_hits" -> flowHitsSql,
     "flow_communities" -> flowCommunitiesSql,
     "graph_triangles" -> graphTrianglesSql,
-    "graph_edge_support" -> edgeSupportSql)
+    "graph_edge_support" -> edgeSupportSql,
+    "graph_ktruss4" -> ktruss4Sql)
 }

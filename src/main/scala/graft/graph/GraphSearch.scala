@@ -371,6 +371,213 @@ object GraphSearch {
          |FROM ag CROSS JOIN nn
          |ORDER BY sum_dist, node LIMIT $CloseSampleTopN""".stripMargin
 
+  // --------------------------------- B49c sampled betweenness (Brandes)
+
+  /** B49c: sampled betweenness centrality (`graph_betweenness`) — the
+    * missing centrality next to closeness/harmonic/PageRank/HITS:
+    * which nodes sit ON the shortest paths (chokepoints, brokers),
+    * not merely near everything. Exact betweenness is Brandes 2001 at
+    * O(V·E) — nobody runs it at 100 TB; the standard estimator
+    * (Brandes & Pich 2007) runs Brandes' two-phase sweep from k
+    * sampled sources and scales by n/k, an unbiased estimate with a
+    * Hoeffding tail over the k independent per-source dependencies
+    * (the bound spec pins this against an exact recompute).
+    *
+    * Same subject and machinery as B49b: the contact graph's
+    * top-hub component (staged artifact shared with
+    * `graph_closeness_sampled`), md5-order derandomized seeds.
+    * Phase 1 is the σ-BFS — B23's frontier/delta iteration carrying
+    * shortest-path COUNTS (σ(v) = Σ σ(pred)); phase 2 walks the BFS
+    * DAG top-down accumulating Brandes' dependency
+    * δ(v) = Σ_{w∈succ(v)} σ(v)/σ(w) · (1 + δ(w)). Both phases cost
+    * O(k·E) total; every join runs against the staged hash(src) edge
+    * table with broadcast-sized frontiers.
+    *
+    * Determinism: σ is an exact integer aggregate; δ is kept in
+    * q9 FIXED-POINT longs — each dependency term is one double
+    * divide/multiply-add on exact operands, quantized per TERM
+    * ([[graft.Tables.qsum]]'s contract), so no float accumulation
+    * order exists in either engine and the oracle replays the exact
+    * recurrence. The estimate n/k · δΣ/10⁹ is one rounded expression
+    * on exact integers.
+    */
+  val BtwSeeds = 8
+  val BtwTopN = 30
+  /** Forward-unroll bound: throws beyond (the oracle unrolls exactly
+    * this many levels; component depth measured ≤ 4 at sf0.1). */
+  val BtwMaxHop = 8
+
+  /** Phase-1 σ-BFS: per-layer frames (seed, node, sigma), index =
+    * hop. Like [[seededBfs]] but carrying path counts, and layers
+    * stay SEPARATE so phase 2 can walk the DAG level by level.
+    */
+  private def sigmaBfs(eSrc: DataFrame, seeds: DataFrame,
+      maxHop: Int, what: String): ArrayBuffer[DataFrame] = {
+    import eSrc.sparkSession.implicits._
+    var frontier = materialize(
+      seeds.select($"seed", $"seed".as("node"), lit(1L).as("sigma")))
+    val layers = ArrayBuffer(frontier)
+    var hop = 0
+    var done = frontier.count() == 0L
+    while (!done) {
+      hop += 1
+      if (hop > maxHop)
+        throw new IllegalStateException(
+          s"$what frontier still live after $maxHop hops — raise the cap " +
+            "(the oracle unroll must move with it)")
+      val seen = layers.map(_.select($"seed", $"node")).reduce(_ unionAll _)
+      val next = materialize(
+        eSrc.join(frontier.select($"seed", $"node".as("src"), $"sigma"), "src")
+          .select($"seed", $"dst".as("node"), $"sigma")
+          .join(seen, Seq("seed", "node"), "left_anti")
+          .groupBy($"seed", $"node").agg(sum($"sigma").as("sigma")))
+      if (next.count() == 0L) { release(next); done = true }
+      else {
+        // fresh-stats leaf: the σ layer feeds both the next round's
+        // expansion AND the growing `seen` union — inherited
+        // checkpoint stats would double their exponent per hop
+        // ([[org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf]])
+        val clean = org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(next)
+        layers += clean; frontier = clean
+      }
+    }
+    layers
+  }
+
+  /** Brandes two-phase sweep from `seeds` over symmetric `eSrc`;
+    * returns (node, bc_q, bc_est_r) for non-source intermediates.
+    * Exposed for the planted-graph / exact-recheck spec.
+    */
+  private[graft] def betweennessOf(eSrc: DataFrame, seeds: DataFrame,
+      nFrame: DataFrame, k: Int, maxHop: Int = BtwMaxHop): DataFrame = {
+    import eSrc.sparkSession.implicits._
+    val layers = sigmaBfs(eSrc, seeds, maxHop, "betweennessSampled")
+    val top = layers.length - 1
+    val kD = lit(k.toDouble)
+    if (top == 0) {
+      // seeds with no edges: nothing is intermediate
+      return layers(0).select($"node", lit(0L).as("bc_q"),
+        lit(0.0).as("bc_est_r")).limit(0)
+    }
+    // phase 2: δ per layer in q9 longs, deepest first (no successors)
+    val deltas = new Array[DataFrame](top + 1)
+    deltas(top) = materialize(
+      layers(top).select($"seed", $"node", lit(0L).as("dq")))
+    for (h <- (top - 1) to 1 by -1) {
+      val lw = layers(h + 1)
+        .join(deltas(h + 1), Seq("seed", "node"))
+        .select($"seed", $"node".as("w"),
+          $"sigma".as("sigma_w"), $"dq".as("dq_w"))
+      val dep = layers(h)
+        .join(eSrc.select($"src".as("node"), $"dst".as("w")), "node")
+        .join(lw, Seq("seed", "w"))
+        .select($"seed", $"node",
+          // σv/σw · (1 + δw), in q9: one divide + one multiply-add on
+          // exact operands, quantized per term — order-free sum
+          floor($"sigma".cast("double") / $"sigma_w".cast("double")
+            * (lit(1.0e9) + $"dq_w".cast("double")) + lit(0.5))
+            .cast("long").as("t"))
+        .groupBy($"seed", $"node").agg(sum($"t").as("dq"))
+      deltas(h) = materialize(
+        layers(h).select($"seed", $"node")
+          .join(dep, Seq("seed", "node"), "left")
+          .select($"seed", $"node", coalesce($"dq", lit(0L)).as("dq")))
+    }
+    val bc = (1 to top).map(deltas(_)).reduce(_ unionAll _)
+      .groupBy($"node").agg(sum($"dq").as("bc_q"))
+    bc.crossJoin(broadcast(nFrame))
+      .select($"node", $"bc_q",
+        round($"n".cast("double") / kD
+          * ($"bc_q".cast("double") / lit(1.0e9)), 6).as("bc_est_r"))
+      .orderBy($"bc_q".desc, $"node").limit(BtwTopN)
+  }
+
+  def betweennessSampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eSrc = contactEdges(spark, dir)
+    val hub = contactDeg(spark, dir).orderBy($"deg".desc, $"node").limit(1)
+      .select($"node".as("seed"))
+    val comp = sessionStage.getOrBuild(spark, dir, "search_ue_comp", Seq("node")) {
+      materialize(
+        seededBfs(eSrc, hub, "betweenness-component").select($"node")
+          .repartition($"node"))
+    }
+    val nFrame = comp.agg(count(lit(1)).as("n"))
+    val seeds = comp.orderBy(md5($"node"), $"node").limit(BtwSeeds)
+      .select($"node".as("seed"))
+    betweennessOf(eSrc, seeds, nFrame, BtwSeeds)
+  }
+
+  val betweennessSampledSql: String = {
+    val R = BtwMaxHop
+    // forward unroll: σ-BFS levels l1..lR with accumulated seen sets
+    def fwd(h: Int): String = {
+      val prevSeen = if (h == 1) "l0" else s"seen${h - 1}"
+      val prev = s"l${h - 1}"
+      s"""l$h AS MATERIALIZED (
+         |  SELECT l.seed, e.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+         |  FROM $prev l JOIN edges e ON e.src = l.node
+         |  LEFT JOIN $prevSeen s ON s.seed = l.seed AND s.node = e.dst
+         |  WHERE s.node IS NULL GROUP BY 1, 2),
+         |seen$h AS MATERIALIZED (
+         |  SELECT seed, node FROM $prevSeen UNION ALL SELECT seed, node FROM l$h)""".stripMargin
+    }
+    // backward unroll: δ levels dR..d1 over the BFS DAG
+    def bwd(h: Int): String =
+      s"""w$h AS (
+         |  SELECT l.seed, l.node AS w, l.sigma AS sigma_w, d.dq AS dq_w
+         |  FROM l${h + 1} l JOIN d${h + 1} d ON d.seed = l.seed AND d.node = l.node),
+         |dep$h AS (
+         |  SELECT l.seed, l.node,
+         |    CAST(sum(CAST(floor(CAST(l.sigma AS DOUBLE) / CAST(x.sigma_w AS DOUBLE)
+         |      * (CAST(1000000000 AS DOUBLE) + CAST(x.dq_w AS DOUBLE))
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS dq
+         |  FROM l$h l JOIN edges e ON e.src = l.node
+         |  JOIN w$h x ON x.seed = l.seed AND x.w = e.dst
+         |  GROUP BY 1, 2),
+         |d$h AS MATERIALIZED (
+         |  SELECT l.seed, l.node, coalesce(dep.dq, 0) AS dq
+         |  FROM l$h l LEFT JOIN dep$h dep
+         |    ON dep.seed = l.seed AND dep.node = l.node)""".stripMargin
+    val fwds = (1 to R).map(fwd).mkString(",\n")
+    val bwds = ((R - 1) to 1 by -1).map(bwd).mkString(",\n")
+    val union = (1 to R).map(h => s"SELECT node, dq FROM d$h")
+      .mkString(" UNION ALL ")
+    FlowAnalytics.flowsCte.replace(
+      "WITH flows AS (", "WITH RECURSIVE flows AS MATERIALIZED (") +
+      s""", edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT 'u:' || user_id AS src, da AS dst FROM flows
+         |    UNION ALL SELECT da AS src, 'u:' || user_id AS dst FROM flows)),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |hub AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1),
+         |creach(node, hop) AS (
+         |  SELECT node, 0 FROM hub
+         |  UNION
+         |  SELECT e.dst, c.hop + 1 FROM creach c JOIN edges e ON e.src = c.node
+         |  WHERE c.hop < $BfsHopCap),
+         |comp AS MATERIALIZED (SELECT DISTINCT node FROM creach),
+         |nn AS (SELECT count(*) AS n FROM comp),
+         |seeds AS MATERIALIZED (
+         |  SELECT node AS seed FROM comp
+         |  ORDER BY md5(node), node LIMIT $BtwSeeds),
+         |l0 AS MATERIALIZED (
+         |  SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |$fwds,
+         |d$R AS MATERIALIZED (
+         |  SELECT seed, node, CAST(0 AS BIGINT) AS dq FROM l$R),
+         |$bwds,
+         |bc AS (
+         |  SELECT node, CAST(sum(dq) AS BIGINT) AS bc_q
+         |  FROM ($union) GROUP BY node)
+         |SELECT node, bc_q,
+         |  round(CAST(n AS DOUBLE) / CAST($BtwSeeds AS DOUBLE)
+         |    * (CAST(bc_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)), 6) AS bc_est_r
+         |FROM bc CROSS JOIN nn
+         |ORDER BY bc_q DESC, node LIMIT $BtwTopN""".stripMargin
+  }
+
   // -------------------------------------------------------------- B24 k-core
 
   /** B24: k-core decomposition (`graph_kcore`) — the maximal subgraph
@@ -652,6 +859,7 @@ object GraphSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> closeness _,
     "graph_closeness_sampled" -> closenessSampled _,
+    "graph_betweenness" -> betweennessSampled _,
     "graph_bfs_hops" -> bfsHops _,
     "graph_kcore" -> kcore _,
     "graph_sssp" -> sssp _,
@@ -660,6 +868,7 @@ object GraphSearch {
   val oracleSql: Map[String, String] = Map(
     "graph_closeness" -> closenessSql,
     "graph_closeness_sampled" -> closenessSampledSql,
+    "graph_betweenness" -> betweennessSampledSql,
     "graph_bfs_hops" -> bfsHopsSql,
     "graph_kcore" -> kcoreSql,
     "graph_sssp" -> ssspSql,

@@ -298,6 +298,58 @@ object StreamingOps {
         col("signup_id"), col("signup_ts"))
   }
 
+  /** E4b: GRADED stream-stream interval join (`stream_interval_join`)
+    * — each view matched to the same user's purchases within the
+    * following 2 hours, both sides watermarked (1 h) so Spark bounds
+    * each side's join buffer: a buffered view can stop matching once
+    * the watermark passes view_ts + 2 h, a buffered purchase once it
+    * passes purchase_ts — the state-expiry contract that makes
+    * stream-stream joins runnable forever. INNER join in append mode
+    * emits each matching pair exactly once when both legs have
+    * arrived, so the drained output is the batch join of the event
+    * multiset — the DuckDB oracle is literally that join. Both legs
+    * are filters of the SAME file stream (a self-join): Spark plans
+    * two scans of the source against one state store pair.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_ivj_${counter.incrementAndGet()}"
+    val q = intervalJoinStream(eventsStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_interval_join")
+    spark.table(name).orderBy($"view_id", $"purchase_id")
+  }
+
+  /** The unstarted E4b plan over any events stream — exposed so the
+    * spec can drive it with forced micro-batch splits.
+    */
+  private[graft] def intervalJoinStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val views = events.where($"event_type" === "view")
+      .withWatermark("ts", "1 hour")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val purchases = events.where($"event_type" === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"), $"value")
+    views.join(purchases,
+        $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" <= $"view_ts" + expr("INTERVAL 2 HOURS"))
+      // back to NTZ at the boundary (session TZ UTC → same wall clock
+      // as the naive-timestamp oracle)
+      .select($"view_id", $"user_id",
+        $"view_ts".cast("timestamp_ntz").as("view_ts"),
+        $"purchase_id",
+        $"purchase_ts".cast("timestamp_ntz").as("purchase_ts"),
+        $"value".as("purchase_value"))
+  }
+
   case class UserTotal(user_id: Long, batch_n: Long, total_n: Long)
 
   /** E5: `transformWithState` (Spark 4's arbitrary-state API,
@@ -1345,6 +1397,7 @@ object StreamingOps {
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
     "stream_biflow_stitch" -> biflowStitch _,
+    "stream_interval_join" -> intervalJoin _,
     "stream_value_quantiles" -> valueQuantiles _,
     "stream_quality_gate" -> qualityGate _,
     "stream_bloom_gate" -> bloomGate _,
@@ -1361,6 +1414,17 @@ object StreamingOps {
     * emission rule.
     */
   val oracleSql: Map[String, String] = Map(
+    // E4b: inner interval joins emit every matching pair exactly once
+    // once both legs arrive, so the drained stream IS the batch join
+    "stream_interval_join" ->
+      """SELECT r.event_id AS view_id, r.user_id, r.ts AS view_ts,
+        |  s.event_id AS purchase_id, s.ts AS purchase_ts,
+        |  s.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') r
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') s
+        |  ON r.user_id = s.user_id
+        |  AND s.ts >= r.ts AND s.ts <= r.ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
     // E22: closed-form LPM labels + exact counts + the KMV host
     // estimate replayed per route
     "stream_lpm_enrich" -> (graft.flow.FlowAnalytics.flowsCte +

@@ -231,4 +231,104 @@ class GraphSearchSpec extends SparkSpecBase {
     assert(gotNodes == gotNodes.sorted(Ordering.by((v: String) =>
       (got.find(_._1 == v).get._2, v))).toSeq)
   }
+
+  test("betweenness: all-sources run on a planted path is exact Brandes") {
+    import spark.implicits._
+    // path a-b-c-d-e: directed-dependency betweenness (both
+    // directions summed) is b=6, c=8, d=6, endpoints 0
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val eSrc = path.toDF("src", "dst")
+      .unionAll(path.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq("a", "b", "c", "d", "e").toDF("seed")
+    val nFrame = Seq(5L).toDF("n")
+    val got = GraphSearch.betweennessOf(eSrc, seeds, nFrame, k = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got("b") === ((6000000000L, 6.0)))
+    assert(got("c") === ((8000000000L, 8.0)))
+    assert(got("d") === ((6000000000L, 6.0)))
+    assert(got("a")._1 === 0L)
+    assert(got("e")._1 === 0L)
+  }
+
+  test("sampled betweenness: bc_q replays the quantized Brandes sweep " +
+      "exactly and the estimate is Hoeffding-close to exact at sf0.001") {
+    import spark.implicits._
+    val flows = graft.flow.FlowAnalytics.asFlows(spark, sf0001)
+    val edgePairs = flows
+      .select(concat(lit("u:"), $"user_id").as("u"), $"da").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edgePairs.foldLeft(Map.empty[String, Set[String]]) {
+      case (m, (s, d)) =>
+        m.updated(s, m.getOrElse(s, Set.empty) + d)
+          .updated(d, m.getOrElse(d, Set.empty) + s)
+    }
+    def bfsFrom(s: String): Map[String, Int] = {
+      var dist = Map(s -> 0); var frontier = Set(s); var hop = 0
+      while (frontier.nonEmpty) {
+        hop += 1
+        val next = frontier.flatMap(adj).diff(dist.keySet)
+        dist = dist ++ next.map(_ -> hop); frontier = next
+      }
+      dist
+    }
+    val hub = adj.toSeq.sortBy { case (v, nb) => (-nb.size, v) }.head._1
+    val nodes = bfsFrom(hub).keySet.toSeq.sorted
+    val n = nodes.size
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val k = GraphSearch.BtwSeeds
+    val seeds = nodes.sortBy(v => (md5hex(v), v)).take(k)
+
+    // Brandes from one source: (real-valued δ, q9-quantized δ) — the
+    // quantized variant replicates the query's exact parse tree
+    def brandes(s: String): (Map[String, Double], Map[String, Long]) = {
+      val dist = bfsFrom(s)
+      val maxH = dist.values.max
+      val layers = (0 to maxH).map(h => dist.filter(_._2 == h).keySet)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      for (h <- 1 to maxH; v <- layers(h))
+        sigma(v) = adj(v).filter(p => dist.get(p).contains(h - 1))
+          .map(sigma).sum
+      val delta = scala.collection.mutable.Map[String, Double]()
+      val deltaQ = scala.collection.mutable.Map[String, Long]()
+      for (h <- maxH to 1 by -1; v <- layers(h)) {
+        val succs = adj(v).filter(w => dist.get(w).contains(h + 1))
+        delta(v) = succs.toSeq.map(w =>
+          sigma(v).toDouble / sigma(w) * (1.0 + delta(w))).sum
+        deltaQ(v) = succs.toSeq.map(w =>
+          math.floor(sigma(v).toDouble / sigma(w).toDouble
+            * (1.0e9 + deltaQ(w).toDouble) + 0.5).toLong).sum
+      }
+      (delta.toMap, deltaQ.toMap)
+    }
+    val sampled = seeds.map(brandes)
+    val bcQ = sampled.flatMap(_._2.toSeq).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val exactAll = nodes.map(brandes).flatMap(_._1.toSeq).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+
+    val got = GraphSearch.betweennessSampled(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.length <= GraphSearch.BtwTopN)
+    got.foreach { case (v, q, est) =>
+      // exact replay of the quantized sweep
+      assert(q === bcQ.getOrElse(v, 0L), s"$v: bc_q $q != replay")
+      val exp = n.toDouble / k * (q.toDouble / 1.0e9)
+      assert(math.abs(est - BigDecimal(exp).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      // Hoeffding over the k sampled per-source dependencies, each in
+      // [0, n-2]: |n/k·Σ_sample δ − Σ_all δ| ≤ n·ε·(n−2) w.p. ≥ 1−1/n
+      // for ε = sqrt(ln(2n²)/(2k)); the md5 sample is deterministic,
+      // so assert the bound outright
+      val eps = math.sqrt(math.log(2.0 * n * n) / (2.0 * k))
+      assert(math.abs(est - exactAll.getOrElse(v, 0.0)) <=
+        n * eps * (n - 2),
+        s"$v: |$est - ${exactAll.getOrElse(v, 0.0)}| > Hoeffding bound")
+    }
+    // output ordering: bc_q desc, node asc
+    val keys = got.map { case (v, q, _) => (-q, v) }.toSeq
+    assert(keys == keys.sorted)
+  }
 }

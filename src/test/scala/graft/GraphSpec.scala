@@ -23,6 +23,40 @@ class GraphSpec extends SparkSpecBase {
     assert(got((5L, 10L)) === 2, "bridge")
   }
 
+  test("k-truss: empty input keeps the (u, v, trussness) schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val got = graft.graph.GraphOps.ktruss(empty)
+    assert(got.columns.toSeq === Seq("u", "v", "trussness"))
+    assert(got.select($"u", $"v", $"trussness").count() === 0L)
+  }
+
+  test("ktruss4: planted K5 survives with support 3; triangle and bridge peel") {
+    import spark.implicits._
+    val k5 = for { i <- 1 to 5; j <- (i + 1) to 5 } yield (i.toLong, j.toLong)
+    val tri = Seq((10L, 11L), (10L, 12L), (11L, 12L))  // support 1 < 2
+    val bridge = Seq((5L, 10L))                        // support 0
+    val edges = (k5 ++ tri ++ bridge).toDF("u", "v")
+    val got = graft.graph.GraphOps.ktruss4Of(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the 4-truss of this graph is exactly K5; every K5 edge closes 3
+    // triangles within the truss
+    assert(got === k5.map(_ -> 3L).toMap)
+  }
+
+  test("ktruss4: peel round budget throws rather than truncating") {
+    import spark.implicits._
+    // a chain of triangles peels one edge-layer per round: with a
+    // 1-round budget the peel cannot reach the (empty) fixpoint
+    val chain = (0 until 6).flatMap { i =>
+      val a = i.toLong * 2; Seq((a, a + 1), (a, a + 2), (a + 1, a + 2))
+    }
+    val e = intercept[IllegalStateException] {
+      graft.graph.GraphOps.ktruss4Of(chain.toDF("u", "v"), maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   private lazy val full = {
     // same recurrence as the query, but keep ALL nodes (the graded
     // query returns top-25 only)

@@ -134,6 +134,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((2L, 1L), (6L, 5L)))
   }
 
+  test("graded interval join equals the batch join, whole-file and " +
+      "time-ordered batch splits") {
+    import spark.implicits._
+    // view→purchase pairs: in-window match, pre-view purchase (no),
+    // beyond-2h purchase (no), cross-user (no), cross-BATCH match
+    // (view in file 1, purchase in file 2), and a view matching TWO
+    // purchases
+    val b1 = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 10L, "2024-01-01 09:30:00", "purchase", 5.0),  // before the view
+      (3L, 10L, "2024-01-01 11:00:00", "purchase", 7.0),  // match (1h after)
+      (4L, 20L, "2024-01-01 10:10:00", "view", 1.0),
+      (5L, 30L, "2024-01-01 10:20:00", "purchase", 9.0))  // other user
+    val b2 = Seq(
+      (6L, 10L, "2024-01-01 11:50:00", "purchase", 3.0),  // 2nd match, file 2
+      (7L, 20L, "2024-01-01 12:30:00", "purchase", 4.0),  // 2h20m after → no
+      (8L, 40L, "2024-01-01 13:00:00", "view", 1.0),
+      (9L, 40L, "2024-01-01 13:00:00", "purchase", 2.0))  // same instant → match
+    val src = tmpDir("ivj") + "/data"
+    Seq(b1, b2).foreach(_.toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      .repartition(1).write.mode("append").parquet(src))
+    val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"
+    def run(filesPerTrigger: Option[Int], name: String) = {
+      val rd = spark.readStream.schema(schema)
+      val ev = filesPerTrigger.fold(rd)(n =>
+        rd.option("maxFilesPerTrigger", n)).parquet(src)
+      val q = StreamingOps.intervalJoinStream(ev)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).orderBy("view_id", "purchase_id").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Double]("purchase_value"))).toSeq
+    }
+    val expected = Seq((1L, 3L, 7.0), (1L, 6L, 3.0), (8L, 9L, 2.0))
+    assert(run(None, "ivj_whole") === expected)
+    // time-ordered splits: the cross-batch (view b1, purchase b2) pair
+    // must still emit — the view is buffered until the watermark
+    // passes view_ts + 2h, which it never does here
+    assert(run(Some(1), "ivj_split") === expected)
+  }
+
   test("streaming decontamination is deterministic under any micro-batch split") {
     import spark.implicits._
     // 4 docs across 4 files, drained one file per trigger — the
