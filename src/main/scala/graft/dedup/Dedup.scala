@@ -1846,7 +1846,140 @@ object Dedup {
        |    / CAST(ca.n_fp + cb.n_fp - p.n_shared AS DOUBLE) >= $WinSim
        |ORDER BY p.a, p.b""".stripMargin
 
+  // ------------------------------- D27 maximal duplicated spans
+
+  /** D27: maximal duplicated spans (`dedup_max_span`) — Lee et
+    * al.-style exact substring dedup (\"Deduplicating Training Data
+    * Makes Language Models Better\", ACL 2022, the ExactSubstr
+    * component): the LONGEST character-grain spans shared verbatim
+    * across document pairs, at ARBITRARY length ≥ [[MaxSpanMinLen]].
+    * D22 (passages) anchors token 8-grams with a 20-token floor and
+    * winnowing samples fingerprints at k+w−1 grain; neither reports
+    * maximal spans below its anchor density. Here a positional
+    * char-[[MaxSpanK]]-gram chain does: characters matching over
+    * [i, i+L) ⇔ positional k-grams matching at i..i+L−k — one run of
+    * L−k+1 consecutive anchors on one (d1, d2, diagonal) — so a
+    * MAXIMAL anchor run IS a maximal character span of exactly the
+    * run length + k−1 (extending by one char would extend the run).
+    * Lee et al. build a suffix array for this; positional-gram
+    * islands are the shuffle-native equivalent at spans ≥ k.
+    *
+    * Scale shape: gram emission is map-side explode; the anchor join
+    * keys on the gram with a broadcast stop-gram anti join ([[MaxSpanDfCap]]
+    * df cap — the bounded BOILERPLATE side, winnowing's inverted-
+    * broadcast pattern), so pair cost is Σ|df≤cap|²-bounded; island
+    * grouping is one hash shuffle on (d1, d2, diag) with map-side
+    * row_number over sorted partitions. The documented contract:
+    * spans whose every gram is boilerplate (df > cap) are not
+    * reported — the cap bounds hot-gram Σdf² at ANY corpus size.
+    *
+    * The planted corpus copies a 90-char slice of every 7th document
+    * into a host with fresh flanks, so known maximal spans exist
+    * alongside the corpus's natural near-dup pairs.
+    */
+  val MaxSpanK = 16
+  val MaxSpanDfCap = 64
+  val MaxSpanMinLen = 24
+  val MaxSpanTopN = 50
+
+  private def maxSpanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").select("doc_id", "text")
+    d.union(d.where(col("doc_id") % 7 === 0 && length(col("text")) >= 160)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat(lit("maxspan host prefix text "),
+          expr("substring(text, 40, 90)"),
+          lit(" maxspan trailing filler content")).as("text")))
+  }
+
+  val maxSpanCorpusSql: String =
+    """WITH mcorpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000, 'maxspan host prefix text ' ||
+      |    substr(text, 40, 90) || ' maxspan trailing filler content'
+      |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 160)
+      |""".stripMargin
+
+  /** Core maximal-span pass over any (doc_id, text) frame: every
+    * maximal cross-doc span ≥ `minLen` built from sub-`dfCap` grams,
+    * as (d1, d2, p1, p2, span_len). Exposed for the planted spec.
+    */
+  private[graft] def maxSpansOn(docs: DataFrame, k: Int, dfCap: Int,
+      minLen: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs.where(length($"text") >= k)
+      .select($"doc_id", $"text",
+        explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("p"))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        expr(s"substring(text, p, $k)").as("gram"))
+    // stop-gram removal: broadcast the BOUNDED boilerplate side
+    // (df > cap grows with phrase popularity, not corpus size)
+    val stop = grams.groupBy($"gram").agg(count(lit(1)).as("d"))
+      .where($"d" > dfCap).select($"gram")
+    val kept = grams.join(broadcast(stop), Seq("gram"), "left_anti")
+    val a = kept.as("a"); val b = kept.as("b")
+    val anchors = a.join(b, $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"a.p".as("p1"),
+        $"b.doc_id".as("d2"), $"b.p".as("p2"),
+        ($"b.p" - $"a.p").as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"d1", $"d2", $"diag").orderBy($"p1")
+    anchors
+      .withColumn("isl", $"p1" - row_number().over(w))
+      .groupBy($"d1", $"d2", $"diag", $"isl")
+      .agg(min($"p1").as("p1"), min($"p2").as("p2"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .where($"span_len" >= minLen)
+      .select($"d1", $"d2", $"p1", $"p2", $"span_len")
+  }
+
+  def maxSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = maxSpanCorpus(spark, dir)
+    maxSpansOn(corpus, MaxSpanK, MaxSpanDfCap, MaxSpanMinLen)
+      .orderBy($"span_len".desc, $"d1", $"d2", $"p1", $"p2")
+      .limit(MaxSpanTopN)
+      // text join-back AFTER the top-N cut: 50 rows against the
+      // corpus — stats/AQE broadcast the small side
+      .join(corpus.select($"doc_id".as("d1"), $"text"), "d1")
+      .select($"d1", $"d2", $"p1", $"p2", $"span_len",
+        expr("substring(text, CAST(p1 AS INT), CAST(span_len AS INT))").as("span"))
+      .orderBy($"span_len".desc, $"d1", $"d2", $"p1", $"p2")
+  }
+
+  val maxSpanDedupSql: String = maxSpanCorpusSql +
+    s""", g AS (
+       |  SELECT doc_id, unnest(range(1, length(text) - $MaxSpanK + 2)) AS p, text
+       |  FROM mcorpus),
+       |gr AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, p, $MaxSpanK) AS gram
+       |  FROM g),
+       |stop AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) > $MaxSpanDfCap),
+       |kept AS (SELECT gr.* FROM gr LEFT JOIN stop USING (gram)
+       |  WHERE stop.gram IS NULL),
+       |m AS (
+       |  SELECT a.doc_id AS d1, a.p AS p1, b.doc_id AS d2, b.p AS p2,
+       |    b.p - a.p AS diag
+       |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |i AS (
+       |  SELECT d1, d2, diag, p1, p2,
+       |    p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS isl
+       |  FROM m),
+       |sp AS (
+       |  SELECT d1, d2, min(p1) AS p1, min(p2) AS p2,
+       |    CAST(count(*) + $MaxSpanK - 1 AS BIGINT) AS span_len
+       |  FROM i GROUP BY d1, d2, diag, isl
+       |  HAVING count(*) + $MaxSpanK - 1 >= $MaxSpanMinLen),
+       |top AS (
+       |  SELECT * FROM sp
+       |  ORDER BY span_len DESC, d1, d2, p1, p2 LIMIT $MaxSpanTopN)
+       |SELECT t.d1, t.d2, t.p1, t.p2, t.span_len,
+       |  substr(c.text, CAST(t.p1 AS INT), CAST(t.span_len AS INT)) AS span
+       |FROM top t JOIN mcorpus c ON c.doc_id = t.d1
+       |ORDER BY t.span_len DESC, t.d1, t.d2, t.p1, t.p2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_max_span" -> maxSpanDedup _,
     "dedup_winnowing" -> winnowing _,
     "dedup_source_overlap" -> sourceOverlap _,
     "dedup_span_excise" -> spanExcise _,
@@ -1868,6 +2001,7 @@ object Dedup {
     "dedup_rate_report" -> dedupRateReport _)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_max_span" -> maxSpanDedupSql,
     "dedup_winnowing" -> winnowingSql,
     "dedup_source_overlap" -> sourceOverlapSql,
     "dedup_span_excise" -> spanExciseSql,

@@ -348,4 +348,34 @@ class DedupAlgoSpec extends SparkSpecBase {
       .count()
     assert(mismatches == 0L)
   }
+
+  test("max-span: planted substring recovered exactly once, maximally, " +
+      "and a differing char splits spans") {
+    import spark.implicits._
+    // 40-char shared substring with flanks differing at BOTH
+    // boundaries in both docs → exactly ONE maximal span of exactly
+    // 40 chars at the planted positions
+    val s = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    assert(s.length === 40)
+    // docs 3/4 share two runs separated by a single differing char
+    // ('Z' vs 'Q') → TWO maximal spans, not one
+    val s1 = "alpha bravo charlie delta nine"   // 30 chars
+    val s2 = "golf hotel india juliet kilos!"   // 30 chars
+    assert(s1.length === 30 && s2.length === 30)
+    val docs = Seq(
+      (1L, "LEFTFLANKX" + s + "RIGHTFLANKY"),
+      (2L, "leftother" + s + "rightother"),
+      (3L, "prefix" + s1 + "Z" + s2 + "endbit"),
+      (4L, "other" + s1 + "Q" + s2 + "tails")).toDF("doc_id", "text")
+    val got = Dedup.maxSpansOn(docs, Dedup.MaxSpanK, Dedup.MaxSpanDfCap,
+        Dedup.MaxSpanMinLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val expected = Set(
+      (1L, 2L, 11L, 10L, 40L),   // the planted 40-char span, exact bounds
+      (3L, 4L, 7L, 6L, 30L),     // s1: maximal run up to the split char
+      (3L, 4L, 38L, 37L, 30L))   // s2: resumes after it
+    assert(got === expected, s"spans diverged: $got")
+  }
 }
