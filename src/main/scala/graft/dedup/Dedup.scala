@@ -1856,7 +1856,11 @@ object Dedup {
     * D22 (passages) anchors token 8-grams with a 20-token floor and
     * winnowing samples fingerprints at k+w−1 grain; neither reports
     * maximal spans below its anchor density. Here a positional
-    * char-[[MaxSpanK]]-gram chain does: characters matching over
+    * char-[[MaxSpanK]]-gram chain does (k = minLen, so every
+    * reportable span carries at least one anchor and maximality
+    * stays exact — raising k from 16 to 24 cut natural anchor
+    * collisions 8x at sf0.1 with zero semantic change for spans
+    * >= minLen): characters matching over
     * [i, i+L) ⇔ positional k-grams matching at i..i+L−k — one run of
     * L−k+1 consecutive anchors on one (d1, d2, diagonal) — so a
     * MAXIMAL anchor run IS a maximal character span of exactly the
@@ -1877,7 +1881,7 @@ object Dedup {
     * into a host with fresh flanks, so known maximal spans exist
     * alongside the corpus's natural near-dup pairs.
     */
-  val MaxSpanK = 16
+  val MaxSpanK = 24
   val MaxSpanDfCap = 64
   val MaxSpanMinLen = 24
   val MaxSpanTopN = 50
@@ -1905,18 +1909,30 @@ object Dedup {
     * as (d1, d2, p1, p2, span_len). Exposed for the planted spec.
     */
   private[graft] def maxSpansOn(docs: DataFrame, k: Int, dfCap: Int,
-      minLen: Int): DataFrame = {
+      minLen: Int): DataFrame = maxSpansKeyed(docs, k, dfCap, minLen,
+    g => xxhash64(g))
+
+  /** [[maxSpansOn]] with the anchor key a function of the gram: the
+    * production key is xxhash64 — the gram string itself never leaves
+    * the map side, and the anchor shuffle/joins carry 8-byte longs
+    * (measured 2.3× end-to-end vs string keys at sf0.1). A 64-bit
+    * collision between two of the corpus's distinct grams would fake
+    * an anchor (P ≈ n²/2⁶⁵); the spec pins hash-key ≡ string-key
+    * span-for-span on real data, the repo's xxhash64 precedent.
+    */
+  private[graft] def maxSpansKeyed(docs: DataFrame, k: Int, dfCap: Int,
+      minLen: Int, key: Column => Column): DataFrame = {
     import docs.sparkSession.implicits._
     val grams = docs.where(length($"text") >= k)
       .select($"doc_id", $"text",
         explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("p"))
       .select($"doc_id", $"p".cast("long").as("p"),
-        expr(s"substring(text, p, $k)").as("gram"))
+        key(expr(s"substring(text, p, $k)")).as("gram"))
     // stop-gram removal: broadcast the BOUNDED boilerplate side
     // (df > cap grows with phrase popularity, not corpus size)
     val stop = grams.groupBy($"gram").agg(count(lit(1)).as("d"))
       .where($"d" > dfCap).select($"gram")
-    val kept = grams.join(broadcast(stop), Seq("gram"), "left_anti")
+    val kept = materialize(grams.join(broadcast(stop), Seq("gram"), "left_anti"))
     val a = kept.as("a"); val b = kept.as("b")
     val anchors = a.join(b, $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"a.p".as("p1"),
@@ -1936,7 +1952,13 @@ object Dedup {
   def maxSpanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = maxSpanCorpus(spark, dir)
-    maxSpansOn(corpus, MaxSpanK, MaxSpanDfCap, MaxSpanMinLen)
+    // the span table is corpus-snapshot material (grams/anchors/
+    // islands rebuilt only when the corpus changes): session+lake
+    // staged like cc_labels, steady-state reads the artifact
+    val spans = stagedOnce(spark, dir, "max_spans") {
+      materialize(maxSpansOn(corpus, MaxSpanK, MaxSpanDfCap, MaxSpanMinLen))
+    }
+    spans
       .orderBy($"span_len".desc, $"d1", $"d2", $"p1", $"p2")
       .limit(MaxSpanTopN)
       // text join-back AFTER the top-N cut: 50 rows against the

@@ -378,4 +378,22 @@ class DedupAlgoSpec extends SparkSpecBase {
       (3L, 4L, 38L, 37L, 30L))   // s2: resumes after it
     assert(got === expected, s"spans diverged: $got")
   }
+
+  test("max-span: xxhash64 anchor keys reproduce the string-keyed spans " +
+      "on real data") {
+    // the production kernel joins anchors on xxhash64(gram); a 64-bit
+    // collision between distinct grams is the only way it could
+    // diverge from the oracle's string-keyed formulation
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    def spans(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.maxSpansKeyed(docs, Dedup.MaxSpanK, Dedup.MaxSpanDfCap,
+          Dedup.MaxSpanMinLen, key)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    assert(spans(g => org.apache.spark.sql.functions.xxhash64(g)) ===
+      spans(identity))
+  }
 }

@@ -1,0 +1,97 @@
+// Round-11 sf0.5 scale probe (judge task 8): measure the >=5s bench
+// tail at ~5x the sf0.1 corpus to catch super-linear constants before
+// they become a 100 TB surprise. Synthetic scale-up: 5 copies of each
+// sf0.1 table with shifted ids; document text is per-copy vowel-
+// translated so internal self-similarity stays but copies don't
+// trivially near-dup each other (a raw x5 duplication would multiply
+// fingerprint df by 5 and bucket pairs by 25 — a density change, not
+// a scale change). Writes /tmp/graft_sf05 once, then times each probe
+// query cold-session at sf0.1 and sf0.5 and prints one JSON line.
+//
+// Run: cp tools/ScaleProbe.scala src/main/scala/graft/ && sbt "runMain graft.ScaleProbe"
+// (kept under tools/ so the probe is reproducible but not part of the
+// shipped library surface)
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object ScaleProbe {
+  private val Out = "/tmp/graft_sf05"
+
+  private def build(spark: SparkSession): Unit = {
+    import spark.implicits._
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(Out, "_DONE"))) return
+    val src = "/root/testdata/sf0.1"
+    val trans = Seq("aeiou" -> "aeiou", "aeiou" -> "eioua",
+      "aeiou" -> "iouae", "aeiou" -> "ouaei", "aeiou" -> "uaeio")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    trans.zipWithIndex.map { case ((f, t), i) =>
+      docs.withColumn("doc_id", $"doc_id" + lit(i * 1000000L))
+        .withColumn("text", translate($"text", f, t))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+    val ev = spark.read.option("nanosAsLong", "true")
+      .parquet(s"$src/events.parquet")
+    (0 until 5).map { i =>
+      ev.withColumn("event_id", $"event_id" + lit(i * 1000000000L))
+        .withColumn("user_id", $"user_id" + lit(i * 1000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$Out/events.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until 5).map { i =>
+      li.withColumn("l_orderkey", $"l_orderkey" + lit(i * 100000000L))
+        .withColumn("l_partkey", $"l_partkey" + lit(i * 10000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(Out, "_DONE"),
+      Array.emptyByteArray)
+  }
+
+  private val probes = Seq(
+    "dedup_winnowing", "dedup_ngram_containment", "dedup_max_span",
+    "flow_pagerank", "graph_betweenness", "graph_ktruss4",
+    "stream_lpm_enrich")
+
+  def main(args: Array[String]): Unit = {
+    val spark0 = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark0.sparkContext.setLogLevel("ERROR")
+    build(spark0)
+    spark0.stop()
+    val results = for (dir <- Seq("/root/testdata/sf0.1", Out)) yield {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val times = probes.map { name =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(name)(spark, dir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"PROBE FAIL $name@$dir: ${e.getMessage}"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $dir $name rows=$n ${dt}%.1fs")
+        name -> dt
+      }
+      // fresh staging per dir (session-scoped; no lake configured)
+      graft.graph.GraphOps.invalidate(spark, dir)
+      graft.graph.GraphSearch.invalidate(spark, dir)
+      spark.stop()
+      dir -> times
+    }
+    val Seq((_, base), (_, scaled)) = results
+    val pairs = probes.indices.map { i =>
+      val (n, t1) = base(i); val (_, t5) = scaled(i)
+      f""""$n":{"sf01":$t1%.1f,"sf05":$t5%.1f,"ratio":${t5 / math.max(t1, 0.001)}%.1f}"""
+    }
+    println("SCALEPROBE " + pairs.mkString("{", ",", "}"))
+  }
+}
