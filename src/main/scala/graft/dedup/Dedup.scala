@@ -1444,7 +1444,12 @@ object Dedup {
         else next.union(edges).groupBy($"a", $"b")
           .agg(count(lit(1)).as("c")).where($"c" === 1).limit(1).count()
       release(edges)
-      edges = next
+      // fresh-stats leaf: the round plan references `edges` ~8 times
+      // (dir union + lm/large/sm joins), so checkpoint-inherited
+      // stats would compound x8 per round — million-bit sizeInBytes
+      // BigIntegers on slow-converging chain graphs
+      // ([[org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf]])
+      edges = org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(next)
       converged = changed == 0
     }
     // at convergence every component is a star centered at its min:
