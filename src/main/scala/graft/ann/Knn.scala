@@ -1824,15 +1824,21 @@ object Knn {
     */
   def knnComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val knn = graft.Staging.materialize(
-      knnJoin(spark, dir).select($"src_id", $"neighbor_id"))
-    val mut = knn.as("a").join(knn.as("b"),
-        col("b.src_id") === col("a.neighbor_id") &&
-        col("b.neighbor_id") === col("a.src_id"))
-      .where(col("a.src_id") < col("a.neighbor_id"))
-      .select(col("a.src_id").as("d1"), col("a.neighbor_id").as("d2"))
-    val ids = load(spark, dir, "embeddings").select($"vec_id".as("doc_id"))
-    graft.dedup.Dedup.connectedComponentsTwoPhase(ids, mut)
+    // the converged labels are corpus-snapshot material like D15's
+    // cc_labels: the closure runs once per corpus, reads thereafter
+    val labels = stagedModel(spark, dir, "knn_cc_labels") {
+      val knn = graft.Staging.materialize(
+        knnJoin(spark, dir).select($"src_id", $"neighbor_id"))
+      val mut = knn.as("a").join(knn.as("b"),
+          col("b.src_id") === col("a.neighbor_id") &&
+          col("b.neighbor_id") === col("a.src_id"))
+        .where(col("a.src_id") < col("a.neighbor_id"))
+        .select(col("a.src_id").as("d1"), col("a.neighbor_id").as("d2"))
+      val ids = load(spark, dir, "embeddings").select($"vec_id".as("doc_id"))
+      graft.Staging.materialize(
+        graft.dedup.Dedup.connectedComponentsTwoPhase(ids, mut))
+    }
+    labels
       .select($"doc_id".as("vec_id"), $"cluster_id",
         ($"doc_id" === $"cluster_id").as("is_canonical"))
       .orderBy($"vec_id")
