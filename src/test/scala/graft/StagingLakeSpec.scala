@@ -204,4 +204,36 @@ class StagingLakeSpec extends SparkSpecBase {
     val keyDir = new java.io.File(s"$lake/v1/old_idx")
     assert(!keyDir.exists() || keyDir.list().isEmpty)
   }
+
+  test("freshStatsLeaf keeps rows and partitioning but resets inherited stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    // a joined-then-checkpointed frame inherits the join's multiplied
+    // sizeInBytes as originStats — the compounding input of the
+    // iterative-loop planner blowup
+    val a = spark.range(200).select($"id".as("k"), ($"id" * 2).as("v"))
+    val joined = a.join(a.select($"k", $"v".as("w")), "k").repartition($"k")
+    val ck = Staging.preservePartitioning(spark)(joined.localCheckpoint())
+    val fresh = Bridge.freshStatsLeaf(ck)
+    // rows identical
+    assert(fresh.collect().map(_.toSeq).toSet === ck.collect().map(_.toSeq).toSet)
+    // the hash(k) partitioning advertisement survives (the property
+    // the staged-graph loops rely on to avoid per-round exchanges)
+    val leaf = fresh.queryExecution.optimizedPlan
+      .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr }
+    assert(leaf.nonEmpty, "fresh frame is not a LogicalRDD leaf")
+    assert(leaf.get.outputPartitioning.toString.contains("hashpartitioning"),
+      s"partitioning lost: ${leaf.get.outputPartitioning}")
+    // stats reset to the size-independent default leaf estimate —
+    // NOT the origin plan's (data-derived, loop-compounding) figure
+    val inherited = ck.queryExecution.optimizedPlan.stats.sizeInBytes
+    val reset = fresh.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(reset !== inherited,
+      s"freshStatsLeaf kept the inherited stats ($inherited)")
+    assert(reset === BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      s"expected defaultSizeInBytes, got $reset")
+    // non-leaf frames pass through untouched
+    val plain = a.where($"k" > 10)
+    assert(Bridge.freshStatsLeaf(plain) eq plain)
+  }
 }
