@@ -397,13 +397,15 @@ object Knn {
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     val centArr = cents.agg(collect_list(struct($"cid", $"cent")).as("cs"))
+    // carry every input column through (metadata such as `label` rides
+    // the map-side pass for free — the filtered-ANN shape needs it)
     vecs.crossJoin(broadcast(centArr))
-      .select($"vec_id", $"embedding",
+      .select(vecs.columns.map(col) :+
         array_max(transform($"cs", c => struct(
           vcos($"embedding", c.getField("cent")).as("s"),
           (-c.getField("cid")).as("nc"),
           c.getField("cid").as("cid"))))
-          .getField("cid").as("cid"))
+          .getField("cid").as("cid"): _*)
   }
 
   /** `iters` Lloyd's rounds from the stride-selected seed. An empty
@@ -591,6 +593,91 @@ object Knn {
        |  FROM assigned a JOIN pcells p USING (cid) WHERE a.vec_id != p.probe_id)
        |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, score
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** D7m: FILTERED ANN (`ann_topk_filtered`) — predicate + vector
+    * search in one query, the most common production vector-store
+    * shape ("nearest documents WITH label/date/source = X"). Each
+    * probe retrieves its top-[[FilteredTopK]] cosine neighbors among
+    * vectors whose `label` equals the probe's target label
+    * (probe_id % 10 — every label class is exercised).
+    *
+    * Route: the D7c multi-probe IVF dataflow with the metadata
+    * predicate applied to the cell candidate stream PRE-heap — the
+    * filter composes with the routing join (both are map-side against
+    * the broadcast cell fan-out), so candidates that fail the
+    * predicate are never scored and never enter the bounded heap.
+    * Post-filtering a k-NN result instead would silently return
+    * < k rows whenever the unfiltered top-k is predicate-sparse.
+    *
+    * The SELECTIVITY CLIFF, and why the probe fan-out is wider here
+    * ([[FilteredProbeCells]] = 2 × [[MultiProbeCells]]): a predicate
+    * of selectivity s leaves ~s·|cell| matching candidates per cell,
+    * so a probe needs ~k/(s·|cell|) cells to fill its heap — at s =
+    * 1/10 a 2-cell probe over ~16-vector cells expects ~3 matches,
+    * exactly at the k = 3 boundary. Production guidance encoded here:
+    * widen the probe set as ceil(k / (s·avg_cell)) when s is known
+    * (low-selectivity filters degrade IVF toward brute force — at
+    * that point route on a label-partitioned index instead). Under-k
+    * result sets remain possible by design; the oracle replays
+    * route + filter + rank exactly, so starvation matches too.
+    */
+  val FilteredProbeCells = 4
+  val FilteredTopK = 3
+
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    val cents = stagedModel(spark, dir, s"cents_$KMeansIters")(
+      trainedCentroids(vecs.select($"vec_id", $"embedding"), KMeansIters))
+    // label rides the map-side assignment pass — no join-back shuffle
+    val assigned = assign(vecs, cents)
+    val probeCells = vecs.where($"vec_id" < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", vcos($"embedding", $"cent"))
+      .groupBy($"vec_id")
+      .agg(first($"embedding").as("probe_emb"),
+        graft.functions.TopKByAgg.topk_by($"cscore", $"cid", FilteredProbeCells)
+          .as("cells"))
+      .select($"vec_id".as("probe_id"),
+        ($"vec_id" % 10).cast("int").as("target_label"), $"probe_emb",
+        explode($"cells.id").as("cid"))
+    val cands = assigned.join(probeCells, Seq("cid"))
+      .where($"vec_id" =!= $"probe_id" && $"label" === $"target_label")
+      .withColumn("score", vcos($"probe_emb", $"embedding"))
+    rankTopK(cands, FilteredTopK, Seq("target_label"))
+  }
+
+  val filteredTopKSql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")},
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, CAST(vec_id % 10 AS INTEGER) AS target_label,
+       |    embedding AS probe_emb, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM embeddings e, cents$KMeansIters c
+       |    WHERE e.vec_id < 10) t
+       |  WHERE rn <= $FilteredProbeCells),
+       |ranked AS (
+       |  SELECT p.probe_id, p.target_label, a.vec_id,
+       |    ${cosSql("p.probe_emb", "a.embedding")} AS score,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("p.probe_emb", "a.embedding")} DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN pcells p USING (cid)
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id != p.probe_id AND e.label = p.target_label)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  score, target_label
+       |FROM ranked WHERE rank <= $FilteredTopK ORDER BY probe_id, rank""".stripMargin
   }
 
   /** One oracle Lloyd's step: argmax assignment against `cents`. */
@@ -2300,6 +2387,7 @@ object Knn {
     "ann_topk_lsh" -> lshTopK _,
     "ann_topk_ivf" -> ivfTopK _,
     "ann_topk_ivf_mp" -> ivfTopKMulti _,
+    "ann_topk_filtered" -> filteredTopK _,
     "ann_topk_pq" -> pqTopK _,
     "ann_topk_ivfpq" -> ivfPqTopK _,
     "ann_topk_ivfpq_res" -> ivfPqResTopK _,
@@ -2329,6 +2417,7 @@ object Knn {
     "ann_topk_lsh" -> lshTopKSql,
     "ann_topk_ivf" -> ivfTopKSql,
     "ann_topk_ivf_mp" -> ivfTopKMultiSql,
+    "ann_topk_filtered" -> filteredTopKSql,
     "ann_topk_pq" -> pqTopKSql,
     "ann_topk_ivfpq" -> ivfPqTopKSql,
     "ann_topk_ivfpq_res" -> ivfPqResTopKSql,

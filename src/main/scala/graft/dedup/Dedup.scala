@@ -1899,8 +1899,12 @@ object Dedup {
     * broadcast pattern), so pair cost is Σ|df≤cap|²-bounded; island
     * grouping is one hash shuffle on (d1, d2, diag) with map-side
     * row_number over sorted partitions. The documented contract:
-    * spans whose every gram is boilerplate (df > cap) are not
-    * reported — the cap bounds hot-gram Σdf² at ANY corpus size.
+    * hot grams (df > cap) SPLIT spans — a span containing any df>cap
+    * gram is reported as the shorter sub-cap islands around it (and
+    * fragments below minLen vanish), so reported spans are maximal
+    * only over sub-cap anchor runs; spans whose every gram is
+    * boilerplate are not reported at all. The cap bounds hot-gram
+    * Σdf² at ANY corpus size.
     *
     * The planted corpus copies a 90-char slice of every 7th document
     * into a host with fresh flanks, so known maximal spans exist
@@ -1912,7 +1916,19 @@ object Dedup {
   val MaxSpanTopN = 50
 
   private def maxSpanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = load(spark, dir, "documents").select("doc_id", "text")
+    // the synthetic hosts live at doc_id + 40000; a real doc_id at or
+    // above that offset would silently merge two texts' positional
+    // grams under one id (corrupting island math and the join-back),
+    // so collision fails LOUDLY instead (safe headroom at graded SFs:
+    // max doc_id 4999)
+    val d0 = load(spark, dir, "documents").select("doc_id", "text")
+    val idType = d0.schema("doc_id").dataType
+    val d = d0.select(when(col("doc_id") < 40000, col("doc_id"))
+      .otherwise(raise_error(concat(lit("maxSpanCorpus: doc_id "),
+        col("doc_id"),
+        lit(" >= 40000 collides with the synthetic host id space")))
+        .cast(idType)).as("doc_id"),
+      col("text"))
     d.union(d.where(col("doc_id") % 7 === 0 && length(col("text")) >= 160)
       .select((col("doc_id") + 40000).as("doc_id"),
         concat(lit("maxspan host prefix text "),

@@ -63,6 +63,8 @@ object GraphOps {
       else df.localCheckpoint()
     }
 
+  private def release(dfs: DataFrame*): Unit = graft.Staging.release(dfs: _*)
+
   /** Round-state staging for the iterative queries. Both checkpoint
     * flavors cut lineage through [[org.apache.spark.sql.execution.LogicalRDD]],
     * which ADVERTISES the staged plan's outputPartitioning — so a
@@ -956,6 +958,9 @@ object GraphOps {
       maxRounds: Int = Ktruss4MaxRounds): DataFrame = {
     import edges0.sparkSession.implicits._
     var remaining = materialize(edges0.select($"u", $"v"))
+    // the materialized frame backing `remaining` (freshStatsLeaf wraps
+    // it in a new plan), tracked so superseded rounds can be released
+    var remainingFrame = remaining
     var scored: DataFrame = edges0.sparkSession.emptyDataFrame
     var converged = false
     var iter = 0
@@ -978,6 +983,12 @@ object GraphOps {
       val keep = materialize(
         sc.where($"support" >= Ktruss4K - 2).select($"u", $"v"))
       converged = keep.count() == remaining.count()
+      // this round's frames are materialized — free the superseded
+      // ones, or every peel round's checkpoint blocks (20+ at sf0.01)
+      // stay pinned in executor memory for the duration of the call
+      release(remainingFrame)
+      if (iter > 1) release(scored)
+      remainingFrame = keep
       // fresh-stats leaf: the round plan references `remaining` three
       // times (wedge join + closing edge), so inherited checkpoint
       // stats would compound exponentially across rounds — see
@@ -987,6 +998,9 @@ object GraphOps {
       // so its support column is the in-truss support
       scored = sc
     }
+    // the final keep is not consumed past the convergence count —
+    // the output derives from `scored` alone
+    release(remainingFrame)
     scored.where($"support" >= Ktruss4K - 2)
   }
 

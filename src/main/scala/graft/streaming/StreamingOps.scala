@@ -174,6 +174,43 @@ object StreamingOps {
     spark.table(name).orderBy($"user_id", $"session_start")
   }
 
+  /** E2 (graded face): streaming stateful dedup —
+    * `dropDuplicatesWithinWatermark` keeping each key's FIRST arrival,
+    * with state expiry driven by the watermark (a key's seen-flag is
+    * dropped once the watermark passes its event time plus the delay,
+    * which is what lets the operator run forever: state is bounded by
+    * the watermark horizon, not by lifetime key cardinality — the
+    * 100 TB contrast with plain `dropDuplicates`, whose state only
+    * grows). Key = (user_id, event_type, day): the "first event of
+    * its kind per user per day" rate-limit shape (~20% duplicate rate
+    * on the events table, so the operator does real work).
+    *
+    * Determinism contract: the emitted columns ARE the dedup key, so
+    * whichever physical row is kept, the drained output is the key
+    * multiset's distinct set — batch keep-first of the multiset, the
+    * D1 oracle shape (`SELECT DISTINCT`). First-seen/cross-batch
+    * semantics are pinned by the E2 spec ([[firstPerKey]] and the
+    * dropDuplicates specs); this face grades the drained result.
+    */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_dedupfirst_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select($"user_id", $"event_type",
+        date_trunc("day", $"ts").as("day"), $"ts")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select($"user_id", $"event_type", $"day".cast("timestamp_ntz").as("day"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_dedup_first")
+    spark.table(name).orderBy($"user_id", $"event_type", $"day")
+  }
+
   /** E8: streaming sketch top-K — the SpaceSaving aggregate running as
     * a complete-mode streaming aggregation (the live "top protocols
     * right now" dashboard): per-micro-batch partial sketches merge
@@ -384,6 +421,156 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor, TimeMode.None(),
         OutputMode.Append(), org.apache.spark.sql.Encoders.product[UserTotal])
+  }
+
+  // --------------------------- E5b timer-closed streaming sessionizer
+
+  /** Session gap in µs (60 min — same as E7's `session_window`). */
+  val SessionGapUs: Long = 3600L * 1000000L
+
+  case class SessEvt(user_id: Long, ts: java.time.Instant, ts_us: Long,
+      val_q: Long)
+  case class OpenSess(start_us: Long, last_us: Long, n: Long, sum_q: Long)
+  case class ClosedSess(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_q: Long)
+
+  /** E5b: timer-closed session summaries (`stream_session_timer`) —
+    * the transformWithState API half E5's running counter never
+    * touches: EVENT-TIME TIMERS. Per user, the open sessions live in
+    * a `ListState` (a key can hold several not-yet-merged sessions
+    * when batches arrive out of order); every input batch gap-merges
+    * its rows into the list and registers a timer at the earliest
+    * close time (session end = last event + gap); when the watermark
+    * passes a timer, `handleExpiredTimer` emits every session whose
+    * end ≤ watermark and drops it from state — emission and state
+    * EVICTION are both timer-driven, the production session-closer
+    * shape (TTLConfig is the wall-clock variant of the same eviction;
+    * event-time timers are the deterministic one, so that's what the
+    * graded face uses).
+    *
+    * Semantics twin: exactly E7's `session_window(ts, 60 min)` with a
+    * 10-min watermark — same gap rule (diff == gap starts a new
+    * session: merge iff next.start − cur.last < gap), same append
+    * emission horizon (end ≤ max ts − delay; Spark fires timers with
+    * expiry ≤ watermark, matching the window eviction rule), so the
+    * DuckDB oracle is the E7 oracle. Sums ride as exact cent-quantized
+    * longs through state ([[graft.Tables.dsum]]'s parity rule); all
+    * session math is µs-integer. Timers are registered at
+    * ceil(close_us / 1000) so ms-grain firing can never precede the
+    * µs-grain close; a firing before some sessions close is guarded
+    * (closable-only emission) and re-arms the next timer.
+    *
+    * Scale: state is O(open sessions) per key and self-evicting; the
+    * state store backend is RocksDB (required by transformWithState,
+    * and the backend that holds state beyond executor heap at
+    * 100 TB/day). Batch-split invariance is spec-pinned.
+    */
+  class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvt, ClosedSess] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var sessions: ListState[OpenSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[OpenSess]("sessions",
+        org.apache.spark.sql.Encoders.product[OpenSess], TTLConfig.NONE)
+
+    /** Earliest close time, as the ms timer grain that cannot fire
+      * before the µs close: ceil(close_us / 1000) ≤ wm_ms ⇔
+      * close_us ≤ wm_ms·1000.
+      */
+    private def armTimer(open: Array[OpenSess]): Unit =
+      if (open.nonEmpty) {
+        val closeUs = open.iterator.map(_.last_us + SessionGapUs).min
+        getHandle.registerTimer((closeUs + 999L) / 1000L)
+      }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvt],
+        tv: TimerValues): Iterator[ClosedSess] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      // rows at/below the watermark could extend an already-emitted
+      // session — drop them, like the session_window operator does
+      val evs = rows.filter(_.ts_us >= wmUs)
+        .map(e => OpenSess(e.ts_us, e.ts_us, 1L, e.val_q)).toArray
+      if (evs.nonEmpty) {
+        val cur = if (sessions.exists()) sessions.get().toArray
+          else Array.empty[OpenSess]
+        // interval gap-merge, boundary-exact with session_window:
+        // next.start − cur.last < gap merges (== gap starts a new one)
+        val sorted = (cur ++ evs).sortBy(s => (s.start_us, s.last_us))
+        val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSess]
+        sorted.foreach { s =>
+          if (merged.nonEmpty && s.start_us - merged.last.last_us < SessionGapUs) {
+            val p = merged.last
+            merged(merged.size - 1) = OpenSess(p.start_us,
+              math.max(p.last_us, s.last_us), p.n + s.n, p.sum_q + s.sum_q)
+          } else merged += s
+        }
+        sessions.put(merged.toArray)
+        armTimer(merged.toArray)
+      }
+      Iterator.empty // emission is the timer's job
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSess] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val cur = if (sessions.exists()) sessions.get().toArray
+        else Array.empty[OpenSess]
+      val (close, open) = cur.partition(_.last_us + SessionGapUs <= wmUs)
+      if (open.isEmpty) sessions.clear() else sessions.put(open)
+      armTimer(open) // stale multi-timer firings re-arm harmlessly
+      close.sortBy(_.start_us).iterator.map(s =>
+        ClosedSess(key, s.start_us, s.last_us + SessionGapUs, s.n, s.sum_q))
+    }
+  }
+
+  /** The unstarted E5b plan over any watermarked events stream —
+    * exposed so the spec can drive it with forced micro-batch splits.
+    */
+  private[graft] def sessionTimerStream(events: DataFrame):
+      org.apache.spark.sql.Dataset[ClosedSess] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)").as("val_q"))
+      .as[SessEvt]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor, TimeMode.EventTime(),
+        OutputMode.Append(), org.apache.spark.sql.Encoders.product[ClosedSess])
+  }
+
+  def sessionTimer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_sesstimer_${counter.incrementAndGet()}"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = sessionTimerStream(
+          eventsStream(spark, dir).withWatermark("ts", "10 minutes"))
+        .select($"user_id",
+          expr("CAST(timestamp_micros(start_us) AS TIMESTAMP_NTZ)")
+            .as("session_start"),
+          expr("CAST(timestamp_micros(end_us) AS TIMESTAMP_NTZ)")
+            .as("session_end"),
+          $"n_events",
+          expr("CAST(CAST(sum_q AS DECIMAL(28,2)) / 100 AS DOUBLE)")
+            .as("session_value"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitAndRecord(q, "stream_session_timer")
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+    spark.table(name).orderBy($"user_id", $"session_start")
   }
 
   // ------------------------------------ E16 streaming decayed counter
@@ -1403,8 +1590,17 @@ object StreamingOps {
     */
   val StreamStatePartitions = 8
 
+  /** Read/set/restore of the session-global shuffle-partitions conf is
+    * not atomic, so wrapped streams serialize on the session: without
+    * the lock, a concurrent query in the same SparkSession could plan
+    * with the stream width (8) or have its own setting clobbered by
+    * the finally-restore. Batch queries outside this wrapper don't
+    * take the lock — the graded entry points run sequentially by the
+    * Bench/Verify/driver contract, and the lock closes the
+    * two-wrapped-streams race that contract doesn't cover.
+    */
   private def withStreamPartitions(spark: SparkSession)(
-      f: => DataFrame): DataFrame = {
+      f: => DataFrame): DataFrame = spark.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, StreamStatePartitions.toString)
@@ -1433,6 +1629,8 @@ object StreamingOps {
     "stream_window_agg" -> windowAgg _,
     "stream_running_totals" -> runningTotals _,
     "stream_sessions_agg" -> sessionAgg _,
+    "stream_session_timer" -> sessionTimer _,
+    "stream_dedup_first" -> dedupFirst _,
     "stream_topk" -> topKApprox _,
     "stream_topk_decayed" -> topkDecayed _,
     "stream_decontaminate" -> decontaminate _)
@@ -1766,6 +1964,36 @@ object StreamingOps {
         |FROM sess
         |WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
+    // E5b: identical session semantics and emission horizon to E7 —
+    // the timer fires exactly when the window eviction would
+    "stream_session_timer" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 60 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 60 MINUTE AS session_end,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events, session_value
+        |FROM sess
+        |WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // E2: the emitted columns are the dedup key, so the drained output
+    // is the key multiset's distinct set (batch keep-first, D1 shape)
+    "stream_dedup_first" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |FROM events ORDER BY user_id, event_type, day""".stripMargin,
     "stream_running_totals" ->
       """SELECT event_type, count(*) AS n,
         |  max(user_id) AS max_user,

@@ -327,4 +327,47 @@ class KnnSpec extends SparkSpecBase {
     assert(got.values.exists(_._3) || got.size < 50)
     assert(!got.values.forall(_._3))
   }
+
+  test("filtered ANN: predicate holds pre-heap and beats post-filtering on recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val res = Knn.filteredTopK(spark, sf001)
+    // predicate correctness: every returned neighbor carries the
+    // probe's target label — the filter ran BEFORE the heap, so no
+    // off-label candidate could displace a matching one
+    val labels = graft.Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id".as("neighbor_id"), $"label")
+    assert(res.join(labels, "neighbor_id")
+      .where($"label" =!= $"target_label").count() == 0L)
+    // filtered ground truth: exact top-3 cosine among label matches
+    val vecs = graft.Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    val probes = vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"),
+        ($"vec_id" % 10).cast("int").as("tl"), $"embedding".as("pe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    val truth = vecs.crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"probe_id" && $"label" === $"tl")
+      .withColumn("score", graft.functions.VecFuncs.vcos($"pe", $"embedding"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 3)
+      .select($"probe_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = neighbors(res)
+    val recall = (got & truth).size.toDouble / truth.size
+    // the selectivity cliff, measured: POST-filtering the unfiltered
+    // multi-probe top-3 keeps only the ~s·k of its entries that happen
+    // to match the label — pre-heap filtering must recover strictly
+    // more of the filtered ground truth
+    val post = Knn.ivfTopKMulti(spark, sf001)
+      .join(labels, "neighbor_id")
+      .where($"label" === ($"probe_id" % 10).cast("int"))
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val postRecall = (post & truth).size.toDouble / truth.size
+    info(f"filtered recall@3 = $recall%.3f, post-filtered = $postRecall%.3f")
+    assert(recall > postRecall,
+      f"pre-heap filter did not beat post-filtering: $recall%.3f <= $postRecall%.3f")
+    assert(recall >= 0.3, f"filtered recall collapsed: $recall%.3f")
+  }
 }

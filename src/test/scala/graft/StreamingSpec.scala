@@ -594,4 +594,87 @@ class StreamingSpec extends SparkSpecBase {
       assert(m("edge") === 24L, "the >= threshold boundary must report")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("timer-closed sessions are batch-split invariant and match the gap-merge rule") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Long) = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+      // user 1: one session split ACROSS batches (0/20 then 40) plus a
+      // second session at 300; user 2: one session; user 3's event at
+      // 800 only advances the final watermark (wm 790) so everything
+      // else closes — its own session (end 860) must stay unemitted
+      val batches = Seq(
+        Seq((1L, ts(0), 1.25), (1L, ts(20), 2.0), (2L, ts(10), 0.5)),
+        Seq((1L, ts(40), 0.25), (1L, ts(300), 4.0)),
+        Seq((3L, ts(800), 1.0)))
+      val src = tmpDir("sesstimersrc") + "/data"
+      batches.foreach(_.toDF("user_id", "ts", "value").repartition(1)
+        .write.mode("append").parquet(src))
+      def run(filesPerTrigger: Option[Int], name: String) = {
+        val rd = spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        val ev = filesPerTrigger.fold(rd)(n =>
+          rd.option("maxFilesPerTrigger", n)).parquet(src)
+          .withWatermark("ts", "10 minutes")
+        val q = StreamingOps.sessionTimerStream(ev)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(name).orderBy("user_id", "start_us")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+      }
+      val whole = run(None, "sesstimer_whole")
+      val split = run(Some(1), "sesstimer_split")
+      assert(whole === split, "timer-closed sessions differ across batch splits")
+      def us(min: Long) = ts(min).getTime * 1000L
+      assert(whole === Seq(
+        (1L, us(0), us(40 + 60), 3L, 350L),    // cross-batch merge, Σ=3.50
+        (1L, us(300), us(300 + 60), 1L, 400L), // second session, gap ≥ 60min
+        (2L, us(10), us(10 + 60), 1L, 50L)),   // user 3 (end 860 > wm 790) unemitted
+        s"unexpected closed-session set: $whole")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("dropDuplicatesWithinWatermark re-admits a key after its state expires") {
+    import spark.implicits._
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    // batch 1: user 1 twice (duplicate within the watermark window →
+    // one emission); batch 2 advances the watermark far past user 1's
+    // expiry (ts + 10 min); batch 3: user 1 again — its seen-state is
+    // GONE, so it re-emits. That expiry is the operator's 100 TB
+    // contract: state is bounded by the watermark horizon, and the
+    // price is re-admission of duplicates older than the horizon.
+    // arrival ORDER matters here (unlike the split-invariance tests),
+    // so each batch lands via its own AvailableNow drain against one
+    // checkpoint — the commit log serializes them; a single multi-file
+    // drain could reorder same-mtime files
+    val src = tmpDir("ddwsrc") + "/data"; val ckpt = tmpDir("ddwckpt")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.sql.Timestamp)]()
+    def land(rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "ts").repartition(1)
+        .write.mode("append").parquet(src)
+      val q = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id")
+        .writeStream.outputMode("append")
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => ds.collect()
+          .foreach(r => buf.add((r.getLong(0), r.getTimestamp(1)))))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land(Seq((1L, ts(0)), (1L, ts(1))))
+    land(Seq((2L, ts(600))))
+    land(Seq((1L, ts(620))))
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSeq.sortBy(_._2.getTime)
+    assert(got === Seq((1L, ts(0)), (2L, ts(600)), (1L, ts(620))),
+      s"expected in-window dedup then post-expiry re-admission, got $got")
+  }
 }
