@@ -2139,6 +2139,54 @@ object FlowAnalytics {
       .orderBy($"src_label")
   }
 
+  /** B58b: IPv6 longest-prefix-match enrichment (`flow_lpm6_enrich`) —
+    * B58's dual-stack other half: the same one-broadcast-join-per-mask-
+    * length LPM chain, with the join key the codegen'd
+    * [[graft.functions.Ip6Funcs.ip6_net]] masked 16-byte network (v6
+    * has no long form to AND, so the mask arithmetic lives in the
+    * expression and the joins hash BinaryType keys). Routing dim:
+    * /48 site prefixes for the first 48 sites and /116 rack prefixes
+    * inside them (the top nibble of the interface group), with the
+    * last 16 sites falling through to the default route — so all
+    * three specificity tiers (most-specific win, mid-tier, default)
+    * are exercised and hash-checked by the closed-form oracle. The
+    * corpus never shuffles; the dim is 240 broadcast rows, and a real
+    * v6 table's ~60 mask lengths stay a bounded join chain.
+    */
+  private[graft] def lpm6Labeled(flows: DataFrame): DataFrame = {
+    import flows.sparkSession.implicits._
+    import graft.functions.Ip6Funcs.ip6_net
+    val spark = flows.sparkSession
+    val sites = spark.range(48).select(
+      ip6_net(concat(lit("2001:db8:"), lower(hex($"id")), lit("::")),
+        lit(48)).as("net48"),
+      concat(lit("site6-"), $"id").as("l48"))
+    val racks = spark.range(48).select($"id".as("x"))
+      .crossJoin(spark.range(4).select($"id".as("n")))
+      .select(
+        ip6_net(concat(lit("2001:db8:"), lower(hex($"x")), lit("::"),
+          lower(hex($"n" * 4096L))), lit(116)).as("net116"),
+        concat(lit("rack6-"), $"x", lit("-"), $"n").as("l116"))
+    flows
+      .withColumn("sn116", ip6_net($"sa6", lit(116)))
+      .withColumn("sn48", ip6_net($"sa6", lit(48)))
+      .join(broadcast(racks), $"sn116" === $"net116", "left")
+      .join(broadcast(sites), $"sn48" === $"net48", "left")
+      .withColumn("src_label", coalesce($"l116", $"l48", lit("internet6")))
+      .withColumn("matched_len",
+        when($"l116".isNotNull, 116).when($"l48".isNotNull, 48)
+          .otherwise(0).cast("int"))
+  }
+
+  def lpm6Enrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lpm6Labeled(asFlows(spark, dir))
+      .groupBy($"src_label", $"matched_len")
+      .agg(count(lit(1)).as("n_flows"), sum($"ibyt").as("bytes"),
+        countDistinct($"sa6").as("n_src"))
+      .orderBy($"src_label")
+  }
+
   /** B57: Holt double-exponential forecast (`flow_holt_forecast`) —
     * level + trend smoothing over each collector's hourly volume
     * series (l ← α·x + (1−α)(l+b); b ← β(l−l_prev) + (1−β)b), the
@@ -2189,6 +2237,7 @@ object FlowAnalytics {
     "flow_set_algebra" -> setAlgebra _,
     "flow_host_churn" -> hostChurn _,
     "flow_lpm_enrich" -> lpmEnrich _,
+    "flow_lpm6_enrich" -> lpm6Enrich _,
     "flow_subnet_rollup" -> subnetRollup _,
     "flow_mad_anomaly" -> madAnomaly _,
     "flow_theil_sen" -> theilSen _,
@@ -2471,6 +2520,25 @@ object FlowAnalytics {
         |  count(*) AS n_flows, CAST(sum(ibyt) AS BIGINT) AS bytes,
         |  count(DISTINCT sa) AS n_src
         |FROM enr GROUP BY 1, 2, 3
+        |ORDER BY src_label""".stripMargin),
+    // B58b: the winning v6 prefix re-derived from the synthetic
+    // address plan — site X = user_id%64 (sites ≥ 48 default-route),
+    // rack nibble n = (event_id%65536) // 4096 (racks exist for n < 4)
+    "flow_lpm6_enrich" -> (flowsCte +
+      """, enr6 AS (
+        |  SELECT CASE
+        |      WHEN user_id % 64 < 48 AND (event_id % 65536) // 4096 < 4
+        |        THEN 'rack6-' || (user_id % 64) || '-' || ((event_id % 65536) // 4096)
+        |      WHEN user_id % 64 < 48 THEN 'site6-' || (user_id % 64)
+        |      ELSE 'internet6' END AS src_label,
+        |    CAST(CASE
+        |      WHEN user_id % 64 < 48 AND (event_id % 65536) // 4096 < 4 THEN 116
+        |      WHEN user_id % 64 < 48 THEN 48 ELSE 0 END AS INT) AS matched_len,
+        |    sa6, ibyt
+        |  FROM flows)
+        |SELECT src_label, matched_len, count(*) AS n_flows,
+        |  CAST(sum(ibyt) AS BIGINT) AS bytes, count(DISTINCT sa6) AS n_src
+        |FROM enr6 GROUP BY 1, 2
         |ORDER BY src_label""".stripMargin),
     "flow_holt_forecast" -> (flowsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """, hourly AS (

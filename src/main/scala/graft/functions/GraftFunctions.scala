@@ -52,6 +52,7 @@ object GraftFunctions {
     "ip6_aton" -> (e => { arity("ip6_aton", e, 1); Ip6Aton(e.head) }),
     "ip6_ntoa" -> (e => { arity("ip6_ntoa", e, 1); Ip6Ntoa(e.head) }),
     "ip6_in_cidr" -> (e => { arity("ip6_in_cidr", e, 2); Ip6InCidr(e(0), e(1)) }),
+    "ip6_net" -> (e => { arity("ip6_net", e, 2); Ip6Net(e(0), e(1)) }),
     "vec_dot" -> (e => { arity("vec_dot", e, 2); VecDot(e(0), e(1)) }),
     "vec_sub" -> (e => { arity("vec_sub", e, 2); VecSub(e(0), e(1)) }),
     "vec_norm" -> (e => { arity("vec_norm", e, 1); VecNorm(e.head) }),

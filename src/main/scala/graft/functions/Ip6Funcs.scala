@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** IPv6 runtime kernels. Netflow capture is dual-stack: the reference's
@@ -179,6 +179,22 @@ object Ip6Util {
   /** The literal-CIDR fast path: base/bits parsed once at plan time. */
   def inCidrPre(ip: UTF8String, base: Array[Byte], bits: Int): Boolean =
     matchesPrefix(aton(ip), base, bits)
+
+  /** aton + host bits zeroed: the address's /bits network, the LPM
+    * join key (v6 twin of the v4 path's `aton & mask` longs). Null on
+    * malformed address or out-of-range bits.
+    */
+  def net(ip: UTF8String, bits: Int): Array[Byte] = {
+    if (bits < 0 || bits > 128) return null
+    val b = aton(ip)
+    if (b == null) return null
+    val full = bits / 8
+    val rem = bits % 8
+    if (rem != 0) b(full) = (b(full) & ((0xff << (8 - rem)) & 0xff)).toByte
+    var i = full + (if (rem == 0) 0 else 1)
+    while (i < 16) { b(i) = 0; i += 1 }
+    b
+  }
 }
 
 /** `ip6_aton(s)` — IPv6 text → 16-byte binary, null on malformed. */
@@ -273,6 +289,40 @@ case class Ip6InCidr(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** `ip6_net(ip, bits)` — the address's /bits network as 16-byte binary
+  * (host bits zeroed): the per-mask-length LPM join key. BinaryType
+  * equality is hash-join-able, so a routing dim's mask lengths each
+  * cost one broadcast join on this key — the v6 twin of the v4 LPM
+  * chain's `ip4_aton(a) & mask` long keys.
+  */
+case class Ip6Net(left: Expression, right: Expression)
+    extends BinaryExpression with RequiresTypes {
+  override protected def required = Seq(left -> StringType, right -> IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def nullSafeEval(ip: Any, bits: Any): Any =
+    Ip6Util.net(ip.asInstanceOf[UTF8String], bits.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+            |${l.code}
+            |${r.code}
+            |byte[] ${ev.value} = null;
+            |boolean ${ev.isNull} = ${l.isNull} || ${r.isNull};
+            |if (!${ev.isNull}) {
+            |  ${ev.value} = graft.functions.Ip6Util.net(${l.value}, ${r.value});
+            |  if (${ev.value} == null) ${ev.isNull} = true;
+            |}
+            |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Ip6Net =
+    copy(l, r)
+}
+
 object Ip6Funcs {
   def ip6_aton(c: Column): Column =
     ExpressionUtils.column(Ip6Aton(ExpressionUtils.expression(c)))
@@ -280,4 +330,6 @@ object Ip6Funcs {
     ExpressionUtils.column(Ip6Ntoa(ExpressionUtils.expression(c)))
   def ip6_in_cidr(ip: Column, cidr: Column): Column =
     ExpressionUtils.column(Ip6InCidr(ExpressionUtils.expression(ip), ExpressionUtils.expression(cidr)))
+  def ip6_net(ip: Column, bits: Column): Column =
+    ExpressionUtils.column(Ip6Net(ExpressionUtils.expression(ip), ExpressionUtils.expression(bits)))
 }

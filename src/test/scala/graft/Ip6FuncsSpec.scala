@@ -120,4 +120,28 @@ class Ip6FuncsSpec extends SparkSpecBase {
     assert(spark.sql("SELECT ip6_ntoa(ip6_aton('2001:0DB8::0001'))")
       .head().getString(0) === "2001:db8::1")
   }
+
+  test("ip6_net masks host bits at byte, nibble, and zero grain") {
+    def netHex(s: String, bits: Int): String = {
+      val b = Ip6Util.net(UTF8String.fromString(s), bits)
+      if (b == null) null else b.map("%02x".format(_)).mkString
+    }
+    // /48: whole-group boundary
+    assert(netHex("2001:db8:2a::1f3c", 48) === atonHex("2001:db8:2a::"))
+    // /116: mid-byte boundary — keeps the interface group's top nibble
+    assert(netHex("2001:db8:2a::1f3c", 116) === atonHex("2001:db8:2a::1000"))
+    // /0 and /128 degenerate ends
+    assert(netHex("2001:db8:2a::1f3c", 0) === "0" * 32)
+    assert(netHex("2001:db8:2a::1f3c", 128) === atonHex("2001:db8:2a::1f3c"))
+    // null on malformed address / out-of-range bits
+    assert(netHex("not-an-address", 48) === null)
+    assert(netHex("2001:db8::1", 129) === null)
+    // a masked network is inside its own CIDR and the mask is idempotent
+    assert(java.util.Arrays.equals(
+      Ip6Util.net(UTF8String.fromString("2001:db8:2a::1f3c"), 116),
+      Ip6Util.net(UTF8String.fromString("2001:db8:2a::1000"), 116)))
+    // SQL surface
+    assert(spark.sql("SELECT ip6_ntoa(ip6_net('2001:db8:2a::1f3c', 116))")
+      .head().getString(0) === "2001:db8:2a::1000")
+  }
 }
