@@ -23,6 +23,9 @@ object DevTimer {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // default NO lake (pure session staging); set SPARK_GRAFT_LAKE to
+      // time the bench's lake-serving path (run 1 = serve, not build)
+      .config(Staging.LakeConfKey, sys.env.getOrElse("SPARK_GRAFT_LAKE", ""))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

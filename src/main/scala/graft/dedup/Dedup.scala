@@ -1916,31 +1916,29 @@ object Dedup {
   val MaxSpanTopN = 50
 
   private def maxSpanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    // the synthetic hosts live at doc_id + 40000; a real doc_id at or
-    // above that offset would silently merge two texts' positional
-    // grams under one id (corrupting island math and the join-back),
-    // so collision fails LOUDLY instead (safe headroom at graded SFs:
-    // max doc_id 4999)
-    val d0 = load(spark, dir, "documents").select("doc_id", "text")
-    val idType = d0.schema("doc_id").dataType
-    val d = d0.select(when(col("doc_id") < 40000, col("doc_id"))
-      .otherwise(raise_error(concat(lit("maxSpanCorpus: doc_id "),
-        col("doc_id"),
-        lit(" >= 40000 collides with the synthetic host id space")))
-        .cast(idType)).as("doc_id"),
-      col("text"))
+    // synthetic hosts live at doc_id + (max(doc_id) + 1): derived from
+    // the corpus, so the id spaces are collision-free at ANY doc_id
+    // range (a fixed +40000 offset silently merged two texts' grams
+    // once a corpus carried ids past it — caught live by the sf0.5
+    // scale probe's shifted ids). One broadcast scalar join-back, the
+    // repo's standard pattern; mirrored in [[maxSpanCorpusSql]].
+    val d = load(spark, dir, "documents").select("doc_id", "text")
+    val base = d.agg((max(col("doc_id")) + 1).as("host_base"))
     d.union(d.where(col("doc_id") % 7 === 0 && length(col("text")) >= 160)
-      .select((col("doc_id") + 40000).as("doc_id"),
+      .crossJoin(broadcast(base))
+      .select((col("doc_id") + col("host_base")).as("doc_id"),
         concat(lit("maxspan host prefix text "),
           expr("substring(text, 40, 90)"),
           lit(" maxspan trailing filler content")).as("text")))
   }
 
   val maxSpanCorpusSql: String =
-    """WITH mcorpus AS (
+    """WITH hb AS (SELECT max(doc_id) + 1 AS host_base FROM documents),
+      |mcorpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 40000, 'maxspan host prefix text ' ||
+      |  SELECT doc_id + (SELECT host_base FROM hb),
+      |    'maxspan host prefix text ' ||
       |    substr(text, 40, 90) || ' maxspan trailing filler content'
       |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 160)
       |""".stripMargin
@@ -1995,8 +1993,11 @@ object Dedup {
     val corpus = maxSpanCorpus(spark, dir)
     // the span table is corpus-snapshot material (grams/anchors/
     // islands rebuilt only when the corpus changes): session+lake
-    // staged like cc_labels, steady-state reads the artifact
-    val spans = stagedOnce(spark, dir, "max_spans") {
+    // staged like cc_labels, steady-state reads the artifact. Key
+    // suffix _hb = host-base id derivation; the lake fingerprints the
+    // CORPUS, so an operator-semantics change must re-key or a
+    // pre-change artifact would be served
+    val spans = stagedOnce(spark, dir, "max_spans_hb") {
       materialize(maxSpansOn(corpus, MaxSpanK, MaxSpanDfCap, MaxSpanMinLen))
     }
     spans

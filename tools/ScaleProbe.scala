@@ -90,6 +90,9 @@ object ScaleProbe {
             System.err.println(s"PROBE FAIL $name@$dir: ${e.getMessage}"); -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"PROBE $dir $name rows=$n ${dt}%.1fs")
+        // a query that ERRORS at scale is the worst regression of all —
+        // don't let a -1 row count masquerade as a fast ratio
+        if (n < 0) { println(s"SCALEPROBE PROBE ERROR: $name@$dir"); sys.exit(1) }
         name -> dt
       }
       // fresh staging per dir (session-scoped; no lake configured)
@@ -99,10 +102,29 @@ object ScaleProbe {
       dir -> times
     }
     val Seq((_, base), (_, scaled)) = results
-    val pairs = probes.indices.map { i =>
+    val ratios = probes.indices.map { i =>
       val (n, t1) = base(i); val (_, t5) = scaled(i)
-      f""""$n":{"sf01":$t1%.1f,"sf05":$t5%.1f,"ratio":${t5 / math.max(t1, 0.001)}%.1f}"""
+      (n, t1, t5, t5 / math.max(t1, 0.001))
     }
-    println("SCALEPROBE " + pairs.mkString("{", ",", "}"))
+    val pairs = ratios.map { case (n, t1, t5, r) =>
+      f""""$n":{"sf01":$t1%.1f,"sf05":$t5%.1f,"ratio":$r%.1f}"""
+    }
+    val json = pairs.mkString("{", ",", "}")
+    println("SCALEPROBE " + json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALEPROBE.json"),
+      (json + "\n").getBytes("UTF-8"))
+    // REGRESSION TRIPWIRE (the round-loop contract): 5x the data may
+    // cost at most ~3x the time for every probe — a ratio above that
+    // means a Σ|bucket|² constant or a plan shape drifted super-linear,
+    // which plan snapshots can't catch. Fail LOUD, fail the round.
+    val MaxRatio = 3.0
+    val bad = ratios.filter(_._4 > MaxRatio)
+    if (bad.nonEmpty) {
+      bad.foreach { case (n, t1, t5, r) =>
+        System.err.println(
+          f"SCALEPROBE REGRESSION: $n is $r%.1fx at 5x data ($t1%.1fs -> $t5%.1fs), cap $MaxRatio")
+      }
+      sys.exit(1)
+    }
   }
 }
