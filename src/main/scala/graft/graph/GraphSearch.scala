@@ -494,18 +494,25 @@ object GraphSearch {
 
   def betweennessSampled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val eSrc = contactEdges(spark, dir)
-    val hub = contactDeg(spark, dir).orderBy($"deg".desc, $"node").limit(1)
-      .select($"node".as("seed"))
-    val comp = sessionStage.getOrBuild(spark, dir, "search_ue_comp", Seq("node")) {
-      materialize(
-        seededBfs(eSrc, hub, "betweenness-component").select($"node")
-          .repartition($"node"))
+    // the sampled-centrality table is a converged per-corpus-snapshot
+    // measurement (seeds are md5-deterministic): staged session+lake
+    // like the rank vectors; the output re-sorts because a lake
+    // round-trip drops ordering
+    val scores = sessionStage.getOrBuild(spark, dir, "btw_scores") {
+      val eSrc = contactEdges(spark, dir)
+      val hub = contactDeg(spark, dir).orderBy($"deg".desc, $"node").limit(1)
+        .select($"node".as("seed"))
+      val comp = sessionStage.getOrBuild(spark, dir, "search_ue_comp", Seq("node")) {
+        materialize(
+          seededBfs(eSrc, hub, "betweenness-component").select($"node")
+            .repartition($"node"))
+      }
+      val nFrame = comp.agg(count(lit(1)).as("n"))
+      val seeds = comp.orderBy(md5($"node"), $"node").limit(BtwSeeds)
+        .select($"node".as("seed"))
+      materialize(betweennessOf(eSrc, seeds, nFrame, BtwSeeds))
     }
-    val nFrame = comp.agg(count(lit(1)).as("n"))
-    val seeds = comp.orderBy(md5($"node"), $"node").limit(BtwSeeds)
-      .select($"node".as("seed"))
-    betweennessOf(eSrc, seeds, nFrame, BtwSeeds)
+    scores.orderBy($"bc_q".desc, $"node")
   }
 
   val betweennessSampledSql: String = {
