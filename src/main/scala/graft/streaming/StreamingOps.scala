@@ -1547,6 +1547,37 @@ object StreamingOps {
       .orderBy($"src_label")
   }
 
+  /** E22b: streaming IPv6 LPM enrichment (`stream_lpm6_enrich`) —
+    * B58b running ON the stream, completing the dual-stack story E22
+    * starts: the per-mask-length broadcast joins on the codegen'd
+    * `ip6_net` 16-byte network key ride each micro-batch (static side
+    * broadcast, no stream-side shuffle before the rollup), feeding
+    * the same complete-mode per-route rollup with the replayable KMV
+    * distinct-host sketch — here over the v6 address.
+    */
+  def lpm6Enrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_lpm6_${counter.incrementAndGet()}"
+    val labeled = graft.flow.FlowAnalytics.lpm6Labeled(
+      graft.flow.FlowAnalytics.flowsOf(eventsStream(spark, dir)))
+    val q = labeled
+      .groupBy($"src_label", $"matched_len")
+      .agg(count(lit(1)).as("n_flows"), sum($"ibyt").as("bytes"),
+        graft.functions.KmvAgg.kmv_sketch($"sa6", 256).as("sk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_lpm6_enrich")
+    spark.table(name)
+      .select($"src_label", $"matched_len", $"n_flows", $"bytes",
+        round(graft.functions.KmvAgg.kmv_estimate($"sk"), 4)
+          .as("n_src_est_r"))
+      .orderBy($"src_label")
+  }
+
   def distinctHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_hll_${counter.incrementAndGet()}"
@@ -1618,6 +1649,7 @@ object StreamingOps {
     "stream_ewma_forecast" -> ewmaForecast _,
     "stream_distinct_kmv" -> distinctKmv _,
     "stream_lpm_enrich" -> lpmEnrich _,
+    "stream_lpm6_enrich" -> lpm6Enrich _,
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
     "stream_biflow_stitch" -> biflowStitch _,
@@ -1684,6 +1716,42 @@ object StreamingOps {
         |    ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
         |      / CAST(s.th AS DOUBLE) END, 4) AS n_src_est_r
         |FROM agg a JOIN sth s USING (src_label, matched_len, dst_label)
+        |ORDER BY a.src_label""".stripMargin),
+    // E22b: closed-form v6 labels (mirrors flow_lpm6_enrich) + the KMV
+    // host estimate replayed per route over sa6
+    "stream_lpm6_enrich" -> (graft.flow.FlowAnalytics.flowsCte +
+      """, enr6 AS (
+        |  SELECT CASE
+        |      WHEN user_id % 64 < 48 AND (event_id % 65536) // 4096 < 4
+        |        THEN 'rack6-' || (user_id % 64) || '-' || ((event_id % 65536) // 4096)
+        |      WHEN user_id % 64 < 48 THEN 'site6-' || (user_id % 64)
+        |      ELSE 'internet6' END AS src_label,
+        |    CAST(CASE
+        |      WHEN user_id % 64 < 48 AND (event_id % 65536) // 4096 < 4 THEN 116
+        |      WHEN user_id % 64 < 48 THEN 48 ELSE 0 END AS INT) AS matched_len,
+        |    sa6, ibyt
+        |  FROM flows),
+        |uu6 AS (SELECT DISTINCT src_label, matched_len, sa6 FROM enr6),
+        |hh6 AS (SELECT src_label, matched_len,
+        |    ('0x' || substr(md5(sa6), 1, 15))::BIGINT AS h
+        |  FROM uu6),
+        |rk6 AS (SELECT src_label, matched_len, h,
+        |    row_number() OVER (PARTITION BY src_label, matched_len
+        |      ORDER BY h) AS rn
+        |  FROM hh6),
+        |sth6 AS (
+        |  SELECT src_label, matched_len, count(*) AS ns,
+        |    max(CASE WHEN rn = 256 THEN h END) AS th
+        |  FROM rk6 WHERE rn <= 256 GROUP BY 1, 2),
+        |agg6 AS (
+        |  SELECT src_label, matched_len,
+        |    count(*) AS n_flows, CAST(sum(ibyt) AS BIGINT) AS bytes
+        |  FROM enr6 GROUP BY 1, 2)
+        |SELECT a.src_label, a.matched_len, a.n_flows, a.bytes,
+        |  round(CASE WHEN s.ns < 256 THEN CAST(s.ns AS DOUBLE)
+        |    ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(s.th AS DOUBLE) END, 4) AS n_src_est_r
+        |FROM agg6 a JOIN sth6 s USING (src_label, matched_len)
         |ORDER BY a.src_label""".stripMargin),
     // E21: the KMV estimate replayed exactly (ORDER BY/LIMIT k)
     "stream_distinct_kmv" ->
