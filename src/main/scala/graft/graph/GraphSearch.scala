@@ -305,32 +305,38 @@ object GraphSearch {
 
   def closenessSampled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val eSrc = contactEdges(spark, dir)
-    val hub = contactDeg(spark, dir).orderBy($"deg".desc, $"node").limit(1)
-      .select($"node".as("seed"))
-    // the giant component is corpus-snapshot material like the edges
-    val comp = sessionStage.getOrBuild(spark, dir, "search_ue_comp", Seq("node")) {
-      materialize(
-        seededBfs(eSrc, hub, "closenessSampled-component").select($"node")
-          .repartition($"node"))
+    // converged per-snapshot measurement (md5-deterministic seeds) —
+    // staged session+lake like the betweenness table; output re-sorts
+    // because a lake round-trip drops ordering
+    val scores = sessionStage.getOrBuild(spark, dir, "closeness_scores") {
+      val eSrc = contactEdges(spark, dir)
+      val hub = contactDeg(spark, dir).orderBy($"deg".desc, $"node").limit(1)
+        .select($"node".as("seed"))
+      // the giant component is corpus-snapshot material like the edges
+      val comp = sessionStage.getOrBuild(spark, dir, "search_ue_comp", Seq("node")) {
+        materialize(
+          seededBfs(eSrc, hub, "closenessSampled-component").select($"node")
+            .repartition($"node"))
+      }
+      val nFrame = comp.agg(count(lit(1)).as("n"))
+      val seeds = comp.orderBy(md5($"node"), $"node").limit(CloseSampleSeeds)
+        .select($"node".as("seed"))
+      val kD = lit(CloseSampleSeeds.toDouble)
+      materialize(seededBfs(eSrc, seeds, "closenessSampled")
+        .groupBy($"node")
+        .agg(count(lit(1)).as("n_seen"), sum($"hop").as("sum_dist"))
+        .where($"n_seen" === CloseSampleSeeds)
+        .crossJoin(broadcast(nFrame))
+        .select($"node", $"sum_dist",
+          round(($"n".cast("double") * $"sum_dist".cast("double")) /
+            (kD * ($"n" - 1).cast("double")), 9).as("est_avg_dist_r"),
+          round((kD * ($"n" - 1).cast("double")) /
+            ($"n".cast("double") * $"sum_dist".cast("double")), 9)
+            .as("closeness_est_r"))
+        .orderBy($"sum_dist", $"node")
+        .limit(CloseSampleTopN))
     }
-    val nFrame = comp.agg(count(lit(1)).as("n"))
-    val seeds = comp.orderBy(md5($"node"), $"node").limit(CloseSampleSeeds)
-      .select($"node".as("seed"))
-    val kD = lit(CloseSampleSeeds.toDouble)
-    seededBfs(eSrc, seeds, "closenessSampled")
-      .groupBy($"node")
-      .agg(count(lit(1)).as("n_seen"), sum($"hop").as("sum_dist"))
-      .where($"n_seen" === CloseSampleSeeds)
-      .crossJoin(broadcast(nFrame))
-      .select($"node", $"sum_dist",
-        round(($"n".cast("double") * $"sum_dist".cast("double")) /
-          (kD * ($"n" - 1).cast("double")), 9).as("est_avg_dist_r"),
-        round((kD * ($"n" - 1).cast("double")) /
-          ($"n".cast("double") * $"sum_dist".cast("double")), 9)
-          .as("closeness_est_r"))
-      .orderBy($"sum_dist", $"node")
-      .limit(CloseSampleTopN)
+    scores.orderBy($"sum_dist", $"node")
   }
 
   val closenessSampledSql: String =
