@@ -967,6 +967,49 @@ object Knn {
   def invalidate(spark: SparkSession, dir: String): Unit =
     sessionStage.invalidate(spark, dir)
 
+  /** The staged trained IVF centroid table for `dir` — exposed for
+    * the streaming ingest router (E23), which assigns arriving
+    * vectors against the PUBLISHED index instead of retraining.
+    */
+  private[graft] def servedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stagedModel(spark, dir, s"cents_$KMeansIters")(
+      trainedCentroids(
+        load(spark, dir, "embeddings").select($"vec_id", $"embedding"),
+        KMeansIters))
+  }
+
+  /** [[assign]] over any (vec_id, embedding[, ...]) frame against the
+    * staged centroids — map-side (broadcast centroid array), so it
+    * composes onto a streaming source. Adds `cid` and the 6-dp cosine
+    * to the winning centroid.
+    */
+  private[graft] def routeAgainstIndex(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    assign(vecs, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("cscore_r", round(vcos($"embedding", $"cent"), 6))
+      .drop("cent")
+  }
+
+  /** E23 oracle: training replay + argmax assignment + the rounded
+    * winning-centroid cosine, per vector.
+    */
+  val annRouteStreamSql: String = {
+    val training = (1 to KMeansIters).map { i =>
+      assignCteSql(s"cents${i - 1}", s"a$i") + ",\n" + meanCteSql(s"a$i", s"cents$i")
+    }.mkString(",\n")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings
+       |  WHERE vec_id % $CentStride = 0 AND vec_id < ${CentStride * CentBudget}),
+       |$training,
+       |${assignCteSql(s"cents$KMeansIters", "assigned")}
+       |SELECT a.vec_id, a.cid,
+       |  round(${cosSql("a.embedding", "c.cent")}, 6) AS cscore_r
+       |FROM assigned a JOIN cents$KMeansIters c ON c.cid = a.cid
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** (vec_id, cell) routing assignment — exposed for the cell-locality
     * spec.
     */

@@ -1578,6 +1578,39 @@ object StreamingOps {
       .orderBy($"src_label")
   }
 
+  /** E23: streaming ANN ingest routing (`stream_ann_route`) — the
+    * vector-store INGEST face: arriving embeddings are assigned to
+    * their IVF cell against the PUBLISHED index (the lake/session-
+    * staged trained centroids, [[graft.ann.Knn.servedCentroids]]) as
+    * they stream in — no retraining per batch, no stream-side
+    * shuffle: the argmax is map-side against the broadcast centroid
+    * array, the same E3 stream-static pattern the LPM enrichments
+    * use. At 100 TB/day this is how an ANN index absorbs new data:
+    * route on ingest, persist routed rows cell-partitioned, retrain
+    * centroids only per corpus snapshot. Assignment is deterministic
+    * (argmax over (score, −cid)), so the drained append output IS the
+    * batch assignment and the oracle replays training + routing.
+    */
+  def annRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_annroute_${counter.incrementAndGet()}"
+    val sp = spool(spark, dir, "embeddings")
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(sp)
+      .select($"vec_id", $"embedding")
+    val cents = graft.ann.Knn.servedCentroids(spark, dir)
+    val q = graft.ann.Knn.routeAgainstIndex(stream, cents)
+      .select($"vec_id", $"cid", $"cscore_r")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "stream_ann_route")
+    spark.table(name).orderBy($"vec_id")
+  }
+
   def distinctHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_hll_${counter.incrementAndGet()}"
@@ -1650,6 +1683,7 @@ object StreamingOps {
     "stream_distinct_kmv" -> distinctKmv _,
     "stream_lpm_enrich" -> lpmEnrich _,
     "stream_lpm6_enrich" -> lpm6Enrich _,
+    "stream_ann_route" -> annRoute _,
     "stream_distinct_hll" -> distinctHll _,
     "stream_cdc_upsert" -> cdcUpsert _,
     "stream_biflow_stitch" -> biflowStitch _,
@@ -1753,6 +1787,8 @@ object StreamingOps {
         |      / CAST(s.th AS DOUBLE) END, 4) AS n_src_est_r
         |FROM agg6 a JOIN sth6 s USING (src_label, matched_len)
         |ORDER BY a.src_label""".stripMargin),
+    // E23: deterministic route assignment — training + argmax replayed
+    "stream_ann_route" -> graft.ann.Knn.annRouteStreamSql,
     // E21: the KMV estimate replayed exactly (ORDER BY/LIMIT k)
     "stream_distinct_kmv" ->
       """WITH uu AS (

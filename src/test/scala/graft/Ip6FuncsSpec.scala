@@ -144,4 +144,24 @@ class Ip6FuncsSpec extends SparkSpecBase {
     assert(spark.sql("SELECT ip6_ntoa(ip6_net('2001:db8:2a::1f3c', 116))")
       .head().getString(0) === "2001:db8:2a::1000")
   }
+
+  test("fuzz: ip6_net is idempotent and consistent with CIDR containment") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 2000) {
+      val addr = Array.fill(8)(rnd.nextInt(0x10000))
+        .map(g => f"$g%x").mkString(":")
+      val bits = rnd.nextInt(129)
+      val net = Ip6Util.net(UTF8String.fromString(addr), bits)
+      assert(net != null, s"$addr/$bits")
+      // the address is inside its own /bits network
+      assert(Ip6Util.matchesPrefix(
+        Ip6Util.aton(UTF8String.fromString(addr)), net, bits), s"$addr/$bits")
+      // masking the masked form changes nothing
+      assert(java.util.Arrays.equals(net, Ip6Util.net(Ip6Util.ntoa(net), bits)),
+        s"not idempotent at $addr/$bits")
+      // agrees with the containment expression on the same prefix
+      assert(Ip6Util.inCidr(UTF8String.fromString(addr),
+        UTF8String.fromString(s"${Ip6Util.ntoa(net)}/$bits")), s"$addr/$bits")
+    }
+  }
 }
