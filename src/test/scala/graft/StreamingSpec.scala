@@ -611,8 +611,25 @@ class StreamingSpec extends SparkSpecBase {
         Seq((1L, ts(40), 0.25), (1L, ts(300), 4.0)),
         Seq((3L, ts(800), 1.0)))
       val src = tmpDir("sesstimersrc") + "/data"
-      batches.foreach(_.toDF("user_id", "ts", "value").repartition(1)
-        .write.mode("append").parquet(src))
+      // the file source orders by modification time and fast appends
+      // can TIE — and THIS property (unlike max-merge invariance) needs
+      // watermark-respecting arrival order, so pin each batch's mtime
+      val baseMs = System.currentTimeMillis() - 3600000L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF("user_id", "ts", "value").repartition(1)
+          .write.mode("append").parquet(src)
+        // freshly written parts have now-ish mtimes; stamped ones sit
+        // an hour back — stamp the fresh ones into this batch's slot
+        java.nio.file.Files.list(java.nio.file.Paths.get(src)).iterator()
+          .forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".parquet") &&
+                java.nio.file.Files.getLastModifiedTime(p).toMillis >
+                  baseMs + batches.size * 60000L)
+              java.nio.file.Files.setLastModifiedTime(p,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  baseMs + i * 60000L))
+          }
+      }
       def run(filesPerTrigger: Option[Int], name: String) = {
         val rd = spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
         val ev = filesPerTrigger.fold(rd)(n =>
