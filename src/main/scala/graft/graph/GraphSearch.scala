@@ -118,6 +118,17 @@ object GraphSearch {
 
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the hop histogram is a converged per-snapshot measurement
+    // (deterministic top-degree seeds) — staged session+lake like the
+    // centrality tables; re-sorted on read
+    val hist = sessionStage.getOrBuild(spark, dir, "bfs_hops_hist") {
+      materialize(bfsHopsOf(spark, dir))
+    }
+    hist.orderBy($"hops")
+  }
+
+  private def bfsHopsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // undirected user↔service contacts: same link set as B21's LPA
     val eSrc = contactEdges(spark, dir)
     val deg = contactDeg(spark, dir)
