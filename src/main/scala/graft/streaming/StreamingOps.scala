@@ -1244,10 +1244,21 @@ object StreamingOps {
       .union(incoming.where($"doc_id" % 3 === 0)
         .select(($"doc_id" + 70000).as("doc_id"),
           md5(concat(lit("fresh:"), $"doc_id".cast("string"))).as("text")))
-    val signed = staged.select($"doc_id",
-      graft.functions.StrFuncs.minhash_sig(
-        graft.functions.StrFuncs.char_grams($"text", Dedup.ShingleLen),
-        Dedup.NumHashes, Dedup.MinhashP).as("minhashes"))
+    // spread the CPU-bound signing kernel: a one-file micro-batch
+    // arrives as ONE input partition, serializing ~5 s of per-doc
+    // minhash work onto a single task (the streaming analog of
+    // [[graft.Staging.spreadNarrow]], which can't inspect a stream's
+    // scan width) — one raw-text-sized shuffle buys kernel parallelism;
+    // values are unchanged (map-only sign, order-free join + max).
+    // Spread to COMPUTE width (defaultParallelism), not the state
+    // width: the 8-partition state knob sizes store instances, while
+    // the signing wants every core
+    val signed = staged
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        graft.functions.StrFuncs.minhash_sig(
+          graft.functions.StrFuncs.char_grams($"text", Dedup.ShingleLen),
+          Dedup.NumHashes, Dedup.MinhashP).as("minhashes"))
     val q = Dedup.bandsOf(signed)
       .join(index, Seq("band_id", "band_hash"))
       .groupBy($"doc_id")
