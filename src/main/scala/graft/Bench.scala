@@ -33,11 +33,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_LAKE: unset → default /tmp lake; "off" → disabled;
     // anything else → that path
-    val lakeRoot = sys.env.get("SPARK_GRAFT_LAKE") match {
-      case Some("off") => ""
-      case Some(p)     => p
-      case None        => "/tmp/graft_lake"
-    }
+    val lakeRoot = Staging.lakeRootFromEnv(default = "/tmp/graft_lake")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,7 +66,12 @@ object Bench {
         runAll(s2, sfDir)
       }
     val warmTotal = warm.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
+    // sum only real durations: a -1.0 failure sentinel must not
+    // SUBTRACT from the total (failures are reported via `failed`)
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    // cold skipped (SPARK_GRAFT_COLD=off) → null, not a 0.000 that
+    // reads like an instantaneous pass
+    val coldJson = if (cold.isEmpty) "null" else fmt(coldTotal)
     // Full per-query detail goes to a file: with 100+ queries the
     // single JSON line exceeds the 2000-char output tail the driver
     // captures, which front-truncates it into unparseable text. The
@@ -80,7 +81,7 @@ object Bench {
       if (cold.isEmpty) "" else s""","queries_cold":${jsonMap(cold)}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"metric":"total","value":${fmt(warmTotal)},"value_warm":${fmt(warmTotal)},""" +
-        s""""value_cold":${fmt(coldTotal)},"unit":"sec",""" +
+        s""""value_cold":$coldJson,"unit":"sec",""" +
         s""""queries":${jsonMap(warm)}$coldDetail,"sf":"$sfDir"}""").getBytes("UTF-8"))
     val headline = Seq(
       "q1_agg", "q3_join_agg", "q5_multijoin", "join_asof",
@@ -102,7 +103,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     val headlineJson =
-      s"""{"metric":"total","value":${fmt(warmTotal)},"value_warm":${fmt(warmTotal)},"value_cold":${fmt(coldTotal)},"unit":"sec","n_queries":${warm.size},"failed":$failed,"spark":"$sparkVersion","queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(warmTotal)},"value_warm":${fmt(warmTotal)},"value_cold":$coldJson,"unit":"sec","n_queries":${warm.size},"failed":$failed,"spark":"$sparkVersion","queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // the bare headline also lands in a fixed file so the artifact
     // parses even if a log relay decorates the printed line
     java.nio.file.Files.write(

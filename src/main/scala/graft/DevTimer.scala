@@ -25,7 +25,7 @@ object DevTimer {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // default NO lake (pure session staging); set SPARK_GRAFT_LAKE to
       // time the bench's lake-serving path (run 1 = serve, not build)
-      .config(Staging.LakeConfKey, sys.env.getOrElse("SPARK_GRAFT_LAKE", ""))
+      .config(Staging.LakeConfKey, Staging.lakeRootFromEnv(default = ""))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

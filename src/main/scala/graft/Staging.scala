@@ -130,6 +130,20 @@ object Staging {
     */
   val LakeConfKey = "spark.graft.stagingLake"
 
+  /** The one SPARK_GRAFT_LAKE env → [[LakeConfKey]] mapping, shared by
+    * Bench/Verify/DevTimer: `"off"` disables the lake (empty conf
+    * value, which [[SessionCache]] treats as unset), any other value
+    * is the lake root verbatim, and unset falls back to `default`.
+    * Factored here so no entry point can misread `off` as a literal
+    * `./off` lake directory.
+    */
+  def lakeRootFromEnv(default: String): String =
+    sys.env.get("SPARK_GRAFT_LAKE") match {
+      case Some("off") => ""
+      case Some(p)     => p
+      case None        => default
+    }
+
   /** Session conf key: when `"true"`, [[SessionCache.getOrBuild]]
     * FAILS LOUDLY instead of staging a session-lifetime artifact via
     * `localCheckpoint` with no reliable checkpoint dir configured. On

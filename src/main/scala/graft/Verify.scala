@@ -20,11 +20,8 @@ object Verify {
       // centroids/codebooks, graph edge tables) are published to a lake
       // keyed by corpus fingerprint and SERVED to later sessions
       // instead of rebuilt. SPARK_GRAFT_LAKE=off disables.
-      .config(Staging.LakeConfKey, sys.env.get("SPARK_GRAFT_LAKE") match {
-        case Some("off") => "" // empty → Staging treats the lake as unset
-        case Some(p)     => p
-        case None        => "/tmp/graft_lake"
-      })
+      .config(Staging.LakeConfKey,
+        Staging.lakeRootFromEnv(default = "/tmp/graft_lake"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

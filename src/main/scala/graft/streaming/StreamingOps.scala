@@ -186,11 +186,18 @@ object StreamingOps {
     * on the events table, so the operator does real work).
     *
     * Determinism contract: the emitted columns ARE the dedup key, so
-    * whichever physical row is kept, the drained output is the key
-    * multiset's distinct set — batch keep-first of the multiset, the
-    * D1 oracle shape (`SELECT DISTINCT`). First-seen/cross-batch
-    * semantics are pinned by the E2 spec ([[firstPerKey]] and the
-    * dropDuplicates specs); this face grades the drained result.
+    * whichever physical row is kept, each emitted row is a key from
+    * the input's distinct key set — the D1 oracle shape
+    * (`SELECT DISTINCT`). One caveat keeps this from being
+    * unconditional: `dropDuplicatesWithinWatermark` EXPIRES a key's
+    * seen-state once the watermark passes its event time + delay, so
+    * a key arriving again in a LATER micro-batch after expiry
+    * re-emits (the re-admission spec proves exactly this). The
+    * AvailableNow drain here is a single micro-batch over the spool,
+    * where no re-admission can occur — but rather than grade on that
+    * batching accident, the drained table is distinct-ed below, so
+    * the oracle stays valid under any future batch split while
+    * re-admission behavior stays covered by the spec.
     */
   def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -208,7 +215,11 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     awaitAndRecord(q, "stream_dedup_first")
-    spark.table(name).orderBy($"user_id", $"event_type", $"day")
+    // distinct over the DRAIN (not the stream): collapses watermark
+    // re-admissions a multi-batch drain could emit — a no-op for the
+    // single-batch AvailableNow drain; see the contract above
+    spark.table(name).dropDuplicates("user_id", "event_type", "day")
+      .orderBy($"user_id", $"event_type", $"day")
   }
 
   /** E8: streaming sketch top-K — the SpaceSaving aggregate running as
