@@ -1993,6 +1993,169 @@ object Knn {
        |  vec_id = min(lbl) AS is_canonical
        |FROM reach GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- D7n graph-walk ANN
+
+  /** D7n: graph-walk ANN (`ann_topk_graph`) — the NSW/HNSW family's
+    * query path, the dominant production single-node ANN index shape
+    * (Malkov & Yashunin, IEEE TPAMI 2020) re-expressed over the
+    * engine's staged artifacts: BEAM SEARCH over a navigable
+    * small-world graph built by symmetrizing D37's kNN graph (each
+    * node linked to its top-3 within-cell neighbors, links traversable
+    * both ways — exactly how NSW treats its kNN construction edges).
+    *
+    * Two-layer navigation, mirroring HNSW's hierarchy:
+    *  - entry layer: one representative per IVF cell (min vec_id —
+    *    deterministic), all scored against the probe map-side, top
+    *    [[GraphEntryBeam]] become the initial beam. This is the
+    *    "upper layer" that teleports the walk near the right region
+    *    without scanning the corpus.
+    *  - bottom layer: [[GraphHops]] rounds of
+    *    `beam ← top-[[GraphBeamWidth]](beam ∪ N(beam))` — score the
+    *    current beam's graph neighbors, keep the best B by
+    *    (cosine DESC, vec_id ASC). The kept set is monotone: a stable
+    *    beam is a fixpoint (its candidate set no longer changes), so
+    *    running EXACTLY [[GraphHops]] hops on both engines agrees by
+    *    construction — no convergence race, no cap-vs-recursion
+    *    mismatch (the BFS-B23 lesson, solved here by fixed unrolling
+    *    instead of converge-or-throw: the walk's result is defined AS
+    *    the H-hop beam).
+    *
+    * Final answer: top-[[GraphTopK]] of the converged beam, self
+    * excluded — same output shape as every D6/D7 query, so recall@3
+    * vs brute is directly measurable (spec'd, like D7c/D7m).
+    *
+    * 100 TB shape: the walk state is tiny (|probes|·B rows) and rides
+    * BROADCAST into every join — the edge table (n·k rows, staged to
+    * the lake once per corpus snapshot like the centroids/codebooks)
+    * and the embeddings table are only ever streamed map-side, never
+    * shuffled; per hop the engine does one edge scan + one corpus
+    * scan with a bounded heap, so H hops cost H linear scans
+    * regardless of probe count — the honest distributed face of
+    * pointer-chasing (per-lookup latency trades for full scan
+    * bandwidth, which is the right trade when probes arrive in
+    * batches).
+    */
+  val GraphEntryBeam = 6
+  val GraphBeamWidth = 10
+  val GraphHops = 5
+  val GraphTopK = 5
+
+  /** The staged navigable graph: D37's within-cell kNN edges,
+    * symmetrized and deduped — built once per corpus snapshot,
+    * published to the lake, served to every later walk.
+    */
+  private[graft] def navGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stagedModel(spark, dir, "knn_nav_edges") {
+      val knn = knnJoin(spark, dir)
+        .select($"src_id".as("src"), $"neighbor_id".as("dst"))
+      graft.Staging.materialize(
+        knn.unionAll(knn.select($"dst".as("src"), $"src".as("dst"))).distinct())
+    }
+  }
+
+  /** The walk's entry layer: per-cell MEDOID (centroid-nearest member,
+    * ties by vec_id) — the member that best stands in for its cell, so
+    * entry scoring ranks cells by how promising they actually are.
+    * Exposed for the recall spec's entry-only baseline.
+    */
+  private[graft] def entryReps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = stagedModel(spark, dir, s"cents_$KMeansIters")(
+      trainedCentroids(vecs, KMeansIters))
+    assign(vecs, cents).join(broadcast(cents), Seq("cid"))
+      .withColumn("cscore", vcos($"embedding", $"cent"))
+      .groupBy($"cid")
+      .agg(graft.functions.TopKByAgg.topk_by($"cscore", $"vec_id", 1).as("m"))
+      .select(element_at($"m.id", 1).as("vec_id"))
+  }
+
+  def graphTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val edges = navGraphEdges(spark, dir)
+    val probes = vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val reps = entryReps(spark, dir)
+    // (probe_id, vec_id) candidates → scored rows; candidates are tiny
+    // and broadcast, the corpus streams map-side
+    def score(cand: DataFrame): DataFrame =
+      vecs.join(broadcast(cand), "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .select($"probe_id", $"vec_id",
+          vcos($"probe_emb", $"embedding").as("score"))
+    def topBeam(cand: DataFrame, b: Int): DataFrame =
+      rankTopK(score(cand), b, Seq.empty)
+        .select($"probe_id", $"neighbor_id".as("vec_id"))
+    var beam = graft.Staging.materialize(topBeam(
+      probes.select($"probe_id").crossJoin(broadcast(reps)), GraphEntryBeam))
+    (1 to GraphHops).foreach { _ =>
+      val nbrs = edges.join(
+          broadcast(beam.withColumnRenamed("vec_id", "src")), "src")
+        .select($"probe_id", $"dst".as("vec_id"))
+      val next = graft.Staging.materialize(
+        topBeam(beam.unionAll(nbrs).distinct(), GraphBeamWidth))
+      graft.Staging.release(beam)
+      beam = next
+    }
+    val out = rankTopK(score(beam).where($"vec_id" =!= $"probe_id"), GraphTopK,
+      Seq.empty)
+    out
+  }
+
+  val graphTopKSql: String = {
+    def hopSql(h: Int): String =
+      s"""cand$h AS (
+         |  SELECT probe_id, vec_id FROM beam${h - 1}
+         |  UNION
+         |  SELECT b.probe_id, e.dst AS vec_id
+         |  FROM beam${h - 1} b JOIN edges e ON e.src = b.vec_id),
+         |beam$h AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT c.probe_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.probe_id
+         |        ORDER BY ${cosSql("p.pemb", "v.embedding")} DESC, c.vec_id) AS rn
+         |    FROM cand$h c JOIN embeddings v ON v.vec_id = c.vec_id
+         |      JOIN probes p ON p.probe_id = c.probe_id) t
+         |  WHERE rn <= $GraphBeamWidth)""".stripMargin
+    s"""$knnCtesSql,
+       |knn AS (SELECT src_id, neighbor_id FROM ranked WHERE rank <= 3),
+       |edges AS (
+       |  SELECT src_id AS src, neighbor_id AS dst FROM knn
+       |  UNION
+       |  SELECT neighbor_id, src_id FROM knn),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pemb
+       |  FROM embeddings WHERE vec_id < 10),
+       |reps AS (
+       |  SELECT vec_id FROM (
+       |    SELECT a.vec_id, row_number() OVER (PARTITION BY a.cid
+       |      ORDER BY ${cosSql("a.embedding", "c.cent")} DESC, a.vec_id) AS rn
+       |    FROM assigned a JOIN cents$KMeansIters c ON c.cid = a.cid) t
+       |  WHERE rn = 1),
+       |beam0 AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, r.vec_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pemb", "v.embedding")} DESC, r.vec_id) AS rn
+       |    FROM probes p CROSS JOIN reps r
+       |      JOIN embeddings v ON v.vec_id = r.vec_id) t
+       |  WHERE rn <= $GraphEntryBeam),
+       |${(1 to GraphHops).map(hopSql).mkString(",\n")},
+       |walked AS (
+       |  SELECT b.probe_id, b.vec_id,
+       |    ${cosSql("p.pemb", "v.embedding")} AS score,
+       |    row_number() OVER (PARTITION BY b.probe_id
+       |      ORDER BY ${cosSql("p.pemb", "v.embedding")} DESC, b.vec_id) AS rank
+       |  FROM beam$GraphHops b JOIN embeddings v ON v.vec_id = b.vec_id
+       |    JOIN probes p ON p.probe_id = b.probe_id
+       |  WHERE b.vec_id != b.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  score
+       |FROM walked WHERE rank <= $GraphTopK ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** D45: k-NN label accuracy (`knn_label_accuracy`) — the label-noise
     * audit over D37's kNN graph: each vector's label predicted by the
     * majority of its 3 within-cell nearest neighbors (ties broken by
@@ -2442,6 +2605,7 @@ object Knn {
     "emb_quantize" -> embQuantize _,
     "emb_matryoshka" -> embMatryoshka _,
     "knn_components" -> knnComponents _,
+    "ann_topk_graph" -> graphTopK _,
     "ann_topk_binary" -> binaryTopK _)
 
   val oracleSql: Map[String, String] = Map(
@@ -2472,5 +2636,6 @@ object Knn {
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "knn_components" -> knnComponentsSql,
+    "ann_topk_graph" -> graphTopKSql,
     "ann_topk_binary" -> binaryTopKSql)
 }

@@ -370,4 +370,51 @@ class KnnSpec extends SparkSpecBase {
       f"pre-heap filter did not beat post-filtering: $recall%.3f <= $postRecall%.3f")
     assert(recall >= 0.3, f"filtered recall collapsed: $recall%.3f")
   }
+
+  test("graph-walk ANN: hops recover recall the entry layer alone misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val truth = neighbors(Knn.bruteTopK(spark, sf001))
+    val res = Knn.graphTopK(spark, sf001)
+    val got = neighbors(res)
+    val recall = (got & truth).size.toDouble / truth.size
+    // entry layer only (no hops): exact top-3 among the per-cell
+    // representatives — what the walk starts from; the beam search
+    // must strictly improve on it or the graph contributes nothing
+    val vecs = graft.Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val reps = Knn.entryReps(spark, sf001).join(vecs, "vec_id")
+    val probes = vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    val entryOnly = reps.crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"probe_id")
+      .withColumn("score", graft.functions.VecFuncs.vcos($"pe", $"embedding"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 3)
+      .select($"probe_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val entryRecall = (entryOnly & truth).size.toDouble / truth.size
+    info(f"graph-walk recall@3 = $recall%.3f, entry-layer-only = $entryRecall%.3f")
+    assert(recall > entryRecall,
+      f"beam search recovered nothing over its entry layer: $recall%.3f <= $entryRecall%.3f")
+    // measured 0.467 (medoid entries, B=10, H=5) — at the within-cell
+    // ceiling the D37 construction graph imposes (cross-cell truth is
+    // unreachable by design, same bound as single-probe IVF); floor
+    // leaves headroom for testdata regeneration, not drift
+    assert(recall >= 0.35, f"graph-walk recall collapsed: $recall%.3f")
+    // output well-formedness: per-probe ranks contiguous from 1 with
+    // non-increasing scores — the heap and the walk agree on order
+    val rows = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq,
+        s"probe $p ranks not contiguous")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true },
+        s"probe $p scores not non-increasing")
+      assert(rs.forall(_._2 != p), s"probe $p returned itself")
+    }
+  }
 }

