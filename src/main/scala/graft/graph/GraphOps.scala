@@ -975,54 +975,95 @@ object GraphOps {
   /** Peel `edges0` ((u, v), u < v, deduped) to its 4-truss; returns
     * the surviving edges with their in-truss support. Exposed for the
     * planted-graph spec.
+    *
+    * DELTA PEEL (the standard truss decrement optimization): only the
+    * FIRST round pays the full oriented-triangle support rollup
+    * (m^1.5-bounded). Every later round maintains support
+    * incrementally — a triangle is destroyed exactly when its first
+    * edge drops, and for k = 4 a dropped edge had support < 2, so
+    * each dropped edge kills at most ONE triangle; the round
+    * enumerates destroyed triangles by joining the (small) dropped
+    * set against the previous graph's adjacency, dedupes them as
+    * sorted node triples (a triangle losing two edges in one round is
+    * destroyed once, not twice), and decrements each surviving edge
+    * once per destroyed triangle it was in. The maintained support is
+    * EXACTLY the full recount within the current edge set (induction:
+    * triangles of e(i-1) containing edge e and no dropped edge are
+    * precisely the triangles of e(i)), so the round structure,
+    * convergence round, and final supports are identical to the
+    * recount peel — the unrolled oracle is untouched. Total work
+    * drops from O(rounds × triangles) to O(triangles + Σ|drops|·deg).
     */
   private[graft] def ktruss4Of(edges0: DataFrame,
       maxRounds: Int = Ktruss4MaxRounds): DataFrame = {
     import edges0.sparkSession.implicits._
-    var remaining = materialize(edges0.select($"u", $"v"))
-    // the materialized frame backing `remaining` (freshStatsLeaf wraps
-    // it in a new plan), tracked so superseded rounds can be released
-    var remainingFrame = remaining
-    var scored: DataFrame = edges0.sparkSession.emptyDataFrame
+    // round 1: the one full support rollup
+    val e0 = materialize(edges0.select($"u", $"v"))
+    val (_, tri0) = orientedTriangles(
+      org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(e0))
+    val sup0 = tri0.select(explode(array(
+        struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
+        struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
+        struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
+        .as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+    // the materialized frame backing `scored` (freshStatsLeaf wraps it
+    // in a new plan), tracked so superseded rounds can be released
+    var scoredFrame = materialize(e0.join(sup0, Seq("u", "v"), "left")
+      .select($"u", $"v", coalesce($"support", lit(0L)).as("support")))
+    release(e0)
+    // fresh-stats leaf: each round's plan references `scored` several
+    // times (drops, keep, adjacency both ways), so inherited
+    // checkpoint stats would compound across rounds
+    var scored = org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(scoredFrame)
+    var iter = 1
     var converged = false
-    var iter = 0
     while (!converged) {
-      iter += 1
-      if (iter > maxRounds)
-        throw new IllegalStateException(
-          s"4-truss peel did not converge within $maxRounds rounds — " +
-            "raise Ktruss4MaxRounds (the oracle unroll must move with it)")
-      val (_, tri) = orientedTriangles(remaining)
-      val sup = tri.select(explode(array(
-          struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
-          struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
-          struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
-          .as("e"))
-        .select($"e.u".as("u"), $"e.v".as("v"))
-        .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
-      val sc = materialize(remaining.join(sup, Seq("u", "v"), "left")
-        .select($"u", $"v", coalesce($"support", lit(0L)).as("support")))
-      val keep = materialize(
-        sc.where($"support" >= Ktruss4K - 2).select($"u", $"v"))
-      converged = keep.count() == remaining.count()
-      // this round's frames are materialized — free the superseded
-      // ones, or every peel round's checkpoint blocks (20+ at sf0.01)
-      // stay pinned in executor memory for the duration of the call
-      release(remainingFrame)
-      if (iter > 1) release(scored)
-      remainingFrame = keep
-      // fresh-stats leaf: the round plan references `remaining` three
-      // times (wedge join + closing edge), so inherited checkpoint
-      // stats would compound exponentially across rounds — see
-      // [[org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf]]
-      remaining = org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(keep)
-      // the round that OBSERVES convergence scored the fixpoint set,
-      // so its support column is the in-truss support
-      scored = sc
+      val drops = scored.where($"support" < Ktruss4K - 2).select($"u", $"v")
+      if (drops.limit(1).count() == 0L) converged = true
+      else {
+        iter += 1
+        if (iter > maxRounds)
+          throw new IllegalStateException(
+            s"4-truss peel did not converge within $maxRounds rounds — " +
+              "raise Ktruss4MaxRounds (the oracle unroll must move with it)")
+        val adj = scored.select($"u".as("a"), $"v".as("b"))
+          .unionAll(scored.select($"v".as("a"), $"u".as("b")))
+        // destroyed triangles: common neighbors w of each dropped
+        // edge's endpoints within the PREVIOUS graph, deduped as
+        // sorted triples. The drop-derived side is tiny every round —
+        // broadcast it through both wedge joins so the round's only
+        // scans of `scored` are map-side
+        val d = drops.select($"u".as("du"), $"v".as("dv"))
+        // wedges through the dropped edge's u endpoint: Σ deg(du)
+        // rows — bounded and small (a dropped edge has support < 2)
+        val wedges = adj.select($"a".as("du"), $"b".as("w"))
+          .join(broadcast(d), "du")
+        val triD = adj.select($"a".as("dv"), $"b".as("w"))
+          .join(broadcast(wedges), Seq("dv", "w"))
+          .select(array_sort(array($"du", $"dv", $"w")).as("t"))
+          .distinct()
+        // each destroyed triangle decrements its surviving edges once;
+        // sorted triples make every pair (lo, hi) = the edge key
+        val dec = triD.select(explode(array(
+            struct($"t"(0).as("u"), $"t"(1).as("v")),
+            struct($"t"(0).as("u"), $"t"(2).as("v")),
+            struct($"t"(1).as("u"), $"t"(2).as("v")))).as("e"))
+          .select($"e.u".as("u"), $"e.v".as("v"))
+          .groupBy($"u", $"v").agg(count(lit(1)).as("destroyed"))
+        val next = materialize(
+          scored.where($"support" >= Ktruss4K - 2)
+            .join(broadcast(dec), Seq("u", "v"), "left")
+            .select($"u", $"v",
+              ($"support" - coalesce($"destroyed", lit(0L))).as("support")))
+        release(scoredFrame)
+        scoredFrame = next
+        scored = org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(next)
+      }
     }
-    // the final keep is not consumed past the convergence count —
-    // the output derives from `scored` alone
-    release(remainingFrame)
+    // at the fixpoint every maintained support is >= k-2 already; the
+    // filter keeps the output contract explicit
     scored.where($"support" >= Ktruss4K - 2)
   }
 
