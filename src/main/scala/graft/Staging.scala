@@ -274,6 +274,77 @@ object Staging {
       }
     }.getOrElse(0)
 
+  /** Snapshot retention, the companion policy to [[pruneLake]]'s TTL:
+    * keep only the newest `keep` fingerprint snapshots of every
+    * artifact key (by publish mtime) and delete the rest; returns the
+    * number of snapshot dirs deleted. At a daily ingest cadence every
+    * corpus rewrite publishes a fresh fingerprint per artifact, so an
+    * unretained lake grows by one full artifact set per snapshot
+    * forever. In-flight publishes (`.tmp-*` dirs) are not snapshots
+    * and are never touched — their publisher renames or deletes them;
+    * a crashed publisher's leftover is reaped by [[pruneLake]]'s TTL.
+    *
+    * Safe against in-flight serves BY CONSTRUCTION: [[serve]]
+    * materializes the artifact into session-held blocks at read time,
+    * so deleting its backing files affects only future cache misses —
+    * which rebuild from source and republish (spec-pinned).
+    */
+  def retainNewestFingerprints(spark: SparkSession, keep: Int): Int = {
+    require(keep >= 1, s"retention must keep at least 1 snapshot, got $keep")
+    lakeRootOf(spark).map { root =>
+      val rootPath = new Path(root, s"v$LakeFormatVersion")
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rootPath)) 0
+      else {
+        var n = 0
+        fs.listStatus(rootPath).filter(_.isDirectory).foreach { keyDir =>
+          fs.listStatus(keyDir.getPath)
+            .filter(d => d.isDirectory && !d.getPath.getName.startsWith(".tmp-"))
+            .sortBy(d => (-d.getModificationTime, d.getPath.getName))
+            .drop(keep)
+            .foreach { fpDir => fs.delete(fpDir.getPath, true); n += 1 }
+        }
+        n
+      }
+    }.getOrElse(0)
+  }
+
+  /** Accounting face of the lake: one row per published artifact
+    * snapshot — key, corpus fingerprint, data-file count, bytes,
+    * publish mtime, and whether the snapshot is complete (`_SUCCESS`
+    * present; an incomplete one is a lost-race leftover the TTL will
+    * reap). Driver-side metadata listing only, the same cost class as
+    * [[corpusFingerprint]] — no data scan. This is what a retention
+    * policy is tuned against: `groupBy(artifact_key)` gives per-key
+    * snapshot counts and byte growth per corpus snapshot.
+    */
+  def lakeReport(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = lakeRootOf(spark).toSeq.flatMap { root =>
+      val rootPath = new Path(root, s"v$LakeFormatVersion")
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).filter(_.isDirectory).toSeq.flatMap { keyDir =>
+        fs.listStatus(keyDir.getPath)
+          .filter(d => d.isDirectory && !d.getPath.getName.startsWith(".tmp-"))
+          .toSeq.map { fpDir =>
+            val files = fs.listStatus(fpDir.getPath).filter(_.isFile)
+            val dataFiles = files.filter(f =>
+              f.getPath.getName != "_SUCCESS" && !f.getPath.getName.endsWith(".crc"))
+            (keyDir.getPath.getName,
+              fpDir.getPath.getName.stripPrefix("fp="),
+              dataFiles.length.toLong,
+              dataFiles.map(_.getLen).sum,
+              fpDir.getModificationTime,
+              files.exists(_.getPath.getName == "_SUCCESS"))
+          }
+      }
+    }
+    rows.toDF("artifact_key", "fingerprint", "n_files", "bytes",
+        "modified_ms", "complete")
+      .orderBy($"artifact_key", $"fingerprint")
+  }
+
   private[graft] def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.optimizedPlan.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

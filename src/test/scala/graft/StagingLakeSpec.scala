@@ -205,6 +205,86 @@ class StagingLakeSpec extends SparkSpecBase {
     assert(!keyDir.exists() || keyDir.list().isEmpty)
   }
 
+  test("retention keeps the newest N fingerprints per key; report accounts for all") {
+    val corpus = tmpDir("lake_corpus_rt")
+    val lake = tmpDir("lake_root_rt")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    val s1 = spark.newSession()
+    s1.conf.set(Staging.LakeConfKey, lake)
+    cache.getOrBuild(s1, corpus, "ret_idx")(
+      s1.read.parquet(s"$corpus/t.parquet").limit(5).localCheckpoint())
+    val liveFp = Staging.corpusFingerprint(s1, corpus)
+    // two older snapshots of the same key (yesterday's corpus
+    // fingerprints), plus an in-flight publish temp that retention
+    // must never touch
+    Seq("00000000000000aa" -> 48 * 3600 * 1000L,
+        "00000000000000bb" -> 24 * 3600 * 1000L).foreach { case (fp, age) =>
+      val p = s"$lake/v1/ret_idx/fp=$fp"
+      s1.range(3).write.mode("overwrite").parquet(p)
+      new java.io.File(p).setLastModified(System.currentTimeMillis() - age)
+    }
+    val tmp = new java.io.File(s"$lake/v1/ret_idx/.tmp-fp=cc-inflight")
+    tmp.mkdirs()
+    // the report sees every snapshot, none of them the temp
+    val rep = Staging.lakeReport(s1).collect()
+    assert(rep.map(_.getString(1)).sorted.toSeq ===
+      Seq("00000000000000aa", "00000000000000bb", liveFp).sorted)
+    assert(rep.forall(_.getBoolean(5)), "published snapshots must be complete")
+    assert(rep.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0L))
+    // keep the newest 1 → the two aged snapshots go, the live one and
+    // the in-flight temp stay
+    assert(Staging.retainNewestFingerprints(s1, keep = 1) === 2)
+    assert(new java.io.File(s"$lake/v1/ret_idx/fp=$liveFp").exists())
+    assert(tmp.exists(), "retention deleted an in-flight publish temp")
+    assert(Staging.lakeReport(s1).collect().map(_.getString(1)).toSeq
+      === Seq(liveFp))
+    // idempotent at the floor
+    assert(Staging.retainNewestFingerprints(s1, keep = 1) === 0)
+    intercept[IllegalArgumentException] {
+      Staging.retainNewestFingerprints(s1, keep = 0)
+    }
+  }
+
+  test("eviction never breaks an in-flight serve; the next miss rebuilds") {
+    val corpus = tmpDir("lake_corpus_ev")
+    val lake = tmpDir("lake_root_ev")
+    writeCorpus(corpus)
+    val cache = new Staging.SessionCache()
+    var builds = 0
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      builds += 1
+      s.read.parquet(s"$corpus/t.parquet").groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+    }
+    val s1 = spark.newSession()
+    s1.conf.set(Staging.LakeConfKey, lake)
+    cache.getOrBuild(s1, corpus, "ev_idx")(build(s1))
+    assert(builds === 1)
+    // a SECOND session is served from the lake (no rebuild) — this is
+    // the in-flight consumer eviction must not break
+    val s2 = spark.newSession()
+    s2.conf.set(Staging.LakeConfKey, lake)
+    val served = cache.getOrBuild(s2, corpus, "ev_idx")(build(s2))
+    assert(builds === 1)
+    // evict EVERYTHING from the lake while s2 still holds the serve
+    assert(Staging.pruneLake(s1, -1000L) >= 1)
+    // the served frame was materialized at read time: its blocks are
+    // session-held, so the delete is invisible to the consumer...
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).length === 7)
+    // ...and the same session's cache entry still hits in memory
+    cache.getOrBuild(s2, corpus, "ev_idx")(build(s2))
+    assert(builds === 1)
+    // a THIRD session misses cleanly: rebuild from source + republish
+    val s3 = spark.newSession()
+    s3.conf.set(Staging.LakeConfKey, lake)
+    cache.getOrBuild(s3, corpus, "ev_idx")(build(s3))
+    assert(builds === 2, "post-eviction miss did not rebuild")
+    val fp = Staging.corpusFingerprint(s3, corpus)
+    assert(new java.io.File(s"$lake/v1/ev_idx/fp=$fp/_SUCCESS").exists(),
+      "rebuild did not republish")
+  }
+
   test("freshStatsLeaf keeps rows and partitioning but resets inherited stats") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge
