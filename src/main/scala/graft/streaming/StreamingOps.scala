@@ -222,6 +222,126 @@ object StreamingOps {
       .orderBy($"user_id", $"event_type", $"day")
   }
 
+  // ------------------------------ E14 graded face: token-bucket gate
+
+  val RateLimitCapacity = 3
+  val RateLimitRefill = 2
+  val RateLimitWaves = 3
+
+  /** E14 (graded face): per-key token-bucket admission over a PINNED
+    * multi-batch replay (`stream_rate_limit`). The [[rateLimit]]
+    * operator's admit/drop decisions are a pure function of (batch
+    * split, capacity, refill) — admission per batch is the `tokens`
+    * smallest event_ids per key, order-independent WITHIN a batch —
+    * so once the batch sequence is pinned the whole run is
+    * deterministic and the DuckDB oracle can replay the token-bucket
+    * fold wave by wave.
+    *
+    * Pinning: events are split into [[RateLimitWaves]] arrival waves
+    * by an md5 hash of event_id (both engines compute the same
+    * split), each wave written as one spool file with a strictly
+    * ascending stamped mtime, and the file source drains them under
+    * `maxFilesPerTrigger = 1` — mtime order IS batch order (the E5b
+    * batch-split lesson). The oracle unrolls one
+    * (rank, admit, carry-state) round per wave: tokens(w) =
+    * min(C, state + R) with absent state = C, admitted = the
+    * tokens(w) smallest event_ids, state' = tokens(w) − admitted —
+    * including the data-driven refill rule (a key absent from a wave
+    * accrues nothing).
+    *
+    * Scale shape is [[rateLimit]]'s own: one long of state per key,
+    * co-partitioned with the key by the state store, bounded
+    * capacity-sized admission heaps — the replay harness adds one
+    * map-only split pass and nothing else.
+    */
+  def rateLimitGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.StrFuncs.md5_prefix
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ratelimit_${Integer.toHexString(dir.hashCode)}")
+    // rewrite per call: waves derived from an earlier corpus state
+    // must not leak into this drain
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"user_id", $"event_type",
+        (md5_prefix(concat(lit("rl:"), $"event_id".cast("string")), 7)
+          % RateLimitWaves).as("w"))
+    val epoch = System.currentTimeMillis() - 60000L
+    (0 until RateLimitWaves).foreach { w =>
+      val p = s"$base/wave$w"
+      ev.where($"w" === w).select($"event_id", $"user_id", $"event_type")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      // strictly ascending stamped mtimes: the file source's batch
+      // order is its mtime order, so the wave sequence is pinned
+      new java.io.File(p).listFiles().foreach(_.setLastModified(epoch + w * 1000L))
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/wave*").as[Evt]
+    val name = s"graft_stream_ratelimit_${counter.incrementAndGet()}"
+    val q = rateLimit(stream, RateLimitCapacity, RateLimitRefill)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    awaitAndRecord(q, "stream_rate_limit")
+    spark.table(name).select($"user_id", $"event_id")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** E14 oracle: the token-bucket fold unrolled one round per wave —
+    * rank within wave, admit up to the key's tokens, carry
+    * min-capped state to the next wave (keys absent from a wave keep
+    * their state unrefilled).
+    */
+  val rateLimitGateSql: String = {
+    val C = RateLimitCapacity
+    val R = RateLimitRefill
+    def wave(w: Int): String = {
+      val tok =
+        if (w == 0) s"CAST($C AS BIGINT) AS tok" // absent state = C; min(C, C+R) = C
+        else s"least(CAST($C AS BIGINT), coalesce(s${w - 1}.st, $C) + $R) AS tok"
+      val tokFrom =
+        if (w == 0) s"(SELECT DISTINCT user_id, n FROM r$w) k"
+        else s"(SELECT DISTINCT user_id, n FROM r$w) k LEFT JOIN s${w - 1} USING (user_id)"
+      val carry =
+        if (w == 0) ""
+        else
+          s"""
+             |  UNION ALL
+             |  SELECT user_id, st FROM s${w - 1}
+             |  WHERE user_id NOT IN (SELECT user_id FROM r$w)""".stripMargin
+      s"""r$w AS (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM e WHERE w = $w),
+         |t$w AS (SELECT k.user_id, k.n, $tok FROM $tokFrom),
+         |a$w AS (
+         |  SELECT r.user_id, r.event_id
+         |  FROM r$w r JOIN t$w USING (user_id) WHERE r.rn <= t$w.tok),
+         |s$w AS (
+         |  SELECT user_id, tok - least(tok, n) AS st FROM t$w$carry)""".stripMargin
+    }
+    val waves = (0 until RateLimitWaves).map(wave).mkString(",\n")
+    val unionAll = (0 until RateLimitWaves)
+      .map(w => s"SELECT user_id, event_id FROM a$w").mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id,
+       |    ('0x' || substr(md5('rl:' || event_id), 1, 7))::BIGINT
+       |      % $RateLimitWaves AS w
+       |  FROM events),
+       |$waves
+       |SELECT user_id, event_id FROM (
+       |  $unionAll)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   /** E8: streaming sketch top-K — the SpaceSaving aggregate running as
     * a complete-mode streaming aggregation (the live "top protocols
     * right now" dashboard): per-micro-batch partial sketches merge
@@ -1719,6 +1839,7 @@ object StreamingOps {
     "stream_sessions_agg" -> sessionAgg _,
     "stream_session_timer" -> sessionTimer _,
     "stream_dedup_first" -> dedupFirst _,
+    "stream_rate_limit" -> rateLimitGate _,
     "stream_topk" -> topKApprox _,
     "stream_topk_decayed" -> topkDecayed _,
     "stream_decontaminate" -> decontaminate _)
@@ -2120,6 +2241,7 @@ object StreamingOps {
       """SELECT DISTINCT user_id, event_type,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
         |FROM events ORDER BY user_id, event_type, day""".stripMargin,
+    "stream_rate_limit" -> rateLimitGateSql,
     "stream_running_totals" ->
       """SELECT event_type, count(*) AS n,
         |  max(user_id) AS max_user,

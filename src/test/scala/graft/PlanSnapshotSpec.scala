@@ -44,7 +44,7 @@ class PlanSnapshotSpec extends SparkSpecBase {
       "stream_cdc_upsert", "stream_distinct_hll", "stream_biflow_stitch",
       "stream_holt_forecast", "stream_distinct_kmv", "stream_lpm_enrich",
       "stream_interval_join", "stream_session_timer", "stream_dedup_first",
-      "stream_lpm6_enrich", "stream_ann_route")
+      "stream_lpm6_enrich", "stream_ann_route", "stream_rate_limit")
   private val regen = sys.env.contains("GRAFT_REGEN_PLANS")
 
   /** Strip run-varying tokens: expression ids, rdd ids, file paths,
