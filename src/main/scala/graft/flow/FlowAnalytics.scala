@@ -2187,6 +2187,48 @@ object FlowAnalytics {
       .orderBy($"src_label")
   }
 
+  /** B58c: dual-stack subnet volume (`flow_dualstack_volume`) — mixed
+    * v4/v6 analytics in ONE pass, the migration-era NetFlow shape
+    * (records carry an address family per flow, and a Grafana panel
+    * wants both families on one chart): each flow is v6 when
+    * event_id % 4 == 0 (~25% v6, a realistic rollout mix) and v4
+    * otherwise, and the query rolls up traffic by (af, subnet) for
+    * one monitored block per family — v4 10.32.0.0/11 at /24 grain
+    * (ip4_in_cidr gate, ip4_aton mask arithmetic, ip4_ntoa render)
+    * and v6 2001:db8:20::/44 at /48 grain (ip6_in_cidr gate, ip6_net
+    * 16-byte mask, RFC 5952 ip6_ntoa render) — so the full v4 AND v6
+    * expression families run over corpus-derived addresses
+    * end-to-end, hash-checked against the oracle's closed-form octet
+    * / hex-group arithmetic.
+    *
+    * Scale: each leg is one filtered corpus pass with a map-side
+    * combined rollup keyed by its subnet (the CIDR gates are
+    * codegen'd predicates that push into the scan's filter stage);
+    * the union is subnet-sized, never corpus-sized.
+    */
+  def dualstackVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Ip6Funcs.{ip6_in_cidr, ip6_net, ip6_ntoa}
+    val fl = asFlows(spark, dir).withColumn("af",
+      when(pmod($"event_id", lit(4)) === 0, 6).otherwise(4).cast("int"))
+    val v4 = fl.where($"af" === 4 && ip4_in_cidr($"sa", lit("10.32.0.0/11")))
+      .groupBy(concat(ip4_ntoa(ip4_aton($"sa").bitwiseAND(lit(0xFFFFFF00L))),
+        lit("/24")).as("subnet"))
+      .agg(count(lit(1)).as("n_flows"), sum($"ibyt").as("bytes"),
+        countDistinct($"sa").as("n_hosts"))
+      .select(lit(4).cast("int").as("af"), $"subnet", $"n_flows", $"bytes",
+        $"n_hosts")
+    val v6 = fl.where($"af" === 6 &&
+        ip6_in_cidr($"sa6", lit("2001:db8:20::/44")))
+      .groupBy(concat(ip6_ntoa(ip6_net($"sa6", lit(48))), lit("/48"))
+        .as("subnet"))
+      .agg(count(lit(1)).as("n_flows"), sum($"ibyt").as("bytes"),
+        countDistinct($"sa6").as("n_hosts"))
+      .select(lit(6).cast("int").as("af"), $"subnet", $"n_flows", $"bytes",
+        $"n_hosts")
+    v4.unionAll(v6).orderBy($"af", $"subnet")
+  }
+
   /** B57: Holt double-exponential forecast (`flow_holt_forecast`) —
     * level + trend smoothing over each collector's hourly volume
     * series (l ← α·x + (1−α)(l+b); b ← β(l−l_prev) + (1−β)b), the
@@ -2238,6 +2280,7 @@ object FlowAnalytics {
     "flow_host_churn" -> hostChurn _,
     "flow_lpm_enrich" -> lpmEnrich _,
     "flow_lpm6_enrich" -> lpm6Enrich _,
+    "flow_dualstack_volume" -> dualstackVolume _,
     "flow_subnet_rollup" -> subnetRollup _,
     "flow_mad_anomaly" -> madAnomaly _,
     "flow_theil_sen" -> theilSen _,
@@ -2540,6 +2583,29 @@ object FlowAnalytics {
         |  CAST(sum(ibyt) AS BIGINT) AS bytes, count(DISTINCT sa6) AS n_src
         |FROM enr6 GROUP BY 1, 2
         |ORDER BY src_label""".stripMargin),
+    // B58c: closed-form twins of the CIDR gates and masks —
+    // 10.32.0.0/11 = second octet in [32, 63]; /24 net = zeroed last
+    // octet; 2001:db8:20::/44 = site hex group in [0x20, 0x2f]
+    // (user_id % 64 in [32, 47]); /48 net = the site prefix itself
+    "flow_dualstack_volume" -> (flowsCte +
+      """SELECT * FROM (
+        |  SELECT CAST(4 AS INT) AS af,
+        |    '10.' || (user_id % 64) || '.' || ((event_id // 256) % 256)
+        |      || '.0/24' AS subnet,
+        |    count(*) AS n_flows, CAST(sum(ibyt) AS BIGINT) AS bytes,
+        |    count(DISTINCT sa) AS n_hosts
+        |  FROM flows
+        |  WHERE event_id % 4 != 0 AND (user_id % 64) BETWEEN 32 AND 63
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT CAST(6 AS INT) AS af,
+        |    '2001:db8:' || lower(to_hex(user_id % 64)) || '::/48' AS subnet,
+        |    count(*) AS n_flows, CAST(sum(ibyt) AS BIGINT) AS bytes,
+        |    count(DISTINCT sa6) AS n_hosts
+        |  FROM flows
+        |  WHERE event_id % 4 = 0 AND (user_id % 64) BETWEEN 32 AND 47
+        |  GROUP BY 2)
+        |ORDER BY af, subnet""".stripMargin),
     "flow_holt_forecast" -> (flowsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """, hourly AS (
         |  SELECT flowsrc, date_trunc('hour', ts) AS h,
