@@ -141,7 +141,11 @@ object Knn {
     * construction. Ties rank by (hamming, vec_id) through the same
     * bounded heap as every ANN query.
     */
-  def binaryTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared binary-scan stage: per probe, every corpus vector
+    * scored by Hamming distance over the packed sign bits (`score` =
+    * −hamming so the shared descending heap ranks ascending hamming).
+    */
+  private def binaryScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def word(off: Int): Column = expr(
       s"""aggregate(sequence(0, 31), 0L,
@@ -152,17 +156,24 @@ object Knn {
       .select($"vec_id", word(0).as("lo"), word(32).as("hi"))
     val probes = packed.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"lo".as("plo"), $"hi".as("phi"))
-    val scored = packed.crossJoin(broadcast(probes))
+    packed.crossJoin(broadcast(probes))
       .where($"vec_id" =!= $"probe_id")
       .withColumn("ham",
         expr("bit_count(lo ^ plo) + bit_count(hi ^ phi)").cast("long"))
       .withColumn("score", -$"ham".cast("double"))
-    rankTopK(scored, 5, Seq.empty)
+  }
+
+  def binaryTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rankTopK(binaryScored(spark, dir), 5, Seq.empty)
       .select($"probe_id", $"neighbor_id", $"rank",
         (-$"score").cast("long").as("hamming"))
   }
 
-  val binaryTopKSql: String =
+  /** Stage-1 CTE chain shared by D7l and D7o: sign packing, Hamming
+    * scan, (probe, vec) ranking.
+    */
+  private val binaryCtesSql: String =
     s"""WITH packed AS (
        |  SELECT vec_id,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -188,10 +199,76 @@ object Knn {
        |  SELECT probe_id, vec_id, ham,
        |    row_number() OVER (PARTITION BY probe_id
        |      ORDER BY ham, vec_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  val binaryTopKSql: String =
+    s"""$binaryCtesSql
        |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
        |  CAST(ham AS BIGINT) AS hamming
        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  // --------------------------- D7o two-stage retrieve → exact re-rank
+
+  val RerankCandidates = 30
+  val RerankTopK = 5
+
+  /** D7o: two-stage retrieval (`ann_topk_rerank`) — THE production
+    * vector-serving composition: a cheap compressed first stage
+    * retrieves a candidate pool, an exact full-precision re-rank
+    * fixes its rank errors. Stage 1 is D7l's binary sign scan
+    * (16 bytes/vector, xor + popcount — the 32×-less-memory-traffic
+    * scan) keeping the top-[[RerankCandidates]] per probe by
+    * (Hamming, vec_id); stage 2 computes exact float cosine for ONLY
+    * those candidates and keeps the top-[[RerankTopK]]. One-bit
+    * quantization preserves neighborhoods far better than it
+    * preserves exact ranks, so a pool a few times k recovers most of
+    * what the binary top-k alone loses — the spec measures exactly
+    * that (re-ranked recall@3 must strictly beat the raw binary
+    * top-5's, and the output must be a subset of the stage-1 pool).
+    *
+    * 100 TB shape: the full-precision vectors are touched for
+    * |probes| × [[RerankCandidates]] rows only — the corpus-wide scan
+    * reads 16 bytes/vector, candidates flow through a broadcast
+    * semi-join, and the expensive float fold runs on a bounded set.
+    * Oracle replays packing, Hamming pool, and the exact re-rank.
+    */
+  /** The stage-1 Hamming candidate pool at width `k` — exposed for
+    * the spec's subset check.
+    */
+  private[graft] def binaryPool(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    rankTopK(binaryScored(spark, dir), k, Seq.empty)
+      .select($"probe_id", $"neighbor_id".as("vec_id"))
+  }
+
+  def rerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val pool = binaryPool(spark, dir, RerankCandidates)
+    val probes = vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val exact = vecs.join(broadcast(pool), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .select($"probe_id", $"vec_id",
+        vcos($"probe_emb", $"embedding").as("score"))
+    rankTopK(exact, RerankTopK, Seq.empty)
+  }
+
+  val rerankTopKSql: String =
+    s"""$binaryCtesSql,
+       |pool AS (
+       |  SELECT probe_id, vec_id FROM ranked WHERE rank <= $RerankCandidates),
+       |exact AS (
+       |  SELECT c.probe_id, c.vec_id,
+       |    ${cosSql("p.embedding", "v.embedding")} AS score,
+       |    row_number() OVER (PARTITION BY c.probe_id
+       |      ORDER BY ${cosSql("p.embedding", "v.embedding")} DESC, c.vec_id)
+       |      AS rank
+       |  FROM pool c JOIN embeddings v ON v.vec_id = c.vec_id
+       |    JOIN embeddings p ON p.vec_id = c.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  score
+       |FROM exact WHERE rank <= $RerankTopK ORDER BY probe_id, rank""".stripMargin
 
   /** D20c: Matryoshka truncation evaluation (`emb_matryoshka`) — the
     * MRL question (Kusupati et al. 2022): how much RANKING survives
@@ -2606,6 +2683,7 @@ object Knn {
     "emb_matryoshka" -> embMatryoshka _,
     "knn_components" -> knnComponents _,
     "ann_topk_graph" -> graphTopK _,
+    "ann_topk_rerank" -> rerankTopK _,
     "ann_topk_binary" -> binaryTopK _)
 
   val oracleSql: Map[String, String] = Map(
@@ -2637,5 +2715,6 @@ object Knn {
     "emb_matryoshka" -> embMatryoshkaSql,
     "knn_components" -> knnComponentsSql,
     "ann_topk_graph" -> graphTopKSql,
+    "ann_topk_rerank" -> rerankTopKSql,
     "ann_topk_binary" -> binaryTopKSql)
 }

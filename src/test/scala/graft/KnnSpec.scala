@@ -371,6 +371,28 @@ class KnnSpec extends SparkSpecBase {
     assert(recall >= 0.3, f"filtered recall collapsed: $recall%.3f")
   }
 
+  test("two-stage rerank: exact re-rank recovers recall the binary scan loses") {
+    import spark.implicits._
+    val truth = neighbors(Knn.bruteTopK(spark, sf001))
+    val binary = neighbors(Knn.binaryTopK(spark, sf001))
+    val res = Knn.rerankTopK(spark, sf001)
+    val reranked = neighbors(res)
+    val binRecall = (binary & truth).size.toDouble / truth.size
+    val rerRecall = (reranked & truth).size.toDouble / truth.size
+    info(f"recall@3 binary=$binRecall%.3f reranked(${Knn.RerankCandidates} pool)=$rerRecall%.3f")
+    // the whole point of the second stage: 1-bit codes preserve
+    // neighborhoods better than ranks, so an exact re-rank over a
+    // few-times-k pool must strictly beat the raw binary top-k
+    assert(rerRecall > binRecall,
+      f"re-ranking recovered nothing: $rerRecall%.3f <= $binRecall%.3f")
+    // stage 2 only reorders stage 1: every output is in the pool
+    val pool = Knn.binaryPool(spark, sf001, Knn.RerankCandidates)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty && out.subsetOf(pool),
+      s"re-rank emitted candidates outside its stage-1 pool: ${out -- pool}")
+  }
+
   test("graph-walk ANN: hops recover recall the entry layer alone misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
