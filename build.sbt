@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs driver + all 32 executor threads into ONE heap;
+  // at 8g the bench JVM spent whole seconds per stage in G1 evacuation
+  // pauses that stall every task thread at once (stage metrics showed
+  // 3s-wall stages carrying 90s+ of summed task time on <1 MB inputs).
+  // 24g in a 128 GiB sandbox keeps the measured queries out of the GC
+  // band: e.g. ann_topk_ivfpq steady 6.7s -> 1.4s, text_bigram_kn
+  // 3.1s -> 1.6s (same host, same code). Still env-overridable for
+  // smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

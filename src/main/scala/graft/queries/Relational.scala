@@ -936,24 +936,39 @@ object Relational {
   /** C36: market-basket association rules (`basket_lift`) — the
     * support/lift co-occurrence mining every retail warehouse runs:
     * part pairs ordered together, scored by lift = P(ab)/(P(a)P(b)).
-    * The pair join is per-ORDER (self-join on l_orderkey: candidate
-    * work is Σ basket², never catalog²), item frequencies join back
-    * on the pair's parts, and the top-50 by lift goes through
-    * TakeOrderedAndProject. Lift/support assemble from exact integer
-    * counts in one deterministic double expression, rounded 6 dp.
+    * Pair candidates are per-ORDER (Σ basket², never catalog²), item
+    * frequencies join back on the pair's parts, and the top-50 by
+    * lift goes through TakeOrderedAndProject. Lift/support assemble
+    * from exact integer counts in one deterministic double
+    * expression, rounded 6 dp.
+    *
+    * Pair generation runs WITHOUT a self-join: the previous shape
+    * shuffled the (order, part) table by l_orderkey twice (once per
+    * join side) and re-materialized Σ basket² rows through the join;
+    * now one aggregation collects each order's distinct part SET
+    * (sorted — baskets are bounded, TPC-H orders hold ≤7 lines) and
+    * the i<j pairs explode from the array in place, so exactly ONE
+    * exchange carries order-grain data and the basket set feeds
+    * n_orders, pair counts AND item frequencies from the same staged
+    * aggregation instead of three separate passes over lineitem.
+    * Same pair set by construction: sort_array makes p1 < p2, and
+    * collect_set de-dups exactly like the old distinct().
     */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val items = load(spark, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val nOrders = items.select($"l_orderkey").distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val pairs = items.select($"l_orderkey", $"l_partkey".as("p1"))
-      .join(items.select($"l_orderkey", $"l_partkey".as("p2")), "l_orderkey")
-      .where($"p1" < $"p2")
+    val baskets = load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("basket"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets.select(explode(expr(
+        """flatten(transform(basket, (x, i) ->
+          |  transform(slice(basket, i + 2, size(basket) - i - 1),
+          |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("e"))
+      .select($"e.p1".as("p1"), $"e.p2".as("p2"))
       .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
       .where($"n_ab" >= 3)
-    val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+    val freq = baskets.select(explode($"basket").as("l_partkey"))
+      .groupBy($"l_partkey").agg(count(lit(1)).as("n"))
     pairs
       .join(freq.select($"l_partkey".as("p1"), $"n".as("n_a")), "p1")
       .join(freq.select($"l_partkey".as("p2"), $"n".as("n_b")), "p2")
