@@ -40,4 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 3.1s -> 1.6s (same host, same code). Still env-overridable for
   // smaller hosts.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // commit + zero the whole heap at JVM start (untimed), not lazily
+  // inside whichever early query first allocates into a fresh region:
+  // with -Xms unset the first allocation-heavy queries of a run paid
+  // the OS page-commit cost as measured query time
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )
