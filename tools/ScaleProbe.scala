@@ -73,7 +73,11 @@ object ScaleProbe {
   private val probes = Seq(
     "dedup_winnowing", "dedup_ngram_containment", "dedup_max_span",
     "flow_pagerank", "graph_betweenness", "graph_ktruss4",
-    "stream_lpm_enrich", "ann_topk_graph")
+    "stream_lpm_enrich", "ann_topk_graph",
+    // r13: the basket aggregation + in-place pair explode that
+    // replaced the l_orderkey self-join — probe that Σ basket² stays
+    // the bound when the order count (not basket size) grows 5x
+    "basket_lift")
 
   def main(args: Array[String]): Unit = {
     val spark0 = SparkSession.builder().master("local[32]")
