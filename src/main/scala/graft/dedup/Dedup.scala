@@ -401,17 +401,39 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = simhashed(spark, corpusNear(spark, dir))
+    // Materialized signature leaf — the [[minhashed]] precedent: without
+    // it the pigeonhole self-join's two sides EACH re-derive the whole
+    // signing pipeline (scan → tokenize → token counts → 48 vote
+    // aggregates), i.e. the corpus is signed twice per query. As a
+    // LogicalRDD leaf both segment views read the (doc_id, simhash)
+    // rows as data; the per-side segment explode is a map-only
+    // projection on top.
+    val sh = materialize(simhashed(spark, corpusNear(spark, dir)))
     val seg = sh.select($"doc_id", $"simhash",
       explode(expr(s"transform(sequence(0, ${SimBits / SegBits - 1}), s -> named_struct('seg_id', s, 'seg_val', (simhash div CAST(pow(2, s * $SegBits) AS BIGINT)) % ${1 << SegBits}))")).as("seg"))
       .select($"doc_id", $"simhash", $"seg.seg_id", $"seg.seg_val")
     val l = seg.as("l"); val r = seg.as("r")
+    // First-matching-segment dedup, replacing the distinct() aggregation:
+    // a pair colliding in k segments surfaces k times from the join, so
+    // keep only the copy at the LOWEST matching segment — "every segment
+    // below this one differs" is a codegen'd filter over the two simhash
+    // values already in the row, where distinct() had to buffer the full
+    // candidate set in a hash aggregate to drop the same duplicates.
+    // Exactly one copy per pair survives by construction (the first
+    // matching segment exists and is unique), so the output multiset is
+    // identical to distinct()'s.
+    val firstMatch = (0 until SimBits / SegBits).map { s =>
+      val priorsDiffer = (0 until s).map { p =>
+        s"((l.simhash ^ r.simhash) div ${1L << (p * SegBits)}) % ${1 << SegBits} != 0"
+      }
+      (s"l.seg_id = $s" +: priorsDiffer).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
     l.join(r,
         $"l.seg_id" === $"r.seg_id" && $"l.seg_val" === $"r.seg_val" &&
         $"l.doc_id" < $"r.doc_id")
+      .where(expr(firstMatch))
       .select($"l.doc_id".as("d1"), $"r.doc_id".as("d2"),
         expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
-      .distinct()
       .where($"hamming" <= 8)
       .orderBy($"d1", $"d2")
   }
