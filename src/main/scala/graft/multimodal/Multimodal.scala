@@ -303,6 +303,17 @@ object Multimodal {
   private def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     graft.Staging.spreadNarrow(df)
 
+  /** ImageIO's default ImageInputStream/ImageOutputStream cache is a
+    * TEMP FILE per encode/decode call; with 32 task threads pushing
+    * thousands of small in-memory rasters through the codec, that
+    * turns a pure-CPU stage into per-image disk churn (create, write,
+    * read back, delete) on shared /tmp. The flag is JVM-global and
+    * idempotent — flip it at the top of every codec mapPartitions so
+    * executors decode from heap buffers. Output bytes are unchanged.
+    */
+  @inline private def inMemoryImageIO(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def pngPayloads(spark: SparkSession, dir: String) = {
     import spark.implicits._
     spread(load(spark, dir, "documents"))
@@ -311,20 +322,26 @@ object Multimodal {
         (col("n_chars") % 48 + 12).cast("int").as("h"))
       .as[(Long, Int, Int)]
       .mapPartitions { rows =>
+        inMemoryImageIO()
         rows.grouped(BatchSize).flatMap { batch =>
           batch.map { case (id, w, h) =>
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            // one bulk setRGB: the per-pixel call dispatches through
+            // the ColorModel for every pixel; filling a row-major
+            // int[] and storing it once writes the same ARGB words
+            val px = new Array[Int](w * h)
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                img.setRGB(x, y,
-                  (fr(id, x, y) << 16) | (fg(id, x, y) << 8) | fb(id, x, y))
+                px(y * w + x) =
+                  (fr(id, x, y) << 16) | (fg(id, x, y) << 8) | fb(id, x, y)
                 x += 1
               }
               y += 1
             }
+            img.setRGB(0, 0, w, h, px, 0, w)
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", bos)
             val bytes = bos.toByteArray
@@ -351,6 +368,7 @@ object Multimodal {
     pngPayloads(spark, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        inMemoryImageIO()
         rows.grouped(BatchSize).flatMap { batch =>
           batch.map { case (id, png) =>
             val img =
@@ -358,21 +376,21 @@ object Multimodal {
               catch { case _: Exception => null }
             if (img == null) ImageStats(id, ok = false, None, None, None, None, None, None)
             else {
+              // bulk getRGB: same ARGB words as the per-pixel call,
+              // one ColorModel pass instead of w*h dispatches
+              val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
               var (sr, sg, sb, nb) = (0L, 0L, 0L, 0L)
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val p = img.getRGB(x, y)
-                  val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-                  sr += r; sg += g; sb += b
-                  if (r + g + b > 384) nb += 1
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+                sr += r; sg += g; sb += b
+                if (r + g + b > 384) nb += 1
+                i += 1
               }
-              ImageStats(id, ok = true, Some(img.getWidth.toLong),
-                Some(img.getHeight.toLong), Some(sr), Some(sg), Some(sb), Some(nb))
+              ImageStats(id, ok = true, Some(w.toLong),
+                Some(h.toLong), Some(sr), Some(sg), Some(sb), Some(nb))
             }
           }
         }
@@ -418,6 +436,7 @@ object Multimodal {
     pngPayloads(spark, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        inMemoryImageIO()
         rows.grouped(BatchSize).flatMap { batch =>
           batch.map { case (id, png) =>
             val img =
@@ -425,6 +444,8 @@ object Multimodal {
               catch { case _: Exception => null }
             if (img == null) (id, false, None: Option[Long], None: Option[Long], None: Option[Long])
             else {
+              val w = img.getWidth
+              val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
               val w2 = img.getWidth / 2; val h2 = img.getHeight / 2
               var s = 0L
               var by = 0
@@ -436,7 +457,7 @@ object Multimodal {
                   while (dy < 2) {
                     var dx = 0
                     while (dx < 2) {
-                      val p = img.getRGB(bx * 2 + dx, by * 2 + dy)
+                      val p = px((by * 2 + dy) * w + bx * 2 + dx)
                       sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
                       dx += 1
                     }
@@ -505,6 +526,7 @@ object Multimodal {
     pngPayloads(spark, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        inMemoryImageIO()
         rows.grouped(BatchSize).flatMap { batch =>
           batch.map { case (id, png) =>
             val img =
@@ -512,17 +534,15 @@ object Multimodal {
               catch { case _: Exception => null }
             if (img == null) ImageHist(id, ok = false, None, None, None, None)
             else {
+              val w = img.getWidth
+              val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
               val h = new Array[Long](4)
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val p = img.getRGB(x, y)
-                  val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                  h(lum / 192) += 1
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                h(lum / 192) += 1
+                i += 1
               }
               ImageHist(id, ok = true, Some(h(0)), Some(h(1)), Some(h(2)), Some(h(3)))
             }
