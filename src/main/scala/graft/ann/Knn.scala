@@ -2165,16 +2165,29 @@ object Knn {
     def topBeam(cand: DataFrame, b: Int): DataFrame =
       rankTopK(score(cand), b, Seq.empty)
         .select($"probe_id", $"neighbor_id".as("vec_id"))
-    var beam = graft.Staging.materialize(topBeam(
+    // The walk STATE is bounded by construction — ≤ |probes|·B rows of
+    // two longs (≤100 here, and still ≤100 at any corpus size, since
+    // probes and beam width are constants of the query) — so each
+    // hop's beam round-trips through the driver as a LocalRelation
+    // (the bounded-scalar join-back pattern) instead of a per-hop
+    // localCheckpoint: the checkpoint job, its release, and the
+    // multi-MiB task binary every stage scanning a checkpointed
+    // codegen leaf re-broadcasts (measured: 35 × 2.1–3.1 MiB per run)
+    // all disappear. Everything UNBOUNDED — the neighbor fan-out
+    // (hub in-degree is a graph property), the candidate dedup, the
+    // corpus-streaming score, the heap — stays distributed exactly as
+    // before; only the already-ranked B-row result is collected.
+    def localBeam(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        df.select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSeq)
+        .toDF("probe_id", "vec_id")
+    var beam = localBeam(topBeam(
       probes.select($"probe_id").crossJoin(broadcast(reps)), GraphEntryBeam))
     (1 to GraphHops).foreach { _ =>
       val nbrs = edges.join(
           broadcast(beam.withColumnRenamed("vec_id", "src")), "src")
         .select($"probe_id", $"dst".as("vec_id"))
-      val next = graft.Staging.materialize(
-        topBeam(beam.unionAll(nbrs).distinct(), GraphBeamWidth))
-      graft.Staging.release(beam)
-      beam = next
+      beam = localBeam(topBeam(beam.unionAll(nbrs).distinct(), GraphBeamWidth))
     }
     val out = rankTopK(score(beam).where($"vec_id" =!= $"probe_id"), GraphTopK,
       Seq.empty)
