@@ -859,6 +859,24 @@ object GraphOps {
   private[graft] def coOrderEdgesStaged(spark: SparkSession, dir: String): DataFrame =
     stagedGraph(spark, dir, "coorder_edges")(materialize(coOrderEdges(spark, dir)))
 
+  /** The SYMMETRIC adjacency view of [[coOrderEdgesStaged]], staged
+    * hash-partitioned on `u`: B25's wedge aggregation self-joins this
+    * table on the center node and derives degrees from it — against an
+    * unkeyed leaf that plan shuffles the full adjacency TWICE (once per
+    * self-join side) plus once more for the degree rollup; against a
+    * hash(u) leaf all three consumers are exchange-free on the
+    * adjacency (the staged-hash(src)-edges pattern every iterative
+    * walk here already uses).
+    */
+  private[graft] def coOrderAdjStaged(spark: SparkSession, dir: String): DataFrame =
+    stagedGraph(spark, dir, "coorder_adj", Seq("u")) {
+      import spark.implicits._
+      val edges = coOrderEdgesStaged(spark, dir)
+      materialize(
+        edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
+          .repartition($"u"))
+    }
+
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     triangleCounts(coOrderEdgesStaged(spark, dir))

@@ -721,7 +721,10 @@ object GraphSearch {
   def linkJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = GraphOps.coOrderEdgesStaged(spark, dir)
-    val adj = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
+    // hash(u)-staged symmetric adjacency: the wedge self-join's two
+    // sides and the degree rollup all read the same pre-partitioned
+    // leaf, so none of the three re-shuffles the adjacency
+    val adj = GraphOps.coOrderAdjStaged(spark, dir)
     val deg = adj.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
     val common = adj.select($"u".as("s"), $"v".as("y"))
       .join(adj.select($"u".as("s"), $"v".as("z")), "s")
