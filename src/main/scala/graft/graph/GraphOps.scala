@@ -777,36 +777,70 @@ object GraphOps {
   /** Degree table + (s, y, z) oriented-triangle enumeration over an
     * undirected (u, v) u<v edge set — shared by B22's counts and
     * B61's edge support. */
-  private[graft] def orientedTriangles(edges: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def degOf(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
-    val deg = materialize(
-      edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
-        .groupBy($"node").agg(count(lit(1)).as("deg")))
-    // u < v always; orient toward the higher (deg, id) endpoint, so
-    // ties on degree keep the id order
-    val oriented = materialize(
-      edges.join(deg.select($"node".as("u"), $"deg".as("du")), "u")
-        .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
-        .select(
-          when($"du" <= $"dv", $"u").otherwise($"v").as("s"),
-          when($"du" <= $"dv", $"v").otherwise($"u").as("t"),
-          when($"du" <= $"dv", $"dv").otherwise($"du").as("dt")))
+    edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+  }
+
+  // u < v always; orient toward the higher (deg, id) endpoint, so
+  // ties on degree keep the id order
+  private def orientOf(edges: DataFrame, deg: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .select(
+        when($"du" <= $"dv", $"u").otherwise($"v").as("s"),
+        when($"du" <= $"dv", $"v").otherwise($"u").as("t"),
+        when($"du" <= $"dv", $"dv").otherwise($"du").as("dt"))
+  }
+
+  private def wedgeTriangles(oriented: DataFrame): DataFrame = {
+    import oriented.sparkSession.implicits._
     val e1 = oriented.select($"s", $"t".as("y"), $"dt".as("dy"))
     val e2 = oriented.select($"s", $"t".as("z"), $"dt".as("dz"))
-    val tri = e1.join(e2, "s")
+    e1.join(e2, "s")
       .where($"dy" < $"dz" || ($"dy" === $"dz" && $"y" < $"z"))
       // the closing {y,z} edge, if present, is oriented y→z because
       // (deg,id)(y) < (deg,id)(z) by the wedge ordering above
       .join(oriented.select($"s".as("y"), $"t".as("z")), Seq("y", "z"))
-    (deg, tri)
   }
 
-  private[graft] def triangleCounts(edges0: DataFrame): DataFrame = {
-    import edges0.sparkSession.implicits._
+  private[graft] def orientedTriangles(edges: DataFrame): (DataFrame, DataFrame) = {
+    val deg = materialize(degOf(edges))
+    val oriented = materialize(orientOf(edges, deg))
+    (deg, wedgeTriangles(oriented))
+  }
+
+  /** [[orientedTriangles]] over the staged co-order sample subgraph,
+    * with the degree table and the ORIENTED edge table staged once per
+    * (session, dir) + lake — B22 triangles and B61 edge support both
+    * re-derived them per query. The oriented table is staged
+    * hash-partitioned on the wedge center `s`, so the Σ outdeg²
+    * wedge self-join reads one pre-partitioned leaf with no
+    * adjacency-side exchange (the closing {y,z} join re-keys by
+    * construction — different key). The k-truss peel keeps the
+    * per-round dynamic path: its edge set shrinks every round.
+    */
+  private[graft] def orientedTrianglesStaged(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val deg = stagedGraph(spark, dir, "coorder_deg", Seq("node"))(
+      materialize(degOf(coOrderEdgesStaged(spark, dir))))
+    val oriented = stagedGraph(spark, dir, "coorder_oriented", Seq("s"))(
+      materialize(
+        orientOf(coOrderEdgesStaged(spark, dir), deg).repartition($"s")))
+    (deg, wedgeTriangles(oriented))
+  }
+
+  private[graft] def triangleCounts(edges0: DataFrame): DataFrame =
     // callers hand in a materialized/staged edge table (the spec's
     // planted graphs are row-literal leaves — nothing to truncate)
-    val edges = edges0
-    val (deg, tri) = orientedTriangles(edges)
+    triangleCountsOf(orientedTriangles(edges0))
+
+  private def triangleCountsOf(degTri: (DataFrame, DataFrame)): DataFrame = {
+    val (deg, tri) = degTri
+    import deg.sparkSession.implicits._
     val perNode = tri
       .select(explode(array($"s", $"y", $"z")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("triangles"))
@@ -879,7 +913,7 @@ object GraphOps {
 
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    triangleCounts(coOrderEdgesStaged(spark, dir))
+    triangleCountsOf(orientedTrianglesStaged(spark, dir))
       .orderBy($"triangles".desc, $"node").limit(TriTopN)
   }
 
@@ -899,7 +933,7 @@ object GraphOps {
   def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = coOrderEdgesStaged(spark, dir)
-    val (_, tri) = orientedTriangles(edges)
+    val (_, tri) = orientedTrianglesStaged(spark, dir)
     val sup = tri.select(explode(array(
         struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
         struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
