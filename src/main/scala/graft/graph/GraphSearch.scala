@@ -236,21 +236,27 @@ object GraphSearch {
 
   def closeness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val eSrc = contactEdges(spark, dir)
-    val seeds = contactDeg(spark, dir)
-      .orderBy($"deg".desc, $"node").limit(BfsSeeds)
-      .select($"node".as("seed"))
-    val reached = seededBfs(eSrc, seeds, "closeness").select($"seed", $"hop")
-    reached.where($"hop" > 0)
-      .groupBy($"seed", $"hop").agg(count(lit(1)).as("nd"))
-      .groupBy($"seed")
-      .agg(sum($"nd").as("n_reached"),
-        sum($"hop" * $"nd").as("sum_dist"),
-        sum($"nd" * expr("CAST(1000000000 AS BIGINT) div hop")).as("harmonic_q9"))
-      .select($"seed", $"n_reached", $"sum_dist", $"harmonic_q9",
-        round($"n_reached".cast("double") / $"sum_dist".cast("double"), 9)
-          .as("closeness_r"))
-      .orderBy($"seed")
+    // converged per-snapshot measurement (deterministic top-degree
+    // seeds) — staged session+lake like the sampled-closeness /
+    // betweenness / BFS-histogram tables; re-sorted on read because a
+    // lake round-trip drops ordering
+    val scores = sessionStage.getOrBuild(spark, dir, "closeness_seeded") {
+      val eSrc = contactEdges(spark, dir)
+      val seeds = contactDeg(spark, dir)
+        .orderBy($"deg".desc, $"node").limit(BfsSeeds)
+        .select($"node".as("seed"))
+      val reached = seededBfs(eSrc, seeds, "closeness").select($"seed", $"hop")
+      materialize(reached.where($"hop" > 0)
+        .groupBy($"seed", $"hop").agg(count(lit(1)).as("nd"))
+        .groupBy($"seed")
+        .agg(sum($"nd").as("n_reached"),
+          sum($"hop" * $"nd").as("sum_dist"),
+          sum($"nd" * expr("CAST(1000000000 AS BIGINT) div hop")).as("harmonic_q9"))
+        .select($"seed", $"n_reached", $"sum_dist", $"harmonic_q9",
+          round($"n_reached".cast("double") / $"sum_dist".cast("double"), 9)
+            .as("closeness_r")))
+    }
+    scores.orderBy($"seed")
   }
 
   val closenessSql: String =
@@ -803,6 +809,17 @@ object GraphSearch {
     * as BFS/k-core.
     */
   def sssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the min-plus distance histogram is a converged per-snapshot
+    // measurement (deterministic top-degree seeds) — staged
+    // session+lake like the BFS hop histogram; re-sorted on read
+    val hist = sessionStage.getOrBuild(spark, dir, "sssp_hist") {
+      materialize(ssspOf(spark, dir))
+    }
+    hist.orderBy($"dist")
+  }
+
+  private def ssspOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.StrFuncs.md5_prefix
     // weights derive map-only from the staged contact edges (the
