@@ -77,7 +77,11 @@ object ScaleProbe {
     // r13: the basket aggregation + in-place pair explode that
     // replaced the l_orderkey self-join — probe that Σ basket² stays
     // the bound when the order count (not basket size) grows 5x
-    "basket_lift")
+    "basket_lift",
+    // r13 session 2: the hash(u)-staged adjacency wedge self-join —
+    // probe that Σ deg² on the color-sampled subgraph stays the bound
+    // when the order count grows 5x
+    "graph_link_jaccard")
 
   def main(args: Array[String]): Unit = {
     val spark0 = SparkSession.builder().master("local[32]")
