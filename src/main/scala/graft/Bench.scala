@@ -13,12 +13,16 @@ object Bench {
       // from prior queries otherwise lands as a GC pause inside
       // whichever heavy query happens to trigger it
       System.gc()
+      // label every job with its query (guide §1.5) so scheduler log
+      // lines (task-binary warnings, stage failures) attribute to a
+      // query without bisection; thread-local, cleared after
+      s.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       val ok = try { fn(s, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE in $name: ${e.getClass.getName}: ${e.getMessage}")
           false
-      }
+      } finally s.sparkContext.setJobDescription(null)
       // a failed query reports -1 (unmistakably not a duration) so a
       // regression can't masquerade as a fast run
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -932,18 +932,25 @@ object GraphOps {
     */
   def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = coOrderEdgesStaged(spark, dir)
-    val (_, tri) = orientedTrianglesStaged(spark, dir)
-    val sup = tri.select(explode(array(
-        struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
-        struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
-        struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
-        .as("e"))
-      .select($"e.u".as("u"), $"e.v".as("v"))
-      .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
-    edges.join(sup, Seq("u", "v"), "left")
-      .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
-      .orderBy($"support".desc, $"u", $"v").limit(50)
+    // the per-edge support table is a converged per-snapshot
+    // measurement over the staged sample subgraph — published and
+    // served like the centrality tables (it is also the k-truss
+    // peel's round-0 input in spirit); the query tail re-sorts
+    // because a lake round-trip drops ordering
+    val scored = stagedGraph(spark, dir, "coorder_support", Seq("u")) {
+      val edges = coOrderEdgesStaged(spark, dir)
+      val (_, tri) = orientedTrianglesStaged(spark, dir)
+      val sup = tri.select(explode(array(
+          struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
+          struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
+          struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
+          .as("e"))
+        .select($"e.u".as("u"), $"e.v".as("v"))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+      materialize(edges.join(sup, Seq("u", "v"), "left")
+        .select($"u", $"v", coalesce($"support", lit(0L)).as("support")))
+    }
+    scored.orderBy($"support".desc, $"u", $"v").limit(50)
   }
 
   /** B61b: k-truss decomposition (spec-level, like E2/E5 — the peel
