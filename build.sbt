@@ -46,4 +46,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the OS page-commit cost as measured query time
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
-)
+) ++
+  // measurement hook: point java.io.tmpdir (temp streaming
+  // checkpoints, spool dirs) somewhere else — e.g. a tmpfs — to A/B
+  // the placement of small-file-sync-heavy scratch I/O. Default
+  // unchanged.
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq ++
+  // measurement hook: extra JVM flags (e.g. "-Xlog:gc") for GC/JIT
+  // attribution runs. Default unchanged.
+  sys.env.get("SPARK_GRAFT_XJVM").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -220,6 +220,24 @@ object Staging {
     }
   }
 
+  /** Size gate for the driver-local serve fast path: a published
+    * artifact whose data files total at most this many bytes (and
+    * that no consumer needs hash-partitioned) is collected once and
+    * served as a LocalRelation instead of a checkpointed distributed
+    * leaf. Trained models (centroid/codebook tables, KBs at any
+    * corpus size) are exactly the artifacts a production job ships
+    * broadcast anyway; serving them locally removes the checkpoint
+    * job AND every downstream BroadcastExchange build job (a
+    * LocalTableScan broadcasts without launching a job). Measured on
+    * the r14 entry board: first-consumer serves cost multi-second
+    * bench entries (ann_topk_ivf_mp 3.6 s warm vs 0.6 s steady) that
+    * were mostly these fixed jobs. Corpus-sized artifacts (signature
+    * tables, edge lists) exceed the gate and keep the distributed
+    * path — the gate reads the actual published bytes, so the
+    * decision scales with the data, not with a tuned constant.
+    */
+  val LocalServeMaxBytes: Long = 8L << 20
+
   /** Serve a published artifact, restored to the shape the build
     * would have produced: re-keyed on `partitionCols` (a parquet scan
     * loses the build's hash partitioning, and the iterative consumers
@@ -228,7 +246,8 @@ object Staging {
     * lineage-cut so every consumer reads the materialized leaf
     * instead of re-scanning the lake. AQE is held off the staging
     * action so the leaf advertises its hashpartitioning (see
-    * [[preservePartitioning]]).
+    * [[preservePartitioning]]). Small partition-free artifacts take
+    * the [[LocalServeMaxBytes]] fast path instead.
     */
   private def serve(spark: SparkSession, path: Path,
       partitionCols: Seq[String]): Option[DataFrame] = {
@@ -237,10 +256,18 @@ object Staging {
       if (!fs.exists(new Path(path, "_SUCCESS"))) None
       else {
         val raw = spark.read.parquet(path.toString)
-        val keyed =
-          if (partitionCols.isEmpty) raw
-          else raw.repartition(partitionCols.map(raw.col): _*)
-        Some(preservePartitioning(spark)(materialize(keyed)))
+        val dataBytes = fs.listStatus(path)
+          .filter(f => f.isFile && f.getPath.getName != "_SUCCESS" &&
+            !f.getPath.getName.endsWith(".crc"))
+          .map(_.getLen).sum
+        if (partitionCols.isEmpty && dataBytes <= LocalServeMaxBytes)
+          Some(spark.createDataFrame(raw.collectAsList(), raw.schema))
+        else {
+          val keyed =
+            if (partitionCols.isEmpty) raw
+            else raw.repartition(partitionCols.map(raw.col): _*)
+          Some(preservePartitioning(spark)(materialize(keyed)))
+        }
       }
     } catch {
       case e: Exception =>
