@@ -478,11 +478,7 @@ object Knn {
     // the map-side pass for free — the filtered-ANN shape needs it)
     vecs.crossJoin(broadcast(centArr))
       .select(vecs.columns.map(col) :+
-        array_max(transform($"cs", c => struct(
-          vcos($"embedding", c.getField("cent")).as("s"),
-          (-c.getField("cid")).as("nc"),
-          c.getField("cid").as("cid"))))
-          .getField("cid").as("cid"): _*)
+        graft.functions.PqFuncs.argmaxCos($"embedding", $"cs").as("cid"): _*)
   }
 
   /** `iters` Lloyd's rounds from the stride-selected seed. An empty
@@ -868,11 +864,7 @@ object Knn {
       .agg(collect_list(struct($"cid", $"cent")).as("cs"))
     sv.join(broadcast(cbArr), "sub")
       .select($"vec_id", $"sub", $"svec",
-        array_min(transform($"cs", c => struct(
-          (vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", c.getField("cent")) +
-            vdot(c.getField("cent"), c.getField("cent"))).as("d2"),
-          c.getField("cid").as("cid"))))
-          .getField("cid").as("cid"))
+        graft.functions.PqFuncs.argminL2($"svec", $"cs").as("cid"))
   }
 
   private[graft] def pqCodebooks(sv: DataFrame, iters: Int,
@@ -916,20 +908,17 @@ object Knn {
       .groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(sub, cs))), s -> s.cs)").as("cbs"))
 
-  /** The whole-vector encode expression: nested-HOF argmin per
-    * subspace over the broadcast codebook row — d² = x·x − 2·x·c + c·c
+  /** The whole-vector encode expression: native per-row kernel
+    * ([[graft.functions.PqFuncs.pqEncodeCol]]) — d² = x·x − 2·x·c + c·c
     * with ties to the lowest cid, the [[pqAssign]] total order, so
     * codes are bit-identical to the exploded path the oracle replays.
+    * (The previous nested-HOF argmin evaluated its lambdas interpreted
+    * — 16 subspaces × K candidates per row; measured ~29 s of summed
+    * task time on 2 000 rows — the kernel runs the same index-order
+    * arithmetic in one primitive loop per row.)
     */
   private def encodeCol(cbs: Column): Column =
-    transform(sequence(lit(0), lit(PqSubspaces - 1)), sub => {
-      val sv = slice(col("embedding"), sub * lit(PqSubDim) + lit(1), lit(PqSubDim))
-      array_min(transform(element_at(cbs, sub + lit(1)), c => struct(
-        (vdot(sv, sv) - lit(2.0) * vdot(sv, c.getField("cent")) +
-          vdot(c.getField("cent"), c.getField("cent"))).as("d2"),
-        c.getField("cid").as("cid"))))
-        .getField("cid")
-    })
+    graft.functions.PqFuncs.pqEncodeCol(col("embedding"), cbs, PqSubDim)
 
   /** Whole-vector PQ encode, map-only: (vec_id[, keep...], cds) — the
     * corpus never shuffles to build the codes table.
@@ -954,28 +943,42 @@ object Knn {
       .select($"vec_id", $"cell", encodeCol($"cbs").as("cds"))
   }
 
-  /** Per-probe flat ADC LUT: (sub·1000 + cid) → qsum-quantized long,
-    * one broadcast map row per probe.
+  /** Per-probe flat ADC LUT: a DENSE long array positioned at
+    * sub·codes + cid, one broadcast row per probe. A map column here
+    * costs O(|LUT|) per lookup — Spark's map `element_at` is a linear
+    * key scan over the entries array — which put the whole
+    * candidate-scoring stage cost into 16 × 512-entry scans PER
+    * CANDIDATE ROW (measured: 36 s of summed task time on a 1.1 MB
+    * candidate shuffle, the entire ivfpq_res steady tail). The dense
+    * array makes each lookup one O(1) index. Slots for (sub, cid)
+    * pairs absent from the trained codebook hold 0 and are
+    * unreachable: the encoder argmins over the SAME codebook rows, so
+    * a code never references a dropped entry. Values are the same
+    * quantized longs in the same fold order — scores are
+    * bit-identical.
     */
-  private def lutToMap(lut: DataFrame, v: Column): DataFrame = {
+  private def lutToArr(lut: DataFrame, v: Column, codes: Int): DataFrame = {
     import lut.sparkSession.implicits._
     lut.groupBy($"probe_id")
       .agg(map_from_entries(collect_list(struct(
-        ($"sub".cast("long") * 1000 + $"cid").as("k"),
-        floor(v * lit(1.0e9) + lit(0.5)).cast("long").as("v")))).as("lutm"))
+        ($"sub".cast("long") * codes + $"cid").as("k"),
+        floor(v * lit(1.0e9) + lit(0.5)).cast("long").as("v")))).as("m"))
+      .select($"probe_id", transform(
+        sequence(lit(0L), lit(PqSubspaces.toLong * codes - 1)),
+        k => coalesce(element_at($"m", k), lit(0L))).as("lutm"))
   }
 
-  /** Ordered ADC fold: Σ_sub lutm[sub·1000 + cds[sub+1]], long-summed
+  /** Ordered ADC fold: Σ_sub lutm[sub·codes + cds[sub+1]], long-summed
     * then rescaled — equals [[graft.Tables.qsum]] of the per-sub
     * doubles exactly.
     */
   /** See [[graft.Staging.spreadNarrow]]. */
   private def spread(df: DataFrame): DataFrame = graft.Staging.spreadNarrow(df)
 
-  private def adcScore(cds: Column, lutm: Column): Column =
+  private def adcScore(cds: Column, lutm: Column, codes: Int): Column =
     aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L),
       (acc, sub) => acc + element_at(lutm,
-        sub.cast("long") * 1000 + element_at(cds, sub + lit(1))))
+        (sub * codes + element_at(cds, sub + lit(1))).cast("int") + lit(1)))
       .cast("double") / lit(1.0e9)
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -984,13 +987,13 @@ object Knn {
     val sv = subvecs(vecs)
     val cb = stagedModel(spark, dir, s"pqcb_$PqIters")(pqCodebooks(sv, PqIters))
     val codes = pqEncodeArr(spread(vecs), cb)
-    val lut = lutToMap(sv.where($"vec_id" < 10)
+    val lut = lutToArr(sv.where($"vec_id" < 10)
       .join(broadcast(cb), "sub")
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
-        round(vdot($"svec", $"cent"), 9).as("dotp")), $"dotp")
+        round(vdot($"svec", $"cent"), 9).as("dotp")), $"dotp", PqCodes)
     val scored = codes.crossJoin(broadcast(lut))
       .where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id", adcScore($"cds", $"lutm").as("score"))
+      .select($"probe_id", $"vec_id", adcScore($"cds", $"lutm", PqCodes).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -1111,15 +1114,15 @@ object Knn {
       cb, keep = Seq("cell"))
     val probes = coded.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
-    val lut = lutToMap(sv.where($"vec_id" < 10)
+    val lut = lutToArr(sv.where($"vec_id" < 10)
       .join(broadcast(cb), "sub")
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
-        round(vdot($"svec", $"cent"), 9).as("dotp")), $"dotp")
+        round(vdot($"svec", $"cent"), 9).as("dotp")), $"dotp", PqCodes)
     // candidates: the probe's cell only; scored map-side from the
     // code array against the probe's broadcast LUT
     val scored = coded.join(broadcast(probes.join(lut, "probe_id")), "cell")
       .where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id", adcScore($"cds", $"lutm").as("score"))
+      .select($"probe_id", $"vec_id", adcScore($"cds", $"lutm", PqCodes).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -1213,14 +1216,14 @@ object Knn {
     val coded = pqEncodeArr(spread(rvecs), cb, keep = Seq("cell"))
     val probes = rvecs.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
-    val lut = lutToMap(rsv.where($"vec_id" < 10)
+    val lut = lutToArr(rsv.where($"vec_id" < 10)
       .join(broadcast(cb), "sub")
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
         round(vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
-          vdot($"cent", $"cent"), 9).as("dist2")), $"dist2")
+          vdot($"cent", $"cent"), 9).as("dist2")), $"dist2", PqCodes)
     val scored = coded.join(broadcast(probes.join(lut, "probe_id")), "cell")
       .where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id", (-adcScore($"cds", $"lutm")).as("score"))
+      .select($"probe_id", $"vec_id", (-adcScore($"cds", $"lutm", PqCodes)).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 
@@ -1259,11 +1262,7 @@ object Knn {
       .agg(collect_list(struct($"cid", $"cent")).as("cs"))
     svc.join(broadcast(cbArr), Seq("cell", "sub"))
       .select($"vec_id", $"cell", $"sub", $"svec",
-        array_min(transform($"cs", c => struct(
-          (vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", c.getField("cent")) +
-            vdot(c.getField("cent"), c.getField("cent"))).as("d2"),
-          c.getField("cid").as("cid"))))
-          .getField("cid").as("cid"))
+        graft.functions.PqFuncs.argminL2($"svec", $"cs").as("cid"))
   }
 
   /** All per-cell codebooks trained in one pipeline; `svc` =
@@ -1312,14 +1311,14 @@ object Knn {
     val coded = pcEncodeArr(spread(rvecs), cb)
     val probes = rvecs.where($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"cell")
-    val lut = lutToMap(svc.where($"vec_id" < 10)
+    val lut = lutToArr(svc.where($"vec_id" < 10)
       .join(broadcast(cb), Seq("cell", "sub"))
       .select($"vec_id".as("probe_id"), $"sub", $"cid",
         round(vdot($"svec", $"svec") - lit(2.0) * vdot($"svec", $"cent") +
-          vdot($"cent", $"cent"), 9).as("dist2")), $"dist2")
+          vdot($"cent", $"cent"), 9).as("dist2")), $"dist2", PcCodes)
     val scored = coded.join(broadcast(probes.join(lut, "probe_id")), "cell")
       .where($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id", (-adcScore($"cds", $"lutm")).as("score"))
+      .select($"probe_id", $"vec_id", (-adcScore($"cds", $"lutm", PcCodes)).as("score"))
     rankTopK(scored, 3, Seq.empty)
   }
 

@@ -165,10 +165,12 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = plan(graft.ann.Knn.ivfTopK(spark, sf0001))
     assert(!p.contains("Window"),
       s"row_number window over the scored corpus crept back in:\n$p")
-    // map-only argmax: an array_max over the broadcast centroid
-    // array, never a corpus-keyed aggregate (the old max_by-by-vec_id
-    // form re-shuffled n full embeddings per Lloyd's round)
-    assert(p.contains("array_max"), s"map-only argmax assignment missing:\n$p")
+    // map-only argmax: the native cosine-argmax kernel over the
+    // broadcast centroid array, never a corpus-keyed aggregate (the
+    // old max_by-by-vec_id form re-shuffled n full embeddings per
+    // Lloyd's round; the array_max-over-HOF form it replaced ran the
+    // same argmax with interpreted lambdas)
+    assert(p.contains("vecargmaxcos"), s"map-only argmax assignment missing:\n$p")
     assert(!p.contains("max_by"),
       s"shuffling argmax aggregate crept back into assignment:\n$p")
     assert(p.contains("topk_by"), s"bounded-heap ranking missing:\n$p")
