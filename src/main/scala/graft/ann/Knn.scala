@@ -2147,13 +2147,32 @@ object Knn {
       .select(element_at($"m.id", 1).as("vec_id"))
   }
 
+  /** Collect a BOUNDED frame (size capped by query constants) into a
+    * LocalRelation, schema preserved. The guard makes a probe-set or
+    * beam-width change fail loudly instead of growing into an
+    * unbounded driver collect (r13 advice).
+    */
+  private def localized(df: DataFrame, max: Int, what: String): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= max,
+      s"$what unexpectedly large: ${rows.length} rows (bound $max)")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def graphTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val edges = navGraphEdges(spark, dir)
-    val probes = vecs.where($"vec_id" < 10)
-      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
-    val reps = entryReps(spark, dir)
+    // the probe table (10 rows by the vec_id < 10 constant) is
+    // broadcast into EVERY hop's scoring join; as a distributed frame
+    // each hop re-paid a broadcast-build job for it. One bounded
+    // collect makes it a LocalRelation: every later broadcast builds
+    // driver-locally, no job. Same for the ≤CentBudget entry medoids.
+    val probes = localized(vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb")),
+      10, "graph-walk probe set")
+    val reps = localized(entryReps(spark, dir), CentBudget, "entry medoids")
     // (probe_id, vec_id) candidates → scored rows; candidates are tiny
     // and broadcast, the corpus streams map-side
     def score(cand: DataFrame): DataFrame =
@@ -2177,9 +2196,8 @@ object Knn {
     // corpus-streaming score, the heap — stays distributed exactly as
     // before; only the already-ranked B-row result is collected.
     def localBeam(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        df.select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSeq)
-        .toDF("probe_id", "vec_id")
+      localized(df.select($"probe_id", $"vec_id"),
+        10 * math.max(GraphEntryBeam, GraphBeamWidth), "graph-walk beam")
     var beam = localBeam(topBeam(
       probes.select($"probe_id").crossJoin(broadcast(reps)), GraphEntryBeam))
     (1 to GraphHops).foreach { _ =>
