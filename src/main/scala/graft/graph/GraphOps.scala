@@ -930,14 +930,16 @@ object GraphOps {
     * one map-side explode and an edge-sized rollup. Exact integer
     * counting end to end.
     */
-  def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // the per-edge support table is a converged per-snapshot
-    // measurement over the staged sample subgraph — published and
-    // served like the centrality tables (it is also the k-truss
-    // peel's round-0 input in spirit); the query tail re-sorts
-    // because a lake round-trip drops ordering
-    val scored = stagedGraph(spark, dir, "coorder_support", Seq("u")) {
+  /** The per-edge support table over the staged sample subgraph — a
+    * converged per-snapshot measurement, published and served like
+    * the centrality tables. Shared by B61's graded face AND the
+    * k-truss peel's round 0 (the rows are EXACTLY the peel's first
+    * recount: every staged edge left-joined to its triangle credit,
+    * absent → 0).
+    */
+  private[graft] def coOrderSupportStaged(spark: SparkSession, dir: String): DataFrame =
+    stagedGraph(spark, dir, "coorder_support", Seq("u")) {
+      import spark.implicits._
       val edges = coOrderEdgesStaged(spark, dir)
       val (_, tri) = orientedTrianglesStaged(spark, dir)
       val sup = tri.select(explode(array(
@@ -950,7 +952,12 @@ object GraphOps {
       materialize(edges.join(sup, Seq("u", "v"), "left")
         .select($"u", $"v", coalesce($"support", lit(0L)).as("support")))
     }
-    scored.orderBy($"support".desc, $"u", $"v").limit(50)
+
+  def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the query tail re-sorts because a lake round-trip drops ordering
+    coOrderSupportStaged(spark, dir)
+      .orderBy($"support".desc, $"u", $"v").limit(50)
   }
 
   /** B61b: k-truss decomposition (spec-level, like E2/E5 — the peel
@@ -1054,24 +1061,38 @@ object GraphOps {
     * drops from O(rounds × triangles) to O(triangles + Σ|drops|·deg).
     */
   private[graft] def ktruss4Of(edges0: DataFrame,
-      maxRounds: Int = Ktruss4MaxRounds): DataFrame = {
+      maxRounds: Int = Ktruss4MaxRounds,
+      support0: Option[DataFrame] = None): DataFrame = {
     import edges0.sparkSession.implicits._
-    // round 1: the one full support rollup
-    val e0 = materialize(edges0.select($"u", $"v"))
-    val (_, tri0) = orientedTriangles(
-      org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(e0))
-    val sup0 = tri0.select(explode(array(
-        struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
-        struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
-        struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
-        .as("e"))
-      .select($"e.u".as("u"), $"e.v".as("v"))
-      .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
-    // the materialized frame backing `scored` (freshStatsLeaf wraps it
-    // in a new plan), tracked so superseded rounds can be released
-    var scoredFrame = materialize(e0.join(sup0, Seq("u", "v"), "left")
-      .select($"u", $"v", coalesce($"support", lit(0L)).as("support")))
-    release(e0)
+    // round 1: the one full support rollup — or, when the caller
+    // already has the per-snapshot (u, v, support) table (B61's
+    // staged `coorder_support` is EXACTLY this recount over the same
+    // edge set), start from it and skip the m^1.5 rollup entirely.
+    // The given frame is copied via materialize so the round loop's
+    // release() of superseded rounds never frees a shared staged
+    // artifact's blocks.
+    var scoredFrame = support0 match {
+      case Some(sup) =>
+        materialize(sup.select($"u", $"v", $"support"))
+      case None =>
+        val e0 = materialize(edges0.select($"u", $"v"))
+        val (_, tri0) = orientedTriangles(
+          org.apache.spark.sql.graftbridge.Bridge.freshStatsLeaf(e0))
+        val sup0 = tri0.select(explode(array(
+            struct(least($"s", $"y").as("u"), greatest($"s", $"y").as("v")),
+            struct(least($"s", $"z").as("u"), greatest($"s", $"z").as("v")),
+            struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v"))))
+            .as("e"))
+          .select($"e.u".as("u"), $"e.v".as("v"))
+          .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+        // the materialized frame backing `scored` (freshStatsLeaf
+        // wraps it in a new plan), tracked so superseded rounds can
+        // be released
+        val sf = materialize(e0.join(sup0, Seq("u", "v"), "left")
+          .select($"u", $"v", coalesce($"support", lit(0L)).as("support")))
+        release(e0)
+        sf
+    }
     // fresh-stats leaf: each round's plan references `scored` several
     // times (drops, keep, adjacency both ways), so inherited
     // checkpoint stats would compound across rounds
@@ -1130,9 +1151,13 @@ object GraphOps {
     import spark.implicits._
     // the converged truss is corpus-snapshot material (the peel ran
     // 22 rounds at sf0.01): stage it once per (session, dir) + lake
-    // like the LPA labels, so steady-state serves reads
+    // like the LPA labels, so steady-state serves reads. The build
+    // starts from the staged per-edge support table — B61's published
+    // round-0 recount — instead of re-rolling the oriented-triangle
+    // support (the peel's single most expensive pass).
     val truss = stagedGraph(spark, dir, "ktruss4_truss") {
-      materialize(ktruss4Of(coOrderEdgesStaged(spark, dir)))
+      materialize(ktruss4Of(coOrderEdgesStaged(spark, dir),
+        support0 = Some(coOrderSupportStaged(spark, dir))))
     }
     truss.orderBy($"support".desc, $"u", $"v").limit(Ktruss4TopN)
   }

@@ -641,6 +641,11 @@ object GraphSearch {
   private[graft] def kcoreOf(edges0: DataFrame, k: Int = KcoreK): DataFrame = {
     import edges0.sparkSession.implicits._
     var edges = materialize(edges0)
+    // carried across rounds: next ⊆ edges, so comparing next's count
+    // to the PREVIOUS round's (already-paid) count is the same
+    // fixed-point test without re-counting the current edge set —
+    // one fewer job per peel round
+    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged) {
@@ -659,7 +664,9 @@ object GraphSearch {
           .join(keep.select($"node".as("u")), Seq("u"), "left_semi")
           .join(keep.select($"node".as("v")), Seq("v"), "left_semi")
           .select($"u", $"v"))
-      converged = next.count() == edges.count()
+      val nextCount = next.count()
+      converged = nextCount == edgeCount
+      edgeCount = nextCount
       release(edges)
       edges = next
     }
